@@ -1,0 +1,571 @@
+package graft
+
+import graft.core.{JobContext, PipelineContext, PipelineRunner}
+import graft.ml.{Dedup, Hashing, Similarity, TextAnalysis}
+import graft.pipeline.{Action, Job, Pipeline, View}
+import graft.source.FileReader
+import graft.sql.{SqlBase, SqlTransformer}
+import graft.utils.DataframeHelper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The driver-facing query catalog: one entry per operator/dialect feature
+ * from SURVEY.md §2 (plus the training-data operators), each with a DuckDB
+ * oracle. Numeric outputs are decimal-cast (exact cross-engine) or
+ * round-6-then-decimal for ratios; no raw computed doubles, no raw
+ * sub-second timestamps — so value hashes match DuckDB bit-for-bit.
+ */
+object Queries {
+
+  final case class Spec(name: String,
+                        run: (SparkSession, String) => DataFrame,
+                        oracle: Option[String])
+
+  /** Register the needed testdata tables as temp views. */
+  private def t(spark: SparkSession, dir: String, names: String*): Unit =
+    names.foreach {
+      case "events" => eventsView(spark, dir)
+      case n => spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+    }
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+   *  rejects; read nanos as long and convert to a microsecond timestamp
+   *  (truncation — mirrored in the oracles via date_trunc). */
+  private def eventsView(spark: SparkSession, dir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .createOrReplaceTempView("events")
+  }
+
+  /** DuckDB-side mirror of [[eventsView]]'s microsecond truncation. */
+  private val eventsUsCte =
+    """events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
+      |  user_id, event_type, value, props FROM events)""".stripMargin
+
+  // ---------------------------------------------------------------- dialect
+
+  /** TPC-H Q1-style pricing summary; runs through the actor/pipeline engine
+   *  (FileReader -> SqlTransformer -> view) to exercise the whole kernel. */
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_charge,
+      |  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  private def q1(spark: SparkSession, dir: String): DataFrame = {
+    val pipeline = Pipeline("q1_pricing_summary", jobs = Seq(Job("main", Seq(
+      Action("read_lineitem",
+        new FileReader().sourceFormat("parquet").fileUri(s"$dir/lineitem.parquet"),
+        Some(View("lineitem"))),
+      Action("aggregate", new SqlTransformer().sqlString(q1Sql),
+        Some(View("q1_result")))))),
+      singleSparkSession = true)
+    new PipelineRunner(PipelineContext(singleSparkSession = true)).run(pipeline)(spark)
+    spark.table("q1_result")
+  }
+
+  private def sqlQuery(tables: Seq[String], sql: String)(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, tables: _*)
+    spark.sql(sql)
+  }
+
+  /** Scalar-subquery dialect (`set` + `setrun`) through the SqlBase engine. */
+  private def q9(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer")
+    val ctx = new JobContext(PipelineContext())(spark)
+    SqlBase.execute(
+      """set seg = BUILDING;
+        |setrun avg_bal = (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6)) FROM customer);
+        |SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment = '${seg}' AND c_acctbal > ${avg_bal}""".stripMargin, ctx)(spark).get
+  }
+
+  // --------------------------------------------------- dataframe-api queries
+
+  /** Star-schema join + agg via the DataFrame API with explicit broadcast of
+   *  the small dimensions — the plan a 100 TB run wants (no shuffle of the
+   *  dim side; fact side aggregates map-side first). */
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    customer
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_bal"))
+  }
+
+  /** Top-k with deterministic tie-break via DataFrame API. */
+  private def q13(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Global zipWithIndex invariants (contiguous 1..n) — proves the
+   *  partition-offset numbering without depending on physical row order. */
+  private def u1(spark: SparkSession, dir: String): DataFrame = {
+    val z = DataframeHelper.zipWithIndex(spark.read.parquet(s"$dir/lineitem.parquet"), "idx")
+    z.agg(count(lit(1)).as("cnt"), min(col("idx")).as("min_idx"),
+      max(col("idx")).as("max_idx"), countDistinct(col("idx")).as("n_distinct"))
+  }
+
+  // ------------------------------------------------------- dedup / text / ann
+
+  /** documents ∪ deterministic perturbed copies — gives the near-dup
+   *  queries true positives to find (the raw synthetic corpus has none). */
+  private def docCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup dup dup")).as("text")))
+  }
+
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' dup dup dup' AS text
+      |  FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** Shared DuckDB CTE: normalized text -> distinct word-3-gram shingles. */
+  private def shingleCte(src: String): String =
+    s"""norm AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM $src),
+       |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM norm),
+       |shl AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+       |  THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+       |  ELSE [t] END AS sh FROM w),
+       |shing AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM shl)""".stripMargin
+
+  private def sigCte: String = {
+    val mins = (0 until 8).map(j =>
+      s"min(${Hashing.duckdbHashSql("shingle", j)}) AS mh$j").mkString(", ")
+    s"sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id)"
+  }
+
+  private def bandedCte: String = {
+    val bands = (0 until 4).map { b =>
+      val cols = s"mh${2 * b}::varchar || ',' || mh${2 * b + 1}::varchar"
+      s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"banded AS ($bands)"
+  }
+
+  private val candCte =
+    """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b
+      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val estExpr: String =
+    (0 until 8).map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+
+  private def d2(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minHashSignatures(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+
+  private def d3(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidatePairs(Dedup.minHashSignatures(docCorpus(spark, dir), "text", "doc_id"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard").cast("decimal(5,3)").as("est_jaccard"))
+
+  private def d4(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docCorpus(spark, dir)
+    val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
+    // all candidates (no est-jaccard floor): d4 reports the TRUE jaccard
+    val cand = Dedup.lshCandidatePairs(
+        Dedup.minHashSignatures(corpus, "text", "doc_id"), minEstJaccard = 0.0)
+      .select("id_a", "id_b")
+    Dedup.ngramJaccard(cand, sh)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).cast("decimal(10,6)").as("jaccard"))
+  }
+
+  private def d5(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+
+  private val d5Oracle: String = {
+    val h = Hashing.duckdbHashSql("tok")
+    val votes = (0 until 60).map(b =>
+      s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+    val bits = (0 until 60).map(b =>
+      s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" + ")
+    s"""WITH norm AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents),
+       |toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+       |hs AS (SELECT doc_id, $h AS h FROM toks WHERE length(tok) > 0),
+       |votes AS (SELECT doc_id, $votes FROM hs GROUP BY doc_id)
+       |SELECT doc_id AS id, CAST($bits AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+
+  /** Embedding near-dup pairs, blocked by label: corpus ∪ perturbed copies
+   *  (first component +0.1) so true near-dups exist. */
+  private def d6(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"), col("label"))
+    val pert = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1).cast("double") + lit(0.1)),
+          transform(slice(col("embedding"), 2, 63), _.cast("double"))).as("v"),
+        col("label"))
+    Similarity.nearDupPairs(base.unionAll(pert), "vec_id", "v", "label", 0.95)
+  }
+
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+  private def normSql(a: String): String =
+    "sqrt(" + (1 to 64).map(i => s"$a[$i]*$a[$i]").mkString(" + ") + ")"
+
+  private val d6Oracle: String = {
+    val cos = s"(${dotSql("a.v", "b.v")}) / (${normSql("a.v")} * ${normSql("b.v")})"
+    s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v, label FROM embeddings),
+       |pert AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_prepend(embedding[1]::double + 0.1, list_transform(embedding[2:64], x -> x::double)) AS v, label
+       |  FROM embeddings WHERE vec_id % 7 = 0),
+       |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+       |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS cos_r
+       |  FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, CAST(cos_r AS DECIMAL(10,6)) AS cos_sim FROM pairs WHERE cos_r >= 0.95""".stripMargin
+  }
+
+  private def s1(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5)
+  }
+
+  private val s1Oracle: String = {
+    val cos = s"(${dotSql("q.v", "c.v")}) / (${normSql("q.v")} * ${normSql("c.v")})"
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |q AS (SELECT * FROM c WHERE vec_id % 50 = 0),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round($cos, 6) AS cos_r
+       |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos_r,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, CAST(cos_r AS DECIMAL(10,6)) AS cos_sim, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
+  /** Approximate (LSH-bucketed) top-k — the scale path; rows-only check
+   *  (the 512-term hyperplane derivation is not worth a SQL oracle). */
+  private def s2(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5, 64, 6)
+  }
+
+  private def textNormSql: String = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+  private val t2Oracle: String = {
+    val alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / length(text)"
+    val mwl = "list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), s -> length(s)))::double / len(regexp_split_to_array(trim(text), '\\s+'))"
+    val lenScore = "least(length(text)::double / 200.0, 1.0)"
+    val wordScore = s"(CASE WHEN ($mwl) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)"
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS len_chars,
+       |  CAST(round($alpha, 6) AS DECIMAL(18,6)) AS alpha_ratio,
+       |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+       |  CAST(round($mwl, 6) AS DECIMAL(18,6)) AS mean_word_len,
+       |  CAST(round(($lenScore) * 0.4 + ($alpha) * 0.4 + ($wordScore) * 0.2, 6) AS DECIMAL(18,6)) AS quality
+       |FROM documents""".stripMargin
+  }
+
+  private def t2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("len_chars"),
+      round(TextAnalysis.alphaRatio(col("text")), 6).cast("decimal(18,6)").as("alpha_ratio"),
+      TextAnalysis.punctCount(col("text")).cast("long").as("punct_cnt"),
+      round(TextAnalysis.meanWordLen(col("text")), 6).cast("decimal(18,6)").as("mean_word_len"),
+      TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)").as("quality"))
+  }
+
+  private val t3Oracle: String = {
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, x -> list_contains([$lst], x))) AS h_$lang"
+    }.mkString(", ")
+    val greatest = "greatest(" + langs.map { case (l, _) => s"h_$l" }.mkString(", ") + ")"
+    // descending lexicographic tie-break, matching struct-max semantics
+    val caseChain = langs.map(_._1).sortBy(identity[String]).reverse
+      .map(l => s"WHEN h_$l = $greatest THEN '$l'").mkString(" ")
+    s"""WITH n AS (SELECT doc_id, string_split($textNormSql, ' ') AS toks FROM documents),
+       |h AS (SELECT doc_id, $hitCols FROM n)
+       |SELECT doc_id, CASE WHEN $greatest = 0 THEN 'und' $caseChain END AS lang_pred FROM h""".stripMargin
+  }
+
+  // ----------------------------------------------------------------- catalog
+
+  val all: Seq[Spec] = Seq(
+    Spec("q1_pricing_summary", q1, Some(q1Sql)),
+
+    Spec("q2_filter_project", sqlQuery(Seq("lineitem"),
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(28,4)) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.05 AND l_returnflag NOT IN ('R')""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(28,4)) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.05 AND l_returnflag NOT IN ('R')""".stripMargin)),
+
+    Spec("q3_distinct", sqlQuery(Seq("lineitem"),
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    Spec("q4_left_join", sqlQuery(Seq("orders", "customer"),
+      """SELECT o_orderkey, o_totalprice, c_name, coalesce(c_mktsegment, 'unknown') AS segment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin),
+      Some("""SELECT o_orderkey, o_totalprice, c_name, coalesce(c_mktsegment, 'unknown') AS segment
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)),
+
+    Spec("q5_star_join_agg", q5,
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin)),
+
+    Spec("q6_window_rownum", sqlQuery(Seq("orders"),
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin),
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin)),
+
+    Spec("q7_running_sum", sqlQuery(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(28,2)) AS running_total
+        |FROM orders""".stripMargin),
+      Some("""SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(28,2)) AS running_total
+        |FROM orders""".stripMargin)),
+
+    Spec("q8_cte", sqlQuery(Seq("orders", "customer"),
+      """WITH big_orders AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey)
+        |SELECT c_mktsegment, count(*) AS n_customers, CAST(SUM(n) AS BIGINT) AS n_big_orders
+        |FROM customer JOIN big_orders ON c_custkey = o_custkey GROUP BY c_mktsegment""".stripMargin),
+      Some("""WITH big_orders AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey)
+        |SELECT c_mktsegment, count(*) AS n_customers, CAST(SUM(n) AS BIGINT) AS n_big_orders
+        |FROM customer JOIN big_orders ON c_custkey = o_custkey GROUP BY c_mktsegment""".stripMargin)),
+
+    Spec("q9_scalar_setrun", q9,
+      Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6)) FROM customer)""".stripMargin)),
+
+    Spec("q10_tumbling_window", sqlQuery(Seq("events"),
+      """SELECT CAST(window.start AS LONG) AS bucket_start, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        |FROM events GROUP BY window(ts, '10 minutes'), event_type""".stripMargin),
+      Some(s"""WITH $eventsUsCte
+        |SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS bucket_start, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        |FROM events_us GROUP BY 1, 2""".stripMargin)),
+
+    Spec("q11_interval_range_join", sqlQuery(Seq("events"),
+      """SELECT p.user_id, count(*) AS n_pairs, count(DISTINCT p.event_id) AS n_purchases
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |GROUP BY p.user_id""".stripMargin),
+      Some(s"""WITH $eventsUsCte
+        |SELECT p.user_id, count(*) AS n_pairs, count(DISTINCT p.event_id) AS n_purchases
+        |FROM events_us p JOIN events_us v
+        |  ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |GROUP BY p.user_id""".stripMargin)),
+
+    Spec("q11b_asof_join", sqlQuery(Seq("events"),
+      """SELECT p.event_id AS purchase_id, CAST(max(v.ts) AS LONG) AS last_view_sec
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |GROUP BY p.event_id""".stripMargin),
+      Some(s"""WITH $eventsUsCte
+        |SELECT p.event_id AS purchase_id, floor(epoch(max(v.ts)))::BIGINT AS last_view_sec
+        |FROM events_us p JOIN events_us v
+        |  ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |GROUP BY p.event_id""".stripMargin)),
+
+    Spec("q12_string_funcs", sqlQuery(Seq("customer"),
+      """SELECT c_custkey, concat(upper(substr(c_name, 1, 3)), '-', c_mktsegment) AS tag,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'B') AS seg2,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band
+        |FROM customer""".stripMargin),
+      Some("""SELECT c_custkey, concat(upper(substr(c_name, 1, 3)), '-', c_mktsegment) AS tag,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'B') AS seg2,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band
+        |FROM customer""".stripMargin)),
+
+    Spec("q13_topk", q13,
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    Spec("q14_union", sqlQuery(Seq("customer", "supplier"),
+      """SELECT key_type, count(*) AS cnt FROM (
+        |  SELECT 'cust' AS key_type, c_custkey AS k FROM customer
+        |  UNION ALL SELECT 'supp' AS key_type, s_suppkey AS k FROM supplier) t
+        |GROUP BY key_type""".stripMargin),
+      Some("""SELECT key_type, count(*) AS cnt FROM (
+        |  SELECT 'cust' AS key_type, c_custkey AS k FROM customer
+        |  UNION ALL SELECT 'supp' AS key_type, s_suppkey AS k FROM supplier) t
+        |GROUP BY key_type""".stripMargin)),
+
+    Spec("q15_anti_join", sqlQuery(Seq("customer", "orders"),
+      """SELECT c_nationkey AS nationkey, count(*) AS n_customers_no_big_orders
+        |FROM customer c WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY c_nationkey""".stripMargin),
+      Some("""SELECT c_nationkey AS nationkey, count(*) AS n_customers_no_big_orders
+        |FROM customer c WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY c_nationkey""".stripMargin)),
+
+    Spec("q16_conditional_agg", sqlQuery(Seq("lineitem"),
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS qty_o,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      Some("""SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS qty_o,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    Spec("q17_semi_join", sqlQuery(Seq("supplier", "nation", "customer"),
+      """SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = s_nationkey)
+        |GROUP BY n_name""".stripMargin),
+      Some("""SELECT n_name, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = s_nationkey)
+        |GROUP BY n_name""".stripMargin)),
+
+    Spec("q18_having", sqlQuery(Seq("lineitem"),
+      """SELECT l_partkey, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) > 25""".stripMargin),
+      Some("""SELECT l_partkey, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) > 25""".stripMargin)),
+
+    Spec("q19_rollup", sqlQuery(Seq("lineitem"),
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    Spec("q20_date_parts", sqlQuery(Seq("orders"),
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |  count(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |  count(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    Spec("q21_json_extract", sqlQuery(Seq("events"),
+      """SELECT event_type, CAST(SUM(CAST(get_json_object(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin),
+      Some("""SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ------------------------------------------- training-data pipeline ops
+
+    Spec("d1_dedup_exact", (spark, dir) => {
+      Dedup.exact(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+    }, Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    Spec("d2_minhash_signatures", d2, Some {
+      s"""WITH ${shingleCte("documents")},
+         |$sigCte
+         |SELECT doc_id AS id, ${(0 until 8).map(j => s"mh$j").mkString(", ")} FROM sig""".stripMargin
+    }),
+
+    Spec("d3_lsh_pairs", d3, Some {
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte
+         |SELECT c.id_a, c.id_b, CAST(($estExpr) / 8.0 AS DECIMAL(5,3)) AS est_jaccard
+         |FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+         |WHERE ($estExpr) / 8.0 >= 0.5""".stripMargin
+    }),
+
+    Spec("d4_ngram_jaccard", d4, Some {
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |counts AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+         |  FROM cand c JOIN shing sa ON c.id_a = sa.doc_id
+         |  JOIN shing sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(round(coalesce(ni, 0)::double / (ca.n + cb.n - coalesce(ni, 0)), 6) AS DECIMAL(10,6)) AS jaccard
+         |FROM cand c JOIN counts ca ON c.id_a = ca.doc_id JOIN counts cb ON c.id_b = cb.doc_id
+         |LEFT JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b""".stripMargin
+    }),
+
+    Spec("d5_simhash", d5, Some(d5Oracle)),
+    Spec("d6_embed_neardup", d6, Some(d6Oracle)),
+    Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
+    Spec("s2_knn_lsh", s2, None), // rows-only: hyperplane SQL oracle not worth it
+
+    Spec("t1_token_counts", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+    }, Some("""SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin)),
+
+    Spec("t2_quality_score", t2, Some(t2Oracle)),
+
+    Spec("t3_lang_id", (spark, dir) => {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    }, Some(t3Oracle)),
+
+    Spec("t4_fingerprint", (spark, dir) => {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    }, Some("SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp FROM documents")),
+
+    Spec("t5_min_shingle_fp", (spark, dir) => {
+      TextAnalysis.minShingleFingerprint(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
+    }, Some {
+      s"""WITH ${shingleCte("documents")}
+         |SELECT doc_id AS id, CAST(min(${Hashing.duckdbHashSql("shingle")}) AS BIGINT) AS min_shingle_hash
+         |FROM shing GROUP BY doc_id""".stripMargin
+    }),
+
+    Spec("u1_zipwithindex", u1,
+      Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct
+        |FROM lineitem""".stripMargin))
+  )
+}

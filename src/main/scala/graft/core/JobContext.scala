@@ -1,0 +1,91 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
+
+/**
+ * Per-job execution context: view registry + reference counts (driving the
+ * auto-cache policy), pipeline variables, and runtime settings.
+ *
+ * Reference: common/JobContext.scala. Key semantic preserved: a view
+ * referenced more than once is persisted MEMORY_AND_DISK on its second
+ * reference (reference: JobContext.scala:74-85; README.md:374). The
+ * reference smuggles ref-counts through the Spark session conf
+ * (JobContext.scala:112); we keep a plain driver-side map.
+ */
+final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSession) {
+
+  /** Pipeline/job variables (config + `--var` + VariableSetter results). */
+  private val _variables = mutable.LinkedHashMap.empty[String, String]
+  /** SQL-dialect variables declared with `set` / `setrun` in SqlActors;
+   *  visible across actors of the same job (reference: Actor.scala:83-109). */
+  private val _sqlVariables = mutable.LinkedHashMap.empty[String, String]
+  /** How many times each view has been referenced as an input so far. */
+  private val _viewRefs = mutable.Map.empty[String, Int].withDefaultValue(0)
+  /** Views we persisted, so the runner can unpersist at job end. */
+  private val _cached = mutable.Set.empty[String]
+  /** All views promoted during this job, in order, with their global flag. */
+  private val _promoted = mutable.LinkedHashMap.empty[String, Boolean]
+
+  var metricsRequired: Boolean = pipelineCtx.metricsEnabled
+
+  // ---- variables ----------------------------------------------------------
+  def setVariable(name: String, value: String): Unit = _variables(name) = value
+  def setVariables(vs: Iterable[(String, String)]): Unit = vs.foreach { case (k, v) => setVariable(k, v) }
+  def getVariable(name: String): Option[String] = _variables.get(name)
+  def variables: Map[String, String] = _variables.toMap
+
+  def setSqlVariable(name: String, value: String): Unit = _sqlVariables(name) = value
+  def sqlVariables: Map[String, String] = _sqlVariables.toMap
+
+  // ---- views --------------------------------------------------------------
+  /** Resolve a view by name; global_temp-qualified names are honored. */
+  def getView(name: String): DataFrame =
+    if (viewExists(name)) spark.table(resolvedName(name))
+    else throw new IllegalStateException(s"view '$name' does not exist")
+
+  def viewExists(name: String): Boolean =
+    spark.catalog.tableExists(resolvedName(name))
+
+  private def resolvedName(name: String): String =
+    if (name.contains(".")) name
+    else if (spark.catalog.tableExists(name)) name
+    else {
+      val g = s"${pipelineCtx.globalTempDatabase}.$name"
+      if (spark.catalog.tableExists(g)) g else name
+    }
+
+  /** Count a reference to `name`; auto-persist on the 2nd reference
+   *  (skipped for streaming views — persist is illegal on them). */
+  def referenceView(name: String): Unit = {
+    _viewRefs(name) += 1
+    if (_viewRefs(name) == 2 && viewExists(name) && !_cached.contains(name)) {
+      val df = getView(name)
+      if (!df.isStreaming) {
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        _cached += name
+      }
+    }
+  }
+
+  def promoteView(name: String, df: DataFrame, global: Boolean): Unit = {
+    if (global) df.createOrReplaceGlobalTempView(name)
+    else df.createOrReplaceTempView(name)
+    _promoted(name) = global
+  }
+
+  def promotedViews: Seq[(String, Boolean)] = _promoted.toSeq
+
+  /** Unpersist everything we cached (job teardown;
+   *  reference: PipelineRunner.scala:243-258). */
+  def cleanup(): Unit = {
+    _cached.foreach { name =>
+      if (viewExists(name)) {
+        val df = getView(name)
+        if (!df.isStreaming) df.unpersist()
+      }
+    }
+    _cached.clear()
+  }
+}

@@ -1,0 +1,136 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Large-scale document deduplication operators: exact, MinHash+LSH, SimHash,
+ * n-gram Jaccard. All are pure DataFrame transformations — no driver-side
+ * collects — so they scale by partitioning alone.
+ *
+ * Scale design (100 TB): every stage is a narrow map or a keyed shuffle on a
+ * bounded key (doc-id, band-bucket). LSH banding keeps the candidate-pair
+ * join from going quadratic: docs only pair within a (band, bucket) group.
+ * The hash family is pluggable — xxhash64 for production, md5-derived for
+ * cross-engine oracle checks (see [[Hashing]]).
+ */
+object Dedup {
+
+  /** Lowercase + collapse whitespace — the canonical text normalization
+   *  applied before any hashing. */
+  def normText(c: Column): Column = lower(regexp_replace(c, "\\s+", " "))
+
+  /** Exact dedup: groups rows by normalized-content hash, keeps the row with
+   *  the smallest id. Output: one row per distinct content with `keep_id`,
+   *  `dup_count`. A plain hash-groupBy — one shuffle on the 128-bit hash,
+   *  map-side partial aggregation applies. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(md5(normText(col(textCol))).as("content_hash"), col(idCol).cast("long").as("id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles of the normalized text (distinct per doc). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val words = split(normText(col(textCol)), " ")
+    // sliding window over the word array; docs shorter than n yield their
+    // full text as the single shingle
+    val sh = when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array(normText(col(textCol))))
+    df.select(col(idCol).cast("long").as("id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /**
+   * MinHash signatures: `numHashes` independent hash functions over the
+   * shingle set, min per function. Returns (id, mh0..mh{k-1}).
+   * One explode + one groupBy(id) shuffle; signature width k is a constant
+   * column count, so the reduce state is tiny regardless of doc length.
+   */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+                        numHashes: Int = 8, shingleLen: Int = 3,
+                        oracle: Boolean = true): DataFrame = {
+    val sh = shingles(df, textCol, idCol, shingleLen)
+    val hashFn: (Column, Int) => Column =
+      if (oracle) Hashing.oracleHash(_, _) else (c, s) => Hashing.fastHash(c, s)
+    val aggs = (0 until numHashes).map(j => min(hashFn(col("shingle"), j)).as(s"mh$j"))
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * LSH banding over a MinHash signature frame: signature split into `bands`
+   * bands of `rowsPerBand` hashes; docs sharing any band-bucket become
+   * candidate pairs. Self-join happens only within (band, bucket) groups —
+   * the blow-up is bounded by bucket size, not corpus size. Output:
+   * (id_a < id_b, est_jaccard = matching-component fraction).
+   */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 8,
+                        bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+    val mhCols = (0 until numHashes).map(j => col(s"mh$j"))
+    val bandCols = (0 until bands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bucket"))
+    }
+    val banded = signatures
+      .select((col("id") +: mhCols) :+ explode(array(bandCols: _*)).as("bb"): _*)
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"), struct(mhCols: _*).as("sig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val matches = (0 until numHashes).map(j => when(col(s"a.sig.mh$j") === col(s"b.sig.mh$j"), 1).otherwise(0))
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (matches.reduce(_ + _).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity for given candidate pairs:
+   * |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)|.
+   * Joins the (distinct) shingle lists of both sides — shuffles on doc id
+   * only; per-pair work is linear in shingle counts.
+   */
+  def ngramJaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame = {
+    val counts = shingleDf.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = pairs
+      .join(shingleDf.as("sa"), col("id_a") === col("sa.id"))
+      .join(shingleDf.as("sb"), col("id_b") === col("sb.id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    pairs.select("id_a", "id_b")
+      .join(counts.as("ca"), col("id_a") === col("ca.id")).withColumnRenamed("n_shingles", "n_a").drop("id")
+      .join(counts.as("cb"), col("id_b") === col("cb.id")).withColumnRenamed("n_shingles", "n_b").drop("id")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))).as("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash over word tokens: per bit position, sum +1/-1 votes of
+   * each token's hash bit; simhash bit = vote > 0. Near-dups have small
+   * Hamming distance. Token explode + single groupBy(id) with 64 sum
+   * aggregates — constant-width reduce state.
+   */
+  def simHash(df: DataFrame, textCol: String, idCol: String,
+              oracle: Boolean = true): DataFrame = {
+    val hashFn: Column => Column =
+      if (oracle) Hashing.oracleHash(_) else Hashing.fastHash(_, 0)
+    val tokens = df
+      .select(col(idCol).cast("long").as("id"), explode(split(normText(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("id"), hashFn(col("tok")).as("h"))
+    // 60 usable bits from the oracle hash family (15 hex digits)
+    val bits = 60
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$b"))
+    val voted = tokens.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until bits).map(b =>
+      when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))).reduce(_ + _)
+    voted.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhash values. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

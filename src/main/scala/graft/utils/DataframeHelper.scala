@@ -1,0 +1,83 @@
+package graft.utils
+
+import graft.core.{Actor, JobContext}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Frame utilities mirrored from the reference's utils/DataframeHelper.scala.
+ */
+object DataframeHelper {
+
+  /**
+   * Split a DataFrame into chunks of at most `numPartitions` partitions each,
+   * for bounded-concurrency sink writes (reference: DataframeHelper.scala:21-29
+   * — `spark_partition_id / n` bucketing + filter; used by JdbcWriter to cap
+   * open connections at `ioConnections`).
+   */
+  def split(df: DataFrame, numPartitions: Int): Seq[DataFrame] = {
+    val total = df.rdd.getNumPartitions
+    if (total <= numPartitions) Seq(df)
+    else {
+      val chunks = (total + numPartitions - 1) / numPartitions
+      val withBucket = df.withColumn("__bucket_", spark_partition_id() % chunks)
+      (0 until chunks).map(b => withBucket.filter(col("__bucket_") === b).drop("__bucket_"))
+    }
+  }
+
+  /**
+   * Row numbering (reference: DataframeHelper.scala:33-59).
+   *  - with partition columns: `row_number over (partition by cols order by
+   *    monotonically_increasing_id)` (:38);
+   *  - global: per-partition counts + running-sum offsets joined back, so no
+   *    single-partition shuffle of the whole data — scales to arbitrary row
+   *    counts unlike a global `row_number() over (order by ...)` (:41-58).
+   */
+  def zipWithIndex(df: DataFrame, indexCol: String, partitionCols: Seq[String] = Seq.empty): DataFrame =
+    if (partitionCols.nonEmpty) {
+      val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(monotonically_increasing_id())
+      df.withColumn(indexCol, row_number().over(w).cast("long"))
+    } else {
+      // offsets: tiny frame (one row per partition) — window over it is cheap
+      val withPid = df.withColumn("__pid_", spark_partition_id())
+      val offsets = withPid.groupBy(col("__pid_")).agg(count(lit(1)).as("__cnt_"))
+        .withColumn("__offset_",
+          coalesce(sum(col("__cnt_")).over(Window.orderBy(col("__pid_"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__pid_"), col("__offset_"))
+      val wInPart = Window.partitionBy(col("__pid_")).orderBy(monotonically_increasing_id())
+      withPid.withColumn("__rn_", row_number().over(wInPart).cast("long"))
+        .join(broadcast(offsets), "__pid_")
+        .withColumn(indexCol, col("__offset_") + col("__rn_"))
+        .drop("__pid_", "__rn_", "__offset_")
+    }
+}
+
+/**
+ * Repartition a named view to N partitions, optionally by columns
+ * (reference: utils/ViewPartitioner.scala:28-39).
+ */
+class ViewPartitioner extends Actor {
+  private var view: String = ""
+  private var numPartitions: Int = 0
+  private var partitionBy: Seq[String] = Seq.empty
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    view = require_(properties, "view")
+    numPartitions = require_(properties, "numPartitions").toInt
+    properties.get("partitionBy").foreach(p => partitionBy = p.split(",").map(_.trim).toSeq)
+  }
+  def viewName(v: String): this.type = { view = v; this }
+  def partitions(n: Int): this.type = { numPartitions = n; this }
+  def partitionedBy(cols: String*): this.type = { partitionBy = cols; this }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val df = ctx.getView(view)
+    Some(
+      if (partitionBy.nonEmpty) df.repartition(numPartitions, partitionBy.map(df.col): _*)
+      else df.repartition(numPartitions))
+  }
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify at a
+scale factor, then run each oracle SQL in DuckDB over the same parquet
+tables and compare (columns sorted by name, rows sorted, values hashed).
+
+Usage: python3 tools/selfcheck.py [sfdir] [outdir]
+"""
+import sys, os, json, subprocess, glob
+import duckdb
+import pyarrow.parquet as pq
+import decimal, datetime, math
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+def table_key(rows, names):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return out
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(OUT)):
+        d = os.path.join(OUT, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            results[name] = "NO_SPARK_OUTPUT"
+            continue
+        tbl = pq.read_table(files[0])
+        snames = tbl.column_names
+        pylist = tbl.to_pylist()
+        spark_rows = table_key([[r[c] for c in snames] for r in pylist], snames)
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(spark_rows)}"
+            continue
+        try:
+            cur = con.execute(oracle[name])
+            dnames = [d0[0] for d0 in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE_ERROR: {e}"
+            continue
+        duck_rows = table_key(drows, dnames)
+        if sorted(snames) != sorted(dnames):
+            results[name] = f"SCHEMA_MISMATCH spark={sorted(snames)} duck={sorted(dnames)}"
+        elif len(spark_rows) != len(duck_rows):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}"
+        elif spark_rows != duck_rows:
+            diff = next((i, a, b) for i, (a, b) in enumerate(zip(spark_rows, duck_rows)) if a != b)
+            results[name] = f"VALUE_MISMATCH first_diff_row={diff[0]} spark={diff[1]} duck={diff[2]}"
+        else:
+            results[name] = f"OK rows={len(spark_rows)}"
+    ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') else 'INFO' if v.startswith('ROWS_ONLY') else 'FAIL':5s} {k}: {v}")
+    print(f"\n{ok}/{len([r for r in results.values() if not r.startswith('ROWS_ONLY')])} oracle-checked queries pass")
+
+if __name__ == "__main__":
+    main()
