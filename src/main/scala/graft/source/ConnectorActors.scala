@@ -1,0 +1,104 @@
+package graft.source
+
+import graft.core.{Actor, JobContext}
+import graft.streaming.StreamReadSupport
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Generic DataSource-V2 connector reader: one actor pattern covers Delta,
+ * Iceberg, Mongo, Redis and Arrow Flight — the reference's per-connector
+ * readers differ only in format string, table-vs-path addressing, and
+ * option names (reference: source/DeltaReader.scala:18-30,
+ * IcebergReader.scala:24-31, MongoReader.scala:20-32, RedisReader.scala:
+ * 47-66, FlightReader.scala:18-28). The concrete subclasses pin the format
+ * and the addressing rule; everything else is shared plumbing. The
+ * connector jars are not on this offline classpath, so `run` fails with
+ * Spark's own "Failed to find data source" when actually invoked —
+ * option assembly and addressing are unit-tested.
+ */
+abstract class ConnectorReader(format: String) extends Actor {
+  protected var table: Option[String] = None
+  protected var path: Option[String] = None
+  protected var options: Map[String, String] = Map.empty
+  protected var postFilter: Option[String] = None
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    table = properties.get("table")
+    path = properties.get("path")
+    options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
+    postFilter = properties.get("filter")
+  }
+
+  def fromTable(t: String): this.type = { table = Some(t); this }
+  def fromPath(p: String): this.type = { path = Some(p); this }
+  def readOption(k: String, v: String): this.type = { options += (k -> v); this }
+  def where(predicate: String): this.type = { postFilter = Some(predicate); this }
+
+  /** table-vs-path precedence mirrors the reference (DeltaReader:22-25). */
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val reader = spark.read.format(format).options(options)
+    val df = (table, path) match {
+      case (Some(t), _) => reader.table(t)
+      case (None, Some(p)) => reader.load(p)
+      case _ => throw new IllegalArgumentException(s"$format reader: table or path required")
+    }
+    Some(postFilter.fold(df)(df.filter))
+  }
+}
+
+/** Delta by table or path, incl. time-travel via options like versionAsOf
+ *  (reference: source/DeltaReader.scala:18-30). */
+class DeltaReader extends ConnectorReader("delta")
+/** Iceberg table + optional post-load filter
+ *  (reference: source/IcebergReader.scala:24-31). */
+class IcebergReader extends ConnectorReader("iceberg") {
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    require(table.isDefined, "IcebergReader: table required")
+    super.run(ctx)
+  }
+}
+/** MongoDB collection (reference: source/MongoReader.scala:20-32). */
+class MongoReader extends ConnectorReader("mongodb")
+/** Redis table (reference: source/RedisReader.scala:47-66). */
+class RedisReader extends ConnectorReader("org.apache.spark.sql.redis")
+/** Arrow Flight endpoint (reference: source/FlightReader.scala:18-28). */
+class FlightReader extends ConnectorReader("flight")
+
+/** Streaming variant: Delta/Iceberg/Redis stream readers share the same
+ *  shape + watermark plumbing (reference: source/DeltaStreamReader.scala:
+ *  41-57, IcebergStreamReader.scala:30-47, RedisStreamReader.scala:60-94). */
+abstract class ConnectorStreamReader(format: String) extends Actor with StreamReadSupport {
+  protected var table: Option[String] = None
+  protected var path: Option[String] = None
+  protected var options: Map[String, String] = Map.empty
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    table = properties.get("table")
+    path = properties.get("path")
+    options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
+    initStream(properties)
+  }
+
+  def fromTable(t: String): this.type = { table = Some(t); this }
+  def fromPath(p: String): this.type = { path = Some(p); this }
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val reader = spark.readStream.format(format).options(options)
+    val df = (table, path) match {
+      case (_, Some(p)) => reader.load(p)
+      case (Some(t), None) => reader.table(t)
+      case _ => throw new IllegalArgumentException(s"$format stream reader: table or path required")
+    }
+    Some(postLoad(df))
+  }
+}
+
+/** Streaming Delta — path only (reference: DeltaStreamReader.scala:28-32). */
+class DeltaStreamReader extends ConnectorStreamReader("delta") {
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    require(path.isDefined, "DeltaStreamReader: path required")
+    super.run(ctx)
+  }
+}
+class IcebergStreamReader extends ConnectorStreamReader("iceberg")
+class RedisStreamReader extends ConnectorStreamReader("redis")

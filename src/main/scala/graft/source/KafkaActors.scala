@@ -1,0 +1,128 @@
+package graft.source
+
+import graft.core.{Actor, JobContext}
+import graft.streaming.{StreamReadSupport, StreamWriteSupport}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * Kafka key/value schema handling shared by batch + streaming readers.
+ *
+ * Reference: common/KafkaActor.scala:71-84 (schema precedence avroString →
+ * avroUri → avroFile → jsonString → jsonFile) and common/KafkaReadActor
+ * .scala:38-88 (decode via from_avro / from_json, struct flattening of
+ * `key.*` / `value.*`, non-key columns renamed `__kafka_*`).
+ *
+ * The Spark distribution here ships no spark-avro module, so the Avro
+ * decode path raises UnsupportedOperationException with a clear message;
+ * the JSON path (Spark JSON schema or DDL) is fully supported. Swapping in
+ * `org.apache.spark.sql.avro.functions.from_avro` when the jar is present
+ * is a one-line change in [[KafkaSchema.decode]].
+ */
+object KafkaSchema {
+  sealed trait Spec
+  final case class JsonSpec(schema: DataType) extends Spec
+  final case class AvroSpec(schemaJson: String) extends Spec
+  case object NoSpec extends Spec
+
+  def fromProperties(prefix: String, properties: Map[String, String]): Spec = {
+    def read(f: String) = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)), "UTF-8")
+    properties.get(s"$prefix.avroSchemaString").map(AvroSpec.apply)
+      .orElse(properties.get(s"$prefix.avroSchemaFile").map(f => AvroSpec(read(f))))
+      .orElse(properties.get(s"$prefix.jsonSchemaString").map(s => JsonSpec(parseJsonSchema(s))))
+      .orElse(properties.get(s"$prefix.jsonSchemaFile").map(f => JsonSpec(parseJsonSchema(read(f)))))
+      .getOrElse(NoSpec)
+  }
+
+  /** Accepts a Spark JSON schema document or a DDL string. */
+  def parseJsonSchema(s: String): DataType =
+    try DataType.fromJson(s)
+    catch { case _: Exception => StructType.fromDDL(s) }
+
+  /** Decode a raw kafka binary column per the spec; None = leave as-is. */
+  def decode(raw: Column, spec: Spec): Option[Column] = spec match {
+    case JsonSpec(schema) => Some(from_json(raw.cast("string"), schema))
+    case AvroSpec(_) => throw new UnsupportedOperationException(
+      "Avro decode requires the spark-avro module, which is not on this classpath")
+    case NoSpec => None
+  }
+
+  /** Project a decoded kafka frame: flatten key/value structs, prefix the
+   *  metadata columns with `__kafka_` (reference: KafkaReadActor.scala:81-88). */
+  def project(df: DataFrame, keySpec: Spec, valueSpec: Spec): DataFrame = {
+    val metaCols = Seq("topic", "partition", "offset", "timestamp", "timestampType")
+      .filter(df.columns.contains)
+      .map(c => col(c).as(s"__kafka_$c"))
+    val keyCols: Seq[Column] = decode(col("key"), keySpec) match {
+      case Some(decoded) => Seq(decoded.as("__key_struct_"))
+      case None => Seq(col("key").as("__kafka_key"))
+    }
+    val valueCols: Seq[Column] = decode(col("value"), valueSpec) match {
+      case Some(decoded) => Seq(decoded.as("__value_struct_"))
+      case None => Seq(col("value").as("__kafka_value"))
+    }
+    var out = df.select(keyCols ++ valueCols ++ metaCols: _*)
+    if (out.columns.contains("__key_struct_")) out = out.select(col("__key_struct_.*"),
+      col("*")).drop("__key_struct_")
+    if (out.columns.contains("__value_struct_")) out = out.select(col("__value_struct_.*"),
+      col("*")).drop("__value_struct_")
+    out
+  }
+}
+
+/** Batch Kafka topic reader (reference: source/KafkaReader.scala:11-18). */
+class KafkaReader extends Actor {
+  protected var bootstrapServers: String = ""
+  protected var topic: String = ""
+  protected var options: Map[String, String] = Map.empty
+  protected var keySpec: KafkaSchema.Spec = KafkaSchema.NoSpec
+  protected var valueSpec: KafkaSchema.Spec = KafkaSchema.NoSpec
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    bootstrapServers = require_(properties, "bootstrapServers")
+    topic = require_(properties, "topic")
+    options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
+    keySpec = KafkaSchema.fromProperties("keySchema", properties)
+    valueSpec = KafkaSchema.fromProperties("valueSchema", properties)
+  }
+
+  def servers(s: String): this.type = { bootstrapServers = s; this }
+  def subscribe(t: String): this.type = { topic = t; this }
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val df = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .options(options)
+      .load()
+    Some(KafkaSchema.project(df, keySpec, valueSpec))
+  }
+}
+
+/** Streaming Kafka reader + watermark (reference: source/KafkaStreamReader.scala:24-42). */
+class KafkaStreamReader extends Actor with StreamReadSupport {
+  protected var bootstrapServers: String = ""
+  protected var topic: String = ""
+  protected var options: Map[String, String] = Map.empty
+  protected var keySpec: KafkaSchema.Spec = KafkaSchema.NoSpec
+  protected var valueSpec: KafkaSchema.Spec = KafkaSchema.NoSpec
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    bootstrapServers = require_(properties, "bootstrapServers")
+    topic = require_(properties, "topic")
+    options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
+    keySpec = KafkaSchema.fromProperties("keySchema", properties)
+    valueSpec = KafkaSchema.fromProperties("valueSchema", properties)
+    initStream(properties)
+  }
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val df = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .options(options)
+      .load()
+    Some(postLoad(KafkaSchema.project(df, keySpec, valueSpec)))
+  }
+}

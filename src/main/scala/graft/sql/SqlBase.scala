@@ -154,7 +154,19 @@ object SqlBase {
       case SqlStatement(text) =>
         scala.util.Try {
           val plan = spark.sessionState.sqlParser.parsePlan(text)
-          plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.mkString(".") }
+          // CTE definitions are not plain children — walk them explicitly,
+          // and drop the CTE alias names themselves (not real views)
+          val cteNames = plan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+              w.cteRelations.map(_._1)
+          }.flatten.toSet
+          val ctePlans = plan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+              w.cteRelations.map(_._2)
+          }.flatten
+          (plan +: ctePlans).flatMap(_.collectWithSubqueries {
+            case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+          }).filterNot(cteNames.contains)
         }.getOrElse(Seq.empty)
       case _ => Seq.empty
     }.distinct

@@ -1,0 +1,114 @@
+package graft
+
+import graft.core.{JobContext, PipelineContext}
+import graft.source.{BinaryFileReader, FlatFields, FlatFileReader}
+import graft.functions.{Decoder, UdfRegistry}
+
+class FlatFileSpec extends SparkSpec {
+
+  private val fixedLines =
+    """HDR20240211
+      |alice    1         2024-02-11T00:00:011
+      |bob      2         2024-02-11T00:05:020
+      |carol    3         2024-02-11T00:07:111
+      |TRL00003""".stripMargin
+
+  test("positional field spec parsing") {
+    val fs = FlatFields.parsePositional("user:1-9 string, event:10-10 long, ts:20-19 string, flag:39-1 int")
+    fs.map(_.name) shouldBe Seq("user", "event", "ts", "flag")
+    fs(1).start shouldBe 10
+    fs(1).len shouldBe 10
+    fs(1).dataType shouldBe "long"
+  }
+
+  test("delimited field spec fills gaps with dummies") {
+    val fs = FlatFields.parseDelimited("user:0 string, event:2 long")
+    fs.map(_.name) shouldBe Seq("user", "__dummy_1__", "event")
+  }
+
+  test("fixed-width read with N-rows header and trailer views") {
+    implicit val s = spark
+    val dir = tmpDir("flat")
+    writeFile(dir, "train.txt", fixedLines)
+    val ctx = new JobContext(PipelineContext())
+    val reader = new FlatFileReader()
+      .fileUri(s"$dir/train.txt").bodyFormat("fixed-length")
+      .positionalFields("user:1-9 string, event:10-10 long, ts:20-19 string, flag:39-1 int")
+      .header(1, "hdr_view").trailer(1, "trl_view")
+    val out = reader.run(ctx).get
+    reader.extraViews.foreach { case (n, df, g) => ctx.promoteView(n, df, g) }
+    out.count() shouldBe 3
+    out.columns.toSeq shouldBe Seq("user", "event", "ts", "flag")
+    out.filter("trim(user) = 'alice'").select("event").collect().head.getLong(0) shouldBe 1L
+    spark.table("hdr_view").count() shouldBe 1
+    spark.table("trl_view").count() shouldBe 1
+    spark.table("hdr_view").select("__value_").collect().head.getString(0) shouldBe "HDR20240211"
+  }
+
+  test("regex header extraction + row filter") {
+    implicit val s = spark
+    val dir = tmpDir("flat2")
+    writeFile(dir, "t.txt", fixedLines)
+    val ctx = new JobContext(PipelineContext())
+    val reader = new FlatFileReader()
+      .fileUri(s"$dir/t.txt").bodyFormat("fixed-length")
+      .positionalFields("user:1-9 string, event:10-10 long")
+      .headerByRegex("^HDR.*", "h2").trailerByRegex("^TRL.*", "t2")
+      .filterRows("event >= 2")
+    val out = reader.run(ctx).get
+    out.count() shouldBe 2
+  }
+
+  test("delimited read with dummy-column drop and row numbers") {
+    implicit val s = spark
+    val dir = tmpDir("flat3")
+    writeFile(dir, "d.csv", "alice,x,1\nbob,y,2\ncarol,z,3")
+    val ctx = new JobContext(PipelineContext())
+    val out = new FlatFileReader()
+      .fileUri(s"$dir/d.csv").bodyFormat("delimited")
+      .delimitedFields("user:0 string, event:2 long")
+      .rowNumberField("row_no")
+      .run(ctx).get
+    out.columns.toSeq shouldBe Seq("user", "event", "row_no")
+    out.count() shouldBe 3
+    out.filter("user = 'bob'").select("row_no").collect().head.getLong(0) shouldBe 2L
+  }
+
+  test("binary reader with fixed record length + field transformations") {
+    implicit val s = spark
+    val dir = tmpDir("bin")
+    // 3 records of 8 bytes each: 4-char name + 4-digit number
+    val payload = "aaaa0001bbbb0002cccc0003".getBytes("ISO-8859-1")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "r.bin"), payload)
+    UdfRegistry.registerSystemUdfs(spark)
+    val ctx = new JobContext(PipelineContext())
+    val out = new BinaryFileReader()
+      .fileUri(s"$dir/r.bin").withRecordLength(8)
+      .withFieldTransformation("name", "bytes_to_string(substring($., 1, 4), 'ISO-8859-1')")
+      .withFieldTransformation("num", "cast(bytes_to_string(substring($., 5, 4), 'ISO-8859-1') as int)")
+      .run(ctx).get
+    out.count() shouldBe 3
+    out.filter("name = 'bbbb'").select("num").collect().head.getInt(0) shouldBe 2
+  }
+
+  test("COMP-3 packed decimal decode") {
+    // 12345 positive: nibbles 1 2 3 4 5 C
+    val pos = Array[Byte](0x12, 0x34, 0x5c)
+    Decoder.com3ToInt(pos) shouldBe 12345
+    Decoder.com3ToDouble(pos, 2) shouldBe 123.45
+    // -987: nibbles 9 8 7 D
+    val neg = Array[Byte](0x98.toByte, 0x7d)
+    Decoder.com3ToInt(neg) shouldBe -987
+  }
+
+  test("binary_split splits on multi-byte delimiter") {
+    val data = "ab||cd||ef".getBytes("ISO-8859-1")
+    val parts = Decoder.binarySplit(data, "||".getBytes("ISO-8859-1"))
+    parts.map(new String(_, "ISO-8859-1")).toSeq shouldBe Seq("ab", "cd", "ef")
+    Decoder.binarySplit("abc".getBytes, Array.empty[Byte]).length shouldBe 1
+  }
+
+  test("bytes_to_hex") {
+    Decoder.bytesToHex(Array[Byte](0x0f, 0xa0.toByte)) shouldBe "0fa0"
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.core.{JobContext, PipelineContext}
+import graft.sink.{JdbcTemplating, JdbcWriter}
+import graft.source.JdbcReader
+import java.sql.DriverManager
+
+/** End-to-end JDBC against embedded Derby (in-memory). */
+class JdbcSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def conn() = DriverManager.getConnection(url)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    val c = conn()
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE features (user_id VARCHAR(32) NOT NULL, score INT, PRIMARY KEY (user_id))")
+      st.close()
+    } finally c.close()
+  }
+
+  test("templating compiles @field placeholders in order") {
+    val tpl = JdbcTemplating.compile(
+      "INSERT INTO t (a, b, c) VALUES (@a, @b, @a)")
+    tpl.sql shouldBe "INSERT INTO t (a, b, c) VALUES (?, ?, ?)"
+    tpl.bindFields shouldBe Seq("a", "b", "a")
+  }
+
+  test("autoInsert builds a full-column INSERT") {
+    val tpl = JdbcTemplating.autoInsert("t", Seq("x", "y"))
+    tpl.sql shouldBe "INSERT INTO t (x, y) VALUES (?, ?)"
+    tpl.bindFields shouldBe Seq("x", "y")
+  }
+
+  test("merge mode writes rows through the templated row-level path") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new JobContext(PipelineContext())
+    Seq(("u1", 10), ("u2", 20), ("u3", 30)).toDF("user_id", "score")
+      .createOrReplaceTempView("jdbc_src")
+    new JdbcWriter()
+      .connection(Map("url" -> url))
+      .sourceView("jdbc_src").writeMode("merge")
+      .sinkSql("INSERT INTO features (user_id, score) VALUES (@user_id, @score)")
+      .run(ctx)
+    val c = conn()
+    try {
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*), SUM(score) FROM features")
+      rs.next()
+      rs.getInt(1) shouldBe 3
+      rs.getInt(2) shouldBe 60
+    } finally c.close()
+  }
+
+  test("JdbcReader reads the table back through Spark") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    val df = new JdbcReader()
+      .connection(Map("url" -> url, "dbtable" -> "features"))
+      .run(ctx).get
+    df.count() shouldBe 3
+    df.filter("user_id = 'u2'").select("score").collect().head.getInt(0) shouldBe 20
+  }
+
+  test("append mode via stock Spark JDBC sink") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new JobContext(PipelineContext())
+    Seq(("u4", 40)).toDF("user_id", "score").createOrReplaceTempView("jdbc_src2")
+    new JdbcWriter()
+      .connection(Map("url" -> url))
+      .dbTable("features")
+      .sourceView("jdbc_src2").writeMode("append")
+      .run(ctx)
+    val c = conn()
+    try {
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM features")
+      rs.next(); rs.getInt(1) shouldBe 4
+    } finally c.close()
+  }
+
+  test("upsert-style merge statement binds batchId and repeated fields") {
+    // Derby has no ON DUPLICATE KEY; emulate via plain parameterized UPDATE
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new JobContext(PipelineContext())
+    Seq(("u1", 99)).toDF("user_id", "score").createOrReplaceTempView("jdbc_upd")
+    new JdbcWriter()
+      .connection(Map("url" -> url))
+      .sourceView("jdbc_upd").writeMode("merge")
+      .sinkSql("UPDATE features SET score = @score WHERE user_id = @user_id")
+      .run(ctx)
+    val c = conn()
+    try {
+      val rs = c.createStatement().executeQuery("SELECT score FROM features WHERE user_id = 'u1'")
+      rs.next(); rs.getInt(1) shouldBe 99
+    } finally c.close()
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import graft.ml.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class MlSpec extends SparkSpec {
+
+  private lazy val docs = {
+    implicit val s = spark
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+      (3L, "completely different content about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (5L, "THE  QUICK  BROWN  fox jumps over the lazy dog") // normalizes to 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups normalized duplicates") {
+    val out = Dedup.exact(docs, "text", "doc_id").collect()
+    out.length shouldBe 3 // {1,4,5}, {2}, {3}
+    val big = out.find(_.getAs[Long]("dup_count") == 3L).get
+    big.getAs[Long]("keep_id") shouldBe 1L
+  }
+
+  test("minhash signatures: near-dups agree on most components") {
+    val sig = Dedup.minHashSignatures(docs, "text", "doc_id", numHashes = 8, shingleLen = 3)
+    val rows = sig.collect().map(r => r.getLong(0) -> (1 to 8).map(i => r.getLong(i))).toMap
+    rows(1L) shouldBe rows(4L)  // exact dup -> identical signature
+    rows(1L) shouldBe rows(5L)  // normalization
+    val matches12 = rows(1L).zip(rows(2L)).count { case (a, b) => a == b }
+    matches12 should be >= 4    // near-dup
+    val matches13 = rows(1L).zip(rows(3L)).count { case (a, b) => a == b }
+    matches13 should be <= 2    // unrelated
+  }
+
+  test("LSH candidate pairs find the near-dup cluster") {
+    val sig = Dedup.minHashSignatures(docs, "text", "doc_id")
+    val pairs = Dedup.lshCandidatePairs(sig).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((1L, 4L))
+    pairs should contain((1L, 5L))
+    pairs should not contain ((1L, 3L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, via candidate pairs") {
+    implicit val s = spark
+    import spark.implicits._
+    val sh = Dedup.shingles(docs, "text", "doc_id", 3)
+    val cand = Seq((1L, 4L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(cand, sh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    j((1L, 4L)) shouldBe 1.0
+    j((1L, 2L)) should be > 0.5
+    j((1L, 3L)) shouldBe 0.0
+  }
+
+  test("simhash: hamming distance small for near-dups, large for unrelated") {
+    val sh = Dedup.simHash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    ham(sh(1L), sh(4L)) shouldBe 0
+    ham(sh(1L), sh(2L)) should be < 15
+    ham(sh(1L), sh(3L)) should be > 10
+  }
+
+  test("brute-force knn returns k ranked neighbors with self excluded") {
+    implicit val s = spark
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, "vec_id", "v", 4)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    byQuery.keySet shouldBe Set(0L, 1L, 2L)
+    byQuery.values.foreach { rows =>
+      rows.length shouldBe 4
+      rows.map(_.getInt(3)).sorted.toSeq shouldBe Seq(1, 2, 3, 4)
+      rows.foreach(r => r.getLong(1) should not be r.getLong(0))
+    }
+  }
+
+  test("lsh topk agrees with brute force on the nearest neighbor for most queries") {
+    implicit val s = spark
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "v", 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = Similarity.lshTopK(q, emb, "vec_id", "v", 1, 64, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // recall is approximate by construction; just require some overlap and
+    // that all lsh queries got a result from their bucket
+    lsh.size should be >= 1
+    val agree = lsh.count { case (k, v) => bf.get(k).contains(v) }
+    agree should be >= (lsh.size / 4)
+  }
+
+  test("language id picks stopword-heavy language deterministically") {
+    implicit val s = spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "el perro y la casa de los gatos"),
+      (4L, "xyzzy qwerty asdf")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "en"
+    out(2L) shouldBe "de"
+    out(3L) shouldBe "es"
+    out(4L) shouldBe "und"
+  }
+
+  test("token counts and quality score are sane") {
+    implicit val s = spark
+    import spark.implicits._
+    val df = Seq((1L, "Hello world, this is a test!")).toDF("doc_id", "text")
+    val r = df.select(
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+      TextAnalysis.qualityScore(col("text")).as("q")).collect().head
+    r.getInt(0) shouldBe 6
+    r.getInt(1) shouldBe 8 // 6 words + comma + bang
+    r.getDouble(2) should (be > 0.0 and be <= 1.0)
+  }
+
+  test("multimodal stub decode produces schema-stable features partition-parallel") {
+    implicit val s = spark
+    import spark.implicits._
+    val payload1 = ("IMG:640:480:" + "x" * 100).getBytes("ISO-8859-1")
+    val payload2 = ("AUD:2500:" + "y" * 50).getBytes("ISO-8859-1")
+    val df = Seq((1L, payload1), (2L, payload2)).toDF("id", "payload").repartition(2)
+    val out = Multimodal.decode(df)
+    out.schema shouldBe Multimodal.decodedSchema
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    rows(1L).getStruct(1).getString(0) shouldBe "image"
+    rows(1L).getStruct(1).getInt(2) shouldBe 640
+    rows(2L).getStruct(1).getString(0) shouldBe "audio"
+    rows(2L).getStruct(1).getLong(4) shouldBe 2500L
+    rows(1L).getSeq[Float](2).length shouldBe 8
+    // deterministic: same payload -> same features
+    val again = Multimodal.decode(df).collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    again(1L) shouldBe rows(1L).getSeq[Float](2)
+  }
+
+  test("frame sampling explodes payload chunks with stable numbering") {
+    implicit val s = spark
+    import spark.implicits._
+    val df = Seq((7L, Array.tabulate[Byte](100)(_.toByte))).toDF("id", "payload")
+    val frames = Multimodal.sampleFrames(df, frameBytes = 10, everyNth = 2).collect()
+    frames.length shouldBe 5 // 10 chunks, every 2nd
+    frames.map(_.getInt(1)).sorted.toSeq shouldBe Seq(0, 2, 4, 6, 8)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.core.{PipelineContext, PipelineRunner}
+import graft.pipeline.PipelineBuilder
+
+class PipelineBuilderSpec extends SparkSpec {
+
+  test("yaml pipeline parses, resolves variables, and runs end-to-end") {
+    implicit val s = spark
+    val dir = tmpDir("pb")
+    val yaml =
+      s"""name: test-pipeline
+         |variables:
+         |  src_dir: "$sfDir"
+         |  flag_col: l_returnflag
+         |settings:
+         |  singleSparkSession: "true"
+         |jobs:
+         |  - name: main
+         |    actions:
+         |      - name: load
+         |        actor: file-reader
+         |        properties:
+         |          format: parquet
+         |          fileUri: "$${src_dir}/lineitem.parquet"
+         |        output-view:
+         |          name: li_yaml
+         |      - name: agg
+         |        actor: sql
+         |        properties:
+         |          sqlString: "select $${flag_col}, count(*) as c from li_yaml group by $${flag_col}"
+         |        output-view:
+         |          name: out_yaml
+         |""".stripMargin
+    val f = writeFile(dir, "p.yaml", yaml)
+    val pipeline = PipelineBuilder.fromFile(f)
+    pipeline.name shouldBe "test-pipeline"
+    pipeline.jobs.head.actions.length shouldBe 2
+    pipeline.singleSparkSession shouldBe true
+    new PipelineRunner(PipelineContext(singleSparkSession = true)).run(pipeline)(spark)
+    spark.table("out_yaml").count() shouldBe 3
+  }
+
+  test("json pipeline with alias map and submit-var precedence") {
+    implicit val s = spark
+    val dir = tmpDir("pbj")
+    val json =
+      s"""{
+         |  "name": "jp",
+         |  "variables": {"n": "region"},
+         |  "jobs": [{
+         |    "name": "j",
+         |    "actions": [{
+         |      "name": "r",
+         |      "actor": "graft.source.FileReader",
+         |      "properties": {"format": "parquet", "fileUri": "$sfDir/$${n}.parquet"},
+         |      "output-view": {"name": "r_json", "global": false}
+         |    }]
+         |  }]
+         |}""".stripMargin
+    val f = writeFile(dir, "p.json", json)
+    // pipeline variable wins over submit var (precedence: pipeline > submit)
+    val pipeline = PipelineBuilder.fromFile(f, submitVars = Map("n" -> "nation"))
+    new PipelineRunner(PipelineContext(singleSparkSession = true))
+      .run(pipeline.copy(singleSparkSession = true))(spark)
+    spark.table("r_json").count() shouldBe 5 // region rows, not nation's 25
+  }
+
+  test("include: splices a job file") {
+    implicit val s = spark
+    val dir = tmpDir("pbi")
+    writeFile(dir, "job1.yaml",
+      s"""name: included
+         |actions:
+         |  - name: r
+         |    actor: file-reader
+         |    properties:
+         |      format: parquet
+         |      fileUri: "$sfDir/nation.parquet"
+         |    output-view:
+         |      name: inc_view
+         |""".stripMargin)
+    val f = writeFile(dir, "main.yaml",
+      """name: with-include
+        |jobs:
+        |  - include: job1.yaml
+        |""".stripMargin)
+    val pipeline = PipelineBuilder.fromFile(f)
+    pipeline.jobs.head.name shouldBe "included"
+    new PipelineRunner(PipelineContext(singleSparkSession = true))
+      .run(pipeline.copy(singleSparkSession = true))(spark)
+    spark.table("inc_view").count() shouldBe 25
+  }
+
+  test("launcher arg parsing") {
+    val a = graft.Launcher.parseArgs(Array(
+      "--pipeline-def", "/x/p.yaml#j1;j2", "--var", "a=1", "--vars", "b=2,c=3"))
+    a.pipelineDef shouldBe "/x/p.yaml"
+    a.jobs shouldBe Some(Set("j1", "j2"))
+    a.vars shouldBe Map("a" -> "1", "b" -> "2", "c" -> "3")
+  }
+
+  test("flatten turns nested property maps into dot keys") {
+    PipelineBuilder.flatten("", Map("a" -> Map("b" -> 1, "c" -> "x"), "d" -> true)) shouldBe
+      Map("a.b" -> "1", "a.c" -> "x", "d" -> "true")
+  }
+}

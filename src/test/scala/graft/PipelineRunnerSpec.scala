@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.{Actor, JobContext, PipelineContext, PipelineRunner}
+import graft.pipeline.{Action, Job, Pipeline, View}
+import graft.source.FileReader
+import graft.sql.SqlTransformer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+class PipelineRunnerSpec extends SparkSpec {
+
+  private def readerAction(view: String, table: String = "lineitem.parquet") =
+    Action(s"read_$view",
+      new FileReader().sourceFormat("parquet").fileUri(s"$sfDir/$table"),
+      Some(View(view)))
+
+  test("end-to-end: reader -> sql -> view") {
+    val p = Pipeline("t", Seq(Job("j", Seq(
+      readerAction("li"),
+      Action("agg", new SqlTransformer().sqlString(
+        "select l_returnflag, count(*) as c from li group by l_returnflag"),
+        Some(View("out")))))), singleSparkSession = true)
+    new PipelineRunner(PipelineContext(singleSparkSession = true)).run(p)(spark)
+    spark.table("out").count() shouldBe 3
+  }
+
+  test("missing input view fails with a clear error") {
+    val p = Pipeline("t", Seq(Job("j", Seq(
+      Action("agg", new SqlTransformer().sqlString("select * from nope_v"),
+        Some(View("out2")), inputViews = Seq("nope_v"))))), singleSparkSession = true)
+    val e = intercept[IllegalStateException] {
+      new PipelineRunner(PipelineContext(singleSparkSession = true)).run(p)(spark)
+    }
+    e.getMessage should include("nope_v")
+  }
+
+  test("validation-run limit truncates outputs") {
+    val p = Pipeline("t", Seq(Job("j", Seq(
+      readerAction("li_limit")))), singleSparkSession = true)
+    new PipelineRunner(PipelineContext(singleSparkSession = true,
+      validationRunLimit = Some(7))).run(p)(spark)
+    spark.table("li_limit").count() shouldBe 7
+  }
+
+  test("global views cross job sub-sessions, local views do not") {
+    val probe = new Actor {
+      var sawGlobal = false
+      var sawLocal = false
+      override def run(ctx: JobContext)(implicit s: SparkSession): Option[DataFrame] = {
+        sawGlobal = ctx.viewExists("gview")
+        sawLocal = ctx.viewExists("lview")
+        None
+      }
+    }
+    val p = Pipeline("t", Seq(
+      Job("j1", Seq(
+        Action("g", new FileReader().sourceFormat("parquet").fileUri(s"$sfDir/nation.parquet"),
+          Some(View("gview", global = true))),
+        Action("l", new FileReader().sourceFormat("parquet").fileUri(s"$sfDir/region.parquet"),
+          Some(View("lview"))))),
+      Job("j2", Seq(Action("probe", probe, None)))))
+    new PipelineRunner(PipelineContext()).run(p)(spark)
+    probe.sawGlobal shouldBe true
+    probe.sawLocal shouldBe false
+    spark.catalog.dropGlobalTempView("gview")
+  }
+
+  test("auto-cache on second reference") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    spark.read.parquet(s"$sfDir/region.parquet").createOrReplaceTempView("cache_v")
+    ctx.referenceView("cache_v")
+    spark.table("cache_v").storageLevel.useMemory shouldBe false
+    ctx.referenceView("cache_v")
+    spark.table("cache_v").storageLevel.useMemory shouldBe true
+    ctx.cleanup()
+    spark.table("cache_v").storageLevel.useMemory shouldBe false
+  }
+
+  test("metrics collection records row counts and status") {
+    val runner = new PipelineRunner(PipelineContext(singleSparkSession = true, metricsEnabled = true))
+    val p = Pipeline("t", Seq(Job("j", Seq(readerAction("li_m")))), singleSparkSession = true)
+    runner.run(p)(spark)
+    val m = runner.metrics.find(_.action == "read_li_m").get
+    m.rowCount shouldBe Some(6000L)
+    m.status shouldBe "completed"
+    m.schema should include("l_orderkey")
+  }
+
+  test("job filter selects jobs") {
+    val p = Pipeline("t", Seq(
+      Job("a", Seq(readerAction("va"))),
+      Job("b", Seq(readerAction("vb")))), singleSparkSession = true)
+    new PipelineRunner(PipelineContext(singleSparkSession = true))
+      .run(p, Some(Set("b")))(spark)
+    spark.catalog.tableExists("vb") shouldBe true
+    spark.catalog.tableExists("va") shouldBe false
+  }
+}

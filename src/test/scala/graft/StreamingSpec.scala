@@ -1,0 +1,98 @@
+package graft
+
+import graft.core.{JobContext, PipelineContext}
+import graft.streaming.{FileStreamReader, FileStreamWriter, FlatStreamReader}
+import graft.transform.{ArbitraryStatefulProcessor, StreamStatefulTransformer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+class StreamingSpec extends SparkSpec {
+
+  test("file stream read -> file stream write with AvailableNow drains input") {
+    implicit val s = spark
+    val in = tmpDir("sin")
+    val out = tmpDir("sout")
+    val ckpt = tmpDir("sckpt")
+    writeFile(in, "a.csv", "1,alpha\n2,beta\n3,gamma")
+    val ctx = new JobContext(PipelineContext())
+    val df = new FileStreamReader()
+      .sourceFormat("csv").ddlSchemaString("id int, name string").fileUri(in)
+      .withTimestamp()
+      .run(ctx).get
+    df.isStreaming shouldBe true
+    df.columns should contain("__timestamp")
+    ctx.promoteView("stream_v", df, global = false)
+    new FileStreamWriter()
+      .sinkFormat("parquet").fileUri(out).sourceView("stream_v")
+      .writeOption("checkpointLocation", ckpt)
+      .withTrigger("once")
+      .testWaitTimeMs(30000)
+      .run(ctx)
+    val result = spark.read.parquet(out)
+    result.count() shouldBe 3
+    result.columns should contain("__timestamp")
+  }
+
+  test("fixed-width stream reader applies positional fields and watermark") {
+    implicit val s = spark
+    val in = tmpDir("fsin")
+    writeFile(in, "t.txt", "alice    12024-02-11T00:00:00\nbob      22024-02-11T00:05:00")
+    val ctx = new JobContext(PipelineContext())
+    val df = new FlatStreamReader()
+      .fileUri(in)
+      .positionalFields("user:1-9 string, event:10-1 long, ts_s:11-19 string")
+      .withTimestamp()
+      .watermark("__timestamp", "10 seconds")
+      .run(ctx).get
+    df.isStreaming shouldBe true
+    df.columns.toSeq shouldBe Seq("user", "event", "ts_s", "__timestamp")
+  }
+
+  test("stateful transformer: mapGroupsWithState accumulates per key") {
+    implicit val s = spark
+    val in = tmpDir("stin")
+    val out = tmpDir("stout")
+    val ckpt = tmpDir("stckpt")
+    writeFile(in, "e.csv", "a,1\nb,2\na,3\nb,4\na,5")
+    val ctx = new JobContext(PipelineContext())
+    val df = new FileStreamReader()
+      .sourceFormat("csv").ddlSchemaString("k string, v int").fileUri(in)
+      .run(ctx).get
+    ctx.promoteView("st_in", df, global = false)
+
+    val t = new StreamStatefulTransformer()
+      .sourceView("st_in")
+      .withProcessor(new SumProcessor)
+    val summed = t.run(ctx).get
+    ctx.promoteView("st_sum", summed, global = false)
+    // update output mode needs a sink that accepts it: drain through the
+    // generic foreachBatch writer (also exercises that actor)
+    val w = new graft.streaming.ForeachBatchStreamWriter(
+      (batch, _) => batch.write.mode("append").parquet(out))
+      .sourceView("st_sum")
+      .withCheckpoint(ckpt)
+      .withOutputMode("update")
+      .withTrigger("once")
+      .testWaitTimeMs(30000)
+    w.run(ctx)
+    val result = spark.read.parquet(out).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    result shouldBe Map("a" -> 9, "b" -> 6)
+  }
+}
+
+/** groupByKey + mapGroupsWithState accumulator (the reference's canonical
+ *  arbitrary-state pattern, UserStatefulProcessor.scala:36-41). */
+class SumProcessor extends ArbitraryStatefulProcessor {
+  def transformState(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.as[(String, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Int, (String, Int)](GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state) =>
+          val total = state.getOption.getOrElse(0) + rows.map(_._2).sum
+          state.update(total)
+          (key, total)
+      }
+      .toDF("k", "total")
+  }
+}

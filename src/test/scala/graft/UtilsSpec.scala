@@ -1,0 +1,103 @@
+package graft
+
+import graft.core.{JobContext, PipelineContext}
+import graft.utils.{DataframeHelper, SparkConfActor, VariableSetter, ViewPartitioner}
+import graft.source.HBaseMapping
+import graft.sink.{FileWriter, SqlTableWriter}
+import org.apache.spark.sql.functions._
+
+class UtilsSpec extends SparkSpec {
+
+  test("zipWithIndex global: contiguous 1..n, unique") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val z = DataframeHelper.zipWithIndex(df, "idx")
+    val agg = z.agg(count(lit(1)), min(col("idx")), max(col("idx")), countDistinct(col("idx"))).collect().head
+    agg.getLong(0) shouldBe 6000L
+    agg.getLong(1) shouldBe 1L
+    agg.getLong(2) shouldBe 6000L
+    agg.getLong(3) shouldBe 6000L
+  }
+
+  test("zipWithIndex partitioned: 1..k within each partition key") {
+    val df = spark.read.parquet(s"$sfDir/nation.parquet")
+    val z = DataframeHelper.zipWithIndex(df, "rn", Seq("n_regionkey"))
+    val maxPer = z.groupBy(col("n_regionkey")).agg(max(col("rn")).as("m"), count(lit(1)).as("c"))
+    maxPer.filter(col("m") =!= col("c")).count() shouldBe 0
+  }
+
+  test("split caps partition count per chunk") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(8)
+    val chunks = DataframeHelper.split(df, 3)
+    chunks.length shouldBe 3 // ceil(8/3) = 3 buckets
+    chunks.map(_.count()).sum shouldBe 6000L
+  }
+
+  test("ViewPartitioner repartitions a view") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    spark.read.parquet(s"$sfDir/orders.parquet").createOrReplaceTempView("vp_in")
+    val out = new ViewPartitioner().viewName("vp_in").partitions(5).run(ctx).get
+    out.rdd.getNumPartitions shouldBe 5
+  }
+
+  test("SparkConfActor sets session confs") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    new SparkConfActor().sparkConf("spark.graft.test.flag", "on").run(ctx)
+    spark.conf.get("spark.graft.test.flag") shouldBe "on"
+  }
+
+  test("VariableSetter publishes variables into the job context") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    new VariableSetter().variable("stage", "prod").run(ctx)
+    ctx.getVariable("stage") shouldBe Some("prod")
+  }
+
+  test("FileWriter writes and emptyWrite=no skips empty frames") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    val out = tmpDir("fw")
+    spark.read.parquet(s"$sfDir/region.parquet").createOrReplaceTempView("fw_v")
+    new FileWriter().sinkFormat("parquet").fileUri(s"$out/full").sourceView("fw_v").run(ctx)
+    spark.read.parquet(s"$out/full").count() shouldBe 5
+
+    spark.read.parquet(s"$sfDir/region.parquet").filter("r_regionkey < 0")
+      .createOrReplaceTempView("fw_empty")
+    val w = new FileWriter().sinkFormat("parquet").fileUri(s"$out/empty").sourceView("fw_empty")
+    w.init(Map("fileUri" -> s"$out/empty", "view" -> "fw_empty", "emptyWrite" -> "no", "format" -> "parquet"))
+    w.run(ctx)
+    new java.io.File(s"$out/empty").exists() shouldBe false
+  }
+
+  test("hbase column mapping + scan spec + rowkey parsing") {
+    val props = Map(
+      "columns.user_id" -> "cf:uid", "columns.score" -> "cf:s",
+      "scan.keyStart" -> "a", "scan.timeStop" -> "123")
+    val m = HBaseMapping.parse(props)
+    m.map(c => (c.column, c.family, c.qualifier)).toSet shouldBe
+      Set(("user_id", "cf", "uid"), ("score", "cf", "s"))
+    val spec = HBaseMapping.scanSpec(props)
+    spec.keyStart shouldBe Some("a")
+    spec.tsStop shouldBe Some(123L)
+
+    implicit val s = spark
+    import spark.implicits._
+    val df = Seq(("u1", 1), ("u2", 2)).toDF("user_id", "score")
+    val keys = df.select(HBaseMapping.rowKeyColumn(df, Seq("user_id", "score"), "&").as("k"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    keys shouldBe Seq("u1&1", "u2&2")
+  }
+
+  test("SqlTableWriter writes a catalog table") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    val wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    spark.read.parquet(s"$sfDir/region.parquet").createOrReplaceTempView("stw_v")
+    val w = new SqlTableWriter()
+    w.init(Map("table" -> "stw_table", "view" -> "stw_v", "mode" -> "overwrite", "coalesce" -> "1"))
+    w.run(ctx)
+    spark.table("stw_table").count() shouldBe 5
+    spark.sql("DROP TABLE stw_table")
+  }
+}
