@@ -149,9 +149,11 @@ object Queries {
        |shing AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM shl)""".stripMargin
 
   private def sigCte: String = {
+    // one md5 per shingle + derived permutations, mirroring Dedup.minHashSignatures
     val mins = (0 until 8).map(j =>
-      s"min(${Hashing.duckdbHashSql("shingle", j)}) AS mh$j").mkString(", ")
-    s"sig AS (SELECT doc_id, $mins FROM shing GROUP BY doc_id)"
+      s"min(${Hashing.duckdbDerivedSql("h", j)}) AS mh$j").mkString(", ")
+    s"""hs AS (SELECT doc_id, ${Hashing.duckdbHashSql("shingle")} AS h FROM shing),
+       |sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id)""".stripMargin
   }
 
   private def bandedCte: String = {

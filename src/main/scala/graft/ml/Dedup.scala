@@ -29,16 +29,26 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Word n-gram shingles of the normalized text (distinct per doc). */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val words = split(normText(col(textCol)), " ")
-    // sliding window over the word array; docs shorter than n yield their
-    // full text as the single shingle
-    val sh = when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => array_join(slice(words, i + 1, lit(n)), " ")))
-      .otherwise(array(normText(col(textCol))))
-    df.select(col(idCol).cast("long").as("id"), explode(sh).as("shingle")).distinct()
+  /** Word n-gram shingles of the normalized text. `distinct = true` for
+   *  set semantics (Jaccard); signature building can skip the dedup
+   *  shuffle — min() is idempotent over duplicates. */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int,
+               distinct: Boolean = true): DataFrame = {
+    // A Catalyst higher-order transform() lambda is interpreted (no
+    // codegen) and re-evaluates the un-bound split() per shingle index —
+    // O(words²) regex work per doc (and CollapseProject undoes any
+    // pre-binding projection). A typed flatMap does ONE pass per doc in
+    // JIT'd Scala: narrow, no shuffle, linear. split(" ", -1) mirrors
+    // Spark/DuckDB split semantics (trailing empties kept).
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val bound = df.select(col(idCol).cast("long"), normText(col(textCol))).as[(Long, String)]
+    val out = bound.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length >= n) ws.iterator.sliding(n).withPartial(false).map(s => (id, s.mkString(" ")))
+      else Iterator.single((id, t))
+    }.toDF("id", "shingle")
+    if (distinct) out.distinct() else out
   }
 
   /**
@@ -50,11 +60,13 @@ object Dedup {
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 8, shingleLen: Int = 3,
                         oracle: Boolean = true): DataFrame = {
-    val sh = shingles(df, textCol, idCol, shingleLen)
-    val hashFn: (Column, Int) => Column =
-      if (oracle) Hashing.oracleHash(_, _) else (c, s) => Hashing.fastHash(c, s)
-    val aggs = (0 until numHashes).map(j => min(hashFn(col("shingle"), j)).as(s"mh$j"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    // one base hash per shingle + k cheap derived permutations (not k
+    // md5s); duplicates need no pre-dedup — min() is idempotent
+    val sh = shingles(df, textCol, idCol, shingleLen, distinct = false)
+    val base = if (oracle) Hashing.oracleHash(col("shingle")) else Hashing.fastHash(col("shingle"))
+    val hashed = sh.select(col("id"), base.as("h"))
+    val aggs = (0 until numHashes).map(j => min(Hashing.derivedHash(col("h"), j)).as(s"mh$j"))
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /**

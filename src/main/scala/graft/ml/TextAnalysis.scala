@@ -92,7 +92,7 @@ object TextAnalysis {
    */
   def minShingleFingerprint(df: DataFrame, textCol: String, idCol: String,
                             shingleLen: Int = 3): DataFrame =
-    Dedup.shingles(df, textCol, idCol, shingleLen)
+    Dedup.shingles(df, textCol, idCol, shingleLen, distinct = false) // min() is dup-safe
       .groupBy(col("id"))
       .agg(min(Hashing.oracleHash(col("shingle"))).as("min_shingle_hash"))
 }

@@ -95,6 +95,25 @@ class MlSpec extends SparkSpec {
     agree should be >= (lsh.size / 4)
   }
 
+  test("native dot/norm expressions are bit-identical to the fold form") {
+    implicit val s = spark
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val a = emb.as("a")
+    val b = emb.as("b")
+    val pairs = a.join(b, col("a.vec_id") < col("b.vec_id"))
+    val cmp = pairs.select(
+      Similarity.dot(col("a.v"), col("b.v")).as("fast"),
+      Similarity.dotHof(col("a.v"), col("b.v")).as("slow"),
+      Similarity.l2Norm(col("a.v")).as("nfast"),
+      Similarity.l2NormHof(col("a.v")).as("nslow"))
+    cmp.filter(col("fast") =!= col("slow") || col("nfast") =!= col("nslow")).count() shouldBe 0
+    // strict bit equality via double->bits
+    cmp.selectExpr("count(*)",
+      "sum(case when cast(fast as string) = cast(slow as string) then 0 else 1 end)")
+      .collect().head.getLong(1) shouldBe 0L
+  }
+
   test("language id picks stopword-heavy language deterministically") {
     implicit val s = spark
     import spark.implicits._
