@@ -47,13 +47,35 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
     jobs.foreach { job =>
       implicit val session: SparkSession =
         if (ctxTemplate.singleSparkSession) rootSession else rootSession.newSession()
+      // system + pipeline-declared UDFs registered per job sub-session
+      // (reference: PipelineRunner.scala:54)
+      graft.functions.UdfRegistry.registerSystemUdfs(session)
+      pipeline.udfRegistrations.foreach(cls =>
+        graft.functions.UdfRegistry.register(cls, "")(session))
       val ctx = new JobContext(ctxTemplate)(session)
       ctx.setVariables(pipeline.variables)
       localizeGlobalViews(ctx)(session)
       try runJob(job, ctx)(session)
       finally ctx.cleanup()
     }
+    writeMetrics(pipeline.name)
   }
+
+  /** One metrics JSON document per run when a metrics uri is configured
+   *  (reference: PipelineRunner.scala:190-212). */
+  private def writeMetrics(pipelineName: String): Unit =
+    pipelineCtx.metricsUri.foreach { uri =>
+      val dir = java.nio.file.Paths.get(uri)
+      java.nio.file.Files.createDirectories(dir)
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      val rows = _metrics.map { m =>
+        s"""{"job": ${q(m.job)}, "action": ${q(m.action)}, "rowCount": ${m.rowCount.getOrElse(-1L)},
+           | "schema": ${q(m.schema)}, "estimatedSizeBytes": ${m.estimatedSizeBytes.getOrElse(BigInt(-1))},
+           | "executeTimeMs": ${m.executeTimeMs}, "status": ${q(m.status)}}""".stripMargin.replace("\n", "")
+      }.mkString("[", ",", "]")
+      val file = dir.resolve(s"metrics-$pipelineName-${System.currentTimeMillis()}.json")
+      java.nio.file.Files.write(file, rows.getBytes("UTF-8"))
+    }
 
   /** Re-publish each global_temp view under its bare name in this job's
    *  session (reference: PipelineRunner.scala:113-116). Views promoted to

@@ -70,6 +70,9 @@ object PipelineBuilder {
     "iceberg-writer" -> "graft.sink.IcebergWriter",
     "iceberg-stream-writer" -> "graft.sink.IcebergStreamWriter",
     "hbase-writer" -> "graft.source.HBaseWriter",
+    "hbase-stream-writer" -> "graft.sink.HBaseStreamWriter",
+    "mongo-stream-writer" -> "graft.sink.MongoStreamWriter",
+    "redis-stream-writer" -> "graft.sink.RedisStreamWriter",
     "mongo-writer" -> "graft.sink.MongoWriter",
     "redis-writer" -> "graft.sink.RedisWriter",
     "flight-writer" -> "graft.sink.FlightWriter",

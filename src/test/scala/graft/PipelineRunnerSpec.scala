@@ -86,6 +86,19 @@ class PipelineRunnerSpec extends SparkSpec {
     m.schema should include("l_orderkey")
   }
 
+  test("metrics JSON written per run when a metrics uri is configured") {
+    val dir = tmpDir("metrics")
+    val runner = new PipelineRunner(PipelineContext(singleSparkSession = true,
+      metricsEnabled = true, metricsUri = Some(dir)))
+    runner.run(Pipeline("mtest", Seq(Job("j", Seq(readerAction("li_mx")))),
+      singleSparkSession = true))(spark)
+    val files = new java.io.File(dir).listFiles()
+    files.length shouldBe 1
+    val json = new String(java.nio.file.Files.readAllBytes(files.head.toPath), "UTF-8")
+    json should include("\"rowCount\": 6000")
+    json should include("\"status\": \"completed\"")
+  }
+
   test("job filter selects jobs") {
     val p = Pipeline("t", Seq(
       Job("a", Seq(readerAction("va"))),
