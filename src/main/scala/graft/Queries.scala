@@ -489,6 +489,34 @@ object Queries {
       Some("""SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, count(*) AS cnt
         |FROM events GROUP BY event_type""".stripMargin)),
 
+    Spec("q22_sliding_window", sqlQuery(Seq("events"),
+      """SELECT CAST(window.start AS LONG) AS win_start, event_type, count(*) AS cnt
+        |FROM events GROUP BY window(ts, '20 minutes', '10 minutes'), event_type""".stripMargin),
+      Some(s"""WITH $eventsUsCte
+        |SELECT (floor(epoch(ts) / 600) * 600 - o.off)::BIGINT AS win_start, event_type, count(*) AS cnt
+        |FROM events_us, (VALUES (0), (600)) o(off)
+        |GROUP BY 1, 2""".stripMargin)),
+
+    Spec("q23_percentile", sqlQuery(Seq("orders"),
+      """SELECT o_orderstatus,
+        |  CAST(ROUND(percentile(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS median_price,
+        |  CAST(ROUND(percentile(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      Some("""SELECT o_orderstatus,
+        |  CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS median_price,
+        |  CAST(ROUND(quantile_cont(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    Spec("q24_ordered_collect", sqlQuery(Seq("lineitem"),
+      """SELECT l_returnflag,
+        |  concat_ws(',', sort_array(collect_set(l_linestatus))) AS statuses,
+        |  concat_ws(',', sort_array(collect_set(CAST(l_quantity AS INT) DIV 10))) AS qty_bands
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      Some("""SELECT l_returnflag,
+        |  array_to_string(list(DISTINCT l_linestatus ORDER BY l_linestatus), ',') AS statuses,
+        |  array_to_string(list(DISTINCT (CAST(l_quantity AS INT) // 10) ORDER BY (CAST(l_quantity AS INT) // 10)), ',') AS qty_bands
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // ------------------------------------------- training-data pipeline ops
 
     Spec("d1_dedup_exact", (spark, dir) => {

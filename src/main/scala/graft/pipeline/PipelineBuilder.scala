@@ -92,13 +92,16 @@ object PipelineBuilder {
                  appConfig: Map[String, String] = Map.empty,
                  baseDir: java.nio.file.Path = null)
                 (implicit spark: SparkSession): Pipeline = {
-    val mapper = format match {
-      case "yaml" | "yml" => new ObjectMapper(new YAMLFactory())
-      case "json" => new ObjectMapper()
+    val root = format match {
+      case "yaml" | "yml" =>
+        toScala(new ObjectMapper(new YAMLFactory())
+          .readValue(text, classOf[java.util.Map[String, Object]])).asInstanceOf[Map[String, Any]]
+      case "json" =>
+        toScala(new ObjectMapper()
+          .readValue(text, classOf[java.util.Map[String, Object]])).asInstanceOf[Map[String, Any]]
+      case "xml" => XmlPipelineSupport.parse(text)
       case other => throw new IllegalArgumentException(s"unsupported pipeline format: $other")
     }
-    val root = toScala(mapper.readValue(text, classOf[java.util.Map[String, Object]]))
-      .asInstanceOf[Map[String, Any]]
     build(root, submitVars, appConfig, Option(baseDir))
   }
 
@@ -116,7 +119,8 @@ object PipelineBuilder {
 
     // precedence: pipeline > submit-args > app config
     val pipelineVars = asMap(root.get("variables")).map { case (k, v) => k -> v.toString }
-    val merged = appConfig ++ submitVars ++ pipelineVars
+    val merged = graft.common.SecurityChannel.decryptVariables(
+      appConfig ++ submitVars ++ pipelineVars, appConfig)
     // variables may reference each other and hold SQL expressions; resolve
     // references first, then evaluate `sql(...)`-tagged values eagerly
     val resolvedVars = merged.map { case (k, v) =>

@@ -92,6 +92,47 @@ class PipelineBuilderSpec extends SparkSpec {
     spark.table("inc_view").count() shouldBe 25
   }
 
+  test("xml pipeline parses and runs end-to-end") {
+    implicit val s = spark
+    val dir = tmpDir("pbx")
+    val xml =
+      s"""<pipeline name="xp">
+         |  <variables><variable name="t">nation</variable></variables>
+         |  <settings singleSparkSession="true"/>
+         |  <jobs>
+         |    <job name="j">
+         |      <action name="r" actor="file-reader">
+         |        <properties>
+         |          <format>parquet</format>
+         |          <fileUri>$sfDir/$${t}.parquet</fileUri>
+         |        </properties>
+         |        <output-view name="xml_view" global="false"/>
+         |      </action>
+         |    </job>
+         |  </jobs>
+         |</pipeline>""".stripMargin
+    val f = writeFile(dir, "p.xml", xml)
+    val pipeline = PipelineBuilder.fromFile(f)
+    pipeline.name shouldBe "xp"
+    pipeline.singleSparkSession shouldBe true
+    new PipelineRunner(PipelineContext(singleSparkSession = true)).run(pipeline)(spark)
+    spark.table("xml_view").count() shouldBe 25
+  }
+
+  test("encrypted variables decrypt with the configured master key") {
+    implicit val s = spark
+    val secret = graft.common.SecurityChannel.encrypt("s3cr3t-password", "master-key-1")
+    graft.common.SecurityChannel.isEncrypted(secret) shouldBe true
+    val vars = graft.common.SecurityChannel.decryptVariables(
+      Map("db_pass" -> secret, "plain" -> "x"),
+      Map("security.master-key" -> "master-key-1"))
+    vars("db_pass") shouldBe "s3cr3t-password"
+    vars("plain") shouldBe "x"
+    // wrong key fails authentication (GCM tag)
+    an[Exception] should be thrownBy
+      graft.common.SecurityChannel.decrypt(secret, "wrong-key")
+  }
+
   test("launcher arg parsing") {
     val a = graft.Launcher.parseArgs(Array(
       "--pipeline-def", "/x/p.yaml#j1;j2", "--var", "a=1", "--vars", "b=2,c=3"))
