@@ -517,6 +517,24 @@ object Queries {
         |  array_to_string(list(DISTINCT (CAST(l_quantity AS INT) // 10) ORDER BY (CAST(l_quantity AS INT) // 10)), ',') AS qty_bands
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    Spec("q25_asof_bucketed", (spark, dir) => {
+      t(spark, dir, "events")
+      val ev = spark.table("events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_event_id"))
+      graft.operators.AsofJoin.latestWithin(
+        purchases, views, Seq("user_id"), "ts", "ts", 3600L, Seq("view_event_id"))
+        .select(col("event_id").as("purchase_id"),
+          col("__asof_ts").cast("long").as("last_view_sec"))
+    }, Some(s"""WITH $eventsUsCte
+        |SELECT p.event_id AS purchase_id, floor(epoch(max(v.ts)))::BIGINT AS last_view_sec
+        |FROM events_us p JOIN events_us v
+        |  ON p.user_id = v.user_id AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |GROUP BY p.event_id""".stripMargin)),
+
     // ------------------------------------------- training-data pipeline ops
 
     Spec("d1_dedup_exact", (spark, dir) => {

@@ -149,6 +149,15 @@ class IntegrationSpec extends SparkSpec {
     out shouldBe Seq(("u1", 1L), ("u1", 2L), ("u2", 1L))
   }
 
+  test("bucketed as-of join matches the naive range-join formulation") {
+    val naive = Queries.all.find(_.name == "q11b_asof_join").get.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucketed = Queries.all.find(_.name == "q25_asof_bucketed").get.run(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bucketed shouldBe naive
+    naive should not be empty
+  }
+
   test("custom UDF provider registered through the pipeline") {
     implicit val s = spark
     val dir = tmpDir("udf")
