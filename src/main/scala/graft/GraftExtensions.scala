@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions entry point, for sessions built outside the
+ * pipeline runner:
+ * {{{
+ * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+ * // or
+ * SparkSession.builder().withExtensions(new GraftExtensions) ...
+ * }}}
+ * Injects the native vector expressions as SQL functions. (Sessions driven
+ * by the PipelineRunner get these automatically via UdfRegistry.)
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorExpressions.ArrayDotProduct].getName, "vec_dot"),
+      (es: Seq[Expression]) => VectorExpressions.ArrayDotProduct(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VectorExpressions.ArrayL2Norm].getName, "vec_norm"),
+      (es: Seq[Expression]) => VectorExpressions.ArrayL2Norm(es.head)))
+  }
+}

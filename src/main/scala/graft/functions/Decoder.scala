@@ -98,6 +98,11 @@ object UdfRegistry {
     spark.udf.register("com3_to_int", udf((b: Array[Byte]) => Decoder.com3ToInt(b)))
     spark.udf.register("binary_split",
       udf((b: Array[Byte], d: Array[Byte]) => Decoder.binarySplit(b, d)))
+    // native codegen'd vector expressions, exposed to SQL
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "vec_dot",
+      es => VectorExpressions.ArrayDotProduct(es(0), es(1)))
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "vec_norm",
+      es => VectorExpressions.ArrayL2Norm(es.head))
   }
 
   /** Instantiate a UdfProvider by class name and register under prefix. */

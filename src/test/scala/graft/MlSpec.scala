@@ -114,6 +114,20 @@ class MlSpec extends SparkSpec {
       .collect().head.getLong(1) shouldBe 0L
   }
 
+  test("vec_dot / vec_norm usable from SQL after registration") {
+    implicit val s = spark
+    graft.functions.UdfRegistry.registerSystemUdfs(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(5)
+      .createOrReplaceTempView("vemb")
+    val r = spark.sql(
+      """select vec_dot(embedding, embedding) as d, vec_norm(embedding) as n
+        |from vemb""".stripMargin).collect()
+    r.length shouldBe 5
+    r.foreach { row =>
+      math.abs(row.getDouble(0) - row.getDouble(1) * row.getDouble(1)) should be < 1e-9
+    }
+  }
+
   test("language id picks stopword-heavy language deterministically") {
     implicit val s = spark
     import spark.implicits._

@@ -99,6 +99,38 @@ class PipelineRunnerSpec extends SparkSpec {
     json should include("\"status\": \"completed\"")
   }
 
+  test("SQL actors self-report referenced views for auto-caching") {
+    val probe = new Actor {
+      var cachedDuringJob = false
+      override def run(ctx: JobContext)(implicit s: SparkSession): Option[DataFrame] = {
+        cachedDuringJob = s.table("li_sqlref").storageLevel.useDisk
+        None
+      }
+    }
+    val p = Pipeline("t", Seq(Job("j", Seq(
+      readerAction("li_sqlref"),
+      Action("a1", new SqlTransformer().sqlString(
+        "select count(*) as c from li_sqlref"), Some(View("o1"))),
+      Action("a2", new SqlTransformer().sqlString(
+        "select l_returnflag from li_sqlref limit 5"), Some(View("o2"))),
+      Action("probe", probe, None)))),
+      singleSparkSession = true)
+    new PipelineRunner(PipelineContext(singleSparkSession = true)).run(p)(spark)
+    // second reference through SQL plan-parse triggered the auto-persist;
+    // job cleanup unpersists afterwards
+    probe.cachedDuringJob shouldBe true
+    spark.table("li_sqlref").storageLevel.useDisk shouldBe false
+  }
+
+  test("debug staging dumps per-action csv") {
+    val stage = tmpDir("stagedump")
+    val p = Pipeline("t", Seq(Job("jst", Seq(readerAction("li_st")))), singleSparkSession = true)
+    new PipelineRunner(PipelineContext(singleSparkSession = true,
+      stagingUri = Some(stage))).run(p)(spark)
+    val staged = spark.read.option("header", "true").csv(s"$stage/jst/read_li_st")
+    staged.count() shouldBe 6000
+  }
+
   test("job filter selects jobs") {
     val p = Pipeline("t", Seq(
       Job("a", Seq(readerAction("va"))),
