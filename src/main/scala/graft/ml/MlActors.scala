@@ -1,0 +1,142 @@
+package graft.ml
+
+import graft.core.{Actor, JobContext}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Pipeline-actor wrappers for the training-data operators, so YAML/JSON
+ * pipelines can invoke dedup / similarity / text analysis declaratively
+ * like any other action. These are beyond-parity components (no reference
+ * counterpart): the actor surface follows the same property conventions as
+ * the rest of the catalog.
+ */
+
+/** Deduplication actor. `method`: exact | minhash-lsh | simhash.
+ *  exact: emits (content_hash, keep_id, dup_count);
+ *  minhash-lsh: emits candidate near-dup pairs (id_a, id_b, est_jaccard);
+ *  simhash: emits (id, simhash). */
+class DedupActor extends Actor {
+  protected var view: String = ""
+  protected var method: String = "exact"
+  protected var textCol: String = "text"
+  protected var idCol: String = "doc_id"
+  protected var numHashes: Int = 8
+  protected var shingleLen: Int = 3
+  protected var bands: Int = 4
+  protected var minEstJaccard: Double = 0.5
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    view = require_(properties, "view")
+    properties.get("method").foreach { m =>
+      require(Seq("exact", "minhash-lsh", "simhash").contains(m), s"DedupActor: bad method $m")
+      method = m
+    }
+    properties.get("textField").foreach(textCol = _)
+    properties.get("idField").foreach(idCol = _)
+    properties.get("numHashes").foreach(v => numHashes = v.toInt)
+    properties.get("shingleLength").foreach(v => shingleLen = v.toInt)
+    properties.get("bands").foreach(v => bands = v.toInt)
+    properties.get("minEstJaccard").foreach(v => minEstJaccard = v.toDouble)
+  }
+
+  def sourceView(v: String): this.type = { view = v; this }
+  def dedupMethod(m: String): this.type = { method = m; this }
+  def onColumns(text: String, id: String): this.type = { textCol = text; idCol = id; this }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val df = ctx.getView(view)
+    Some(method match {
+      case "exact" => Dedup.exact(df, textCol, idCol)
+      case "minhash-lsh" =>
+        Dedup.lshCandidatePairs(
+          Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
+          numHashes, bands, minEstJaccard)
+      case "simhash" => Dedup.simHash(df, textCol, idCol)
+    })
+  }
+}
+
+/** ANN actor: top-k cosine neighbors. `method`: brute-force | lsh. The
+ *  query set is the rows matching `queryWhere` (default: whole view). */
+class SimilaritySearchActor extends Actor {
+  protected var view: String = ""
+  protected var method: String = "brute-force"
+  protected var idCol: String = "vec_id"
+  protected var vecCol: String = "embedding"
+  protected var k: Int = 10
+  protected var queryWhere: Option[String] = None
+  protected var dim: Int = 0
+  protected var numPlanes: Int = 8
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    view = require_(properties, "view")
+    properties.get("method").foreach { m =>
+      require(Seq("brute-force", "lsh").contains(m), s"SimilaritySearchActor: bad method $m")
+      method = m
+    }
+    properties.get("idField").foreach(idCol = _)
+    properties.get("vectorField").foreach(vecCol = _)
+    properties.get("k").foreach(v => k = v.toInt)
+    queryWhere = properties.get("queryWhere")
+    properties.get("dim").foreach(v => dim = v.toInt)
+    properties.get("numPlanes").foreach(v => numPlanes = v.toInt)
+    if (method == "lsh") require(dim > 0, "SimilaritySearchActor: lsh requires dim")
+  }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val corpus = ctx.getView(view)
+    val queries = queryWhere.fold(corpus)(corpus.filter)
+    Some(method match {
+      case "brute-force" => Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      case "lsh" => Similarity.lshTopK(queries, corpus, idCol, vecCol, k, dim, numPlanes)
+    })
+  }
+}
+
+/** Text analysis actor: appends token counts, quality score, language id,
+ *  and content fingerprint columns to the view. */
+class TextAnalysisActor extends Actor {
+  protected var view: String = ""
+  protected var textCol: String = "text"
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    view = require_(properties, "view")
+    properties.get("textField").foreach(textCol = _)
+  }
+
+  def sourceView(v: String): this.type = { view = v; this }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val df = ctx.getView(view)
+    val t = col(textCol)
+    Some(df
+      .withColumn("ws_tokens", TextAnalysis.wsTokenCount(t).cast("long"))
+      .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount(t).cast("long"))
+      .withColumn("quality", TextAnalysis.qualityScore(t))
+      .withColumn("lang_pred", TextAnalysis.langId(t))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(t)))
+  }
+}
+
+/** Multimodal decode actor: (id, payload binary) view -> decoded metadata
+ *  + feature vectors through the partition-parallel stub codec. */
+class MultimodalDecodeActor extends Actor {
+  protected var view: String = ""
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit =
+    view = require_(properties, "view")
+
+  def sourceView(v: String): this.type = { view = v; this }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] =
+    Some(Multimodal.decode(ctx.getView(view)))
+}

@@ -77,7 +77,12 @@ object PipelineBuilder {
     "redis-writer" -> "graft.sink.RedisWriter",
     "flight-writer" -> "graft.sink.FlightWriter",
     "sql-writer" -> "graft.sql.SqlWriter",
-    "sql-table-writer" -> "graft.sink.SqlTableWriter")
+    "sql-table-writer" -> "graft.sink.SqlTableWriter",
+    // beyond-parity training-data operators
+    "dedup" -> "graft.ml.DedupActor",
+    "similarity-search" -> "graft.ml.SimilaritySearchActor",
+    "text-analysis" -> "graft.ml.TextAnalysisActor",
+    "multimodal-decode" -> "graft.ml.MultimodalDecodeActor")
 
   def fromFile(path: String, submitVars: Map[String, String] = Map.empty,
                appConfig: Map[String, String] = Map.empty)

@@ -158,6 +158,60 @@ class IntegrationSpec extends SparkSpec {
     naive should not be empty
   }
 
+  test("training-data operators as declarative pipeline actions") {
+    implicit val s = spark
+    val dir = tmpDir("mlpipe")
+    val yaml =
+      s"""name: train-data-pipe
+         |settings:
+         |  singleSparkSession: "true"
+         |jobs:
+         |  - name: j
+         |    actions:
+         |      - name: docs
+         |        actor: file-reader
+         |        properties:
+         |          format: parquet
+         |          fileUri: "$sfDir/documents.parquet"
+         |        output-view:
+         |          name: ml_docs
+         |      - name: analyze
+         |        actor: text-analysis
+         |        properties:
+         |          view: ml_docs
+         |        output-view:
+         |          name: ml_analyzed
+         |      - name: dedup
+         |        actor: dedup
+         |        properties:
+         |          view: ml_docs
+         |          method: exact
+         |        output-view:
+         |          name: ml_deduped
+         |      - name: vecs
+         |        actor: file-reader
+         |        properties:
+         |          format: parquet
+         |          fileUri: "$sfDir/embeddings.parquet"
+         |        output-view:
+         |          name: ml_vecs
+         |      - name: ann
+         |        actor: similarity-search
+         |        properties:
+         |          view: ml_vecs
+         |          k: "3"
+         |          queryWhere: "vec_id < 5"
+         |        output-view:
+         |          name: ml_ann
+         |""".stripMargin
+    val f = writeFile(dir, "p.yaml", yaml)
+    new PipelineRunner(PipelineContext(singleSparkSession = true))
+      .run(PipelineBuilder.fromFile(f))(spark)
+    spark.table("ml_analyzed").columns should contain allOf ("ws_tokens", "quality", "lang_pred", "fingerprint")
+    spark.table("ml_deduped").count() shouldBe 500
+    spark.table("ml_ann").groupBy("query_id").count().count() shouldBe 5
+  }
+
   test("custom UDF provider registered through the pipeline") {
     implicit val s = spark
     val dir = tmpDir("udf")

@@ -141,6 +141,58 @@ class PipelineBuilderSpec extends SparkSpec {
     a.vars shouldBe Map("a" -> "1", "b" -> "2", "c" -> "3")
   }
 
+  test("launcher end-to-end: conf file + pipeline-def + job selector") {
+    implicit val s = spark
+    val dir = tmpDir("launch")
+    writeFile(dir, "app.properties",
+      s"""table_name=region
+         |metrics.enabled=true
+         |metrics.uri=$dir/metrics
+         |""".stripMargin)
+    writeFile(dir, "p.yaml",
+      s"""name: launched
+         |settings:
+         |  singleSparkSession: "true"
+         |jobs:
+         |  - name: only
+         |    actions:
+         |      - name: read
+         |        actor: file-reader
+         |        properties:
+         |          format: parquet
+         |          fileUri: "$sfDir/$${table_name}.parquet"
+         |        output-view:
+         |          name: launcher_view
+         |  - name: skipped
+         |    actions:
+         |      - name: read2
+         |        actor: file-reader
+         |        properties:
+         |          format: parquet
+         |          fileUri: "$sfDir/nation.parquet"
+         |        output-view:
+         |          name: launcher_skipped
+         |""".stripMargin)
+    val args = graft.Launcher.parseArgs(Array(
+      "--pipeline-def", s"$dir/p.yaml#only", "--conf-file", s"$dir/app.properties"))
+    val config = graft.Launcher.loadConfig(args.confFiles)
+    graft.Launcher.run(args, config)
+    spark.table("launcher_view").count() shouldBe 5
+    spark.catalog.tableExists("launcher_skipped") shouldBe false
+    new java.io.File(s"$dir/metrics").listFiles().length shouldBe 1
+  }
+
+  test("file reader fallback yields an empty typed frame on missing path") {
+    implicit val s = spark
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val r = new graft.source.FileReader()
+    r.init(Map("format" -> "parquet", "fileUri" -> "/nonexistent/nowhere.parquet",
+      "ddlSchemaString" -> "id long, name string", "fallbackRead" -> "true"))
+    val df = r.run(ctx).get
+    df.count() shouldBe 0
+    df.schema.fieldNames.toSeq shouldBe Seq("id", "name")
+  }
+
   test("flatten turns nested property maps into dot keys") {
     PipelineBuilder.flatten("", Map("a" -> Map("b" -> 1, "c" -> "x"), "d" -> true)) shouldBe
       Map("a.b" -> "1", "a.c" -> "x", "d" -> "true")
