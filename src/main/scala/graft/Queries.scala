@@ -535,6 +535,21 @@ object Queries {
         | AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |GROUP BY p.event_id""".stripMargin)),
 
+    Spec("q26_session_window", sqlQuery(Seq("events"),
+      """SELECT user_id, CAST(session_window.start AS LONG) AS session_start, count(*) AS cnt
+        |FROM events GROUP BY session_window(ts, '30 minutes'), user_id""".stripMargin),
+      Some(s"""WITH $eventsUsCte,
+        |s AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events_us),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS cnt
+        |FROM g GROUP BY user_id, sid""".stripMargin)),
+
     // ------------------------------------------- training-data pipeline ops
 
     Spec("d1_dedup_exact", (spark, dir) => {
