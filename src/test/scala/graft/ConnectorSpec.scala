@@ -1,0 +1,86 @@
+package graft
+
+import graft.core.{JobContext, PipelineContext}
+import graft.source.{DeltaReader, KafkaSchema}
+import graft.sink.KafkaRecord
+import org.apache.spark.sql.functions._
+
+class ConnectorSpec extends SparkSpec {
+
+  test("kafka JSON value decode flattens value.* and prefixes metadata") {
+    implicit val s = spark
+    import spark.implicits._
+    val raw = Seq(
+      (Array[Byte](107), """{"user_id": 7, "city": "x"}""".getBytes("UTF-8"), "t", 0, 42L),
+      (Array[Byte](108), """{"user_id": 8, "city": "y"}""".getBytes("UTF-8"), "t", 0, 43L)
+    ).toDF("key", "value", "topic", "partition", "offset")
+    val spec = KafkaSchema.fromProperties("valueSchema",
+      Map("valueSchema.jsonSchemaString" -> "user_id long, city string"))
+    val out = KafkaSchema.project(raw, KafkaSchema.NoSpec, spec)
+    out.columns should contain allOf ("user_id", "city", "__kafka_key", "__kafka_topic", "__kafka_offset")
+    out.filter("user_id = 8").select("city").collect().head.getString(0) shouldBe "y"
+  }
+
+  test("kafka schema precedence: avro before json, file fallbacks") {
+    val avro = KafkaSchema.fromProperties("k",
+      Map("k.avroSchemaString" -> "{}", "k.jsonSchemaString" -> "a int"))
+    avro shouldBe a[KafkaSchema.AvroSpec]
+    val none = KafkaSchema.fromProperties("k", Map.empty)
+    none shouldBe KafkaSchema.NoSpec
+    // avro decode is gated with a clear error on this classpath
+    an[UnsupportedOperationException] should be thrownBy
+      KafkaSchema.decode(col("value"), KafkaSchema.AvroSpec("{}"))
+  }
+
+  test("kafka record assembly defaults: generated key + to_json(struct(*)) value") {
+    implicit val s = spark
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val rec = KafkaRecord.assemble(df, None, None, None, avroValue = false)
+    rec.columns.toSeq shouldBe Seq("key", "value")
+    val values = rec.select("value").collect().map(_.getString(0)).sorted
+    values.head shouldBe """{"id":1,"name":"a"}"""
+  }
+
+  test("connector reader wiring: delta reader reaches the DataSource layer") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    val r = new DeltaReader
+    r.init(Map("path" -> "/tmp/nope", "options.versionAsOf" -> "1"))
+    // no delta jars offline: the failure must come from Spark's DataSource
+    // lookup (proving option/path plumbing executed), not from our code
+    val e = intercept[Exception](r.run(ctx))
+    e.getMessage.toLowerCase should include("delta")
+  }
+
+  test("as-of join leftOuter keeps unmatched rows") {
+    implicit val s = spark
+    import spark.implicits._
+    val left = Seq((1L, "u1", "2024-01-01T10:00:00"), (2L, "u2", "2024-01-01T10:00:00"))
+      .toDF("id", "k", "ts_s").selectExpr("id", "k", "cast(ts_s as timestamp) as ts")
+    val right = Seq(("u1", "2024-01-01T09:59:00", 100L))
+      .toDF("k", "ts_s", "rid").selectExpr("k", "cast(ts_s as timestamp) as ts", "rid")
+    val inner = graft.operators.AsofJoin.latestWithin(left, right, Seq("k"), "ts", "ts", 3600L, Seq("rid"))
+    inner.count() shouldBe 1
+    val outer = graft.operators.AsofJoin.latestWithin(left, right, Seq("k"), "ts", "ts", 3600L,
+      Seq("rid"), leftOuter = true)
+    outer.count() shouldBe 2
+    outer.filter("k = 'u2'").select("rid").collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("multimodal resize stub downsamples deterministically") {
+    implicit val s = spark
+    import spark.implicits._
+    val df = Seq((1L, Array.tabulate[Byte](100)(_.toByte))).toDF("id", "payload")
+    val out = graft.ml.Multimodal.resizeStub(df, 4).collect().head
+    out.getAs[Array[Byte]](1).length shouldBe 25
+  }
+
+  test("text stopword ratio") {
+    implicit val s = spark
+    import spark.implicits._
+    val df = Seq("the cat and the dog").toDF("text")
+    val r = df.select(graft.ml.TextAnalysis.stopwordRatio(col("text"), "en")).collect().head.getDouble(0)
+    r shouldBe 0.6 +- 1e-9 // the, and, the = 3/5
+  }
+}
