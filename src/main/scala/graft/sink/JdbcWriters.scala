@@ -94,6 +94,7 @@ object JdbcTemplating {
    *  .scala:199-202, JdbcMicroBatchWriter.scala:26-34). */
   def writePartition(rows: Iterator[Row], options: Map[String, String],
                      tpl: Template, batchSize: Int, batchId: Long = -1L): Unit = {
+    if (!rows.hasNext) return // chunked filters leave empty partitions — no connection for them
     val conn = openConnection(options)
     val txn = try conn.getMetaData.supportsTransactions catch { case _: Exception => false }
     if (txn) conn.setAutoCommit(false)

@@ -70,6 +70,42 @@ class UtilsSpec extends SparkSpec {
     new java.io.File(s"$out/empty").exists() shouldBe false
   }
 
+  test("FileWriter partitionBy lays out partition directories") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    val out = tmpDir("fwp")
+    spark.read.parquet(s"$sfDir/nation.parquet").createOrReplaceTempView("fwp_v")
+    new FileWriter().sinkFormat("parquet").fileUri(s"$out/n").sourceView("fwp_v")
+      .partitionedBy("n_regionkey").run(ctx)
+    new java.io.File(s"$out/n").list().count(_.startsWith("n_regionkey=")) shouldBe 5
+    spark.read.parquet(s"$out/n").count() shouldBe 25
+  }
+
+  test("FileReader multi-uri + per-file metrics extra view") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    val r = new graft.source.FileReader()
+    r.init(Map("format" -> "parquet", "perFileMetrics" -> "true",
+      "fileUri" -> s"$sfDir/region.parquet,$sfDir/nation.parquet",
+      "ddlSchemaString" -> "r_regionkey int, r_name string"))
+    // region+nation have different schemas; declared schema projects common shape
+    val df = r.run(ctx).get
+    df.count() shouldBe 30
+    val extras = r.extraViews
+    extras.map(_._1) should contain("__file_metrics")
+    extras.head._2.count() shouldBe 2 // one row per file
+  }
+
+  test("ViewPartitioner with partition columns") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("vpc_in")
+    val out = new ViewPartitioner().viewName("vpc_in").partitions(4)
+      .partitionedBy("c_nationkey").run(ctx).get
+    out.rdd.getNumPartitions shouldBe 4
+    out.count() shouldBe 150
+  }
+
   test("hbase column mapping + scan spec + rowkey parsing") {
     val props = Map(
       "columns.user_id" -> "cf:uid", "columns.score" -> "cf:s",
