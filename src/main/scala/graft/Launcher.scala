@@ -22,12 +22,18 @@ import org.apache.spark.sql.SparkSession
 object Launcher {
 
   final case class Args(pipelineDef: String, jobs: Option[Set[String]],
-                        vars: Map[String, String], confFiles: Seq[String])
+                        vars: Map[String, String], confFiles: Seq[String],
+                        validationRun: Option[Int] = None,
+                        stagingUri: Option[String] = None,
+                        metricsUri: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var pipelineDef = ""
     var vars = Map.empty[String, String]
     var confFiles = Seq.empty[String]
+    var validationRun: Option[Int] = None
+    var stagingUri: Option[String] = None
+    var metricsUri: Option[String] = None
     var i = 0
     while (i < argv.length) {
       argv(i) match {
@@ -40,6 +46,11 @@ object Launcher {
           }; i += 2
         case "--conf-file" | "--application-conf" =>
           confFiles ++= argv(i + 1).split(","); i += 2
+        // operational overrides (reference: ArgumentParser.scala:20-63 —
+        // staging + metrics overrides, validation-run truncation)
+        case "--validation-run" => validationRun = Some(argv(i + 1).toInt); i += 2
+        case "--staging-uri" => stagingUri = Some(argv(i + 1)); i += 2
+        case "--metrics-uri" => metricsUri = Some(argv(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown argument: $other")
       }
     }
@@ -48,7 +59,7 @@ object Launcher {
       case Array(f, js) => (f, Some(js.split(";").toSet))
       case Array(f) => (f, None)
     }
-    Args(file, jobs, vars, confFiles)
+    Args(file, jobs, vars, confFiles, validationRun, stagingUri, metricsUri)
   }
 
   /** Later conf files override earlier (reference withFallback chain,
@@ -78,10 +89,12 @@ object Launcher {
     val pipeline = PipelineBuilder.fromFile(args.pipelineDef, args.vars, config)
     pipeline.udfRegistrations.foreach(cls => UdfRegistry.register(cls, "")(spark))
     val ctx = PipelineContext(
-      metricsEnabled = config.get("metrics.enabled").exists(_.toBoolean),
-      metricsUri = config.get("metrics.uri"),
-      stagingUri = config.get("staging.uri"),
-      validationRunLimit = config.get("validationRun.limit").map(_.toInt))
+      metricsEnabled = config.get("metrics.enabled").exists(_.toBoolean)
+        || args.metricsUri.isDefined,
+      metricsUri = args.metricsUri.orElse(config.get("metrics.uri")),
+      stagingUri = args.stagingUri.orElse(config.get("staging.uri")),
+      validationRunLimit = args.validationRun
+        .orElse(config.get("validationRun.limit").map(_.toInt)))
     new PipelineRunner(ctx).run(pipeline, args.jobs)
   }
 }
