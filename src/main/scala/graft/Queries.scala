@@ -181,10 +181,14 @@ object Queries {
 
   private def d4(spark: SparkSession, dir: String): DataFrame = {
     val corpus = docCorpus(spark, dir)
+    // one distinct-shingle frame feeds signatures, set sizes, and the
+    // intersection join (persisting it was measured SLOWER here — the
+    // materialization costs more than the recomputes it saves at this
+    // row width; revisit if shingle generation grows)
     val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
     // all candidates (no est-jaccard floor): d4 reports the TRUE jaccard
     val cand = Dedup.lshCandidatePairs(
-        Dedup.minHashSignatures(corpus, "text", "doc_id"), minEstJaccard = 0.0)
+        Dedup.signaturesFromShingles(sh), minEstJaccard = 0.0)
       .select("id_a", "id_b")
     Dedup.ngramJaccard(cand, sh)
       .select(col("id_a"), col("id_b"),

@@ -59,10 +59,17 @@ object Dedup {
    */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
                         numHashes: Int = 8, shingleLen: Int = 3,
-                        oracle: Boolean = true): DataFrame = {
-    // one base hash per shingle + k cheap derived permutations (not k
-    // md5s); duplicates need no pre-dedup — min() is idempotent
-    val sh = shingles(df, textCol, idCol, shingleLen, distinct = false)
+                        oracle: Boolean = true): DataFrame =
+    signaturesFromShingles(
+      shingles(df, textCol, idCol, shingleLen, distinct = false), numHashes, oracle)
+
+  /** Signatures from a prepared (id, shingle) frame — lets callers that
+   *  also need the shingle set (e.g. LSH + true-Jaccard verification)
+   *  compute/persist it once; min() is idempotent, so distinct and
+   *  non-distinct shingle frames give identical signatures. */
+  def signaturesFromShingles(sh: DataFrame, numHashes: Int = 8,
+                             oracle: Boolean = true): DataFrame = {
+    // one base hash per shingle + k cheap derived permutations (not k md5s)
     val base = if (oracle) Hashing.oracleHash(col("shingle")) else Hashing.fastHash(col("shingle"))
     val hashed = sh.select(col("id"), base.as("h"))
     val aggs = (0 until numHashes).map(j => min(Hashing.derivedHash(col("h"), j)).as(s"mh$j"))
