@@ -596,6 +596,35 @@ object Queries {
          |LEFT JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b""".stripMargin
     }),
 
+    Spec("d7_dedup_resolution", (spark, dir) => {
+      Dedup.resolveDuplicates(
+        Dedup.lshCandidatePairs(Dedup.minHashSignatures(docCorpus(spark, dir), "text", "doc_id")))
+    }, Some {
+      // MATERIALIZED stops DuckDB from inlining each level into the next
+      // (each lN references l(N-1) twice — inlining is exponential)
+      val propagation = (1 to 8).map { i =>
+        s"""l$i AS MATERIALIZED (SELECT l.id, least(l.label, m.nbr) AS label
+           |  FROM l${i - 1} l JOIN (
+           |    SELECT e.src, min(l2.label) AS nbr
+           |    FROM edges e JOIN l${i - 1} l2 ON e.dst = l2.id GROUP BY e.src) m
+           |  ON l.id = m.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |dpairs AS MATERIALIZED (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+         |  WHERE ($estExpr) / 8.0 >= 0.5),
+         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dpairs
+         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM dpairs),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+         |$propagation
+         |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l8""".stripMargin
+    }),
+
     Spec("d5_simhash", d5, Some(d5Oracle)),
     Spec("d6_embed_neardup", d6, Some(d6Oracle)),
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),

@@ -152,4 +152,40 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhash values. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * Duplicate-cluster resolution: min-label propagation over the candidate
+   * pair graph. Each vertex starts labeled with its own id; every round a
+   * vertex takes the min of its own and its neighbors' labels. After
+   * `iterations` rounds, components of diameter ≤ iterations carry the
+   * component-min id as `cluster_id`.
+   *
+   * Fixed iteration count (not convergence-checked) keeps the result a
+   * pure deterministic function of the input — mirrorable in SQL as
+   * chained CTEs — and keeps each round a single self-join + groupBy
+   * shuffle. At 100 TB use the doubling (large-star/small-star) variant
+   * for high-diameter graphs; near-dup clusters are shallow in practice.
+   */
+  def clusterLabels(pairs: DataFrame, iterations: Int = 8): DataFrame = {
+    // symmetric edge list incl. self-loops so isolated propagation keeps own label
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    (1 to iterations).foreach { _ =>
+      labels = edges.join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+        .join(labels, col("src") === col("id"))
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep-list from candidate pairs: every id in a duplicate cluster mapped
+   *  to the cluster's min id (`keep_id`); `is_duplicate` marks losers. */
+  def resolveDuplicates(pairs: DataFrame, iterations: Int = 8): DataFrame =
+    clusterLabels(pairs, iterations)
+      .select(col("id"), col("cluster_id").as("keep_id"),
+        (col("id") =!= col("cluster_id")).as("is_duplicate"))
 }

@@ -65,6 +65,20 @@ class MlSpec extends SparkSpec {
     ham(sh(1L), sh(3L)) should be > 10
   }
 
+  test("duplicate resolution: label propagation finds component minima") {
+    implicit val s = spark
+    import spark.implicits._
+    // components: {1,2,3} chain, {10,11}, isolated pairs absent from graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.resolveDuplicates(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    out(1L) shouldBe ((1L, false))
+    out(2L) shouldBe ((1L, true))
+    out(3L) shouldBe ((1L, true))
+    out(10L) shouldBe ((10L, false))
+    out(11L) shouldBe ((10L, true))
+  }
+
   test("brute-force knn returns k ranked neighbors with self excluded") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
