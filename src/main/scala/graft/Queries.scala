@@ -602,7 +602,7 @@ object Queries {
     }, Some {
       // MATERIALIZED stops DuckDB from inlining each level into the next
       // (each lN references l(N-1) twice — inlining is exponential)
-      val propagation = (1 to 8).map { i =>
+      val propagation = (1 to 4).map { i =>
         s"""l$i AS MATERIALIZED (SELECT l.id, least(l.label, m.nbr) AS label
            |  FROM l${i - 1} l JOIN (
            |    SELECT e.src, min(l2.label) AS nbr
@@ -622,7 +622,7 @@ object Queries {
          |          UNION ALL SELECT id_b AS src, id_a AS dst FROM dpairs),
          |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
          |$propagation
-         |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l8""".stripMargin
+         |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l4""".stripMargin
     }),
 
     Spec("d5_simhash", d5, Some(d5Oracle)),

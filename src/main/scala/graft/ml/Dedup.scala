@@ -166,25 +166,34 @@ object Dedup {
    * shuffle. At 100 TB use the doubling (large-star/small-star) variant
    * for high-diameter graphs; near-dup clusters are shallow in practice.
    */
-  def clusterLabels(pairs: DataFrame, iterations: Int = 8): DataFrame = {
-    // symmetric edge list incl. self-loops so isolated propagation keeps own label
+  def clusterLabels(pairs: DataFrame, iterations: Int = 4): DataFrame = {
+    // Iterative algorithms MUST truncate lineage each round: the next
+    // round's plan references the previous labels twice, so both the
+    // recompute AND the logical-plan tree double per iteration without a
+    // cut (persist() alone caches execution but keeps the exponential
+    // plan — analyzed until OOM). localCheckpoint materializes on
+    // executors and re-roots the plan; swap for reliable checkpoint(dir)
+    // on a real cluster where executor loss matters.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
     (1 to iterations).foreach { _ =>
       labels = edges.join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
         .join(labels, col("src") === col("id"))
         .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+        .localCheckpoint(true)
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
   /** Keep-list from candidate pairs: every id in a duplicate cluster mapped
    *  to the cluster's min id (`keep_id`); `is_duplicate` marks losers. */
-  def resolveDuplicates(pairs: DataFrame, iterations: Int = 8): DataFrame =
+  def resolveDuplicates(pairs: DataFrame, iterations: Int = 4): DataFrame =
     clusterLabels(pairs, iterations)
       .select(col("id"), col("cluster_id").as("keep_id"),
         (col("id") =!= col("cluster_id")).as("is_duplicate"))

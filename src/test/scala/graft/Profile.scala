@@ -36,6 +36,13 @@ object Profile {
       Dedup.minHashSignatures(docs, "text", "doc_id").count())
     time("full signatures 2nd")(
       Dedup.minHashSignatures(docs, "text", "doc_id").count())
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup dup dup")).as("text")))
+    val pairs = time("lsh pairs")(
+      { val p = Dedup.lshCandidatePairs(Dedup.minHashSignatures(corpus, "text", "doc_id")); p.count(); p })
+    time("cluster labels")(Dedup.clusterLabels(pairs).count())
     spark.stop()
   }
 }
