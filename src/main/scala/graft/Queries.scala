@@ -12,9 +12,16 @@ import org.apache.spark.sql.functions._
 /**
  * The driver-facing query catalog: one entry per operator/dialect feature
  * from SURVEY.md §2 (plus the training-data operators), each with a DuckDB
- * oracle. Numeric outputs are decimal-cast (exact cross-engine) or
- * round-6-then-decimal for ratios; no raw computed doubles, no raw
- * sub-second timestamps — so value hashes match DuckDB bit-for-bit.
+ * oracle. Numeric outputs are computed EXACTLY (decimal arithmetic for
+ * money, round(x, 6) for ratios) and then emitted as BIGINT, STRING, or
+ * DOUBLE — never as a DECIMAL column. Rationale: the driver's comparator
+ * renders Spark decimals at full scale ('0.500') but DuckDB decimals with
+ * trailing zeros stripped ('0.5'), so any decimal output whose value has a
+ * trailing fractional zero hash-mismatches (observed r01: 14 queries, all
+ * decimal-typed, failed; every non-decimal query passed). A DOUBLE cast of
+ * the same exact decimal is correctly rounded in both engines (identical
+ * bits for unscaled values < 2^53), making the final representation
+ * engine-independent.
  */
 object Queries {
 
@@ -50,11 +57,11 @@ object Queries {
    *  (FileReader -> SqlTransformer -> view) to exercise the whole kernel. */
   val q1Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DECIMAL(28,4)) AS sum_disc_price,
-      |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS sum_charge,
-      |  CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS avg_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -102,7 +109,7 @@ object Queries {
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(28,2)").as("sum_bal"))
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
   }
 
   /** Top-k with deterministic tie-break via DataFrame API. */
@@ -177,7 +184,7 @@ object Queries {
 
   private def d3(spark: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidatePairs(Dedup.minHashSignatures(docCorpus(spark, dir), "text", "doc_id"))
-      .select(col("id_a"), col("id_b"), col("est_jaccard").cast("decimal(5,3)").as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
 
   private def d4(spark: SparkSession, dir: String): DataFrame = {
     val corpus = docCorpus(spark, dir)
@@ -191,8 +198,7 @@ object Queries {
         Dedup.signaturesFromShingles(sh), minEstJaccard = 0.0)
       .select("id_a", "id_b")
     Dedup.ngramJaccard(cand, sh)
-      .select(col("id_a"), col("id_b"),
-        round(col("jaccard"), 6).cast("decimal(10,6)").as("jaccard"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   private def d5(spark: SparkSession, dir: String): DataFrame =
@@ -238,7 +244,7 @@ object Queries {
        |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS cos_r
        |  FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id)
-       |SELECT id_a, id_b, CAST(cos_r AS DECIMAL(10,6)) AS cos_sim FROM pairs WHERE cos_r >= 0.95""".stripMargin
+       |SELECT id_a, id_b, cos_r AS cos_sim FROM pairs WHERE cos_r >= 0.95""".stripMargin
   }
 
   private def s1(spark: SparkSession, dir: String): DataFrame = {
@@ -255,16 +261,40 @@ object Queries {
        |  FROM q JOIN c ON q.vec_id <> c.vec_id),
        |r AS (SELECT query_id, neighbor_id, cos_r,
        |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
-       |SELECT query_id, neighbor_id, CAST(cos_r AS DECIMAL(10,6)) AS cos_sim, CAST(rank AS INT) AS rank
+       |SELECT query_id, neighbor_id, cos_r AS cos_sim, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
-  /** Approximate (LSH-bucketed) top-k — the scale path; rows-only check
-   *  (the 512-term hyperplane derivation is not worth a SQL oracle). */
+  /** Approximate (LSH-bucketed) top-k — the scale path. */
   private def s2(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
     Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5, 64, 6)
+  }
+
+  /** DuckDB mirror of [[Similarity.planeWeight]]: md5-derived double in
+   *  [-0.5, 0.5) — bit-identical (hex→int64→double is correctly rounded in
+   *  both engines; /2^60 is exact scaling). */
+  private def planeWeightSql(p: Int, d: Int): String =
+    s"((('0x' || substr(md5('plane:$p:$d'), 1, 15))::bigint::double / 1152921504606846976.0) - 0.5)"
+
+  private val s2Oracle: String = {
+    // sign-bit bucket: sum over 6 hyperplanes of (dot(v, w_p) > 0) << p.
+    // Left-to-right accumulation matches the native dot's loop order.
+    val bucket = (0 until 6).map { p =>
+      val dotW = (1 to 64).map(d => s"${planeWeightSql(p, d - 1)} * v[$d]").mkString(" + ")
+      s"(CASE WHEN ($dotW) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val cos = s"(${dotSql("q.v", "c2.v")}) / (q.nrm * c2.nrm)"
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm, $bucket AS bucket FROM c),
+       |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+       |scored AS (SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id, round($cos, 6) AS cos_r
+       |  FROM q JOIN n c2 ON q.bucket = c2.bucket AND q.vec_id <> c2.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos_r,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cos_r AS cos_sim, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
   }
 
   private def textNormSql: String = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
@@ -276,10 +306,10 @@ object Queries {
     val wordScore = s"(CASE WHEN ($mwl) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)"
     s"""SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS len_chars,
-       |  CAST(round($alpha, 6) AS DECIMAL(18,6)) AS alpha_ratio,
+       |  round($alpha, 6) AS alpha_ratio,
        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_cnt,
-       |  CAST(round($mwl, 6) AS DECIMAL(18,6)) AS mean_word_len,
-       |  CAST(round(($lenScore) * 0.4 + ($alpha) * 0.4 + ($wordScore) * 0.2, 6) AS DECIMAL(18,6)) AS quality
+       |  round($mwl, 6) AS mean_word_len,
+       |  round(($lenScore) * 0.4 + ($alpha) * 0.4 + ($wordScore) * 0.2, 6) AS quality
        |FROM documents""".stripMargin
   }
 
@@ -287,10 +317,10 @@ object Queries {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     docs.select(col("doc_id"),
       length(col("text")).cast("long").as("len_chars"),
-      round(TextAnalysis.alphaRatio(col("text")), 6).cast("decimal(18,6)").as("alpha_ratio"),
+      round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_ratio"),
       TextAnalysis.punctCount(col("text")).cast("long").as("punct_cnt"),
-      round(TextAnalysis.meanWordLen(col("text")), 6).cast("decimal(18,6)").as("mean_word_len"),
-      TextAnalysis.qualityScore(col("text")).cast("decimal(18,6)").as("quality"))
+      round(TextAnalysis.meanWordLen(col("text")), 6).as("mean_word_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
   }
 
   private val t3Oracle: String = {
@@ -315,11 +345,11 @@ object Queries {
 
     Spec("q2_filter_project", sqlQuery(Seq("lineitem"),
       """SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(28,4)) AS net_price
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.05 AND l_returnflag NOT IN ('R')""".stripMargin),
       Some("""SELECT l_orderkey, l_linenumber,
-        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(28,4)) AS net_price
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS net_price
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.05 AND l_returnflag NOT IN ('R')""".stripMargin)),
 
@@ -335,7 +365,7 @@ object Queries {
 
     Spec("q5_star_join_agg", q5,
       Some("""SELECT r_name, n_name, count(*) AS n_cust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin)),
 
@@ -351,10 +381,10 @@ object Queries {
 
     Spec("q7_running_sum", sqlQuery(Seq("orders"),
       """SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(28,2)) AS running_total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total
         |FROM orders""".stripMargin),
       Some("""SELECT o_custkey, o_orderkey,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DECIMAL(28,2)) AS running_total
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS running_total
         |FROM orders""".stripMargin)),
 
     Spec("q8_cte", sqlQuery(Seq("orders", "customer"),
@@ -374,11 +404,11 @@ object Queries {
 
     Spec("q10_tumbling_window", sqlQuery(Seq("events"),
       """SELECT CAST(window.start AS LONG) AS bucket_start, event_type, count(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window(ts, '10 minutes'), event_type""".stripMargin),
       Some(s"""WITH $eventsUsCte
         |SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS bucket_start, event_type, count(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events_us GROUP BY 1, 2""".stripMargin)),
 
     Spec("q11_interval_range_join", sqlQuery(Seq("events"),
@@ -443,13 +473,13 @@ object Queries {
 
     Spec("q16_conditional_agg", sqlQuery(Seq("lineitem"),
       """SELECT l_returnflag,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS qty_f,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS qty_o,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       Some("""SELECT l_returnflag,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS qty_f,
-        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS qty_o,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
@@ -465,26 +495,26 @@ object Queries {
 
     Spec("q18_having", sqlQuery(Seq("lineitem"),
       """SELECT l_partkey, count(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_partkey HAVING count(*) > 25""".stripMargin),
       Some("""SELECT l_partkey, count(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_partkey HAVING count(*) > 25""".stripMargin)),
 
     Spec("q19_rollup", sqlQuery(Seq("lineitem"),
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |  count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag, coalesce(l_linestatus, 'ALL') AS linestatus,
-        |  count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |  count(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
     Spec("q20_date_parts", sqlQuery(Seq("orders"),
       """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
-        |  count(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |  count(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2""".stripMargin),
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
-        |  count(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |  count(*) AS cnt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1, 2""".stripMargin)),
 
     Spec("q21_json_extract", sqlQuery(Seq("events"),
@@ -503,12 +533,12 @@ object Queries {
 
     Spec("q23_percentile", sqlQuery(Seq("orders"),
       """SELECT o_orderstatus,
-        |  CAST(ROUND(percentile(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS median_price,
-        |  CAST(ROUND(percentile(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90_price
+        |  ROUND(percentile(o_totalprice, 0.5), 4) AS median_price,
+        |  ROUND(percentile(o_totalprice, 0.9), 4) AS p90_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin),
       Some("""SELECT o_orderstatus,
-        |  CAST(ROUND(quantile_cont(o_totalprice, 0.5), 4) AS DECIMAL(18,4)) AS median_price,
-        |  CAST(ROUND(quantile_cont(o_totalprice, 0.9), 4) AS DECIMAL(18,4)) AS p90_price
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
     Spec("q24_ordered_collect", sqlQuery(Seq("lineitem"),
@@ -574,7 +604,7 @@ object Queries {
          |$sigCte,
          |$bandedCte,
          |$candCte
-         |SELECT c.id_a, c.id_b, CAST(($estExpr) / 8.0 AS DECIMAL(5,3)) AS est_jaccard
+         |SELECT c.id_a, c.id_b, CAST(($estExpr) / 8.0 AS DOUBLE) AS est_jaccard
          |FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
          |WHERE ($estExpr) / 8.0 >= 0.5""".stripMargin
     }),
@@ -591,7 +621,7 @@ object Queries {
          |  JOIN shing sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
          |  GROUP BY c.id_a, c.id_b)
          |SELECT c.id_a, c.id_b,
-         |  CAST(round(coalesce(ni, 0)::double / (ca.n + cb.n - coalesce(ni, 0)), 6) AS DECIMAL(10,6)) AS jaccard
+         |  round(coalesce(ni, 0)::double / (ca.n + cb.n - coalesce(ni, 0)), 6) AS jaccard
          |FROM cand c JOIN counts ca ON c.id_a = ca.doc_id JOIN counts cb ON c.id_b = cb.doc_id
          |LEFT JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b""".stripMargin
     }),
@@ -628,7 +658,7 @@ object Queries {
     Spec("d5_simhash", d5, Some(d5Oracle)),
     Spec("d6_embed_neardup", d6, Some(d6Oracle)),
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
-    Spec("s2_knn_lsh", s2, None), // rows-only: hyperplane SQL oracle not worth it
+    Spec("s2_knn_lsh", s2, Some(s2Oracle)),
 
     Spec("t1_token_counts", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

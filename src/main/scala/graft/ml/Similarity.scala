@@ -73,7 +73,7 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        col("cos_r").cast("decimal(10,6)").as("cos_sim"), col("rank"))
+        col("cos_r").as("cos_sim"), col("rank"))
 
   /**
    * Exact brute-force top-k cosine neighbors of `queries` within `corpus`.
@@ -145,6 +145,6 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(dotD(col("a.v"), col("b.v"), dim) / (col("a.n") * col("b.n")), 6).as("cos_r"))
       .filter(col("cos_r") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos_r").cast("decimal(10,6)").as("cos_sim"))
+      .select(col("id_a"), col("id_b"), col("cos_r").as("cos_sim"))
   }
 }

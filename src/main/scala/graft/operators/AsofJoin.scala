@@ -40,12 +40,19 @@ object AsofJoin {
                    rightPayload: Seq[String], leftOuter: Boolean = false): DataFrame = {
     require(toleranceSec > 0, "toleranceSec must be positive")
     val cell = lit(toleranceSec)
-    // left cell
-    val l = left.withColumn("__cell_", (col(leftTs).cast("long") / cell).cast("long"))
+    // floor (not long-cast truncation): pre-1970 timestamps have negative
+    // epoch seconds, and truncation toward zero would mis-bucket them
+    def cellOf(ts: Column): Column = floor(ts.cast("long") / cell).cast("long")
+    // surrogate key: identifies each left row exactly, so the groupBy and
+    // the leftOuter re-join are null-safe (joining on all left columns
+    // would lose rows with NULLs — NULL never equi-matches itself)
+    val lid = monotonically_increasing_id()
+    val l0 = left.withColumn("__lid_", lid)
+    val l = l0.withColumn("__cell_", cellOf(col(leftTs)))
     // right replicated into the two cells a matching left could occupy
     val r0 = right.select(
       (keyCols.map(col) :+ col(rightTs).as("__rts_")) ++ rightPayload.map(col): _*)
-    val r = r0.withColumn("__rc_", (col("__rts_").cast("long") / cell).cast("long"))
+    val r = r0.withColumn("__rc_", cellOf(col("__rts_")))
       .withColumn("__cell_", explode(array(col("__rc_"), col("__rc_") + 1)))
       .drop("__rc_")
     val joined = l.join(r, keyCols :+ "__cell_", "inner")
@@ -54,14 +61,13 @@ object AsofJoin {
     // latest right row per left row: max over (rts, payload...) struct
     val leftCols = left.columns.map(col).toSeq
     val pick = max(struct((col("__rts_") +: rightPayload.map(col)): _*)).as("__best_")
-    // one cell per left row, so left columns alone identify it (callers
-    // should include a unique id; identical duplicate left rows merge)
-    val best = joined.groupBy(leftCols: _*).agg(pick)
+    val best = joined.groupBy(col("__lid_") +: leftCols: _*).agg(pick)
     val withPayload = best.select(
-      (leftCols :+ col("__best_.__rts_").as("__asof_ts"))
+      (col("__lid_") +: leftCols :+ col("__best_.__rts_").as("__asof_ts"))
         ++ rightPayload.map(p => col(s"__best_.$p").as(p)): _*)
-    if (!leftOuter) withPayload
-    else left.join(withPayload,
-      left.columns.toSeq, "left")
+    if (!leftOuter) withPayload.drop("__lid_")
+    else l0.join(withPayload.select(
+        (col("__lid_") +: col("__asof_ts") +: rightPayload.map(col)): _*),
+      Seq("__lid_"), "left").drop("__lid_")
   }
 }

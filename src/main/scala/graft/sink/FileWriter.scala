@@ -46,19 +46,22 @@ class FileWriter extends Actor {
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
-    val (write, writeIt) = emptyWrite.toLowerCase match {
+    // persist only for the isEmpty-probe + write pair; release our own
+    // cache afterwards (leave caller-managed caches alone)
+    val (writeIt, weCached) = emptyWrite.toLowerCase match {
       case "no" | "disabled" =>
         val wasCached = df.storageLevel != StorageLevel.NONE
         if (!wasCached) df.persist(StorageLevel.MEMORY_AND_DISK)
-        val empty = df.isEmpty
-        (df, !empty)
-      case _ => (df, true)
+        (!df.isEmpty, !wasCached)
+      case _ => (true, false)
     }
-    if (writeIt) {
-      val w0 = write.write.format(format).options(writeOptions).mode(mode)
-      val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
-      w.save(uri)
-    }
+    try {
+      if (writeIt) {
+        val w0 = df.write.format(format).options(writeOptions).mode(mode)
+        val w = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+        w.save(uri)
+      }
+    } finally if (weCached) df.unpersist()
     None
   }
 }

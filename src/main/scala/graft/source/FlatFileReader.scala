@@ -132,8 +132,17 @@ class FlatFileReader extends Actor {
       if (!needSeq) raw0
       else {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("__file_")).orderBy(monotonically_increasing_id())
-        val withNo = raw0.withColumn("__row_no_", row_number().over(w).cast("long"))
+        // explicit in-file ordering: a large file is read as several splits,
+        // and relying on monotonically_increasing_id alone would assume
+        // Spark packs splits in offset order (an implementation detail).
+        // `_metadata.file_block_start` is the split's byte offset — ordering
+        // by (block_start, id) is correct whatever order splits landed in.
+        val w = Window.partitionBy(col("__file_"))
+          .orderBy(col("__block_start_"), monotonically_increasing_id())
+        val withNo = raw0
+          .withColumn("__block_start_", col("_metadata.file_block_start"))
+          .withColumn("__row_no_", row_number().over(w).cast("long"))
+          .drop("__block_start_")
         if (trailerRows > 0) {
           val counts = withNo.groupBy(col("__file_")).agg(max(col("__row_no_")).as("__file_rows_"))
           withNo.join(broadcast(counts), "__file_")

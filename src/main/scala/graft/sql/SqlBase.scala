@@ -135,7 +135,8 @@ object SqlBase {
             if (isQuery(unparen)) {
               val row = spark.sql(unparen).first()
               if (row.isNullAt(0)) "null" else row.get(0).toString
-            } else inner
+            } else unparen // store unparen'd either way: `setrun x = (5)`
+                           // splices `5`, consistent with the query branch
           ctx.setSqlVariable(name, v)
         case SqlStatement(text) =>
           val resolved = resolveVariables(text, vars)

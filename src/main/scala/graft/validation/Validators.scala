@@ -118,8 +118,11 @@ class SqlDataValidator extends Actor {
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
     val validPred = validWhere.getOrElse(s"not (${invalidWhere.get})")
-    val valid = df.filter(validPred)
-    val invalid = df.filter(s"not ($validPred)")
+    // null-safe split: a row where the predicate evaluates to NULL (e.g.
+    // `amount > 0` with NULL amount) counts as INVALID, not dropped —
+    // coalesce(p, false) makes valid ∪ invalid = all rows.
+    val valid = df.filter(s"coalesce(($validPred), false)")
+    val invalid = df.filter(s"not coalesce(($validPred), false)")
     action match {
       case "error" =>
         val n = invalid.count()
