@@ -297,6 +297,38 @@ object Queries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** IVF-flat ANN: deterministic md5-seeded centroids, nprobe=2. */
+  private def s3(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    Similarity.ivfTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5, 16, 2)
+  }
+
+  private val s3Oracle: String = {
+    val vvExpr = dotSql("v", "v")
+    val distDot = dotSql("e.v", "ct.cv")
+    val cosDot = dotSql("q.v", "n.v")
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |vv AS (SELECT vec_id, v, ($vvExpr) AS vv FROM c),
+       |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
+       |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+       |assigned AS (SELECT e.vec_id, e.v, e.vv, ct.crank,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+       |  FROM vv e CROSS JOIN cent ct),
+       |cells AS (SELECT vec_id AS neighbor_id, v, vv, crank FROM assigned WHERE arank = 1),
+       |qcells AS (SELECT vec_id AS query_id, v, vv, crank FROM assigned
+       |  WHERE arank <= 2 AND vec_id % 50 = 0),
+       |scored AS (SELECT q.query_id, n.neighbor_id,
+       |  round(($cosDot) / (sqrt(q.vv) * sqrt(n.vv)), 6) AS cos_r
+       |  FROM qcells q JOIN cells n ON q.crank = n.crank AND q.query_id <> n.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos_r,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cos_r AS cos_sim, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   private def textNormSql: String = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 
   private val t2Oracle: String = {
@@ -584,6 +616,48 @@ object Queries {
         |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS cnt
         |FROM g GROUP BY user_id, sid""".stripMargin)),
 
+    // End-to-end Structured Streaming through the gate: the same tumbling
+    // window as q10, computed by readStream + AvailableNow into a memory
+    // sink (complete mode) — proves stream/batch result parity, not just
+    // "the stream ran" (reference streams are DataFrames too, SURVEY §1).
+    Spec("q27_stream_tumbling", (spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      // the file stream source wants a directory: stream the sf dir with a
+      // glob filter selecting the events file
+      val agg = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("event_type"), col("cnt"))
+      val qname = s"q27_stream_${System.nanoTime}"
+      val sq = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(qname)
+    }, Some(s"""WITH $eventsUsCte
+        |SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS bucket_start, event_type, count(*) AS cnt
+        |FROM events_us GROUP BY 1, 2""".stripMargin)),
+
+    // Binary-typed columns through the SQL surface: utf-8 payload bytes,
+    // length/hash/hex-slice — the multimodal column model's query layer
+    // (payloads as opaque binary + derived metadata).
+    Spec("m1_binary_meta", sqlQuery(Seq("documents"),
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS byte_len,
+        |  md5(encode(text, 'UTF-8')) AS content_md5,
+        |  substr(hex(encode(text, 'UTF-8')), 1, 16) AS head_hex
+        |FROM documents""".stripMargin),
+      Some("""SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  substr(hex(encode(text)), 1, 16) AS head_hex
+        |FROM documents""".stripMargin)),
+
     // ------------------------------------------- training-data pipeline ops
 
     Spec("d1_dedup_exact", (spark, dir) => {
@@ -659,6 +733,7 @@ object Queries {
     Spec("d6_embed_neardup", d6, Some(d6Oracle)),
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
     Spec("s2_knn_lsh", s2, Some(s2Oracle)),
+    Spec("s3_knn_ivf", s3, Some(s3Oracle)),
 
     Spec("t1_token_counts", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -133,6 +133,53 @@ object Similarity {
   }
 
   /**
+   * IVF-flat approximate top-k: the corpus is partitioned into
+   * `numCentroids` Voronoi cells; a query scans only its `nprobe` nearest
+   * cells, then exact-cosine-reranks. Per-query work drops from |corpus|
+   * to ~nprobe * |corpus| / numCentroids.
+   *
+   * Centroid selection is deterministic (the vectors with the smallest
+   * md5(id) — a reproducible pseudo-random sample) so results are a pure
+   * function of the input and oracle-checkable; on a real cluster swap in
+   * sampled k-means centroids (driver-side on a tiny sample) — the
+   * assign/probe/rerank dataflow below is unchanged. Centroids are
+   * broadcast: assignment is a narrow map over the corpus, no shuffle of
+   * the embedding column; the candidate join shuffles on the cell id.
+   */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    // (id, v, vv = v·v) — vv feeds both the distance and the final norm
+    def withVv(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        dot(col(vecCol), col(vecCol)).as("vv"))
+    val corp = withVv(corpus)
+    // deterministic "sample": numCentroids rows with the smallest id-hash,
+    // ranked 1..numCentroids (crank is the cell id)
+    val seeded = corp.select(col("id"), col("v"), col("vv"),
+      conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long").as("h"))
+    val cents = seeded.orderBy(col("h"), col("id")).limit(numCentroids)
+      .withColumn("crank", row_number().over(
+        Window.orderBy(col("h"), col("id"))))
+      .select(col("crank"), col("v").as("cv"), col("vv").as("cc"))
+    // squared L2 distance via (vv + cc) - (2 * v·c): same expression shape
+    // as the SQL oracle, so doubles are bit-identical
+    def dist2: Column = col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("cv"))
+    def ranked(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("__arank_", row_number().over(
+          Window.partitionBy(col("id")).orderBy(dist2, col("crank"))))
+    val corpCells = ranked(corp).filter(col("__arank_") === 1)
+      .select(col("id").as("neighbor_id"), col("v").as("cv2"), col("vv").as("cvv"), col("crank"))
+    val queryCells = ranked(withVv(queries)).filter(col("__arank_") <= nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("vv").as("qvv"), col("crank"))
+    val scored = queryCells.join(corpCells, Seq("crank"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv2")) / (sqrt(col("qvv")) * sqrt(col("cvv")))).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, blocked by a coarse key (e.g. a
    * label/cluster column) so the pair join never goes quadratic in the
    * corpus. Output: (id_a < id_b, cos_sim) with cos ≥ threshold.
