@@ -616,6 +616,60 @@ object Queries {
         |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS cnt
         |FROM g GROUP BY user_id, sid""".stripMargin)),
 
+    Spec("q28_lead_lag", sqlQuery(Seq("orders"),
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS price_rank
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin),
+      Some("""SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INT) AS price_rank
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
+    Spec("q29_grouping_sets", sqlQuery(Seq("lineitem"),
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS cnt
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)),
+
+    Spec("q30_posexplode", sqlQuery(Seq("documents"),
+      """SELECT doc_id, CAST(pos AS INT) AS pos, tok
+        |FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+        |WHERE pos < 5""".stripMargin),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (SELECT doc_id, CAST(unnest(range(len(toks))) AS INT) AS pos, unnest(toks) AS tok FROM t)
+        |SELECT doc_id, pos, tok FROM u WHERE pos < 5""".stripMargin)),
+
+    Spec("q31_setops", sqlQuery(Seq("customer", "supplier"),
+      """SELECT 'both' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier)""".stripMargin),
+      Some("""SELECT 'both' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier)""".stripMargin)),
+
+    Spec("q32_correlated_subquery", sqlQuery(Seq("customer", "orders"),
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c WHERE c_custkey <= 100""".stripMargin),
+      Some("""SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c WHERE c_custkey <= 100""".stripMargin)),
+
+    Spec("q33_cube", sqlQuery(Seq("lineitem"),
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
     // End-to-end Structured Streaming through the gate: the same tumbling
     // window as q10, computed by readStream + AvailableNow into a memory
     // sink (complete mode) — proves stream/batch result parity, not just
