@@ -34,6 +34,32 @@ object DataframeHelper {
    *    single-partition shuffle of the whole data — scales to arbitrary row
    *    counts unlike a global `row_number() over (order by ...)` (:41-58).
    */
+  /**
+   * Skew-safe equi-join: when one join key carries a disproportionate share
+   * of the probe-side rows, a plain shuffle join lands that key's whole
+   * population on one reduce task. Salting spreads it: the probe (left)
+   * side gets a deterministic salt in [0, salt), the build (right) side is
+   * replicated once per salt value, and the join runs on (keys, salt) —
+   * each hot key now occupies `salt` tasks. Build-side cost: ×salt rows
+   * (use for small-to-medium build sides; for dimension-sized builds prefer
+   * `broadcast`; AQE's skew-join split handles the sort-merge case — this
+   * covers plans AQE can't rewrite, e.g. when the skew is in an
+   * aggregation feeding the join).
+   *
+   * Supports inner and left joins (right-side replication preserves both).
+   */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt > 1, "salt must be > 1")
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins, got $joinType")
+    // deterministic spread: hash of the row id, not rand() — keeps the
+    // result a pure function of the input
+    val l = left.withColumn("__salt_", pmod(hash(monotonically_increasing_id()), lit(salt)))
+    val r = right.withColumn("__salt_", explode(array((0 until salt).map(lit): _*)))
+    l.join(r, keys :+ "__salt_", joinType).drop("__salt_")
+  }
+
   def zipWithIndex(df: DataFrame, indexCol: String, partitionCols: Seq[String] = Seq.empty): DataFrame =
     if (partitionCols.nonEmpty) {
       val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(monotonically_increasing_id())

@@ -61,6 +61,39 @@ class PlanSpec extends SparkSpec {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("bucketed tables co-locate: join on the bucket key plans without a shuffle") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val od = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    li.createOrReplaceTempView("pb_li")
+    od.createOrReplaceTempView("pb_od")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())(spark)
+    val w1 = new graft.sink.SqlTableWriter()
+    w1.init(Map("table" -> "pb_li_b", "view" -> "pb_li", "mode" -> "overwrite",
+      "bucketBy.columns" -> "l_orderkey", "bucketBy.numBuckets" -> "4"))(spark)
+    w1.run(ctx)(spark)
+    val w2 = new graft.sink.SqlTableWriter()
+    w2.init(Map("table" -> "pb_od_b", "view" -> "pb_od", "mode" -> "overwrite"))(spark)
+    w2.bucketedBy(4, "o_orderkey").run(ctx)(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("pb_li_b")
+        .join(spark.table("pb_od_b"), col("l_orderkey") === col("o_orderkey"))
+      val tree = plan(joined).linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")
+      (tree should not).include("Exchange")
+      tree should include("SortMergeJoin")
+      joined.count() shouldBe spark.table("pb_li_b").count()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS pb_li_b")
+      spark.sql("DROP TABLE IF EXISTS pb_od_b")
+    }
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     // under AQE codegen stages exist only after execution; plan with AQE
     // off to inspect the compiled subtree count deterministically

@@ -125,6 +125,21 @@ class UtilsSpec extends SparkSpec {
     keys shouldBe Seq("u1&1", "u2&2")
   }
 
+  test("saltedJoin matches the plain join for inner and left") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val customer = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    for (jt <- Seq("inner", "left")) {
+      val plain = orders.join(customer, Seq("o_custkey"), jt)
+        .select("o_orderkey", "c_mktsegment").collect().map(_.toString).sorted
+      val salted = DataframeHelper.saltedJoin(orders, customer, Seq("o_custkey"), 8, jt)
+        .select("o_orderkey", "c_mktsegment").collect().map(_.toString).sorted
+      salted shouldBe plain
+    }
+  }
+
   test("SqlTableWriter writes a catalog table") {
     implicit val s = spark
     val ctx = new JobContext(PipelineContext())
