@@ -129,12 +129,13 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
       case Some(df) if ctx.metricsRequired && !df.isStreaming =>
         val wasCached = df.storageLevel != StorageLevel.NONE
         if (!wasCached) df.persist(StorageLevel.MEMORY_AND_DISK)
-        val rows = df.count()
-        val size = scala.util.Try(BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)).toOption
-        _metrics += ActionMetrics(job.name, action.name, Some(rows), df.schema.toDDL,
-          size, System.currentTimeMillis() - t0, status)
-        stage(job, action, df, ctx)
-        if (!wasCached) df.unpersist()
+        try {
+          val rows = df.count()
+          val size = scala.util.Try(BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString)).toOption
+          _metrics += ActionMetrics(job.name, action.name, Some(rows), df.schema.toDDL,
+            size, System.currentTimeMillis() - t0, status)
+          stage(job, action, df, ctx)
+        } finally if (!wasCached) df.unpersist()
       case Some(df) if !df.isStreaming =>
         stage(job, action, df, ctx)
         record(job, action, Some(df), t0, status)
