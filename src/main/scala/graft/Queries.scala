@@ -697,6 +697,44 @@ object Queries {
         |SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS bucket_start, event_type, count(*) AS cnt
         |FROM events_us GROUP BY 1, 2""".stripMargin)),
 
+    // Arbitrary stateful processing through the gate: the reflective
+    // StreamStatefulTransformer + SessionizeProcessor (flatMapGroupsWithState)
+    // must reproduce the session_window oracle exactly — proving the custom
+    // state-machine path computes what the declarative operator computes.
+    Spec("q34_stateful_sessions", (spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .createOrReplaceTempView("q34_in")
+      val ctx = new JobContext(PipelineContext())(spark)
+      val actor = new graft.transform.StreamStatefulTransformer()
+      actor.init(Map(
+        "view" -> "q34_in",
+        "processor.type" -> "graft.streaming.SessionizeProcessor",
+        "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
+        "processor.gapSeconds" -> "1800"))(spark)
+      val out = actor.run(ctx)(spark).get
+      val qname = s"q34_sessions_${System.nanoTime}"
+      val sq = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      spark.table(qname)
+    }, Some(s"""WITH $eventsUsCte,
+        |s AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events_us),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS cnt
+        |FROM g GROUP BY user_id, sid""".stripMargin)),
+
     // Binary-typed columns through the SQL surface: utf-8 payload bytes,
     // length/hash/hex-slice — the multimodal column model's query layer
     // (payloads as opaque binary + derived metadata).

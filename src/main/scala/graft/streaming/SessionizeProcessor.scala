@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.transform.ArbitraryStatefulProcessor
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Canonical [[ArbitraryStatefulProcessor]]: event-time sessionization as a
+ * `flatMapGroupsWithState` state machine — the hand-rolled equivalent of
+ * `session_window(ts, gap)` (reference pattern:
+ * src/test/scala/com/qwshen/etl/test/stream/UserStatefulProcessor.scala:36-41).
+ *
+ * Output: (user_id, session_start [epoch sec], cnt). State per key is the
+ * open session (start, last, count) in microseconds, carried across
+ * micro-batches; each invocation merges the batch's (sorted) events into
+ * it and emits every session seen. With a single micro-batch (one input
+ * file / AvailableNow) the emitted set is exactly the batch
+ * `session_window` result; across multiple batches the still-open session
+ * is re-emitted when extended — downstream takes the last emission per
+ * (key, session_start), the standard update-sink contract.
+ *
+ * Timestamps are processed as epoch MICROS (`unix_micros`), not
+ * `java.sql.Timestamp` — getTime would truncate to millis and diverge
+ * from the engine's microsecond session boundaries.
+ */
+class SessionizeProcessor extends ArbitraryStatefulProcessor {
+  private var keyField = "user_id"
+  private var tsField = "ts"
+  private var gapSec = 1800L
+
+  override def init(properties: Map[String, String]): Unit = {
+    properties.get("keyField").foreach(keyField = _)
+    properties.get("tsField").foreach(tsField = _)
+    properties.get("gapSeconds").foreach(g => gapSec = g.toLong)
+  }
+
+  override def transformState(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapSec * 1000000L
+    val typed = df
+      .select(col(keyField).cast("long"), unix_micros(col(tsField).cast("timestamp")))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          // merge this batch's events (sorted) into the open session
+          var (start, last, cnt) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = ArrayBuffer.empty[(Long, Long, Long)]
+          it.map(_._2).toArray.sorted.foreach { t =>
+            if (cnt == 0L) { start = t; last = t; cnt = 1L }
+            else if (t - last > gapUs) {
+              out += ((key, Math.floorDiv(start, 1000000L), cnt))
+              start = t; last = t; cnt = 1L
+            } else { last = t; cnt += 1L }
+          }
+          if (cnt > 0L) {
+            state.update((start, last, cnt))
+            out += ((key, Math.floorDiv(start, 1000000L), cnt)) // open session
+          }
+          out.iterator
+      }
+      .toDF(keyField, "session_start", "cnt")
+  }
+}
