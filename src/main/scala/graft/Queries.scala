@@ -857,6 +857,26 @@ object Queries {
          |FROM shing GROUP BY doc_id""".stripMargin
     }),
 
+    Spec("t6_pii_redact", (spark, dir) => {
+      // synthesize known PII so the redaction has true positives
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9][0-9-]{7,}[0-9]"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val synth = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-01"), (col("doc_id") % 100).cast("string"))
+      docs.select(col("doc_id"),
+        regexp_replace(regexp_replace(synth, email, "[EMAIL]"), phone, "[PHONE]").as("redacted"),
+        size(regexp_extract_all(synth, lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(synth, lit(phone), lit(0))).cast("long").as("n_phones"))
+    }, Some("""WITH s AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id::varchar || '@example.com or +1-555-01' || (doc_id % 100)::varchar AS synth
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\+[0-9][0-9-]{7,}[0-9]', '[PHONE]', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(synth, '\+[0-9][0-9-]{7,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM s""".stripMargin)),
+
     Spec("u1_zipwithindex", u1,
       Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct
         |FROM lineitem""".stripMargin))

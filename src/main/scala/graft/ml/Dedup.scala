@@ -201,4 +201,39 @@ object Dedup {
     clusterLabels(pairs, iterations)
       .select(col("id"), col("cluster_id").as("keep_id"),
         (col("id") =!= col("cluster_id")).as("is_duplicate"))
+
+  /**
+   * Convergence-checked variant of [[clusterLabels]] — the scale path for
+   * graphs whose diameter is unknown: iterate until no label changes
+   * (min-label propagation converges in O(diameter) rounds) or
+   * `maxIterations`. Each round costs one eager materialization plus a
+   * constant-size aggregate for the changed-count — the only driver-side
+   * value is that scalar, so the loop is cluster-friendly. Prefer
+   * [[clusterLabels]]'s fixed rounds when results must be a pure function
+   * of the input (oracle parity); near-dup clusters are shallow, so 4
+   * rounds is usually converged anyway.
+   */
+  def clusterLabelsConverged(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      val next = edges.join(labels.withColumnRenamed("id", "dst2"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+        .join(labels, col("src") === col("id"))
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
+          (col("nbr_min") < col("label")).as("moved"))
+        .localCheckpoint(true) // eager: the changed-count is read this round
+      changed = next.filter(col("moved")).count()
+      labels = next.drop("moved")
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
 }

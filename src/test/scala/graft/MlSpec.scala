@@ -79,6 +79,20 @@ class MlSpec extends SparkSpec {
     out(11L) shouldBe ((10L, true))
   }
 
+  test("converged label propagation resolves graphs deeper than the fixed rounds") {
+    implicit val s = spark
+    import spark.implicits._
+    // a 10-node path: diameter 9, so 4 fixed rounds CANNOT pull the far
+    // end to the component min, while the converged variant must
+    val pairs = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val fixed = Dedup.clusterLabels(pairs, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fixed(10L) should be > 1L
+    val conv = Dedup.clusterLabelsConverged(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    conv.values.toSet shouldBe Set(1L)
+  }
+
   test("brute-force knn returns k ranked neighbors with self excluded") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
