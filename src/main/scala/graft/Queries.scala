@@ -179,6 +179,28 @@ object Queries {
   private val estExpr: String =
     (0 until 8).map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
 
+  /** Duplicate-graph CTEs shared by d7/d8: est-jaccard-filtered pairs →
+   *  symmetric edges → 4 rounds of min-label propagation (l4 = final
+   *  labels). MATERIALIZED stops DuckDB from inlining each level into the
+   *  next (each lN references l(N-1) twice — inlining is exponential). */
+  private val resolveGraphCtes: String = {
+    val propagation = (1 to 4).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT l.id, least(l.label, m.nbr) AS label
+         |  FROM l${i - 1} l JOIN (
+         |    SELECT e.src, min(l2.label) AS nbr
+         |    FROM edges e JOIN l${i - 1} l2 ON e.dst = l2.id GROUP BY e.src) m
+         |  ON l.id = m.src)""".stripMargin
+    }.mkString(",\n")
+    s"""dpairs AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+       |  WHERE ($estExpr) / 8.0 >= 0.5),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dpairs
+       |          UNION ALL SELECT id_b AS src, id_a AS dst FROM dpairs),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+       |$propagation""".stripMargin
+  }
+
   private def d2(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashSignatures(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
 
@@ -331,19 +353,23 @@ object Queries {
 
   private def textNormSql: String = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 
-  private val t2Oracle: String = {
-    val alpha = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / length(text)"
-    val mwl = "list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), s -> length(s)))::double / len(regexp_split_to_array(trim(text), '\\s+'))"
-    val lenScore = "least(length(text)::double / 200.0, 1.0)"
-    val wordScore = s"(CASE WHEN ($mwl) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)"
+  // DuckDB mirrors of the TextAnalysis column expressions (shared t2/d8)
+  private val qAlphaSql = "length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::double / length(text)"
+  private val qMwlSql = "list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'), s -> length(s)))::double / len(regexp_split_to_array(trim(text), '\\s+'))"
+  private val qLenScoreSql = "least(length(text)::double / 200.0, 1.0)"
+  private val qWordScoreSql = s"(CASE WHEN ($qMwlSql) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)"
+  private val qQualitySql =
+    s"round(($qLenScoreSql) * 0.4 + ($qAlphaSql) * 0.4 + ($qWordScoreSql) * 0.2, 6)"
+  private val qWsTokensSql = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+
+  private val t2Oracle: String =
     s"""SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS len_chars,
-       |  round($alpha, 6) AS alpha_ratio,
+       |  round($qAlphaSql, 6) AS alpha_ratio,
        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_cnt,
-       |  round($mwl, 6) AS mean_word_len,
-       |  round(($lenScore) * 0.4 + ($alpha) * 0.4 + ($wordScore) * 0.2, 6) AS quality
+       |  round($qMwlSql, 6) AS mean_word_len,
+       |  $qQualitySql AS quality
        |FROM documents""".stripMargin
-  }
 
   private def t2(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -796,28 +822,12 @@ object Queries {
       Dedup.resolveDuplicates(
         Dedup.lshCandidatePairs(Dedup.minHashSignatures(docCorpus(spark, dir), "text", "doc_id")))
     }, Some {
-      // MATERIALIZED stops DuckDB from inlining each level into the next
-      // (each lN references l(N-1) twice — inlining is exponential)
-      val propagation = (1 to 4).map { i =>
-        s"""l$i AS MATERIALIZED (SELECT l.id, least(l.label, m.nbr) AS label
-           |  FROM l${i - 1} l JOIN (
-           |    SELECT e.src, min(l2.label) AS nbr
-           |    FROM edges e JOIN l${i - 1} l2 ON e.dst = l2.id GROUP BY e.src) m
-           |  ON l.id = m.src)""".stripMargin
-      }.mkString(",\n")
       s"""WITH $corpusCte,
          |${shingleCte("corpus")},
          |$sigCte,
          |$bandedCte,
          |$candCte,
-         |dpairs AS MATERIALIZED (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
-         |  WHERE ($estExpr) / 8.0 >= 0.5),
-         |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dpairs
-         |          UNION ALL SELECT id_b AS src, id_a AS dst FROM dpairs),
-         |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
-         |$propagation
+         |$resolveGraphCtes
          |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l4""".stripMargin
     }),
 
@@ -855,6 +865,46 @@ object Queries {
       s"""WITH ${shingleCte("documents")}
          |SELECT doc_id AS id, CAST(min(${Hashing.duckdbHashSql("shingle")}) AS BIGINT) AS min_shingle_hash
          |FROM shing GROUP BY doc_id""".stripMargin
+    }),
+
+    // The composite training-data pipeline, run THROUGH the actor engine:
+    // FileReader -> SqlTransformer (corpus synth) -> DedupActor(resolve)
+    // -> TextAnalysisActor -> SqlTransformer (keep winners, quality gate).
+    // `corpus` is referenced by two later actions, so the runner's
+    // ref-count auto-cache engages. Whole composition hash-checked.
+    Spec("d8_training_pipeline", (spark, dir) => {
+      import graft.ml.{DedupActor, TextAnalysisActor}
+      val corpusSql =
+        """SELECT doc_id, text FROM docs
+          |UNION ALL
+          |SELECT doc_id + 100000 AS doc_id, text || ' dup dup dup' AS text
+          |FROM docs WHERE doc_id % 5 = 0""".stripMargin
+      val finalSql =
+        """SELECT e.doc_id, e.ws_tokens, e.quality FROM enriched e
+          |LEFT JOIN resolved r ON e.doc_id = r.id
+          |WHERE coalesce(r.is_duplicate, false) = false AND e.quality >= 0.5""".stripMargin
+      val pipeline = Pipeline("d8_training_pipeline", jobs = Seq(Job("main", Seq(
+        Action("read", new FileReader().sourceFormat("parquet")
+          .fileUri(s"$dir/documents.parquet"), Some(View("docs"))),
+        Action("corpus", new SqlTransformer().sqlString(corpusSql), Some(View("corpus"))),
+        Action("resolve", new DedupActor().sourceView("corpus").dedupMethod("resolve"),
+          Some(View("resolved"))),
+        Action("enrich", new TextAnalysisActor().sourceView("corpus"), Some(View("enriched"))),
+        Action("final", new SqlTransformer().sqlString(finalSql), Some(View("d8_out")))))),
+        singleSparkSession = true)
+      new PipelineRunner(PipelineContext(singleSparkSession = true)).run(pipeline)(spark)
+      spark.table("d8_out")
+    }, Some {
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |$resolveGraphCtes,
+         |enriched AS (SELECT doc_id, $qWsTokensSql AS ws_tokens, $qQualitySql AS quality FROM corpus)
+         |SELECT e.doc_id, e.ws_tokens, e.quality FROM enriched e
+         |LEFT JOIN (SELECT id, (id <> label) AS is_duplicate FROM l4) r ON e.doc_id = r.id
+         |WHERE coalesce(r.is_duplicate, false) = false AND e.quality >= 0.5""".stripMargin
     }),
 
     Spec("t6_pii_redact", (spark, dir) => {

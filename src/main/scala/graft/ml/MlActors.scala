@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
  * the rest of the catalog.
  */
 
-/** Deduplication actor. `method`: exact | minhash-lsh | simhash.
+/** Deduplication actor. `method`: exact | minhash-lsh | simhash | resolve.
  *  exact: emits (content_hash, keep_id, dup_count);
  *  minhash-lsh: emits candidate near-dup pairs (id_a, id_b, est_jaccard);
- *  simhash: emits (id, simhash). */
+ *  simhash: emits (id, simhash);
+ *  resolve: full minhash-lsh + cluster resolution, emits
+ *  (id, keep_id, is_duplicate) for every id in the duplicate graph. */
 class DedupActor extends Actor {
   protected var view: String = ""
   protected var method: String = "exact"
@@ -25,11 +27,12 @@ class DedupActor extends Actor {
   protected var shingleLen: Int = 3
   protected var bands: Int = 4
   protected var minEstJaccard: Double = 0.5
+  protected var iterations: Int = 4
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("exact", "minhash-lsh", "simhash").contains(m), s"DedupActor: bad method $m")
+      require(Seq("exact", "minhash-lsh", "simhash", "resolve").contains(m), s"DedupActor: bad method $m")
       method = m
     }
     properties.get("textField").foreach(textCol = _)
@@ -38,6 +41,7 @@ class DedupActor extends Actor {
     properties.get("shingleLength").foreach(v => shingleLen = v.toInt)
     properties.get("bands").foreach(v => bands = v.toInt)
     properties.get("minEstJaccard").foreach(v => minEstJaccard = v.toDouble)
+    properties.get("iterations").foreach(v => iterations = v.toInt)
   }
 
   def sourceView(v: String): this.type = { view = v; this }
@@ -55,12 +59,17 @@ class DedupActor extends Actor {
           Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
           numHashes, bands, minEstJaccard)
       case "simhash" => Dedup.simHash(df, textCol, idCol)
+      case "resolve" =>
+        Dedup.resolveDuplicates(
+          Dedup.lshCandidatePairs(
+            Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
+            numHashes, bands, minEstJaccard), iterations)
     })
   }
 }
 
-/** ANN actor: top-k cosine neighbors. `method`: brute-force | lsh. The
- *  query set is the rows matching `queryWhere` (default: whole view). */
+/** ANN actor: top-k cosine neighbors. `method`: brute-force | lsh | ivf.
+ *  The query set is the rows matching `queryWhere` (default: whole view). */
 class SimilaritySearchActor extends Actor {
   protected var view: String = ""
   protected var method: String = "brute-force"
@@ -70,11 +79,13 @@ class SimilaritySearchActor extends Actor {
   protected var queryWhere: Option[String] = None
   protected var dim: Int = 0
   protected var numPlanes: Int = 8
+  protected var numCentroids: Int = 16
+  protected var nprobe: Int = 2
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("brute-force", "lsh").contains(m), s"SimilaritySearchActor: bad method $m")
+      require(Seq("brute-force", "lsh", "ivf").contains(m), s"SimilaritySearchActor: bad method $m")
       method = m
     }
     properties.get("idField").foreach(idCol = _)
@@ -83,6 +94,8 @@ class SimilaritySearchActor extends Actor {
     queryWhere = properties.get("queryWhere")
     properties.get("dim").foreach(v => dim = v.toInt)
     properties.get("numPlanes").foreach(v => numPlanes = v.toInt)
+    properties.get("numCentroids").foreach(v => numCentroids = v.toInt)
+    properties.get("nprobe").foreach(v => nprobe = v.toInt)
     if (method == "lsh") require(dim > 0, "SimilaritySearchActor: lsh requires dim")
   }
 
@@ -94,6 +107,7 @@ class SimilaritySearchActor extends Actor {
     Some(method match {
       case "brute-force" => Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
       case "lsh" => Similarity.lshTopK(queries, corpus, idCol, vecCol, k, dim, numPlanes)
+      case "ivf" => Similarity.ivfTopK(queries, corpus, idCol, vecCol, k, numCentroids, nprobe)
     })
   }
 }
