@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.transform.ArbitraryStatefulProcessor
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import scala.collection.mutable.ArrayBuffer
 
 /**
@@ -63,5 +64,68 @@ class SessionizeProcessor extends ArbitraryStatefulProcessor {
           out.iterator
       }
       .toDF(keyField, "session_start", "cnt")
+  }
+}
+
+/**
+ * The same sessionization on Spark 4's `transformWithState` — the modern
+ * arbitrary-state API (handle-based typed state, RocksDB-backed state
+ * store, timers). Registered through the same [[ArbitraryStatefulProcessor]]
+ * actor contract, proving the contract is API-agnostic: swap the processor
+ * class name in the pipeline definition, nothing else changes.
+ */
+class SessionizeTwsProcessor extends ArbitraryStatefulProcessor {
+  private var keyField = "user_id"
+  private var tsField = "ts"
+  private var gapSec = 1800L
+
+  override def init(properties: Map[String, String]): Unit = {
+    properties.get("keyField").foreach(keyField = _)
+    properties.get("tsField").foreach(tsField = _)
+    properties.get("gapSeconds").foreach(g => gapSec = g.toLong)
+  }
+
+  override def transformState(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val typed = df
+      .select(col(keyField).cast("long"), unix_micros(col(tsField).cast("timestamp")))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .transformWithState(new SessionStateMachine(gapSec * 1000000L),
+        TimeMode.None(), OutputMode.Append())
+      .toDF(keyField, "session_start", "cnt")
+  }
+}
+
+/** Per-key session state machine (open session as a typed ValueState). */
+class SessionStateMachine(gapUs: Long)
+  extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+
+  @transient private var sess: ValueState[(Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, Long, Long)](
+      "session", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (start, last, cnt) =
+      if (sess.exists()) sess.get() else (0L, 0L, 0L)
+    val out = ArrayBuffer.empty[(Long, Long, Long)]
+    rows.map(_._2).toArray.sorted.foreach { t =>
+      if (cnt == 0L) { start = t; last = t; cnt = 1L }
+      else if (t - last > gapUs) {
+        out += ((key, Math.floorDiv(start, 1000000L), cnt))
+        start = t; last = t; cnt = 1L
+      } else { last = t; cnt += 1L }
+    }
+    if (cnt > 0L) {
+      sess.update((start, last, cnt))
+      out += ((key, Math.floorDiv(start, 1000000L), cnt))
+    }
+    out.iterator
   }
 }

@@ -78,6 +78,36 @@ class StreamingSpec extends SparkSpec {
     val result = spark.read.parquet(out).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     result shouldBe Map("a" -> 9, "b" -> 6)
   }
+
+  test("transformWithState sessionizer matches the flatMapGroupsWithState one") {
+    implicit val s = spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = sfDir
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def sessions(processorCls: String): Set[(Long, Long, Long)] = {
+      import org.apache.spark.sql.functions._
+      spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .createOrReplaceTempView("tws_in")
+      val ctx = new JobContext(PipelineContext())
+      val actor = new StreamStatefulTransformer()
+      actor.init(Map("view" -> "tws_in", "processor.type" -> processorCls,
+        "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
+        "processor.gapSeconds" -> "1800"))
+      val qn = s"tws_${processorCls.hashCode.abs}_${System.nanoTime}"
+      val sq = actor.run(ctx).get.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val fmgws = sessions("graft.streaming.SessionizeProcessor")
+    val tws = sessions("graft.streaming.SessionizeTwsProcessor")
+    tws shouldBe fmgws
+    tws should not be empty
+  }
 }
 
 /** groupByKey + mapGroupsWithState accumulator (the reference's canonical
