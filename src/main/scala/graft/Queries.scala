@@ -927,6 +927,26 @@ object Queries {
         |  CAST(len(regexp_extract_all(synth, '\+[0-9][0-9-]{7,}[0-9]')) AS BIGINT) AS n_phones
         |FROM s""".stripMargin)),
 
+    // Corpus-level statistics: the aggregate profile a training-data run
+    // reports before filtering — vocabulary size, token totals, length
+    // percentiles. One row; everything exact.
+    Spec("t7_corpus_stats", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val v = toks.agg(countDistinct(col("tok")).cast("long").as("vocab_size"),
+        count(lit(1)).as("total_tokens"))
+      val l = docs.agg(
+        round(expr("percentile(length(text), 0.5)"), 4).as("p50_len"),
+        round(expr("percentile(length(text), 0.9)"), 4).as("p90_len"))
+      v.crossJoin(l)
+    }, Some("""WITH toks AS (SELECT unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size, count(*) AS total_tokens
+        |  FROM toks WHERE length(tok) > 0),
+        |l AS (SELECT round(quantile_cont(length(text), 0.5), 4) AS p50_len,
+        |  round(quantile_cont(length(text), 0.9), 4) AS p90_len FROM documents)
+        |SELECT v.vocab_size, v.total_tokens, l.p50_len, l.p90_len FROM v CROSS JOIN l""".stripMargin)),
+
     Spec("u1_zipwithindex", u1,
       Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct
         |FROM lineitem""".stripMargin))

@@ -58,7 +58,16 @@ object JdbcTemplating {
           case v: java.time.LocalDate => stmt.setDate(idx, java.sql.Date.valueOf(v))
           case v: Array[Byte] => stmt.setBytes(idx, v)
           case v: scala.collection.Seq[_] =>
-            stmt.setArray(idx, stmt.getConnection.createArrayOf("VARCHAR",
+            // element SQL type from the first element (reference binds
+            // typed arrays, JdbcContinuousWriter.scala:145-175)
+            val elemType = v.headOption match {
+              case Some(_: Int) | Some(_: Short) | Some(_: Byte) => "INTEGER"
+              case Some(_: Long) => "BIGINT"
+              case Some(_: Float) | Some(_: Double) => "DOUBLE"
+              case Some(_: Boolean) => "BOOLEAN"
+              case _ => "VARCHAR"
+            }
+            stmt.setArray(idx, stmt.getConnection.createArrayOf(elemType,
               v.map(_.asInstanceOf[AnyRef]).toArray))
           case v => stmt.setObject(idx, v)
         }
@@ -207,10 +216,10 @@ class JdbcContinuousWriter(options: Map[String, String], tpl: JdbcTemplating.Tem
     pending = 0
   }
 
-  override def close(errorOrNull: Throwable): Unit = {
-    if (stmt != null) { flush(); stmt.close() }
-    if (conn != null) conn.close()
-  }
+  override def close(errorOrNull: Throwable): Unit =
+    // flush may throw — the connection must still be released
+    try if (stmt != null) { flush(); stmt.close() }
+    finally if (conn != null) conn.close()
 }
 
 /**
