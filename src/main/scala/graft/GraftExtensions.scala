@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VectorExpressions.ArrayL2Norm].getName, "vec_norm"),
       (es: Seq[Expression]) => VectorExpressions.ArrayL2Norm(es.head)))
+    e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }
 }

@@ -103,6 +103,10 @@ object UdfRegistry {
       es => VectorExpressions.ArrayDotProduct(es(0), es(1)))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "vec_norm",
       es => VectorExpressions.ArrayL2Norm(es.head))
+    // HOF-vector-math -> native-expression optimizer rewrite (idempotent add)
+    if (!spark.experimental.extraOptimizations.contains(VectorRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VectorRewriteRule
   }
 
   /** Instantiate a UdfProvider by class name and register under prefix. */

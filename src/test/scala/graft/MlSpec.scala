@@ -93,6 +93,32 @@ class MlSpec extends SparkSpec {
     conv.values.toSet shouldBe Set(1L)
   }
 
+  test("optimizer rule rewrites HOF dot/norm to the native expressions, same bits") {
+    implicit val s = spark
+    graft.functions.UdfRegistry.registerSystemUdfs(spark) // installs the rule
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .limit(50)
+    val hof = emb.select(col("vec_id"),
+      Similarity.dotHof(col("v"), col("v")).as("d"),
+      Similarity.l2NormHof(col("v")).as("n"))
+    // the optimized plan must contain the natives, not the HOF fold
+    val treeStr = hof.queryExecution.optimizedPlan.toString.toLowerCase
+    treeStr should include("arraydotproduct")
+    treeStr should include("arrayl2norm")
+    (treeStr should not).include("zip_with")
+    // values bit-identical to the explicit native calls
+    val native = emb.select(col("vec_id"),
+      Similarity.dot(col("v"), col("v")).as("d"), Similarity.l2Norm(col("v")).as("n"))
+    hof.collect().map(_.toString).sorted shouldBe native.collect().map(_.toString).sorted
+    // and the rewrite can be disabled
+    spark.conf.set("spark.graft.vectorRewrite.enabled", "false")
+    try {
+      val off = emb.select(Similarity.dotHof(col("v"), col("v")).as("d"))
+      (off.queryExecution.optimizedPlan.toString.toLowerCase should not).include("arraydotproduct")
+    } finally spark.conf.unset("spark.graft.vectorRewrite.enabled")
+  }
+
   test("brute-force knn returns k ranked neighbors with self excluded") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
