@@ -174,22 +174,28 @@ object Dedup {
     // plan — analyzed until OOM). localCheckpoint materializes on
     // executors and re-roots the plan; swap for reliable checkpoint(dir)
     // on a real cluster where executor loss matters.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    // Materialize the (symmetrized) edge list ONCE — everything below
+    // derives from this checkpoint, so the upstream pair pipeline (minhash
+    // + LSH when called from resolveDuplicates) never recomputes.
+    val base = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true) // eager: edges feed every round twice
+      .localCheckpoint(true)
+    val ids = base.select(col("src").as("id")).distinct().localCheckpoint(true)
+    // Self-loop edges fold "own label" into the neighborhood min, so each
+    // round is ONE join + groupBy (min over neighbors ∪ self) instead of a
+    // neighbor-min join followed by a re-attach join. The union reads two
+    // materialized frames — no checkpoint of its own needed.
+    val edges = base.unionAll(ids.select(col("id").as("src"), col("id").as("dst")))
     // Per-round checkpoints are LAZY: the plan is still re-rooted per round
     // (stopping the exponential logical-plan growth), but all rounds
     // materialize in ONE job at the first action instead of one blocking
     // job per round — measured ~40% faster for 4 rounds at sf0.1.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(false)
+    var labels = ids.select(col("id"), col("id").as("label"))
     (1 to iterations).foreach { _ =>
       labels = edges.join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-        .join(labels, col("src") === col("id"))
-        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+        .groupBy(col("src")).agg(min(col("label")).as("label"))
+        .withColumnRenamed("src", "id")
         .localCheckpoint(false)
     }
     labels.select(col("id"), col("label").as("cluster_id"))
