@@ -126,10 +126,21 @@ object PipelineBuilder {
     val pipelineVars = asMap(root.get("variables")).map { case (k, v) => k -> v.toString }
     val merged = graft.common.SecurityChannel.decryptVariables(
       appConfig ++ submitVars ++ pipelineVars, appConfig)
-    // variables may reference each other and hold SQL expressions; resolve
-    // references first, then evaluate `sql(...)`-tagged values eagerly
-    val resolvedVars = merged.map { case (k, v) =>
-      val r = resolveVars(v, merged)
+    // variables may reference each other (including chains a -> b -> c):
+    // resolve to a fixpoint, then evaluate `sql(...)`-tagged values eagerly
+    val chained = {
+      var cur = merged
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < 10) { // bound guards reference cycles
+        val next = cur.map { case (k, v) => k -> resolveVars(v, cur) }
+        changed = next != cur
+        cur = next
+        rounds += 1
+      }
+      cur
+    }
+    val resolvedVars = chained.map { case (k, r) =>
       k -> (if (r.startsWith("sql(") && r.endsWith(")"))
         spark.sql(s"SELECT ${r.substring(4, r.length - 1)}").first().get(0).toString
       else r)

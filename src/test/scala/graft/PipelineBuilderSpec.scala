@@ -197,4 +197,23 @@ class PipelineBuilderSpec extends SparkSpec {
     PipelineBuilder.flatten("", Map("a" -> Map("b" -> 1, "c" -> "x"), "d" -> true)) shouldBe
       Map("a.b" -> "1", "a.c" -> "x", "d" -> "true")
   }
+
+  test("variable chains resolve to a fixpoint (and cycles terminate)") {
+    implicit val s = spark
+    val yaml =
+      """name: chain
+        |variables:
+        |  base: /data
+        |  env: prod
+        |  root: "${base}/${env}"
+        |  full: "${root}/out"
+        |  cycA: "${cycB}"
+        |  cycB: "${cycA}"
+        |jobs: []
+        |""".stripMargin
+    val p = PipelineBuilder.fromString(yaml, "yaml")
+    p.variables("full") shouldBe "/data/prod/out"
+    // the cycle doesn't hang; the unresolvable reference survives verbatim
+    p.variables("cycA") should include("${cyc")
+  }
 }
