@@ -702,6 +702,11 @@ object Queries {
     // "the stream ran" (reference streams are DataFrames too, SURVEY §1).
     Spec("q27_stream_tumbling", (spark, dir) => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // state-store count = shuffle partitions: 8 is plenty for this key
+      // cardinality and cuts per-partition store setup 4x (restored below)
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       // the file stream source wants a directory: stream the sf dir with a
       // glob filter selecting the events file
@@ -719,6 +724,7 @@ object Queries {
         .start()
       sq.awaitTermination()
       spark.table(qname)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }, Some(s"""WITH $eventsUsCte
         |SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS bucket_start, event_type, count(*) AS cnt
         |FROM events_us GROUP BY 1, 2""".stripMargin)),
@@ -729,6 +735,9 @@ object Queries {
     // state-machine path computes what the declarative operator computes.
     Spec("q34_stateful_sessions", (spark, dir) => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
         .parquet(dir)
@@ -749,6 +758,7 @@ object Queries {
         .start()
       sq.awaitTermination()
       spark.table(qname)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }, Some(s"""WITH $eventsUsCte,
         |s AS (SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
