@@ -45,11 +45,16 @@ trait StreamWriteSupport { this: Actor =>
     case None => w
   }
 
-  /** Start + optional bounded await (used by tests / validation runs). */
+  /** Start + optional bounded await (used by tests / validation runs).
+   *  A drain trigger (once/availableNow) terminates by itself and is
+   *  always awaited — otherwise a later pipeline action reading the sink
+   *  would race the still-running drain. */
   protected def startAndWait[T](w: DataStreamWriter[T]): Unit = {
     val q = w.start()
     waitTimeMs match {
       case Some(ms) => q.awaitTermination(ms); if (q.isActive) q.stop()
+      case None if triggerMode.exists(m => m == "once" || m == "availableNow") =>
+        q.awaitTermination()
       case None => ()
     }
   }
