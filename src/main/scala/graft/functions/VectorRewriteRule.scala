@@ -39,6 +39,17 @@ object VectorRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** The HOF multiplies in the OPERAND type; the native always widens to
+   *  double first. Results are identical only when the HOF product is also
+   *  computed in double — i.e. the operand is an explicit double cast, or
+   *  the element itself is double. Raw float*float would round to float
+   *  first, so such lambdas must NOT be rewritten. */
+  private def doubleOperand(e: Expression): Boolean = e match {
+    case c: Cast if c.dataType == DoubleType => lambdaVar(c.child).isDefined
+    case v: NamedLambdaVariable => v.dataType == DoubleType
+    case _ => false
+  }
+
   private def isVector(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
     case _ => false
@@ -49,14 +60,16 @@ object VectorRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** (x, y) -> x * y over exactly the two lambda arguments. */
+  /** (x, y) -> x * y over exactly the two lambda arguments, with the
+   *  product computed in double precision. */
   private def isElementProduct(lf: LambdaFunction): Boolean = lf.arguments match {
     case Seq(x: NamedLambdaVariable, y: NamedLambdaVariable) =>
       stripCast(lf.function) match {
-        case m: Multiply => (lambdaVar(m.left), lambdaVar(m.right)) match {
-          case (Some(a), Some(b)) => Set(a.exprId, b.exprId) == Set(x.exprId, y.exprId)
-          case _ => false
-        }
+        case m: Multiply if doubleOperand(m.left) && doubleOperand(m.right) =>
+          (lambdaVar(m.left), lambdaVar(m.right)) match {
+            case (Some(a), Some(b)) => Set(a.exprId, b.exprId) == Set(x.exprId, y.exprId)
+            case _ => false
+          }
         case _ => false
       }
     case _ => false
@@ -75,14 +88,14 @@ object VectorRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** (acc, x) -> acc + x * x. */
+  /** (acc, x) -> acc + x * x, square computed in double precision. */
   private def isSquareSumMerge(lf: LambdaFunction): Boolean = lf.arguments match {
     case Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable) =>
       stripCast(lf.function) match {
         case a: Add =>
           val accOk = lambdaVar(a.left).exists(_.exprId == acc.exprId)
           stripCast(a.right) match {
-            case m: Multiply =>
+            case m: Multiply if doubleOperand(m.left) && doubleOperand(m.right) =>
               accOk && lambdaVar(m.left).exists(_.exprId == el.exprId) &&
                 lambdaVar(m.right).exists(_.exprId == el.exprId)
             case _ => false

@@ -45,9 +45,12 @@ object AsofJoin {
     def cellOf(ts: Column): Column = floor(ts.cast("long") / cell).cast("long")
     // surrogate key: identifies each left row exactly, so the groupBy and
     // the leftOuter re-join are null-safe (joining on all left columns
-    // would lose rows with NULLs — NULL never equi-matches itself)
-    val lid = monotonically_increasing_id()
-    val l0 = left.withColumn("__lid_", lid)
+    // would lose rows with NULLs — NULL never equi-matches itself).
+    // leftOuter references l0 on BOTH sides of the final join; the id is
+    // order-dependent, so pin it with a checkpoint — two independent
+    // re-evaluations (e.g. after a shuffle upstream) could disagree.
+    val l00 = left.withColumn("__lid_", monotonically_increasing_id())
+    val l0 = if (leftOuter) l00.localCheckpoint() else l00
     val l = l0.withColumn("__cell_", cellOf(col(leftTs)))
     // right replicated into the two cells a matching left could occupy
     val r0 = right.select(

@@ -58,15 +58,29 @@ object JdbcTemplating {
           case v: java.time.LocalDate => stmt.setDate(idx, java.sql.Date.valueOf(v))
           case v: Array[Byte] => stmt.setBytes(idx, v)
           case v: scala.collection.Seq[_] =>
-            // element SQL type from the first element (reference binds
-            // typed arrays, JdbcContinuousWriter.scala:145-175)
-            val elemType = v.headOption match {
+            // element SQL type from the column's declared schema — value
+            // sniffing would degrade to VARCHAR whenever the first element
+            // happens to be null (reference binds typed arrays,
+            // JdbcContinuousWriter.scala:145-175)
+            import org.apache.spark.sql.types._
+            val declared = Option(row.schema).map(_(pos).dataType) match {
+              case Some(ArrayType(et, _)) => et match {
+                case IntegerType | ShortType | ByteType => Some("INTEGER")
+                case LongType => Some("BIGINT")
+                case FloatType | DoubleType => Some("DOUBLE")
+                case BooleanType => Some("BOOLEAN")
+                case StringType => Some("VARCHAR")
+                case _ => None
+              }
+              case _ => None
+            }
+            val elemType = declared.getOrElse(v.find(_ != null) match {
               case Some(_: Int) | Some(_: Short) | Some(_: Byte) => "INTEGER"
               case Some(_: Long) => "BIGINT"
               case Some(_: Float) | Some(_: Double) => "DOUBLE"
               case Some(_: Boolean) => "BOOLEAN"
               case _ => "VARCHAR"
-            }
+            })
             stmt.setArray(idx, stmt.getConnection.createArrayOf(elemType,
               v.map(_.asInstanceOf[AnyRef]).toArray))
           case v => stmt.setObject(idx, v)

@@ -47,23 +47,36 @@ class SessionizeProcessor extends ArbitraryStatefulProcessor {
       .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
-          // merge this batch's events (sorted) into the open session
-          var (start, last, cnt) = state.getOption.getOrElse((0L, 0L, 0L))
-          val out = ArrayBuffer.empty[(Long, Long, Long)]
-          it.map(_._2).toArray.sorted.foreach { t =>
-            if (cnt == 0L) { start = t; last = t; cnt = 1L }
-            else if (t - last > gapUs) {
-              out += ((key, Math.floorDiv(start, 1000000L), cnt))
-              start = t; last = t; cnt = 1L
-            } else { last = t; cnt += 1L }
-          }
-          if (cnt > 0L) {
-            state.update((start, last, cnt))
-            out += ((key, Math.floorDiv(start, 1000000L), cnt)) // open session
-          }
+          val (out, open) = SessionMerge.merge(
+            key, state.getOption, it.map(_._2).toArray.sorted, gapUs)
+          open.foreach(state.update)
           out.iterator
       }
       .toDF(keyField, "session_start", "cnt")
+  }
+}
+
+/** The per-key session fold shared by BOTH stateful-API processors — one
+ *  implementation, so the two can never diverge on gap semantics. */
+private[streaming] object SessionMerge {
+  /** Merge sorted event micros into the open session; returns (emitted
+   *  sessions — every closed one plus the still-open one — and the new
+   *  open-session state (start, last, count)). */
+  def merge(key: Long, open: Option[(Long, Long, Long)], sortedUs: Array[Long],
+            gapUs: Long): (Seq[(Long, Long, Long)], Option[(Long, Long, Long)]) = {
+    var (start, last, cnt) = open.getOrElse((0L, 0L, 0L))
+    val out = ArrayBuffer.empty[(Long, Long, Long)]
+    sortedUs.foreach { t =>
+      if (cnt == 0L) { start = t; last = t; cnt = 1L }
+      else if (t - last > gapUs) {
+        out += ((key, Math.floorDiv(start, 1000000L), cnt))
+        start = t; last = t; cnt = 1L
+      } else { last = t; cnt += 1L }
+    }
+    if (cnt > 0L) {
+      out += ((key, Math.floorDiv(start, 1000000L), cnt)) // open session
+      (out.toSeq, Some((start, last, cnt)))
+    } else (out.toSeq, None)
   }
 }
 
@@ -87,9 +100,16 @@ class SessionizeTwsProcessor extends ArbitraryStatefulProcessor {
 
   override def transformState(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    // transformWithState requires the RocksDB state store provider
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // transformWithState requires the RocksDB state store provider. Only
+    // default it when the session hasn't configured a provider — and note
+    // the session-level effect: later streaming queries in this session
+    // inherit it (a per-query provider is not settable; checkpoints
+    // created under a different provider must not be resumed after this).
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    if (spark.conf.getOption(confKey).forall(_.trim.isEmpty)
+        || spark.conf.getOption(confKey).exists(_.endsWith("HDFSBackedStateStoreProvider")))
+      spark.conf.set(confKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val typed = df
       .select(col(keyField).cast("long"), unix_micros(col(tsField).cast("timestamp")))
       .as[(Long, Long)]
@@ -112,20 +132,9 @@ class SessionStateMachine(gapUs: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
                                timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
-    var (start, last, cnt) =
-      if (sess.exists()) sess.get() else (0L, 0L, 0L)
-    val out = ArrayBuffer.empty[(Long, Long, Long)]
-    rows.map(_._2).toArray.sorted.foreach { t =>
-      if (cnt == 0L) { start = t; last = t; cnt = 1L }
-      else if (t - last > gapUs) {
-        out += ((key, Math.floorDiv(start, 1000000L), cnt))
-        start = t; last = t; cnt = 1L
-      } else { last = t; cnt += 1L }
-    }
-    if (cnt > 0L) {
-      sess.update((start, last, cnt))
-      out += ((key, Math.floorDiv(start, 1000000L), cnt))
-    }
+    val prior = if (sess.exists()) Some(sess.get()) else None
+    val (out, open) = SessionMerge.merge(key, prior, rows.map(_._2).toArray.sorted, gapUs)
+    open.foreach(sess.update)
     out.iterator
   }
 }

@@ -127,8 +127,14 @@ class UtilsSpec extends SparkSpec {
 
   test("saltedJoin matches the plain join for inner and left") {
     import org.apache.spark.sql.functions._
+    implicit val s = spark
+    import spark.implicits._
+    // add left rows with keys ABSENT from the right side, so the left-join
+    // leg actually tests null preservation (TPC-H referential integrity
+    // would otherwise make left degenerate to inner)
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
       .select(col("o_orderkey"), col("o_custkey"))
+      .unionAll(Seq((-1L, -501L), (-2L, -502L)).toDF("o_orderkey", "o_custkey"))
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
     for (jt <- Seq("inner", "left")) {
