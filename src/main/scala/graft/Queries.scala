@@ -642,6 +642,22 @@ object Queries {
         |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS cnt
         |FROM g GROUP BY user_id, sid""".stripMargin)),
 
+    // Hint preservation end-to-end: the SqlBase comment stripper removes
+    // ordinary comments but must keep optimizer hints; the hinted join
+    // broadcasts (PlanSpec asserts it) and the result matches the oracle
+    // (DuckDB reads the hint as a plain comment).
+    Spec("q35_broadcast_hint", (spark, dir) => {
+      t(spark, dir, "supplier", "nation")
+      val ctx = new JobContext(PipelineContext())(spark)
+      SqlBase.execute(
+        """-- hinted star join
+          |SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n_suppliers
+          |FROM supplier JOIN nation ON s_nationkey = n_nationkey /* dim side */
+          |GROUP BY n_name""".stripMargin, ctx)(spark).get
+    }, Some("""SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n_suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)),
+
     Spec("q28_lead_lag", sqlQuery(Seq("orders"),
       """SELECT o_custkey, o_orderkey,
         |  lag(o_totalprice) OVER w AS prev_price,

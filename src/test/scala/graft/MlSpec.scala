@@ -111,6 +111,15 @@ class MlSpec extends SparkSpec {
     val native = emb.select(col("vec_id"),
       Similarity.dot(col("v"), col("v")).as("d"), Similarity.l2Norm(col("v")).as("n"))
     hof.collect().map(_.toString).sorted shouldBe native.collect().map(_.toString).sorted
+    // raw float*float products must KEEP the interpreted form (they round
+    // to float per element; the native would widen first — different bits)
+    val fEmb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("embedding").as("fv")).limit(5)
+    val floatHof = fEmb.select(
+      aggregate(zip_with(col("fv"), col("fv"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    (floatHof.queryExecution.optimizedPlan.toString.toLowerCase should not)
+      .include("arraydotproduct")
     // and the rewrite can be disabled
     spark.conf.set("spark.graft.vectorRewrite.enabled", "false")
     try {

@@ -40,6 +40,12 @@ class PlanSpec extends SparkSpec {
     (p should not).include("CartesianProduct")
   }
 
+  test("q35: the BROADCAST hint survives comment stripping and takes effect") {
+    val p = plan(q("q35_broadcast_hint"))
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
   test("q13: top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(q("q13_topk"))
     p should include("TakeOrderedAndProject")
