@@ -74,6 +74,31 @@ class FlatFileSpec extends SparkSpec {
     out.filter("user = 'bob'").select("row_no").collect().head.getLong(0) shouldBe 2L
   }
 
+  test("row numbering is correct when one file is read as several splits") {
+    implicit val s = spark
+    val dir = tmpDir("flatsplit")
+    val n = 20000
+    // ~340 KB file; 32 KB split size forces ~10 splits of the ONE file —
+    // the per-file row numbers must still follow byte order
+    writeFile(dir, "big.txt", (1 to n).map(i => f"line$i%012d").mkString("\n"))
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "32768")
+    try {
+      // the scan itself must really split the file (the output frame is
+      // post-window-shuffle, so check the raw read)
+      spark.read.text(s"$dir/big.txt").rdd.getNumPartitions should be > 4
+      val ctx = new JobContext(PipelineContext())
+      val out = new FlatFileReader()
+        .fileUri(s"$dir/big.txt").bodyFormat("delimited")
+        .delimitedFields("line:0 string")
+        .rowNumberField("row_no")
+        .run(ctx).get
+      val rows = out.collect().map(r => r.getString(0) -> r.getLong(1))
+      rows.length shouldBe n
+      rows.foreach { case (line, no) => line shouldBe f"line$no%012d" }
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("binary reader with fixed record length + field transformations") {
     implicit val s = spark
     val dir = tmpDir("bin")

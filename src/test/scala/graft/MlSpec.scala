@@ -79,6 +79,23 @@ class MlSpec extends SparkSpec {
     out(11L) shouldBe ((10L, true))
   }
 
+  test("SimilaritySearchActor ivf method returns ranked neighbors") {
+    implicit val s = spark
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .createOrReplaceTempView("ivf_in")
+    val actor = new graft.ml.SimilaritySearchActor()
+    actor.init(Map("view" -> "ivf_in", "method" -> "ivf", "vectorField" -> "v",
+      "k" -> "3", "numCentroids" -> "4", "nprobe" -> "2",
+      "queryWhere" -> "vec_id < 3"))
+    val out = actor.run(ctx).get.collect()
+    out.map(_.getLong(0)).toSet shouldBe Set(0L, 1L, 2L)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      rows.map(_.getInt(3)).sorted.toSeq shouldBe (1 to rows.length)
+    }
+  }
+
   test("converged label propagation resolves graphs deeper than the fixed rounds") {
     implicit val s = spark
     import spark.implicits._
