@@ -351,6 +351,43 @@ object Queries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** Deterministic k-means over the embeddings (k=8, 3 Lloyd iterations,
+   *  md5 seeding, fixed-point centroid updates — see ml.Clustering). */
+  private def c1(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    graft.ml.Clustering.kmeans(emb, "vec_id", "v", dim = 64, k = 8, iterations = 3)
+  }
+
+  private val c1Oracle: String = {
+    val vvExpr = dotSql("v", "v")
+    def distDot(cent: String) = dotSql("e.v", "ct.cv")
+    def assignCte(i: Int, cent: String) =
+      s"""a$i AS MATERIALIZED (SELECT e.vec_id, e.v, ct.crank
+         |  FROM vv e CROSS JOIN $cent ct
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY e.vv + ct.cc - 2 * (${distDot(cent)}), ct.crank) = 1)""".stripMargin
+    def updateCtes(i: Int) = {
+      val dims = (1 to 64).map(d =>
+        s"sum(CAST(round(v[$d] * 1000000.0) AS BIGINT))::double / (count(*)::double * 1000000.0) AS d$d")
+        .mkString(", ")
+      val cv = "list_value(" + (1 to 64).map(d => s"d$d").mkString(", ") + ")"
+      val cc = (1 to 64).map(d => s"d$d * d$d").mkString(" + ")
+      s"""u$i AS (SELECT crank, $dims FROM a$i GROUP BY crank),
+         |cent$i AS MATERIALIZED (SELECT crank, $cv AS cv, ($cc) AS cc FROM u$i)""".stripMargin
+    }
+    val iters = (1 to 3).map(i =>
+      s"${assignCte(i, s"cent${i - 1}")},\n${updateCtes(i)}").mkString(",\n")
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |vv AS MATERIALIZED (SELECT vec_id, v, ($vvExpr) AS vv FROM c),
+       |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
+       |cent0pre AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 8),
+       |cent0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0pre),
+       |$iters,
+       |${assignCte(4, "cent3")}
+       |SELECT vec_id AS id, CAST(crank AS INT) AS cluster FROM a4""".stripMargin
+  }
+
   private def textNormSql: String = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
 
   // DuckDB mirrors of the TextAnalysis column expressions (shared t2/d8)
@@ -862,6 +899,7 @@ object Queries {
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
     Spec("s2_knn_lsh", s2, Some(s2Oracle)),
     Spec("s3_knn_ivf", s3, Some(s3Oracle)),
+    Spec("c1_kmeans", c1, Some(c1Oracle)),
 
     Spec("t1_token_counts", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -96,6 +96,18 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("kmeans partitions the corpus deterministically") {
+    implicit val s = spark
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    def run() = graft.ml.Clustering.kmeans(emb, "vec_id", "v", dim = 64, k = 4, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = run()
+    a.size shouldBe emb.count()
+    a.values.toSet.size should be > 1 // actually partitions, not one blob
+    run() shouldBe a // pure function of the input
+  }
+
   test("converged label propagation resolves graphs deeper than the fixed rounds") {
     implicit val s = spark
     import spark.implicits._
