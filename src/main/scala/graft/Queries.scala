@@ -901,6 +901,48 @@ object Queries {
     Spec("s3_knn_ivf", s3, Some(s3Oracle)),
     Spec("c1_kmeans", c1, Some(c1Oracle)),
 
+    // Deterministic stratified sampling: N docs per language stratum,
+    // selected by content-independent hash order — the balancing step of a
+    // curation pipeline, reproducible across engines and runs.
+    Spec("c2_stratified_sample", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+        .withColumn("h", Hashing.oracleHash(col("doc_id").cast("string")))
+      docs.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+            .orderBy(col("h"), col("doc_id"))))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("lang"), col("rn").cast("int").as("rn"))
+    }, Some {
+      s"""WITH l AS ($t3Oracle),
+         |h AS (SELECT doc_id, lang_pred AS lang,
+         |  ${Hashing.duckdbHashSql("doc_id::varchar")} AS h FROM l),
+         |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn FROM h)
+         |SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10""".stripMargin
+    }),
+
+    // Sequence packing: assign docs (in stable id order) to fixed
+    // token-budget packs via the running token count — the standard
+    // pre-tokenization chunking pass of an LLM data pipeline. The global
+    // ordered window is the semantics; at corpus scale run it per shard
+    // (Window.partitionBy(shard) — packing is embarrassingly parallel
+    // across shards).
+    Spec("c3_token_packing", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("tokens"))
+      docs.withColumn("cum_before",
+          coalesce(sum(col("tokens")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("tokens"),
+          (col("cum_before") / lit(4096)).cast("long").as("pack_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |  coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, tokens, CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id FROM c""".stripMargin)),
+
     Spec("t1_token_counts", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),
