@@ -361,12 +361,12 @@ object Queries {
 
   private val c1Oracle: String = {
     val vvExpr = dotSql("v", "v")
-    def distDot(cent: String) = dotSql("e.v", "ct.cv")
+    val distDot = dotSql("e.v", "ct.cv") // centroid CTE is always aliased ct
     def assignCte(i: Int, cent: String) =
       s"""a$i AS MATERIALIZED (SELECT e.vec_id, e.v, ct.crank
          |  FROM vv e CROSS JOIN $cent ct
          |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY e.vv + ct.cc - 2 * (${distDot(cent)}), ct.crank) = 1)""".stripMargin
+         |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) = 1)""".stripMargin
     def updateCtes(i: Int) = {
       val dims = (1 to 64).map(d =>
         s"sum(CAST(round(v[$d] * 1000000.0) AS BIGINT))::double / (count(*)::double * 1000000.0) AS d$d")

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
  *    cannot perturb centroids, so assignments are a pure function of the
  *    input in ANY engine/partitioning.
  *
- * Scale shape: vectors are scanned once per iteration (narrow map against
- * broadcast centroids); the only shuffle is the k-group centroid update.
- * Centroids are tiny (k × dim doubles) and checkpointed per iteration to
- * keep the plan linear.
+ * Scale shape: vectors are scanned once per iteration against broadcast
+ * centroids; map-side min_by collapses the k candidates per vector before
+ * the exchange, so each assignment shuffles one row per vector and the
+ * centroid update shuffles k groups. Centroids are tiny (k × dim doubles)
+ * and checkpointed per iteration to keep the plan linear.
  */
 object Clustering {
 
@@ -35,20 +36,21 @@ object Clustering {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("vv", dot(col("v"), col("v")))
       .localCheckpoint(true) // scanned once per iteration
-    val seeded = v.withColumn("h",
-      conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long"))
+    val seeded = v.withColumn("h", Hashing.oracleHash(col("id").cast("string")))
     var cents = seeded.orderBy(col("h"), col("id")).limit(k)
       .withColumn("crank", row_number().over(Window.orderBy(col("h"), col("id"))))
       .select(col("crank"), col("v").as("cv"), col("vv").as("cc"))
       .localCheckpoint(true)
 
     def dist2: Column = col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("cv"))
+    // argmin via min_by aggregation, NOT a window rank: partial (map-side)
+    // aggregation collapses the N*k candidates to N rows before the
+    // shuffle, where a window would exchange+sort all N*k rows
     def assign(cs: DataFrame): DataFrame =
       v.crossJoin(broadcast(cs))
-        .withColumn("__arank_", row_number().over(
-          Window.partitionBy(col("id")).orderBy(dist2, col("crank"))))
-        .filter(col("__arank_") === 1)
-        .select(col("id"), col("v"), col("crank"))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("v"), col("crank")), struct(dist2, col("crank"))).as("b"))
+        .select(col("id"), col("b.v").as("v"), col("b.crank").as("crank"))
 
     (1 to iterations).foreach { _ =>
       val assigned = assign(cents)

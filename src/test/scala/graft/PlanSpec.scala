@@ -41,9 +41,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q35: the BROADCAST hint survives comment stripping and takes effect") {
-    val p = plan(q("q35_broadcast_hint"))
-    p should include("BroadcastHashJoin")
-    (p should not).include("SortMergeJoin")
+    // disable size-based auto-broadcast so ONLY the hint can produce the
+    // broadcast join — otherwise the tiny dimension broadcasts anyway and
+    // a hint-stripping regression would pass
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(q("q35_broadcast_hint"))
+      p should include("BroadcastHashJoin")
+      (p should not).include("SortMergeJoin")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("q13: top-k plans as TakeOrderedAndProject, not a global sort") {
