@@ -156,7 +156,7 @@ object Similarity {
     // deterministic "sample": numCentroids rows with the smallest id-hash,
     // ranked 1..numCentroids (crank is the cell id)
     val seeded = corp.select(col("id"), col("v"), col("vv"),
-      conv(substring(md5(col("id").cast("string")), 1, 15), 16, 10).cast("long").as("h"))
+      Hashing.oracleHash(col("id").cast("string")).as("h"))
     val cents = seeded.orderBy(col("h"), col("id")).limit(numCentroids)
       .withColumn("crank", row_number().over(
         Window.orderBy(col("h"), col("id"))))
