@@ -264,7 +264,9 @@ class BinaryFileReader extends Actor {
     val out =
       if (fieldTransformations.isEmpty) transformed
       else {
-        val cols = fieldTransformations.toSeq.map { case (name, sql) =>
+        // name-sorted: Map iteration order is arbitrary past 4 entries and
+        // the output column order must be deterministic
+        val cols = fieldTransformations.toSeq.sortBy(_._1).map { case (name, sql) =>
           expr(sql.replace("$.", "__record_")).as(name)
         }
         transformed.select(cols: _*)
