@@ -749,6 +749,28 @@ object Queries {
         |  count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
 
+    // Sequential conversion funnel: first view -> first later click ->
+    // first later purchase, per user; stage counts. The staged-min pattern
+    // (not min-per-type) enforces event ORDER, the thing a funnel is for.
+    Spec("q36_funnel", sqlQuery(Seq("events"),
+      """WITH v AS (SELECT user_id, min(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS cts FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pts FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+        |SELECT 'f1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 'f2_view_click' AS stage, count(*) AS n_users FROM c
+        |UNION ALL SELECT 'f3_view_click_purchase' AS stage, count(*) AS n_users FROM p""".stripMargin),
+      Some(s"""WITH $eventsUsCte,
+        |v AS (SELECT user_id, min(ts) AS vts FROM events_us WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS cts FROM events_us e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pts FROM events_us e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+        |SELECT 'f1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT 'f2_view_click' AS stage, count(*) AS n_users FROM c
+        |UNION ALL SELECT 'f3_view_click_purchase' AS stage, count(*) AS n_users FROM p""".stripMargin)),
+
     // End-to-end Structured Streaming through the gate: the same tumbling
     // window as q10, computed by readStream + AvailableNow into a memory
     // sink (complete mode) — proves stream/batch result parity, not just
@@ -1032,6 +1054,27 @@ object Queries {
         |  CAST(len(regexp_extract_all(synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(synth, '\+[0-9][0-9-]{7,}[0-9]')) AS BIGINT) AS n_phones
         |FROM s""".stripMargin)),
+
+    // Repetition ratio: fraction of duplicated word-3-grams per document —
+    // the cheap boilerplate/spam signal applied before model-based filters.
+    Spec("t8_repetition", (spark, dir) => {
+      val sh = Dedup.shingles(spark.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", 3, distinct = false)
+      sh.groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("total_3grams"),
+          countDistinct(col("shingle")).as("distinct_3grams"))
+        .select(col("doc_id"), col("total_3grams"), col("distinct_3grams"),
+          round(lit(1.0) - col("distinct_3grams").cast("double") / col("total_3grams"), 6)
+            .as("repetition_ratio"))
+    }, Some("""WITH norm AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM norm),
+        |shl AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+        |  ELSE [t] END AS sh FROM w)
+        |SELECT doc_id, CAST(len(sh) AS BIGINT) AS total_3grams,
+        |  CAST(len(list_distinct(sh)) AS BIGINT) AS distinct_3grams,
+        |  round(1.0 - len(list_distinct(sh))::double / len(sh), 6) AS repetition_ratio
+        |FROM shl""".stripMargin)),
 
     // Corpus-level statistics: the aggregate profile a training-data run
     // reports before filtering — vocabulary size, token totals, length
