@@ -749,6 +749,34 @@ object Queries {
         |  count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
 
+    // Null-safe equality join: NULL keys match each other under <=>
+    // (Spark) / IS NOT DISTINCT FROM (DuckDB) — unlike plain `=`.
+    Spec("q37_null_safe_eq", sqlQuery(Seq("customer", "supplier"),
+      """SELECT coalesce(CAST(a.k AS STRING), 'NULL') AS k, count(*) AS cnt
+        |FROM (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS k FROM customer) a
+        |JOIN (SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_nationkey END AS k FROM supplier) b
+        |  ON a.k <=> b.k
+        |GROUP BY 1""".stripMargin),
+      Some("""SELECT coalesce(CAST(a.k AS VARCHAR), 'NULL') AS k, count(*) AS cnt
+        |FROM (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS k FROM customer) a
+        |JOIN (SELECT CASE WHEN s_suppkey % 10 = 0 THEN NULL ELSE s_nationkey END AS k FROM supplier) b
+        |  ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY 1""".stripMargin)),
+
+    // Aggregate FILTER clauses (SQL:2003) — per-aggregate predicates
+    // without CASE scaffolding.
+    Spec("q38_filter_clause", sqlQuery(Seq("orders"),
+      """SELECT o_orderstatus,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      Some("""SELECT o_orderstatus,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // Sequential conversion funnel: first view -> first later click ->
     // first later purchase, per user; stage counts. The staged-min pattern
     // (not min-per-type) enforces event ORDER, the thing a funnel is for.
