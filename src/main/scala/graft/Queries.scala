@@ -749,6 +749,27 @@ object Queries {
         |  count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
 
+    // DML through the engine: DDL passthrough (DROP/CREATE via SqlActor)
+    // then INSERT INTO ... SELECT through SqlWriter's isDML gate; the
+    // returned frame is the catalog table's content (UPDATE/DELETE/MERGE
+    // need a v2 table format — Delta/Iceberg, absent offline).
+    Spec("q39_dml_insert", (spark, dir) => {
+      t(spark, dir, "lineitem")
+      val ctx = new JobContext(PipelineContext())(spark)
+      // unique external location: a managed-table location can survive as
+      // a stale directory across sessions (the fresh in-memory catalog has
+      // nothing to DROP) and would fail CREATE
+      val loc = java.nio.file.Files.createTempDirectory("q39_t_").toString
+      new graft.sql.SqlActor().sqlString(
+        s"""DROP TABLE IF EXISTS q39_t;
+           |CREATE TABLE q39_t (r STRING, cnt BIGINT) USING parquet LOCATION '$loc'""".stripMargin)
+        .run(ctx)(spark)
+      new graft.sql.SqlWriter().sqlString(
+        "INSERT INTO q39_t SELECT l_returnflag, count(*) FROM lineitem GROUP BY l_returnflag")
+        .run(ctx)(spark)
+      spark.table("q39_t")
+    }, Some("SELECT l_returnflag AS r, count(*) AS cnt FROM lineitem GROUP BY l_returnflag")),
+
     // Null-safe equality join: NULL keys match each other under <=>
     // (Spark) / IS NOT DISTINCT FROM (DuckDB) — unlike plain `=`.
     Spec("q37_null_safe_eq", sqlQuery(Seq("customer", "supplier"),
