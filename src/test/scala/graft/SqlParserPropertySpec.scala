@@ -61,6 +61,51 @@ class SqlParserPropertySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("flat field specs round-trip for arbitrary names/positions/types") {
+    import graft.source.FlatFields
+    val field = Gen.zip(Gen.identifier.suchThat(_.nonEmpty),
+      Gen.chooseNum(1, 500), Gen.chooseNum(1, 80),
+      Gen.oneOf("string", "int", "long", "double"))
+    samples(Gen.nonEmptyListOf(field).map(_.take(8)), 150).foreach { fs =>
+      val spec = fs.map { case (n, s, l, t) => s"$n:$s-$l $t" }.mkString(", ")
+      val parsed = FlatFields.parsePositional(spec)
+      parsed.map(p => (p.name, p.start, p.len, p.dataType)) shouldBe fs
+    }
+    // delimited: gaps between indices are filled with dummy columns
+    samples(Gen.chooseNum(2, 9), 50).foreach { idx =>
+      val parsed = FlatFields.parseDelimited(s"a:0 string, b:$idx long")
+      parsed.length shouldBe idx + 1
+      parsed.head.name shouldBe "a"
+      parsed.last.name shouldBe "b"
+      (1 until idx).foreach(i => parsed(i).name shouldBe s"__dummy_${i}__")
+    }
+  }
+
+  test("jdbc templating extracts placeholders in order and escapes nothing else") {
+    import graft.sink.JdbcTemplating
+    val ident = Gen.identifier.suchThat(s => s.nonEmpty && !s.head.isDigit)
+    samples(Gen.nonEmptyListOf(ident).map(_.take(6)), 150).foreach { fields =>
+      val sql = s"INSERT INTO t VALUES (${fields.map("@" + _).mkString(", ")})"
+      val tpl = JdbcTemplating.compile(sql)
+      tpl.bindFields shouldBe fields
+      tpl.sql shouldBe s"INSERT INTO t VALUES (${fields.map(_ => "?").mkString(", ")})"
+    }
+  }
+
+  test("derived hash family stays within int64-safe bounds for any base hash") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // pure-Scala mirror of Hashing.derivedHash arithmetic on random bases
+    samples(Gen.chooseNum(0L, (1L << 60) - 1), 300).foreach { base =>
+      (0 until 8).foreach { j =>
+        // operands < 2^31 so the product fits in int64 — replicate and check
+        val masked = base & 1073741823L
+        masked should be < (1L << 30)
+        val a = 0x7FFFFFFFL
+        (a * masked + a) should be > 0L // no Long overflow at the extremes
+      }
+    }
+  }
+
   test("classify round-trips set/setrun declarations") {
     samples(Gen.zip(Gen.identifier.suchThat(_.nonEmpty), Gen.alphaNumStr.suchThat(_.nonEmpty))).foreach {
       case (k, v) =>
