@@ -54,6 +54,46 @@ class JdbcSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("flagship streaming pipeline: flat stream -> arbitrary state -> jdbc stream write") {
+    // the reference's pipeline_fileStreamRead-arbitraryState-jdbcStreamWrite
+    // scenario, wired end-to-end against embedded Derby
+    implicit val s = spark
+    val c0 = conn()
+    try c0.createStatement().execute(
+      "CREATE TABLE stream_scores (user_id VARCHAR(32), total INT)")
+    finally c0.close()
+    val in = tmpDir("fsj_in")
+    val ckpt = tmpDir("fsj_ck")
+    writeFile(in, "a.txt", "alice010\nbobby020\nalice005")
+    val ctx = new JobContext(PipelineContext())
+    val stream = new graft.streaming.FlatStreamReader()
+      .fileUri(in).positionalFields("user:1-5 string, score:6-3 int")
+      .run(ctx).get
+    ctx.promoteView("fsj_in", stream, global = false)
+    val summed = new graft.transform.StreamStatefulTransformer()
+      .sourceView("fsj_in").withProcessor(new SumProcessor)
+      .run(ctx).get
+    ctx.promoteView("fsj_sum", summed, global = false)
+    val w = new graft.sink.JdbcStreamWriter()
+    w.init(Map(
+      "view" -> "fsj_sum",
+      "connection.url" -> url,
+      "sink.sqlString" -> "INSERT INTO stream_scores (user_id, total) VALUES (@k, @total)",
+      "options.checkpointLocation" -> ckpt,
+      "outputMode" -> "update",
+      // drain trigger WITHOUT a test wait: exercises the await-on-drain path
+      "trigger.mode" -> "once"))
+    w.run(ctx)
+    val c = conn()
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT user_id, SUM(total) FROM stream_scores GROUP BY user_id ORDER BY user_id")
+      rs.next(); rs.getString(1) shouldBe "alice"; rs.getInt(2) shouldBe 15
+      rs.next(); rs.getString(1) shouldBe "bobby"; rs.getInt(2) shouldBe 20
+      rs.isClosed shouldBe false
+    } finally c.close()
+  }
+
   test("JdbcReader reads the table back through Spark") {
     implicit val s = spark
     val ctx = new JobContext(PipelineContext())
