@@ -1,0 +1,90 @@
+package graft
+
+import graft.core.{JobContext, PipelineContext}
+import org.apache.spark.sql.functions._
+
+/** Negative paths: every guard in the actor catalog must fail fast with a
+ *  diagnosable message, not produce silent wrong behavior downstream. */
+class GuardRailSpec extends SparkSpec {
+
+  private def ctx = new JobContext(PipelineContext())(spark)
+
+  test("SqlReader rejects DML, SqlWriter rejects queries") {
+    implicit val s = spark
+    intercept[IllegalArgumentException] {
+      new graft.sql.SqlReader().sqlString("INSERT INTO t VALUES (1)").run(ctx)
+    }.getMessage should include("SELECT")
+    intercept[IllegalArgumentException] {
+      new graft.sql.SqlWriter().sqlString("SELECT 1").run(ctx)
+    }.getMessage should include("DML")
+  }
+
+  test("FileReader rejects unknown formats and missing uri") {
+    implicit val s = spark
+    intercept[IllegalArgumentException] {
+      new graft.source.FileReader().sourceFormat("xml")
+    }.getMessage should include("unsupported")
+    intercept[IllegalArgumentException] {
+      new graft.source.FileReader().run(ctx)
+    }.getMessage should include("fileUri")
+  }
+
+  test("JdbcWriter and SqlDataValidator validate their enums") {
+    implicit val s = spark
+    intercept[IllegalArgumentException] {
+      new graft.sink.JdbcWriter().init(Map("view" -> "v", "mode" -> "truncate"))
+    }.getMessage should include("bad mode")
+    intercept[IllegalArgumentException] {
+      new graft.validation.SqlDataValidator().init(
+        Map("view" -> "v", "validWhere" -> "1=1", "action" -> "explode"))
+    }.getMessage should include("bad action")
+  }
+
+  test("missing DECLARED input views fail the action with the view names") {
+    implicit val s = spark
+    // SQL actors resolve references dynamically (a missing view surfaces as
+    // the analysis error); the runner's fail-fast check guards the
+    // pipeline-DECLARED input-views list
+    val p = graft.pipeline.Pipeline("neg", jobs = Seq(graft.pipeline.Job("j", Seq(
+      graft.pipeline.Action("x",
+        new graft.sql.SqlTransformer().sqlString("SELECT 1"),
+        Some(graft.pipeline.View("out")), inputViews = Seq("no_such_view"))))))
+    val e = intercept[IllegalStateException] {
+      new graft.core.PipelineRunner(PipelineContext(singleSparkSession = true)).run(p)(spark)
+    }
+    e.getMessage should include("no_such_view")
+  }
+
+  test("Launcher rejects unknown arguments and requires the pipeline def") {
+    intercept[IllegalArgumentException] {
+      Launcher.parseArgs(Array("--wat", "x"))
+    }.getMessage should include("unknown argument")
+    intercept[IllegalArgumentException] {
+      Launcher.parseArgs(Array("--var", "a=b"))
+    }.getMessage should include("--pipeline-def")
+  }
+
+  test("operator parameter guards: asof tolerance, salted join arity") {
+    implicit val s = spark
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      graft.operators.AsofJoin.latestWithin(df, df, Seq("a"), "b", "b", 0L, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.utils.DataframeHelper.saltedJoin(df, df, Seq("a"), 1)
+    }
+    intercept[IllegalArgumentException] {
+      graft.utils.DataframeHelper.saltedJoin(df, df, Seq("a"), 4, "full_outer")
+    }
+  }
+
+  test("flat field spec errors carry the offending fragment") {
+    intercept[IllegalArgumentException] {
+      graft.source.FlatFields.parsePositional("user:1-9 string, broken")
+    }.getMessage should include("broken")
+    intercept[IllegalArgumentException] {
+      graft.source.FlatFields.parseDelimited("a:x string")
+    }.getMessage should include("a:x")
+  }
+}
