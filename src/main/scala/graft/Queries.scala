@@ -749,6 +749,29 @@ object Queries {
         |  count(*) AS cnt, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
 
+    // Data validation through the engine: rows where the predicate is NULL
+    // (synthesized null amounts) count as INVALID — they must neither pass
+    // the validator nor vanish from the accounting (the null-safe split).
+    Spec("v1_data_validator", (spark, dir) => {
+      t(spark, dir, "orders")
+      val ctx = new JobContext(PipelineContext())(spark)
+      val synth = new SqlTransformer().sqlString(
+        """SELECT o_orderkey,
+          |  CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_totalprice END AS amount
+          |FROM orders""".stripMargin).run(ctx)(spark).get
+      ctx.promoteView("v1_synth", synth, global = false)
+      val validator = new graft.validation.SqlDataValidator()
+        .sourceView("v1_synth").whereValid("amount > 100000").onInvalid("ignore")
+      val valid = validator.run(ctx)(spark).get
+      valid.agg(count(lit(1)).as("n_valid"),
+        sum(col("amount").cast("decimal(18,2)")).cast("double").as("sum_amount"))
+    }, Some("""WITH s AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_totalprice END AS amount
+        |  FROM orders)
+        |SELECT count(*) AS n_valid,
+        |  CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+        |FROM s WHERE coalesce(amount > 100000, false)""".stripMargin)),
+
     // DML through the engine: DDL passthrough (DROP/CREATE via SqlActor)
     // then INSERT INTO ... SELECT through SqlWriter's isDML gate; the
     // returned frame is the catalog table's content (UPDATE/DELETE/MERGE
