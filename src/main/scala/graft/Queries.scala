@@ -1002,10 +1002,25 @@ object Queries {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
         .withColumn("h", Hashing.oracleHash(col("doc_id").cast("string")))
-      docs.withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-            .orderBy(col("h"), col("doc_id"))))
-        .filter(col("rn") <= 10)
+      // Two-phase rank so no task ever sorts a whole stratum (a handful of
+      // languages over a 100 TB corpus = corpus-sized sort tasks otherwise).
+      // Phase 1 ranks within (lang, salt) slices — a row whose global
+      // per-lang rank is <= k also ranks <= k in its slice, so dropping
+      // slice-rank > k is lossless. Phase 2 exact-ranks only the
+      // <= k*salts survivors per stratum. Output identical to a single
+      // global per-lang rank; the oracle is unchanged.
+      val k = 10
+      val salts = 32
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("salt")).orderBy(col("h"), col("doc_id"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      docs.withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
+        .withColumn("srn", row_number().over(w1))
+        .filter(col("srn") <= k)
+        .drop("salt", "srn")
+        .withColumn("rn", row_number().over(w2))
+        .filter(col("rn") <= k)
         .select(col("doc_id"), col("lang"), col("rn").cast("int").as("rn"))
     }, Some {
       s"""WITH l AS ($t3Oracle),
@@ -1015,27 +1030,31 @@ object Queries {
          |SELECT doc_id, lang, CAST(rn AS INT) AS rn FROM r WHERE rn <= 10""".stripMargin
     }),
 
-    // Sequence packing: assign docs (in stable id order) to fixed
-    // token-budget packs via the running token count — the standard
-    // pre-tokenization chunking pass of an LLM data pipeline. The global
-    // ordered window is the semantics; at corpus scale run it per shard
-    // (Window.partitionBy(shard) — packing is embarrassingly parallel
-    // across shards).
+    // Sequence packing: assign docs (in stable id order within a shard) to
+    // fixed token-budget packs via the running token count — the standard
+    // pre-tokenization chunking pass of an LLM data pipeline. Packing is
+    // sharded: a global ordered window would be ONE task holding a
+    // corpus-sized running sum; sharding by a deterministic key makes it
+    // embarrassingly parallel (a pack is identified by (shard, pack_id)),
+    // and training-data packing has no cross-shard ordering requirement.
     Spec("c3_token_packing", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("tokens"))
+        .withColumn("shard", pmod(col("doc_id"), lit(16L)))
       docs.withColumn("cum_before",
           coalesce(sum(col("tokens")).over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+            org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+              .orderBy(col("doc_id"))
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("doc_id"), col("tokens"),
+        .select(col("doc_id"), col("tokens"), col("shard"),
           (col("cum_before") / lit(4096)).cast("long").as("pack_id"))
     }, Some("""WITH t AS (SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens FROM documents),
-        |c AS (SELECT doc_id, tokens,
-        |  coalesce(sum(tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
+        |  doc_id % 16 AS shard FROM documents),
+        |c AS (SELECT doc_id, tokens, shard,
+        |  coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM t)
-        |SELECT doc_id, tokens, CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id FROM c""".stripMargin)),
+        |SELECT doc_id, tokens, shard, CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id FROM c""".stripMargin)),
 
     Spec("t1_token_counts", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")

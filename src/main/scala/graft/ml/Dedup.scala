@@ -92,16 +92,28 @@ object Dedup {
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bucket"))
     }
+    // The band self-join carries IDS ONLY: at corpus scale the banded frame
+    // is corpus×bands rows, and shipping the full signature struct through
+    // that exchange multiplies shuffle bytes by the signature width. Join
+    // narrow, distinct the id pairs (a pair sharing several buckets
+    // collapses BEFORE any per-pair work), then re-attach the two
+    // signatures by id to score est_jaccard.
     val banded = signatures
-      .select((col("id") +: mhCols) :+ explode(array(bandCols: _*)).as("bb"): _*)
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"), struct(mhCols: _*).as("sig"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val matches = (0 until numHashes).map(j => when(col(s"a.sig.mh$j") === col(s"b.sig.mh$j"), 1).otherwise(0))
-    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (matches.reduce(_ + _).cast("double") / numHashes).as("est_jaccard"))
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val idPairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    val sigs = signatures.select(col("id"), struct(mhCols: _*).as("sig"))
+    val matches = (0 until numHashes).map(j => when(col(s"sa.sig.mh$j") === col(s"sb.sig.mh$j"), 1).otherwise(0))
+    idPairs
+      .join(sigs.as("sa"), col("id_a") === col("sa.id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.id"))
+      .select(col("id_a"), col("id_b"),
+        (matches.reduce(_ + _).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
