@@ -1179,6 +1179,8 @@ object Queries {
       val l = docs.agg(
         round(expr("percentile(length(text), 0.5)"), 4).as("p50_len"),
         round(expr("percentile(length(text), 0.9)"), 4).as("p90_len"))
+      // both sides are 1-row global aggregates: the nested-loop join is
+      // 1x1 (allowlisted in the PlanSpec cartesian guard)
       v.crossJoin(l)
     }, Some("""WITH toks AS (SELECT unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok FROM documents),
         |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size, count(*) AS total_tokens

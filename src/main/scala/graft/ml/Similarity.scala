@@ -157,6 +157,9 @@ object Similarity {
     // ranked 1..numCentroids (crank is the cell id)
     val seeded = corp.select(col("id"), col("v"), col("vv"),
       Hashing.oracleHash(col("id").cast("string")).as("h"))
+    // the rank window runs AFTER limit(numCentroids), so its single group
+    // is k rows — bounded regardless of corpus size (allowlisted in the
+    // catalog-wide partitionless-window PlanSpec guard)
     val cents = seeded.orderBy(col("h"), col("id")).limit(numCentroids)
       .withColumn("crank", row_number().over(
         Window.orderBy(col("h"), col("id"))))

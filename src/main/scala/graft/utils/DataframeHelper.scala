@@ -65,7 +65,9 @@ object DataframeHelper {
       val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(monotonically_increasing_id())
       df.withColumn(indexCol, row_number().over(w).cast("long"))
     } else {
-      // offsets: tiny frame (one row per partition) — window over it is cheap
+      // offsets: tiny frame (one row per input partition, i.e. bounded by
+      // cluster parallelism not data volume) — the partitionless window
+      // over it is cheap and allowlisted in the PlanSpec guard
       val withPid = df.withColumn("__pid_", spark_partition_id())
       val offsets = withPid.groupBy(col("__pid_")).agg(count(lit(1)).as("__cnt_"))
         .withColumn("__offset_",

@@ -106,6 +106,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("catalog-wide: no partitionless Window in any query plan") {
+    // A Window with an empty PARTITION BY is one task holding the whole
+    // input — the c3 shape this guard exists to keep out. Checked on the
+    // optimized logical plan of every catalog query so a future query
+    // can't reintroduce it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // Reviewed exceptions — windows whose input is bounded by something
+    // other than data volume, so the single task stays small at any scale:
+    val allowed = Set(
+      "s3_knn_ivf",      // centroid rank: window AFTER limit(k), k<=16 rows
+      "d8_training_pipeline", // composite pipeline embedding the s3 stage
+      "u1_zipwithindex"  // offsets frame: one row per input PARTITION
+    )
+    val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
+      val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
+      plan.collect { case w: LWindow if w.partitionSpec.isEmpty => spec.name }
+    }.distinct
+    offenders shouldBe empty
+  }
+
+  test("catalog-wide: no nested-loop/cartesian join outside labeled brute-force baselines") {
+    // The only all-pairs shapes allowed are the documented exact baselines
+    // (brute-force kNN) and broadcast joins against k-row constant frames
+    // (k-means / IVF centroids). Anything else nested-looping is a scale
+    // bug.
+    val allowed = Set(
+      "s1_knn_bruteforce", // labeled exact baseline: all-pairs by design
+      "s3_knn_ivf",        // crossJoin vs broadcast k-row centroid frame
+      "c1_kmeans",         // crossJoin vs broadcast k-row centroid frame
+      "d8_training_pipeline", // composite pipeline embedding the above stages
+      "t7_corpus_stats"    // 1-row x 1-row join of two global aggregates
+    )
+    val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
+      val p = plan(spec.run(spark, sfDir))
+      if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+        Some(spec.name)
+      else None
+    }
+    offenders shouldBe empty
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     // under AQE codegen stages exist only after execution; plan with AQE
     // off to inspect the compiled subtree count deterministically
