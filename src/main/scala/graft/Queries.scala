@@ -988,6 +988,31 @@ object Queries {
          |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l4""".stripMargin
     }),
 
+    // Connected components via alternating large-star/small-star (the
+    // O(log diameter) doubling algorithm) on a deliberately HIGH-diameter
+    // graph: docs chained to their per-language predecessor, so each
+    // language stratum is one chain ~100 hops deep at sf0.01 — fixed
+    // 4-round min-label propagation (d7's shape) provably under-merges
+    // here, while the doubling variant converges. Component = language
+    // chain, so the oracle is the per-language min doc_id.
+    Spec("d9_connected_components", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      val edges = docs
+        .withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      val labels = Dedup.clusterLabelsStars(edges)
+      docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    }, Some {
+      s"""WITH l AS ($t3Oracle)
+         |SELECT doc_id, min(doc_id) OVER (PARTITION BY lang_pred) AS cluster_id FROM l""".stripMargin
+    }),
+
     Spec("d5_simhash", d5, Some(d5Oracle)),
     Spec("d6_embed_neardup", d6, Some(d6Oracle)),
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),

@@ -254,4 +254,89 @@ object Dedup {
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  /**
+   * Connected components by alternating large-star / small-star rounds —
+   * the doubling algorithm of Kiveris et al., "Connected Components in
+   * MapReduce and Beyond" (SoCC'14). Converges in O(log diameter) rounds
+   * where plain min-label propagation needs O(diameter): this is the scale
+   * path for high-diameter duplicate graphs (long chains of pairwise
+   * near-dups), where [[clusterLabels]]'s fixed 4 rounds provably
+   * under-merges.
+   *
+   * Each round is two join+groupBy passes over the current edge list; the
+   * edge list only shrinks toward the star form (v -> component-min), so
+   * per-round cost is bounded by the input edge count. The only
+   * driver-side reads are the per-round (count, checksum) convergence
+   * scalars. Result is the unique fixpoint — a pure function of the input,
+   * so oracle-checkable despite the data-dependent round count.
+   *
+   * Cost model: ~2*log2(diameter) rounds of ~5 tiny shuffle stages. At
+   * bench scale this is scheduling-bound (keep AQE on — it coalesces the
+   * small shuffles to single-task stages, measured 5x); at corpus scale
+   * the per-round joins are data-bound and the log round count is the
+   * whole point.
+   */
+  def clusterLabelsStars(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    // Strictly-larger neighbors re-point at the neighborhood min — long
+    // chains halve in height each pass.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // no distinct here: each input edge maps to at most one output edge,
+      // so duplicate multiplicity cannot grow, and the following
+      // small-star's distinct resets it — one less shuffle per round
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+    }
+    // small-star(u): over edges oriented larger->smaller, m = min(N ∪ {u});
+    // emit (v, m) for v ∈ N \ {m} plus (u, m) — flattens local stars.
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val nEdges = oriented.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      nEdges.unionAll(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // Convergence = edge set unchanged over a full round, detected by
+    // (count, order-independent hash-sum) — two scalars per round.
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(hash(col("u"), col("v")).cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // two large+small rounds per convergence probe: the probe is a
+      // driver-synchronizing action, and edge counts shrink geometrically,
+      // so halving the sync count costs at most one wasted (cheap,
+      // already-star-shaped) round after the fixpoint
+      val mid = smallStar(largeStar(edges)).localCheckpoint(false)
+      val next = smallStar(largeStar(mid)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
+      edges = next
+      i += 2
+    }
+    // At the fixpoint edges form stars (member -> component min); roots
+    // appear only on the v side and label themselves.
+    edges.select(col("u").as("id"), col("v").as("cluster_id"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("cluster_id")))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+  }
 }

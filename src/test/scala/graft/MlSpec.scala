@@ -122,6 +122,35 @@ class MlSpec extends SparkSpec {
     conv.values.toSet shouldBe Set(1L)
   }
 
+  test("large-star/small-star components: deep chains, multi-component graphs, shallow parity") {
+    implicit val s = spark
+    import spark.implicits._
+    // 200-node path (diameter 199): O(diameter) propagation would need 199
+    // rounds; the doubling variant must still fully merge within its
+    // default iteration cap
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val stars = Dedup.clusterLabelsStars(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    stars.size shouldBe 200
+    stars.values.toSet shouldBe Set(1L)
+    // two components + an isolated pair, ids out of order
+    val multi = Seq((7L, 3L), (3L, 9L), (20L, 25L), (25L, 21L), (40L, 41L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterLabelsStars(multi).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(3L -> 3L, 7L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 25L -> 20L, 40L -> 40L, 41L -> 40L)
+    // shallow-graph parity with the fixed-round resolver on a real
+    // LSH-derived duplicate graph
+    val pairs = Dedup.lshCandidatePairs(Dedup.minHashSignatures(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id"))
+    val fixed = Dedup.clusterLabels(pairs, iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaStars = Dedup.clusterLabelsStars(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    viaStars shouldBe fixed
+  }
+
   test("optimizer rule rewrites HOF dot/norm to the native expressions, same bits") {
     implicit val s = spark
     graft.functions.UdfRegistry.registerSystemUdfs(spark) // installs the rule
