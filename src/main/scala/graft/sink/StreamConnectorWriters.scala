@@ -36,6 +36,10 @@ class HBaseStreamWriter(channel: HBaseChannel) extends Actor with StreamWriteSup
     val df = ctx.getView(view)
     require(df.isStreaming, s"HBaseStreamWriter: view '$view' is not a stream")
     val ch = channel
+    // token captured on the driver at stream start and shipped with every
+    // micro-batch task; long-running secured streams should use a channel
+    // whose obtainToken() renews (delegation tokens expire)
+    val token = channel.obtainToken()
     val m = mapping
     val bs = batchSize.getOrElse(ctx.pipelineCtx.ioBatchSize)
     val tbl = table
@@ -44,7 +48,10 @@ class HBaseStreamWriter(channel: HBaseChannel) extends Actor with StreamWriteSup
     var w = df.writeStream.outputMode(outputMode).foreachBatch { (batch: DataFrame, _: Long) =>
       val withKey = batch.withColumn("__rowkey_", HBaseMapping.rowKeyColumn(batch, keyCols, sep))
       val keyIdx = withKey.columns.indexOf("__rowkey_")
-      withKey.rdd.foreachPartition { rows => ch.put(tbl, rows, keyIdx, m, bs) }
+      withKey.rdd.foreachPartition { rows =>
+        token.foreach(ch.installToken)
+        ch.put(tbl, rows, keyIdx, m, bs)
+      }
     }
     checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
     startAndWait(applyTrigger(w))

@@ -54,6 +54,25 @@ trait HBaseChannel extends Serializable {
   def put(table: String, rows: Iterator[Row], rowKeyIdx: Int,
           mapping: Seq[HBaseMapping.ColumnMap], batchSize: Int): Unit
   def truncate(table: String): Unit
+
+  /**
+   * DRIVER-side: obtain a serialized (URL-safe) authentication/delegation
+   * token for this cluster, to be shipped to executors with the write.
+   * None on unsecured clusters (the default). A Kerberos-secured
+   * hbase-client implementation obtains the delegation token from an
+   * open connection and encodes it — executors cannot kinit themselves,
+   * so without this capture the first secured-cluster write fails.
+   * Reference behavior: common/HBaseWriteActor.scala:48-57.
+   */
+  def obtainToken(): Option[String] = None
+
+  /**
+   * EXECUTOR-side: install a previously captured token into the current
+   * user's security context before opening any connection in this task.
+   * Idempotent per process. Reference behavior:
+   * sink/process/HBaseContinuousWriter.scala:29-34.
+   */
+  def installToken(token: String): Unit = ()
 }
 
 object HBaseChannel {
@@ -115,6 +134,10 @@ class HBaseWriter(channel: HBaseChannel) extends Actor {
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
+    // capture the security token ON THE DRIVER (the only place with a
+    // Kerberos TGT), then ship it inside the task closure — executors
+    // install it before their first put
+    val token = channel.obtainToken()
     if (mode == "overwrite") channel.truncate(table)
     val withKey = df.withColumn("__rowkey_", HBaseMapping.rowKeyColumn(df, rowKeyFrom, concatenator))
     val keyIdx = withKey.columns.indexOf("__rowkey_")
@@ -122,7 +145,10 @@ class HBaseWriter(channel: HBaseChannel) extends Actor {
     val ch = channel
     val bs = batchSize.getOrElse(ctx.pipelineCtx.ioBatchSize)
     val tbl = table
-    withKey.rdd.foreachPartition { rows => ch.put(tbl, rows, keyIdx, m, bs) }
+    withKey.rdd.foreachPartition { rows =>
+      token.foreach(ch.installToken)
+      ch.put(tbl, rows, keyIdx, m, bs)
+    }
     None
   }
 }

@@ -14,11 +14,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
  * .scala:38-88 (decode via from_avro / from_json, struct flattening of
  * `key.*` / `value.*`, non-key columns renamed `__kafka_*`).
  *
- * The Spark distribution here ships no spark-avro module, so the Avro
- * decode path raises UnsupportedOperationException with a clear message;
- * the JSON path (Spark JSON schema or DDL) is fully supported. Swapping in
- * `org.apache.spark.sql.avro.functions.from_avro` when the jar is present
- * is a one-line change in [[KafkaSchema.decode]].
+ * Avro decode is live on every distribution: [[graft.functions
+ * .AvroDecoder]] uses the native `from_avro` reflectively when the
+ * optional spark-avro module is present and otherwise decodes with the
+ * always-shipped avro-core runtime. The JSON path (Spark JSON schema or
+ * DDL) is handled by `from_json`.
  */
 object KafkaSchema {
   sealed trait Spec
@@ -43,8 +43,7 @@ object KafkaSchema {
   /** Decode a raw kafka binary column per the spec; None = leave as-is. */
   def decode(raw: Column, spec: Spec): Option[Column] = spec match {
     case JsonSpec(schema) => Some(from_json(raw.cast("string"), schema))
-    case AvroSpec(_) => throw new UnsupportedOperationException(
-      "Avro decode requires the spark-avro module, which is not on this classpath")
+    case AvroSpec(schemaJson) => Some(graft.functions.AvroDecoder.decode(raw, schemaJson))
     case NoSpec => None
   }
 

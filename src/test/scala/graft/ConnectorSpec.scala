@@ -27,9 +27,11 @@ class ConnectorSpec extends SparkSpec {
     avro shouldBe a[KafkaSchema.AvroSpec]
     val none = KafkaSchema.fromProperties("k", Map.empty)
     none shouldBe KafkaSchema.NoSpec
-    // avro decode is gated with a clear error on this classpath
-    an[UnsupportedOperationException] should be thrownBy
-      KafkaSchema.decode(col("value"), KafkaSchema.AvroSpec("{}"))
+    // avro decode resolves on every classpath (native spark-avro when
+    // present, avro-core fallback otherwise — full coverage in
+    // AvroDecoderSpec)
+    val avroSchema = """{"type":"record","name":"r","fields":[{"name":"a","type":"int"}]}"""
+    KafkaSchema.decode(col("value"), KafkaSchema.AvroSpec(avroSchema)) shouldBe defined
   }
 
   test("kafka record assembly defaults: generated key + to_json(struct(*)) value") {
