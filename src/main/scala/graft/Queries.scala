@@ -793,6 +793,58 @@ object Queries {
       spark.table("q39_t")
     }, Some("SELECT l_returnflag AS r, count(*) AS cnt FROM lineitem GROUP BY l_returnflag")),
 
+    // Full DML proof — MERGE INTO (update+insert), DELETE, UPDATE running
+    // through the SqlWriter gate against a SupportsRowLevelOperations v2
+    // catalog (MemRowCatalog, copy-on-write). The oracle reproduces the
+    // final table state in pure SELECT algebra. On a cluster the same SQL
+    // targets any row-level-capable format (Iceberg/Delta) unchanged.
+    Spec("q40_dml_merge", (spark, dir) => {
+      t(spark, dir, "orders")
+      val ctx = new JobContext(PipelineContext())(spark)
+      spark.conf.set("spark.sql.catalog.graft_mem",
+        classOf[graft.source.MemRowCatalog].getName)
+      new graft.sql.SqlActor().sqlString(
+        """DROP TABLE IF EXISTS graft_mem.db.q40_t;
+          |CREATE TABLE graft_mem.db.q40_t (o_orderkey BIGINT, o_orderstatus STRING, total DOUBLE)
+          |""".stripMargin).run(ctx)(spark)
+      val w = (s: String) => new graft.sql.SqlWriter().sqlString(s).run(ctx)(spark)
+      w("""INSERT INTO graft_mem.db.q40_t
+          |SELECT o_orderkey, o_orderstatus,
+          |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+          |FROM orders WHERE o_orderkey <= 2000""".stripMargin)
+      w("""MERGE INTO graft_mem.db.q40_t tgt
+          |USING (SELECT o_orderkey, o_orderstatus,
+          |              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE) AS total
+          |       FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000) src
+          |ON tgt.o_orderkey = src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET total = src.total
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, total)
+          |  VALUES (src.o_orderkey, src.o_orderstatus, src.total)""".stripMargin)
+      w("DELETE FROM graft_mem.db.q40_t WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+      w("UPDATE graft_mem.db.q40_t SET total = total + 1 WHERE o_orderkey % 5 = 0")
+      spark.table("graft_mem.db.q40_t")
+    }, Some {
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey <= 2000),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE) AS total
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000),
+        |merged AS (
+        |  SELECT b.o_orderkey, b.o_orderstatus, coalesce(s.total, b.total) AS total
+        |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_orderstatus, s.total
+        |  FROM src s ANTI JOIN base b ON s.o_orderkey = b.o_orderkey),
+        |survivors AS (
+        |  SELECT * FROM merged WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0))
+        |SELECT o_orderkey, o_orderstatus,
+        |       total + CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS total
+        |FROM survivors""".stripMargin
+    }),
+
     // Null-safe equality join: NULL keys match each other under <=>
     // (Spark) / IS NOT DISTINCT FROM (DuckDB) — unlike plain `=`.
     Spec("q37_null_safe_eq", sqlQuery(Seq("customer", "supplier"),
