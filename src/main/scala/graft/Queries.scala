@@ -1065,6 +1065,30 @@ object Queries {
          |SELECT doc_id, min(doc_id) OVER (PARTITION BY lang_pred) AS cluster_id FROM l""".stripMargin
     }),
 
+    // Benchmark decontamination: drop/flag training docs sharing any word
+    // n-gram with a held-out eval set — standard before LLM training. The
+    // eval set is tiny relative to the corpus, so its distinct shingles are
+    // BROADCAST: the corpus-side scan never shuffles, per-doc contamination
+    // counts aggregate map-side first. Eval membership here is a
+    // deterministic id rule so the oracle can reproduce it.
+    Spec("d10_decontaminate", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sh = Dedup.shingles(docs, "text", "doc_id", 3)
+      val evalSet = sh.filter(col("id") % 50 === 0).select(col("shingle")).distinct()
+      sh.filter(col("id") % 50 =!= 0)
+        .join(broadcast(evalSet), "shingle")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("id").as("doc_id"), col("n_shared"))
+    }, Some {
+      s"""WITH ${shingleCte("documents")},
+         |ev AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, shingle FROM shing WHERE doc_id % 50 <> 0)
+         |SELECT tr.doc_id, count(*) AS n_shared
+         |FROM tr JOIN ev USING (shingle)
+         |GROUP BY tr.doc_id""".stripMargin
+    }),
+
     Spec("d5_simhash", d5, Some(d5Oracle)),
     Spec("d6_embed_neardup", d6, Some(d6Oracle)),
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
@@ -1132,6 +1156,30 @@ object Queries {
         |  coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM t)
         |SELECT doc_id, tokens, shard, CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id FROM c""".stripMargin)),
+
+    // Overlapping token-window chunking (window 64, stride 48): the
+    // pre-tokenization split of long documents into training sequences
+    // with context overlap. Pure narrow plan — split + explode + slice,
+    // no shuffle at any scale.
+    Spec("c4_doc_chunking", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+          split(Dedup.normText(col("text")), " ", -1).as("ws"))
+        .withColumn("start",
+          explode(sequence(lit(0), greatest(size(col("ws")) - 1, lit(0)), lit(48))))
+        .select(col("doc_id"),
+          (col("start") / 48).cast("long").as("chunk_idx"),
+          array_join(slice(col("ws"), col("start") + 1, lit(64)), " ").as("chunk_text"),
+          size(slice(col("ws"), col("start") + 1, lit(64))).cast("long").as("n_tokens"))
+    }, Some {
+      """WITH norm AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm),
+        |st AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws), 1), 48)) AS start FROM w)
+        |SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_idx,
+        |  array_to_string(ws[start+1:start+64], ' ') AS chunk_text,
+        |  CAST(len(ws[start+1:start+64]) AS BIGINT) AS n_tokens
+        |FROM st""".stripMargin
+    }),
 
     Spec("t1_token_counts", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -1243,6 +1291,31 @@ object Queries {
         |  CAST(len(list_distinct(sh)) AS BIGINT) AS distinct_3grams,
         |  round(1.0 - len(list_distinct(sh))::double / len(sh), 6) AS repetition_ratio
         |FROM shl""".stripMargin)),
+
+    // Boilerplate density: fraction of a doc's distinct 3-grams that are
+    // corpus-common (document frequency >= DF_THRESHOLD) — the
+    // CCNet/RefinedWeb-style template/boilerplate signal. The threshold is
+    // absolute by design (tune per corpus); computing it relative to the
+    // corpus size would add a global-aggregate join for no behavioral
+    // gain. Two keyed shuffles: df per shingle, then ratio per doc.
+    Spec("t9_boilerplate_ratio", (spark, dir) => {
+      val sh = Dedup.shingles(spark.read.parquet(s"$dir/documents.parquet"),
+        "text", "doc_id", 3)
+      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      sh.join(dfreq, "shingle")
+        .groupBy(col("id"))
+        .agg(round(
+          sum(when(col("df") >= 10, 1).otherwise(0)).cast("double") / count(lit(1)), 6)
+          .as("boilerplate_ratio"))
+        .select(col("id").as("doc_id"), col("boilerplate_ratio"))
+    }, Some {
+      s"""WITH ${shingleCte("documents")},
+         |dfreq AS (SELECT shingle, count(*) AS df FROM shing GROUP BY shingle)
+         |SELECT s.doc_id,
+         |  round(sum(CASE WHEN d.df >= 10 THEN 1 ELSE 0 END)::double / count(*), 6) AS boilerplate_ratio
+         |FROM shing s JOIN dfreq d ON s.shingle = d.shingle
+         |GROUP BY s.doc_id""".stripMargin
+    }),
 
     // Corpus-level statistics: the aggregate profile a training-data run
     // reports before filtering — vocabulary size, token totals, length

@@ -147,6 +147,18 @@ class PlanSpec extends SparkSpec {
     offenders shouldBe empty
   }
 
+  test("d10: decontamination broadcasts the eval-set shingles, corpus side unshuffled") {
+    val p = plan(q("d10_decontaminate"))
+    p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("c4: chunking plans with no exchange at all") {
+    val tree = plan(q("c4_doc_chunking")).linesIterator
+      .takeWhile(_.trim.nonEmpty).mkString("\n")
+    (tree should not).include("Exchange")
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     // under AQE codegen stages exist only after execution; plan with AQE
     // off to inspect the compiled subtree count deterministically
