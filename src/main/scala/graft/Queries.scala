@@ -993,6 +993,34 @@ object Queries {
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Streaming exact dedup: the same content-hash grouping as d1 run as a
+    // STREAMING stateful aggregation (complete mode) — the incremental
+    // ingest path of a dedup pipeline, where state carries (min id, count)
+    // per content hash across micro-batches. Final state must equal the
+    // batch answer (stream/batch parity), so d1's oracle applies verbatim.
+    Spec("q41_stream_dedup", (spark, dir) => {
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+        val out = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .select(md5(Dedup.normText(col("text"))).as("content_hash"),
+            col("doc_id").cast("long").as("doc_id"))
+          .groupBy(col("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+        val qname = s"q41_dedup_${System.nanoTime}"
+        val sq = out.writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        spark.table(qname)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }, Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin)),
+
     Spec("d2_minhash_signatures", d2, Some {
       s"""WITH ${shingleCte("documents")},
          |$sigCte
