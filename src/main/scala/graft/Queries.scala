@@ -1101,12 +1101,17 @@ object Queries {
     // deterministic id rule so the oracle can reproduce it.
     Spec("d10_decontaminate", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val sh = Dedup.shingles(docs, "text", "doc_id", 3)
+      // non-distinct shingles: a corpus-side distinct would shuffle the
+      // whole corpus BEFORE the broadcast join; instead only rows that
+      // matched an eval shingle reach the aggregation (countDistinct
+      // restores set semantics there), so the one real shuffle is
+      // contamination-sized
+      val sh = Dedup.shingles(docs, "text", "doc_id", 3, distinct = false)
       val evalSet = sh.filter(col("id") % 50 === 0).select(col("shingle")).distinct()
       sh.filter(col("id") % 50 =!= 0)
         .join(broadcast(evalSet), "shingle")
         .groupBy(col("id"))
-        .agg(count(lit(1)).as("n_shared"))
+        .agg(countDistinct(col("shingle")).as("n_shared"))
         .select(col("id").as("doc_id"), col("n_shared"))
     }, Some {
       s"""WITH ${shingleCte("documents")},
@@ -1208,6 +1213,36 @@ object Queries {
         |  CAST(len(ws[start+1:start+64]) AS BIGINT) AS n_tokens
         |FROM st""".stripMargin
     }),
+
+    // Corpus mixing: per-source sampling rates (the data-mixture step of
+    // training-corpus assembly), applied as a deterministic hash gate.
+    // Weights are fifths derived from the source id; the comparison is
+    // pure int64 (hash*5 < w*2^60) so both engines agree bit-for-bit —
+    // no float thresholds. Narrow plan: scan + filter, no shuffle.
+    Spec("c5_corpus_mixing", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val srcnum = substring(col("source"), 4, 8).cast("long")
+      val weightNum = lit(1L) + pmod(srcnum, lit(5L)) // keep (w/5) of each source
+      val h = Hashing.oracleHash(concat(lit("mix:"), col("doc_id").cast("string")))
+      docs.select(col("doc_id"), col("source"))
+        .filter(h * lit(5L) < weightNum * lit(1152921504606846976L)) // 2^60
+    }, Some {
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${Hashing.duckdbHashSql("'mix:' || doc_id::varchar")} * 5
+         |      < (1 + (CAST(substr(source, 4) AS BIGINT) % 5)) * 1152921504606846976""".stripMargin
+    }),
+
+    // PIVOT: status columns per priority bucket — Spark's native PIVOT
+    // syntax; the oracle spells it as FILTER aggregates so the two
+    // engines' pivot implementations are checked against each other.
+    Spec("q42_pivot", sqlQuery(Seq("orders"),
+      """SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        |PIVOT (count(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))""".stripMargin),
+      Some("""SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
     Spec("t1_token_counts", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
