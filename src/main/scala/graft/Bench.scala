@@ -18,24 +18,26 @@ object Bench {
     // volume, so the tiny run populates the janino compile cache + JIT for
     // the identical timed plan — the timed numbers then measure data
     // processing, not first-run compilation (cold-vs-warm delta measured
-    // 3-4x on the join-heavy queries). Warm-then-time per query (not a
-    // separate budgeted warm loop) guarantees no query is timed cold even
-    // if warmup overall runs long; the soft deadline only sheds warmup for
-    // the cheap tail if the total warm cost becomes pathological.
+    // 3-4x on the join-heavy queries). Warm-then-time per query, in sorted
+    // name order, so two runs are comparable per-query. The shed budget
+    // counts WARM time only (timed runs must not consume it — that would
+    // shed the tail's warmup on big scale factors); warm cost at sf0.001
+    // is itself stable run-to-run, so any shedding hits the same queries.
     spark.range(100000).selectExpr("id % 10 AS k", "id AS v")
       .groupBy("k").count().count()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
     val canWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
-    val warmDeadline = System.nanoTime() + 240L * 1000 * 1000 * 1000
+    val warmBudgetNs = 240L * 1000 * 1000 * 1000
+    var warmSpentNs = 0L
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
-    // Deterministic name order: the timed sequence (and any warmup
-    // shedding) is identical run-to-run, so two BENCH runs are comparable
-    // per-query.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (canWarm && System.nanoTime() < warmDeadline)
+      if (canWarm && warmSpentNs < warmBudgetNs) {
+        val w0 = System.nanoTime()
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        warmSpentNs += System.nanoTime() - w0
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1221,7 +1221,10 @@ object Queries {
     // no float thresholds. Narrow plan: scan + filter, no shuffle.
     Spec("c5_corpus_mixing", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val srcnum = substring(col("source"), 4, 8).cast("long")
+      // substr to end-of-string, mirroring the oracle's substr(source, 4)
+      // exactly — a fixed length would silently truncate many-digit
+      // source ids and diverge from the oracle
+      val srcnum = col("source").substr(lit(4), length(col("source"))).cast("long")
       val weightNum = lit(1L) + pmod(srcnum, lit(5L)) // keep (w/5) of each source
       val h = Hashing.oracleHash(concat(lit("mix:"), col("doc_id").cast("string")))
       docs.select(col("doc_id"), col("source"))

@@ -238,22 +238,49 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    var prevIds = Set.empty[Int] // superseded checkpoint blocks (see below)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
-      val next = edges.join(labels.withColumnRenamed("id", "dst2"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-        .join(labels, col("src") === col("id"))
-        .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
-          (col("nbr_min") < col("label")).as("moved"))
-        .localCheckpoint(true) // eager: the changed-count is read this round
+      val (next, ids) = trackedCheckpoint(
+        edges.join(labels.withColumnRenamed("id", "dst2"),
+            col("dst") === col("dst2"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+          .join(labels, col("src") === col("id"))
+          .select(col("id"), least(col("label"), col("nbr_min")).as("label"),
+            (col("nbr_min") < col("label")).as("moved")),
+        eager = true) // eager: the changed-count is read this round
       changed = next.filter(col("moved")).count()
+      // the (i-1)th labels frame is now unreachable by any future round —
+      // free its blocks instead of accumulating maxIterations copies
+      unpersistIds(next.sparkSession, prevIds)
+      prevIds = ids
       labels = next.drop("moved")
       i += 1
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
+
+  /**
+   * localCheckpoint + bookkeeping: returns the checkpointed frame and the
+   * ids of the RDD blocks that checkpoint registered, so iterative loops
+   * can free SUPERSEDED rounds' storage explicitly instead of pinning one
+   * edge-list copy per round until the session's ContextCleaner catches
+   * up. The before/after diff assumes no concurrent persist activity on
+   * the same SparkContext during the call (the loops here run
+   * driver-sequential).
+   */
+  private def trackedCheckpoint(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val out = df.localCheckpoint(eager)
+    val added = sc.getPersistentRDDs.keySet.toSet -- before
+    (out, added)
+  }
+
+  private def unpersistIds(spark: org.apache.spark.sql.SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
   /**
    * Connected components by alternating large-star / small-star rounds —
@@ -277,40 +304,45 @@ object Dedup {
    * the per-round joins are data-bound and the log round count is the
    * whole point.
    */
-  def clusterLabelsStars(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
-    // large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
-    // Strictly-larger neighbors re-point at the neighborhood min — long
-    // chains halve in height each pass.
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      // no distinct here: each input edge maps to at most one output edge,
-      // so duplicate multiplicity cannot grow, and the following
-      // small-star's distinct resets it — one less shuffle per round
-      sym.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-    }
-    // small-star(u): over edges oriented larger->smaller, m = min(N ∪ {u});
-    // emit (v, m) for v ∈ N \ {m} plus (u, m) — flattens local stars.
-    def smallStar(e: DataFrame): DataFrame = {
-      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val nEdges = oriented.join(mins, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-      nEdges.unionAll(mins.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-    }
-    var edges = pairs
-      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+  /** large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+   *  Strictly-larger neighbors re-point at the neighborhood min — long
+   *  chains halve in height each pass. package-private for plan-shape
+   *  tests (the checkpointed loop hides per-round plans from inspection).
+   *  No distinct here: each input edge maps to at most one output edge, so
+   *  duplicate multiplicity cannot grow, and the following small-star's
+   *  distinct resets it — one less shuffle per round. */
+  private[graft] def largeStarRound(e: DataFrame): DataFrame = {
+    val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+  }
+
+  /** small-star(u): over edges oriented larger->smaller, m = min(N ∪ {u});
+   *  emit (v, m) for v ∈ N \ {m} plus (u, m) — flattens local stars. */
+  private[graft] def smallStarRound(e: DataFrame): DataFrame = {
+    val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val nEdges = oriented.join(mins, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    nEdges.unionAll(mins.select(col("u"), col("m").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+  }
+
+  def clusterLabelsStars(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val (edges0, edges0Ids) = trackedCheckpoint(
+      pairs
+        .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct(),
+      eager = true)
+    var edges = edges0
     // Convergence = edge set unchanged over a full round, detected by
     // (count, order-independent hash-sum) — two scalars per round.
     def fingerprint(e: DataFrame): (Long, Long) = {
@@ -318,6 +350,7 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var fp = fingerprint(edges)
+    var prevIds = edges0Ids
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -325,9 +358,15 @@ object Dedup {
       // driver-synchronizing action, and edge counts shrink geometrically,
       // so halving the sync count costs at most one wasted (cheap,
       // already-star-shaped) round after the fixpoint
-      val mid = smallStar(largeStar(edges)).localCheckpoint(false)
-      val next = smallStar(largeStar(mid)).localCheckpoint(true)
+      val (mid, midIds) = trackedCheckpoint(
+        smallStarRound(largeStarRound(edges)), eager = false)
+      val (next, nextIds) = trackedCheckpoint(
+        smallStarRound(largeStarRound(mid)), eager = true)
       val nfp = fingerprint(next)
+      // everything before `next` is now dead weight — free the superseded
+      // rounds' blocks instead of pinning one edge-list copy per round
+      unpersistIds(next.sparkSession, prevIds ++ midIds)
+      prevIds = nextIds
       converged = nfp == fp
       fp = nfp
       edges = next

@@ -47,20 +47,31 @@ object KafkaSchema {
     case NoSpec => None
   }
 
-  /** Project a decoded kafka frame: flatten key/value structs, prefix the
-   *  metadata columns with `__kafka_` (reference: KafkaReadActor.scala:81-88). */
+  /** Catalyst type a spec decodes to; drives struct-vs-scalar projection. */
+  def decodedType(spec: Spec): Option[DataType] = spec match {
+    case JsonSpec(schema) => Some(schema)
+    case AvroSpec(schemaJson) => Some(graft.functions.AvroDecoder.sparkTypeFor(
+      new org.apache.avro.Schema.Parser().parse(schemaJson)))
+    case NoSpec => None
+  }
+
+  /** Project a decoded kafka frame: flatten key/value STRUCTS to top-level
+   *  columns; scalar-typed schemas (e.g. a bare Avro "long") surface as
+   *  plain `key`/`value` columns — star-expanding them would fail
+   *  analysis. Metadata columns get the `__kafka_` prefix (reference:
+   *  KafkaReadActor.scala:81-88). */
   def project(df: DataFrame, keySpec: Spec, valueSpec: Spec): DataFrame = {
     val metaCols = Seq("topic", "partition", "offset", "timestamp", "timestampType")
       .filter(df.columns.contains)
       .map(c => col(c).as(s"__kafka_$c"))
-    val keyCols: Seq[Column] = decode(col("key"), keySpec) match {
-      case Some(decoded) => Seq(decoded.as("__key_struct_"))
-      case None => Seq(col("key").as("__kafka_key"))
-    }
-    val valueCols: Seq[Column] = decode(col("value"), valueSpec) match {
-      case Some(decoded) => Seq(decoded.as("__value_struct_"))
-      case None => Seq(col("value").as("__kafka_value"))
-    }
+    def side(raw: String, spec: Spec, structAlias: String): Seq[Column] =
+      (decode(col(raw), spec), decodedType(spec)) match {
+        case (Some(decoded), Some(_: StructType)) => Seq(decoded.as(structAlias))
+        case (Some(decoded), _) => Seq(decoded.as(raw))
+        case _ => Seq(col(raw).as(s"__kafka_$raw"))
+      }
+    val keyCols = side("key", keySpec, "__key_struct_")
+    val valueCols = side("value", valueSpec, "__value_struct_")
     var out = df.select(keyCols ++ valueCols ++ metaCols: _*)
     if (out.columns.contains("__key_struct_")) out = out.select(col("__key_struct_.*"),
       col("*")).drop("__key_struct_")

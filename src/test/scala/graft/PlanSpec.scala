@@ -147,6 +147,22 @@ class PlanSpec extends SparkSpec {
     offenders shouldBe empty
   }
 
+  test("d9 star rounds: per-round plans are keyed shuffles only (no window, no cartesian)") {
+    // clusterLabelsStars checkpoints per round, so the catalog-wide guards
+    // only see the final checkpoint scan — assert the INNER round shapes
+    // directly on a lazy (un-checkpointed) large-star + small-star pass
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 3L)).toDF("u", "v")
+    val round = graft.ml.Dedup.smallStarRound(graft.ml.Dedup.largeStarRound(edges))
+    round.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    } shouldBe empty
+    val p = plan(round)
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("d10: decontamination broadcasts the eval-set shingles, corpus side unshuffled") {
     val p = plan(q("d10_decontaminate"))
     p should include("BroadcastHashJoin")
