@@ -98,6 +98,15 @@ object Dedup {
     // narrow, distinct the id pairs (a pair sharing several buckets
     // collapses BEFORE any per-pair work), then re-attach the two
     // signatures by id to score est_jaccard.
+    //
+    // The signature subtree appears 4x in this plan (both band-join sides
+    // + both re-attach sides). Deliberately NOT cached here: a lazy
+    // localCheckpoint of `signatures` was measured ~20% SLOWER end-to-end
+    // at bench scale (storage materialization breaks pipelining and adds
+    // a blocking pass), and recomputing the narrow flatMap+groupBy chain
+    // is cheap. At true corpus scale, callers should persist the
+    // signature frame themselves before fanning out — the API takes a
+    // DataFrame precisely so that choice stays with the caller.
     val banded = signatures
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
