@@ -1247,6 +1247,22 @@ object Queries {
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // UNPIVOT: wide metric columns to (metric, val) rows — Spark's native
+    // syntax vs explicit UNION ALL algebra in the oracle. Values are
+    // straight copies of stored doubles, so hashes are bit-identical.
+    // (UNPIVOT drops NULL vals; mirrored with IS NOT NULL.)
+    Spec("q43_unpivot", sqlQuery(Seq("lineitem"),
+      """SELECT l_orderkey, l_linenumber, metric, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+        |UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))""".stripMargin),
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+        |WHERE val IS NOT NULL""".stripMargin)),
+
     Spec("t1_token_counts", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"),

@@ -87,4 +87,27 @@ class GuardRailSpec extends SparkSpec {
       graft.source.FlatFields.parseDelimited("a:x string")
     }.getMessage should include("a:x")
   }
+
+  test("MemRowCatalog guards: partitioned create rejected, ALTER unsupported, double create") {
+    spark.conf.set("spark.sql.catalog.memguard", classOf[graft.source.MemRowCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS memguard.db.g1")
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE memguard.db.g1 (id BIGINT, d STRING) PARTITIONED BY (d)")
+    }.getMessage should include("unpartitioned")
+    spark.sql("CREATE TABLE memguard.db.g1 (id BIGINT)")
+    intercept[Exception] {
+      spark.sql("CREATE TABLE memguard.db.g1 (id BIGINT)")
+    } // TableAlreadyExists surfaces through the analyzer
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE memguard.db.g1 ADD COLUMN x BIGINT")
+    }.getMessage should include("ALTER TABLE")
+    spark.sql("DROP TABLE memguard.db.g1")
+  }
+
+  test("avro decode guards: bad union guidance, absent spark-avro falls back cleanly") {
+    val bad = """{"type":"record","name":"r","fields":[{"name":"u","type":["int","string"]}]}"""
+    intercept[IllegalArgumentException] {
+      graft.functions.AvroDecoder.sparkTypeFor(new org.apache.avro.Schema.Parser().parse(bad))
+    }.getMessage should include("encode as a record")
+  }
 }
