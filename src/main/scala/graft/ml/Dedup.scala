@@ -244,10 +244,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
-    var prevIds = Set.empty[Int] // superseded checkpoint blocks (see below)
+    val (labels0, labels0Ids) = trackedCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")),
+      eager = true)
+    var labels = labels0
+    var prevIds = labels0Ids // superseded checkpoint blocks (see below)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
@@ -291,28 +293,6 @@ object Dedup {
     ids.foreach(id =>
       spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
-  /**
-   * Connected components by alternating large-star / small-star rounds —
-   * the doubling algorithm of Kiveris et al., "Connected Components in
-   * MapReduce and Beyond" (SoCC'14). Converges in O(log diameter) rounds
-   * where plain min-label propagation needs O(diameter): this is the scale
-   * path for high-diameter duplicate graphs (long chains of pairwise
-   * near-dups), where [[clusterLabels]]'s fixed 4 rounds provably
-   * under-merges.
-   *
-   * Each round is two join+groupBy passes over the current edge list; the
-   * edge list only shrinks toward the star form (v -> component-min), so
-   * per-round cost is bounded by the input edge count. The only
-   * driver-side reads are the per-round (count, checksum) convergence
-   * scalars. Result is the unique fixpoint — a pure function of the input,
-   * so oracle-checkable despite the data-dependent round count.
-   *
-   * Cost model: ~2*log2(diameter) rounds of ~5 tiny shuffle stages. At
-   * bench scale this is scheduling-bound (keep AQE on — it coalesces the
-   * small shuffles to single-task stages, measured 5x); at corpus scale
-   * the per-round joins are data-bound and the log round count is the
-   * whole point.
-   */
   /** large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
    *  Strictly-larger neighbors re-point at the neighborhood min — long
    *  chains halve in height each pass. package-private for plan-shape
@@ -344,6 +324,28 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Connected components by alternating large-star / small-star rounds —
+   * the doubling algorithm of Kiveris et al., "Connected Components in
+   * MapReduce and Beyond" (SoCC'14). Converges in O(log diameter) rounds
+   * where plain min-label propagation needs O(diameter): this is the scale
+   * path for high-diameter duplicate graphs (long chains of pairwise
+   * near-dups), where [[clusterLabels]]'s fixed 4 rounds provably
+   * under-merges.
+   *
+   * Each round is two join+groupBy passes over the current edge list; the
+   * edge list only shrinks toward the star form (v -> component-min), so
+   * per-round cost is bounded by the input edge count. The only
+   * driver-side reads are the per-round (count, checksum) convergence
+   * scalars. Result is the unique fixpoint — a pure function of the input,
+   * so oracle-checkable despite the data-dependent round count.
+   *
+   * Cost model: ~2*log2(diameter) rounds of ~5 tiny shuffle stages. At
+   * bench scale this is scheduling-bound (keep AQE on — it coalesces the
+   * small shuffles to single-task stages, measured 5x); at corpus scale
+   * the per-round joins are data-bound and the log round count is the
+   * whole point.
+   */
   def clusterLabelsStars(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val (edges0, edges0Ids) = trackedCheckpoint(
       pairs

@@ -47,27 +47,36 @@ object KafkaSchema {
     case NoSpec => None
   }
 
-  /** Catalyst type a spec decodes to; drives struct-vs-scalar projection. */
+  /** Catalyst type a spec decodes to; drives struct-vs-scalar projection.
+   *  None = unknown — either no spec, or an Avro shape only the native
+   *  spark-avro module can map (e.g. multi-branch unions, which it
+   *  renders as member structs): treat unknown as struct so the native
+   *  path keeps working; the fallback decoder raises its own clear error
+   *  when it is the one that cannot handle the shape. */
   def decodedType(spec: Spec): Option[DataType] = spec match {
     case JsonSpec(schema) => Some(schema)
-    case AvroSpec(schemaJson) => Some(graft.functions.AvroDecoder.sparkTypeFor(
-      new org.apache.avro.Schema.Parser().parse(schemaJson)))
+    case AvroSpec(schemaJson) =>
+      try Some(graft.functions.AvroDecoder.sparkTypeFor(
+        new org.apache.avro.Schema.Parser().parse(schemaJson)))
+      catch { case _: IllegalArgumentException => None }
     case NoSpec => None
   }
 
   /** Project a decoded kafka frame: flatten key/value STRUCTS to top-level
-   *  columns; scalar-typed schemas (e.g. a bare Avro "long") surface as
-   *  plain `key`/`value` columns — star-expanding them would fail
-   *  analysis. Metadata columns get the `__kafka_` prefix (reference:
-   *  KafkaReadActor.scala:81-88). */
+   *  columns; KNOWN scalar-typed schemas (e.g. a bare Avro "long")
+   *  surface as `__kafka_key`/`__kafka_value` — star-expanding them would
+   *  fail analysis, and the prefix avoids colliding with a same-named
+   *  field flattened from the other side's struct. Metadata columns get
+   *  the `__kafka_` prefix (reference: KafkaReadActor.scala:81-88). */
   def project(df: DataFrame, keySpec: Spec, valueSpec: Spec): DataFrame = {
     val metaCols = Seq("topic", "partition", "offset", "timestamp", "timestampType")
       .filter(df.columns.contains)
       .map(c => col(c).as(s"__kafka_$c"))
     def side(raw: String, spec: Spec, structAlias: String): Seq[Column] =
       (decode(col(raw), spec), decodedType(spec)) match {
-        case (Some(decoded), Some(_: StructType)) => Seq(decoded.as(structAlias))
-        case (Some(decoded), _) => Seq(decoded.as(raw))
+        case (Some(decoded), Some(t)) if !t.isInstanceOf[StructType] =>
+          Seq(decoded.as(s"__kafka_$raw"))
+        case (Some(decoded), _) => Seq(decoded.as(structAlias))
         case _ => Seq(col(raw).as(s"__kafka_$raw"))
       }
     val keyCols = side("key", keySpec, "__key_struct_")
