@@ -1127,6 +1127,41 @@ object Queries {
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
     Spec("s2_knn_lsh", s2, Some(s2Oracle)),
     Spec("s3_knn_ivf", s3, Some(s3Oracle)),
+
+    // Int8-quantized kNN: per-vector symmetric quantization (scale =
+    // 127/max|x|) then exact top-k over the quantized vectors — at 100 TB
+    // the 4-8x byte shrink per vector is what keeps an ANN index resident.
+    // Quantized components are integer-valued, so every dot/norm SUM is
+    // EXACT (association-order-free) — only the final divide/sqrt round,
+    // making cross-engine parity robust. Quantization runs as a typed map
+    // (JIT'd, one pass) — a Catalyst HOF here would re-evaluate the
+    // loop-invariant scale per element (interpreted O(d^2), see
+    // SNIPPETS/Dedup.shingles note).
+    Spec("s4_knn_quantized", (spark, dir) => {
+      import spark.implicits._
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long"), transform(col("embedding"), _.cast("double")).as("v"))
+      val prep = emb.as[(Long, Seq[Double])].map { case (id, v) =>
+        val m = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+        val s = if (m == 0) 0.0 else 127.0 / m
+        (id, v.map(x => math.floor(x * s + 0.5)))
+      }.toDF("vec_id", "qv")
+      Similarity.bruteForceTopK(prep.filter(col("vec_id") % 50 === 0), prep, "vec_id", "qv", 5)
+    }, Some {
+      val cos = s"(${dotSql("q.v", "c.v")}) / (${normSql("q.v")} * ${normSql("c.v")})"
+      s"""WITH c0 AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |sc AS (SELECT vec_id, v,
+         |  (CASE WHEN m = 0 THEN 0 ELSE 127.0 / m END) AS s
+         |  FROM (SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS m FROM c0)),
+         |qz AS (SELECT vec_id, list_transform(v, x -> floor(x * s + 0.5)) AS v FROM sc),
+         |q AS (SELECT * FROM qz WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round($cos, 6) AS cos_r
+         |  FROM q JOIN qz c ON q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos_r,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, cos_r AS cos_sim, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin
+    }),
     Spec("c1_kmeans", c1, Some(c1Oracle)),
 
     // Deterministic stratified sampling: N docs per language stratum,

@@ -133,6 +133,7 @@ class PlanSpec extends SparkSpec {
     // bug.
     val allowed = Set(
       "s1_knn_bruteforce", // labeled exact baseline: all-pairs by design
+      "s4_knn_quantized",  // labeled quantized exact baseline: same shape
       "s3_knn_ivf",        // crossJoin vs broadcast k-row centroid frame
       "c1_kmeans",         // crossJoin vs broadcast k-row centroid frame
       "d8_training_pipeline", // composite pipeline embedding the above stages
