@@ -1015,7 +1015,13 @@ object Queries {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         sq.awaitTermination()
-        spark.table(qname)
+        // spark.table eagerly resolves the view into the Dataset's plan,
+        // so the temp view can be dropped right away — otherwise every
+        // invocation pins a full result table in driver memory for the
+        // session's lifetime (bench warm+timed runs, PlanSpec sweeps).
+        val result = spark.table(qname)
+        spark.catalog.dropTempView(qname)
+        result
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }, Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
@@ -1273,9 +1279,15 @@ object Queries {
     // PIVOT: status columns per priority bucket — Spark's native PIVOT
     // syntax; the oracle spells it as FILTER aggregates so the two
     // engines' pivot implementations are checked against each other.
+    // Spark's PIVOT count(*) yields NULL for empty cells while the
+    // oracle's count(*) FILTER yields 0 — the outer coalesce makes the
+    // parity hold even when a (priority,status) cell is absent (rare
+    // 'P' status at small SFs); native PIVOT stays in the plan.
     Spec("q42_pivot", sqlQuery(Seq("orders"),
-      """SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
-        |PIVOT (count(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))""".stripMargin),
+      """SELECT o_orderpriority,
+        |  coalesce(n_f, 0) AS n_f, coalesce(n_o, 0) AS n_o, coalesce(n_p, 0) AS n_p
+        |FROM (SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        |PIVOT (count(*) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p)))""".stripMargin),
       Some("""SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,

@@ -93,8 +93,16 @@ class MemRowCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = MemRowStore.drop(k(ident))
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    // TableCatalog contract: renaming a missing table must raise, and the
+    // target must not already exist — a silent no-op would let
+    // ALTER TABLE ... RENAME report success on a table that isn't there.
+    if (MemRowStore.get(k(oldIdent)).isEmpty)
+      throw new NoSuchTableException(oldIdent.namespace().toSeq :+ oldIdent.name())
+    if (MemRowStore.get(k(newIdent)).isDefined)
+      throw new TableAlreadyExistsException(newIdent.namespace().toSeq :+ newIdent.name())
     MemRowStore.rename(k(oldIdent), k(newIdent))
+  }
 }
 
 class MemRowTable(key: String, tableSchema: StructType) extends Table
@@ -110,7 +118,7 @@ class MemRowTable(key: String, tableSchema: StructType) extends Table
     new MemScan(key, tableSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new MemWriteBuilder(key, tableSchema)
+    new MemWriteBuilder(key, tableSchema, info.schema())
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new MemRowLevelOperation(key, tableSchema, info.command())
@@ -124,7 +132,7 @@ class MemRowLevelOperation(key: String, schema: StructType,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScan(key, schema)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new MemWriteBuilder(key, schema, replaceAll = true)
+    new MemWriteBuilder(key, schema, info.schema(), replaceAll = true)
 }
 
 class MemScan(key: String, schema: StructType) extends ScanBuilder with Scan with Batch {
@@ -150,20 +158,22 @@ class MemReaderFactory extends PartitionReaderFactory {
 }
 
 class MemWriteBuilder(key: String, tableSchema: StructType,
+                      writeSchema: StructType,
                       replaceAll: Boolean = false)
   extends WriteBuilder with SupportsTruncate {
   private var doReplace = replaceAll
   override def truncate(): WriteBuilder = { doReplace = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new MemBatchWrite(key, doReplace, tableSchema)
+      new MemBatchWrite(key, doReplace, tableSchema, writeSchema)
   }
 }
 
 class MemBatchWrite(key: String, replace: Boolean,
-                    tableSchema: StructType) extends BatchWrite {
+                    tableSchema: StructType,
+                    writeSchema: StructType) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory(tableSchema)
+    new MemWriterFactory(tableSchema, writeSchema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.toSeq.flatMap(_.asInstanceOf[MemCommit].rows)
     if (replace) MemRowStore.replace(key, rows) else MemRowStore.append(key, rows)
@@ -173,26 +183,53 @@ class MemBatchWrite(key: String, replace: Boolean,
 
 final case class MemCommit(rows: Array[InternalRow]) extends WriterCommitMessage
 
-class MemWriterFactory(tableSchema: StructType) extends DataWriterFactory {
+class MemWriterFactory(tableSchema: StructType,
+                       writeSchema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // Row-level-operation writes carry Spark's synthetic marker columns
-      // (__row_operation) AHEAD of the data columns, and LogicalWriteInfo
-      // still reports the bare data schema — so size the projection off
-      // the first physical row: the data columns are its trailing
-      // tableSchema.length fields.
+      // (__row_operation) AHEAD of the data columns, while
+      // LogicalWriteInfo.schema() still reports the bare data schema.
+      // Binding order: (1) row width == table width → identity;
+      // (2) row width == logical write schema width and every table
+      // column appears there by name (type-checked) → bind by name, which
+      // stays correct even if a Spark version moves metadata columns
+      // after the data; (3) otherwise fall back to the verified
+      // markers-leading layout. Rows must keep one width for the whole
+      // task — a mid-stream change would misproject silently.
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
       private var proj: UnsafeProjection = _
+      private var boundWidth = -1
       private val buf = Vector.newBuilder[InternalRow]
-      override def write(record: InternalRow): Unit = {
-        if (proj == null) {
-          val skip = record.numFields - tableSchema.length
-          require(skip >= 0, s"row narrower than table schema: ${record.numFields}")
-          val refs = tableSchema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-            BoundReference(skip + i, f.dataType, f.nullable)
+
+      private def bind(width: Int): UnsafeProjection = {
+        val ordinals: IndexedSeq[Int] =
+          if (width == tableSchema.length) {
+            tableSchema.indices
+          } else if (width == writeSchema.length &&
+                     tableSchema.fields.forall(f => writeSchema.fieldNames.contains(f.name))) {
+            tableSchema.fields.toIndexedSeq.map { f =>
+              val i = writeSchema.fieldIndex(f.name)
+              require(writeSchema(i).dataType == f.dataType,
+                s"write-schema field ${f.name}: ${writeSchema(i).dataType} != table ${f.dataType}")
+              i
+            }
+          } else {
+            val skip = width - tableSchema.length
+            require(skip >= 0,
+              s"physical row ($width fields) narrower than table schema (${tableSchema.length}) " +
+                s"and not explained by the logical write schema (${writeSchema.length})")
+            (0 until tableSchema.length).map(_ + skip)
           }
-          proj = UnsafeProjection.create(refs)
-        }
+        UnsafeProjection.create(tableSchema.fields.toIndexedSeq.zip(ordinals).map {
+          case (f, i) => BoundReference(i, f.dataType, f.nullable)
+        })
+      }
+
+      override def write(record: InternalRow): Unit = {
+        if (proj == null) { boundWidth = record.numFields; proj = bind(boundWidth) }
+        else require(record.numFields == boundWidth,
+          s"row width changed mid-write: ${record.numFields} != $boundWidth")
         buf += proj(record).copy()
       }
       override def commit(): WriterCommitMessage = MemCommit(buf.result().toArray)

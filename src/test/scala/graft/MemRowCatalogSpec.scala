@@ -58,6 +58,24 @@ class MemRowCatalogSpec extends SparkSpec {
       (5L, "merged", 50L))   // not-matched insert; 3 deleted
   }
 
+  test("renameTable enforces the TableCatalog contract") {
+    import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val t = freshTable("ren")
+    val cat = spark.sessionState.catalogManager.catalog("memtest").asInstanceOf[TableCatalog]
+    def id(name: String) = Identifier.of(Array("db"), name)
+    // happy path moves the data
+    cat.renameTable(id("ren"), id("ren2"))
+    contents("memtest.db.ren2").map(_._1) shouldBe Seq(1L, 2L, 3L)
+    // missing source must raise, not silently report success
+    intercept[NoSuchTableException] { cat.renameTable(id("ren"), id("ren3")) }
+    // existing target must raise instead of clobbering it
+    freshTable("ren_tgt")
+    intercept[TableAlreadyExistsException] { cat.renameTable(id("ren2"), id("ren_tgt")) }
+    contents("memtest.db.ren_tgt").map(_._1) shouldBe Seq(1L, 2L, 3L)
+    spark.sql(s"DROP TABLE memtest.db.ren2"); spark.sql(s"DROP TABLE memtest.db.ren_tgt")
+  }
+
   test("DML round-trip composes: merge then delete then final state") {
     val t = freshTable("comp")
     spark.sql("SELECT * FROM VALUES (1, 99L), (4, 44L) AS s(id, a)").createOrReplaceTempView("comp_src")

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Edge-case fixtures for catalog queries — cases the sf* test data does
+ *  not exercise but real corpora will. */
+class QueryEdgeSpec extends SparkSpec {
+
+  test("q42_pivot fills absent (priority,status) cells with 0, not NULL") {
+    // fixture where no order has status 'P' and one priority has no 'O'
+    val dir = tmpDir("pivot_edge")
+    val schema = StructType(Seq(
+      StructField("o_orderpriority", StringType),
+      StructField("o_orderstatus", StringType)))
+    val rows = Seq(
+      Row("1-URGENT", "F"), Row("1-URGENT", "F"),
+      Row("2-HIGH", "O"), Row("2-HIGH", "F"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.parquet(s"$dir/orders.parquet")
+
+    val out = SparkEntry.queries("q42_pivot")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // every cell populated — absent combinations are 0, never null
+    out shouldBe Seq(("1-URGENT", 2L, 0L, 0L), ("2-HIGH", 1L, 1L, 0L))
+  }
+}
