@@ -922,7 +922,9 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       sq.awaitTermination()
-      spark.table(qname)
+      val result = spark.table(qname)
+      spark.catalog.dropTempView(qname)
+      result
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }, Some(s"""WITH $eventsUsCte
         |SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS bucket_start, event_type, count(*) AS cnt
@@ -956,7 +958,9 @@ object Queries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       sq.awaitTermination()
-      spark.table(qname)
+      val result = spark.table(qname)
+      spark.catalog.dropTempView(qname)
+      result
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }, Some(s"""WITH $eventsUsCte,
         |s AS (SELECT user_id, ts,
@@ -1276,6 +1280,22 @@ object Queries {
          |      < (1 + (CAST(substr(source, 4) AS BIGINT) % 5)) * 1152921504606846976""".stripMargin
     }),
 
+    // Source upsampling (epoch replication): the mixture step that feeds
+    // high-weight sources to training multiple times — each doc expands to
+    // `1 + (srcnum % 3)` (doc, epoch) rows. Narrow flatMap-shaped explode:
+    // linear work, zero shuffle, so replication factor is a multiplier on
+    // output size only, never on shuffle state.
+    Spec("c6_source_upsampling", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val srcnum = col("source").substr(lit(4), length(col("source"))).cast("long")
+      val repeats = (lit(1L) + pmod(srcnum, lit(3L))).cast("int")
+      docs.select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), repeats)).as("epoch"))
+        .select(col("doc_id"), col("source"), col("epoch").cast("long").as("epoch"))
+    }, Some("""SELECT doc_id, source,
+        |  CAST(unnest(range(1, 2 + (CAST(substr(source, 4) AS BIGINT) % 3))) AS BIGINT) AS epoch
+        |FROM documents""".stripMargin)),
+
     // PIVOT: status columns per priority bucket — Spark's native PIVOT
     // syntax; the oracle spells it as FILTER aggregates so the two
     // engines' pivot implementations are checked against each other.
@@ -1309,6 +1329,115 @@ object Queries {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
         |WHERE val IS NOT NULL""".stripMargin)),
+
+    // Stream-STREAM interval join (watermarked both sides): clicks joined
+    // to the purchases that follow within 1 hour for the same user — the
+    // attribution-join shape. Both sides carry watermarks and the join
+    // condition bounds event time on both, so Spark can evict state (at
+    // 100 TB the state store holds ≤ watermark+range per key, not the
+    // stream). Full AvailableNow drain over a static file = batch parity,
+    // so the batch interval join is the oracle.
+    Spec("q44_stream_stream_join", (spark, dir) => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        def stream() = spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val clicks = stream().filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = stream().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "2 hours")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") > col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
+              .as("lag_seconds"))
+        val qname = s"q44_ssjoin_${System.nanoTime}"
+        val sq = joined.writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        val result = spark.table(qname)
+        spark.catalog.dropTempView(qname)
+        result
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }, Some(s"""WITH $eventsUsCte
+        |SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+        |  floor(epoch(b.ts))::BIGINT - floor(epoch(a.ts))::BIGINT AS lag_seconds
+        |FROM events_us a JOIN events_us b
+        |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin)),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): single-source shortest depth
+    // over an acyclic edge list derived from nation (each node's successor
+    // is key + regionkey + 1 — strictly increasing, so recursion
+    // terminates). Each recursion step is one distributed join; depth is
+    // bounded by graph diameter, like d9's star rounds.
+    Spec("q45_recursive_cte", sqlQuery(Seq("nation"),
+      """WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(0 AS BIGINT) FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT), r.depth + 1
+        |  FROM reach r JOIN nation e ON e.n_nationkey = r.node
+        |  JOIN nation n ON n.n_nationkey = e.n_nationkey + e.n_regionkey + 1)
+        |SELECT node, min(depth) AS depth FROM reach GROUP BY node""".stripMargin),
+      Some("""WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(0 AS BIGINT) FROM nation WHERE n_nationkey = 0
+        |  UNION ALL
+        |  SELECT CAST(n.n_nationkey AS BIGINT), r.depth + 1
+        |  FROM reach r JOIN nation e ON e.n_nationkey = r.node
+        |  JOIN nation n ON n.n_nationkey = e.n_nationkey + e.n_regionkey + 1)
+        |SELECT node, min(depth) AS depth FROM reach GROUP BY node""".stripMargin)),
+
+    // LATERAL correlated subquery join: per-region top-2 nations by
+    // customer count — the per-row top-N idiom without a window over the
+    // whole fact table (the aggregate runs once; the lateral picks per
+    // region).
+    Spec("q46_lateral_topn", sqlQuery(Seq("region", "nation", "customer"),
+      """WITH nc AS (SELECT n.n_regionkey, n.n_name, count(*) AS n_cust
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_regionkey, n.n_name)
+        |SELECT r.r_name, l.n_name, l.n_cust
+        |FROM region r, LATERAL (SELECT n_name, n_cust FROM nc
+        |  WHERE nc.n_regionkey = r.r_regionkey
+        |  ORDER BY n_cust DESC, n_name LIMIT 2) l""".stripMargin),
+      Some("""WITH nc AS (SELECT n.n_regionkey, n.n_name, count(*) AS n_cust
+        |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY n.n_regionkey, n.n_name)
+        |SELECT r.r_name, l.n_name, l.n_cust
+        |FROM region r, LATERAL (SELECT n_name, n_cust FROM nc
+        |  WHERE nc.n_regionkey = r.r_regionkey
+        |  ORDER BY n_cust DESC, n_name LIMIT 2) l""".stripMargin)),
+
+    // Time-interval RANGE window frame: per-user trailing-1-hour event
+    // count and exact value sum (value is 2-decimal money — DECIMAL cast
+    // is lossless and the frame-set sum order-independent). RANGE frames
+    // are tie-safe: equal timestamps see identical frame sets in both
+    // engines.
+    Spec("q47_range_frame", sqlQuery(Seq("events"),
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin),
+      Some(s"""WITH $eventsUsCte
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events_us
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)),
 
     Spec("t1_token_counts", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -1467,6 +1596,27 @@ object Queries {
         |l AS (SELECT round(quantile_cont(length(text), 0.5), 4) AS p50_len,
         |  round(quantile_cont(length(text), 0.9), 4) AS p90_len FROM documents)
         |SELECT v.vocab_size, v.total_tokens, l.p50_len, l.p90_len FROM v CROSS JOIN l""".stripMargin)),
+
+    // Corpus vocabulary profile: top-100 tokens by frequency with document
+    // frequency — the frequency-table pass behind tokenizer audits and
+    // stopword lists. Partial (map-side) aggregation collapses each
+    // partition to ≤|vocab| rows before the single shuffle; the top-k is
+    // TakeOrdered, never a global sort.
+    Spec("t10_vocab_topk", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"),
+          explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("tf").desc, col("tok"))
+        .limit(100)
+    }, Some("""WITH toks AS (SELECT doc_id,
+        |  unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        |FROM toks WHERE length(tok) > 0
+        |GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin)),
 
     Spec("u1_zipwithindex", u1,
       Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct
