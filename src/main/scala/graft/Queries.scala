@@ -989,6 +989,44 @@ object Queries {
         |  substr(hex(encode(text)), 1, 16) AS head_hex
         |FROM documents""".stripMargin)),
 
+    // Frame sampling through the REAL multimodal plumbing (partition-
+    // parallel mapPartitions over opaque binary payloads — the shape a
+    // video pipeline uses; chunking stands in for the codec). Text bytes
+    // act as the payload; every 4th 16-byte chunk becomes a frame row.
+    // The oracle mirrors byte chunking with char substrings (the corpus
+    // is pure ASCII, so byte == char offsets).
+    Spec("m2_frame_sample", (spark, dir) => {
+      implicit val s: SparkSession = spark
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.ml.Multimodal.sampleFrames(docs, frameBytes = 16, everyNth = 4)
+        .select(col("id").as("doc_id"), col("frame_no").cast("long").as("frame_no"),
+          md5(col("frame")).as("frame_md5"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+    }, Some("""WITH f AS (SELECT doc_id, text,
+        |  unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT))) AS i
+        |  FROM documents)
+        |SELECT doc_id, i AS frame_no,
+        |  md5(substr(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS frame_md5,
+        |  CAST(length(substr(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS BIGINT) AS frame_bytes
+        |FROM f WHERE i % 4 = 0""".stripMargin)),
+
+    // "Resize" through the multimodal plumbing: deterministic 1-in-4-byte
+    // downsample per payload (stub scaler, real partition-parallel shape).
+    Spec("m3_resize", (spark, dir) => {
+      implicit val s: SparkSession = spark
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.ml.Multimodal.resizeStub(docs, factor = 4)
+        .select(col("id").as("doc_id"), md5(col("payload")).as("resized_md5"),
+          length(col("payload")).cast("long").as("resized_bytes"))
+    }, Some("""SELECT doc_id,
+        |  md5(array_to_string(list_transform(
+        |    range(0, CAST(ceil(length(text) / 4.0) AS BIGINT)),
+        |    i -> substr(text, CAST(i * 4 + 1 AS BIGINT), 1)), '')) AS resized_md5,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS resized_bytes
+        |FROM documents""".stripMargin)),
+
     // ------------------------------------------- training-data pipeline ops
 
     Spec("d1_dedup_exact", (spark, dir) => {

@@ -176,6 +176,22 @@ class PlanSpec extends SparkSpec {
     (tree should not).include("Exchange")
   }
 
+  test("t10: vocabulary top-k is TakeOrdered over a partial-agg, not a global sort") {
+    val p = plan(q("t10_vocab_topk"))
+    p should include("TakeOrderedAndProject")
+    // the count-distinct rewrite still partial-aggregates before each
+    // exchange — no raw token stream crosses the wire
+    p should include("HashAggregate")
+  }
+
+  test("c6/m2/m3: replication and multimodal plumbing plan with no exchange") {
+    for (name <- Seq("c6_source_upsampling", "m2_frame_sample", "m3_resize")) {
+      val tree = plan(q(name)).linesIterator
+        .takeWhile(_.trim.nonEmpty).mkString("\n")
+      withClue(name) { (tree should not).include("Exchange") }
+    }
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     // under AQE codegen stages exist only after execution; plan with AQE
     // off to inspect the compiled subtree count deterministically
