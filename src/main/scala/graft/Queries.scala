@@ -46,6 +46,45 @@ object Queries {
       .createOrReplaceTempView("events")
   }
 
+  /** Streaming read of one parquet file inside the sf dir (the file stream
+   *  source wants a directory; the glob selects the file). */
+  private def streamTable(spark: SparkSession, dir: String, file: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/$file").schema
+    spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir)
+  }
+
+  /** Streaming twin of [[eventsView]] — identical nanos→micros truncation,
+   *  so every streaming query shares one conversion site with the batch
+   *  oracles. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    streamTable(spark, dir, "events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** Drain a streaming frame through a memory sink (AvailableNow) and
+   *  return the result. Shared epilogue for every streaming gate query:
+   *  shuffle partitions drop to 8 for the run (state-store count equals
+   *  shuffle partitions; 8 covers these key cardinalities at 4× less
+   *  per-partition store setup) and the sink's temp view is dropped once
+   *  the result Dataset is resolved — otherwise each invocation pins a
+   *  full result table in driver memory for the session's lifetime. */
+  private def drainToMemory(spark: SparkSession, df: DataFrame, prefix: String,
+                            mode: String): DataFrame = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val qname = s"${prefix}_${System.nanoTime}"
+      val sq = df.writeStream.format("memory").queryName(qname)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      val result = spark.table(qname)
+      spark.catalog.dropTempView(qname)
+      result
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
   /** DuckDB-side mirror of [[eventsView]]'s microsecond truncation. */
   private val eventsUsCte =
     """events_us AS (SELECT event_id, date_trunc('microseconds', ts) AS ts,
@@ -900,32 +939,12 @@ object Queries {
     // sink (complete mode) — proves stream/batch result parity, not just
     // "the stream ran" (reference streams are DataFrames too, SURVEY §1).
     Spec("q27_stream_tumbling", (spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // state-store count = shuffle partitions: 8 is plenty for this key
-      // cardinality and cuts per-partition store setup 4x (restored below)
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-      val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      // the file stream source wants a directory: stream the sf dir with a
-      // glob filter selecting the events file
-      val agg = spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = eventsStream(spark, dir)
         .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("window.start").cast("long").as("bucket_start"),
           col("event_type"), col("cnt"))
-      val qname = s"q27_stream_${System.nanoTime}"
-      val sq = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
-      val result = spark.table(qname)
-      spark.catalog.dropTempView(qname)
-      result
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      drainToMemory(spark, agg, "q27_stream", "complete")
     }, Some(s"""WITH $eventsUsCte
         |SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS bucket_start, event_type, count(*) AS cnt
         |FROM events_us GROUP BY 1, 2""".stripMargin)),
@@ -935,15 +954,7 @@ object Queries {
     // must reproduce the session_window oracle exactly — proving the custom
     // state-machine path computes what the declarative operator computes.
     Spec("q34_stateful_sessions", (spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-      val schema = spark.read.parquet(s"$dir/events.parquet").schema
-      spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        .createOrReplaceTempView("q34_in")
+      eventsStream(spark, dir).createOrReplaceTempView("q34_in")
       val ctx = new JobContext(PipelineContext())(spark)
       val actor = new graft.transform.StreamStatefulTransformer()
       actor.init(Map(
@@ -952,16 +963,7 @@ object Queries {
         "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
         "processor.gapSeconds" -> "1800"))(spark)
       val out = actor.run(ctx)(spark).get
-      val qname = s"q34_sessions_${System.nanoTime}"
-      val sq = out.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
-      val result = spark.table(qname)
-      spark.catalog.dropTempView(qname)
-      result
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      drainToMemory(spark, out, "q34_sessions", "append")
     }, Some(s"""WITH $eventsUsCte,
         |s AS (SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
@@ -1041,30 +1043,12 @@ object Queries {
     // per content hash across micro-batches. Final state must equal the
     // batch answer (stream/batch parity), so d1's oracle applies verbatim.
     Spec("q41_stream_dedup", (spark, dir) => {
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-        val out = spark.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
-          .select(md5(Dedup.normText(col("text"))).as("content_hash"),
-            col("doc_id").cast("long").as("doc_id"))
-          .groupBy(col("content_hash"))
-          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
-        val qname = s"q41_dedup_${System.nanoTime}"
-        val sq = out.writeStream.format("memory").queryName(qname)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        sq.awaitTermination()
-        // spark.table eagerly resolves the view into the Dataset's plan,
-        // so the temp view can be dropped right away — otherwise every
-        // invocation pins a full result table in driver memory for the
-        // session's lifetime (bench warm+timed runs, PlanSpec sweeps).
-        val result = spark.table(qname)
-        spark.catalog.dropTempView(qname)
-        result
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val out = streamTable(spark, dir, "documents.parquet")
+        .select(md5(Dedup.normText(col("text"))).as("content_hash"),
+          col("doc_id").cast("long").as("doc_id"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      drainToMemory(spark, out, "q41_dedup", "complete")
     }, Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin)),
@@ -1376,39 +1360,24 @@ object Queries {
     // stream). Full AvailableNow drain over a static file = batch parity,
     // so the batch interval join is the oracle.
     Spec("q44_stream_stream_join", (spark, dir) => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val schema = spark.read.parquet(s"$dir/events.parquet").schema
-        def stream() = spark.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        val clicks = stream().filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"),
-            col("ts").as("click_ts"))
-          .withWatermark("click_ts", "2 hours")
-        val purchases = stream().filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"),
-            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-          .withWatermark("purchase_ts", "2 hours")
-        val joined = clicks.join(purchases,
-          col("user_id") === col("p_user_id") &&
-            col("purchase_ts") > col("click_ts") &&
-            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-          .select(col("click_id"), col("purchase_id"), col("user_id"),
-            (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
-              .as("lag_seconds"))
-        val qname = s"q44_ssjoin_${System.nanoTime}"
-        val sq = joined.writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        sq.awaitTermination()
-        val result = spark.table(qname)
-        spark.catalog.dropTempView(qname)
-        result
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val clicks = eventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
+            .as("lag_seconds"))
+      drainToMemory(spark, joined, "q44_ssjoin", "append")
     }, Some(s"""WITH $eventsUsCte
         |SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
         |  floor(epoch(b.ts))::BIGINT - floor(epoch(a.ts))::BIGINT AS lag_seconds

@@ -37,12 +37,23 @@ object MemRowStore {
   def key(catalog: String, ident: Identifier): String =
     (catalog +: ident.namespace().toSeq :+ ident.name()).mkString(".")
 
+  sealed trait RenameResult
+  case object Renamed extends RenameResult
+  case object NoSource extends RenameResult
+  case object TargetExists extends RenameResult
+
   def get(key: String): Option[TableState] = tables.get(key)
   def create(key: String, schema: StructType): Boolean =
     tables.putIfAbsent(key, TableState(schema, Vector.empty)).isEmpty
   def drop(key: String): Boolean = tables.remove(key).isDefined
-  def rename(from: String, to: String): Unit =
-    tables.remove(from).foreach(s => tables.put(to, s))
+  /** Atomic move: a check-then-act sequence over the TrieMap could let two
+   *  concurrent renames both pass the target-exists check and silently
+   *  clobber each other — the lock makes check and move one step. */
+  def rename(from: String, to: String): RenameResult = tables.synchronized {
+    if (!tables.contains(from)) NoSource
+    else if (tables.contains(to)) TargetExists
+    else { tables.put(to, tables.remove(from).get); Renamed }
+  }
   def list(prefix: String): Seq[String] = tables.keys.filter(_.startsWith(prefix)).toSeq
 
   def append(key: String, rows: Seq[InternalRow]): Unit = tables.updateWith(key) {
@@ -93,16 +104,15 @@ class MemRowCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = MemRowStore.drop(k(ident))
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     // TableCatalog contract: renaming a missing table must raise, and the
     // target must not already exist — a silent no-op would let
     // ALTER TABLE ... RENAME report success on a table that isn't there.
-    if (MemRowStore.get(k(oldIdent)).isEmpty)
-      throw new NoSuchTableException(oldIdent.namespace().toSeq :+ oldIdent.name())
-    if (MemRowStore.get(k(newIdent)).isDefined)
-      throw new TableAlreadyExistsException(newIdent.namespace().toSeq :+ newIdent.name())
-    MemRowStore.rename(k(oldIdent), k(newIdent))
-  }
+    MemRowStore.rename(k(oldIdent), k(newIdent)) match {
+      case MemRowStore.Renamed => ()
+      case MemRowStore.NoSource => throw new NoSuchTableException(oldIdent)
+      case MemRowStore.TargetExists => throw new TableAlreadyExistsException(newIdent)
+    }
 }
 
 class MemRowTable(key: String, tableSchema: StructType) extends Table
@@ -202,18 +212,27 @@ class MemWriterFactory(tableSchema: StructType,
       private var boundWidth = -1
       private val buf = Vector.newBuilder[InternalRow]
 
+      // Case-INSENSITIVE name lookup (Spark resolves columns that way by
+      // default): each table column must match exactly one write-schema
+      // field, with the same data type — otherwise name binding is
+      // ambiguous and the caller falls back to the positional layout.
+      private lazy val nameBinding: Option[IndexedSeq[Int]] = {
+        val byLower = writeSchema.fields.zipWithIndex.groupBy(_._1.name.toLowerCase)
+        val hits = tableSchema.fields.toIndexedSeq.map { f =>
+          byLower.get(f.name.toLowerCase) match {
+            case Some(Array((wf, i))) if wf.dataType == f.dataType => Some(i)
+            case _ => None
+          }
+        }
+        if (hits.forall(_.isDefined)) Some(hits.map(_.get)) else None
+      }
+
       private def bind(width: Int): UnsafeProjection = {
         val ordinals: IndexedSeq[Int] =
           if (width == tableSchema.length) {
             tableSchema.indices
-          } else if (width == writeSchema.length &&
-                     tableSchema.fields.forall(f => writeSchema.fieldNames.contains(f.name))) {
-            tableSchema.fields.toIndexedSeq.map { f =>
-              val i = writeSchema.fieldIndex(f.name)
-              require(writeSchema(i).dataType == f.dataType,
-                s"write-schema field ${f.name}: ${writeSchema(i).dataType} != table ${f.dataType}")
-              i
-            }
+          } else if (width == writeSchema.length && nameBinding.isDefined) {
+            nameBinding.get
           } else {
             val skip = width - tableSchema.length
             require(skip >= 0,

@@ -69,10 +69,14 @@ class MemRowCatalogSpec extends SparkSpec {
     contents("memtest.db.ren2").map(_._1) shouldBe Seq(1L, 2L, 3L)
     // missing source must raise, not silently report success
     intercept[NoSuchTableException] { cat.renameTable(id("ren"), id("ren3")) }
-    // existing target must raise instead of clobbering it
+    // existing target must raise instead of clobbering it — the target is
+    // seeded with a row the source lacks, so a clobber-then-throw
+    // implementation can't sneak past the contents assertions
     freshTable("ren_tgt")
+    spark.sql("INSERT INTO memtest.db.ren_tgt VALUES (7, 'tgt-only', 70)")
     intercept[TableAlreadyExistsException] { cat.renameTable(id("ren2"), id("ren_tgt")) }
-    contents("memtest.db.ren_tgt").map(_._1) shouldBe Seq(1L, 2L, 3L)
+    contents("memtest.db.ren_tgt").map(_._1) shouldBe Seq(1L, 2L, 3L, 7L)
+    contents("memtest.db.ren2").map(_._1) shouldBe Seq(1L, 2L, 3L)
     spark.sql(s"DROP TABLE memtest.db.ren2"); spark.sql(s"DROP TABLE memtest.db.ren_tgt")
   }
 

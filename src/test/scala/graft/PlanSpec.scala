@@ -179,9 +179,10 @@ class PlanSpec extends SparkSpec {
   test("t10: vocabulary top-k is TakeOrdered over a partial-agg, not a global sort") {
     val p = plan(q("t10_vocab_topk"))
     p should include("TakeOrderedAndProject")
-    // the count-distinct rewrite still partial-aggregates before each
-    // exchange — no raw token stream crosses the wire
-    p should include("HashAggregate")
+    // the count-distinct rewrite partial-aggregates before EACH of its two
+    // exchanges (4 HashAggregates total) — a plan that ships raw token
+    // rows to the wire has fewer aggregate nodes and must fail here
+    p.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 4
   }
 
   test("c6/m2/m3: replication and multimodal plumbing plan with no exchange") {
