@@ -390,6 +390,37 @@ object Queries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** DuckDB mirror of [[Similarity.pqTopK]]: same md5-seeded codebooks,
+   *  same (dist, crank)-ordered argmin encode, same reconstructed-vector
+   *  ADC expression (qq + rr − 2·dot) — doubles are bit-identical because
+   *  every sum is spelled in the same left-to-right order. */
+  private val s5Oracle: String = {
+    def d8(a: String, b: String): String =
+      (1 to 8).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+    val rr = (1 to 64).map(i => s"r[$i]*r[$i]").mkString(" + ")
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |seeded AS (SELECT vec_id, v, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM c),
+       |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
+       |seeds AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v FROM cent0),
+       |ms AS (SELECT unnest(range(0, 8)) AS m),
+       |cb AS (SELECT crank, m, v[m*8+1 : m*8+8] AS cw FROM seeds CROSS JOIN ms),
+       |csub AS (SELECT vec_id AS id, m, v[m*8+1 : m*8+8] AS sv FROM c CROSS JOIN ms),
+       |codes AS (SELECT id, m, crank AS code FROM (
+       |  SELECT cs.id, cs.m, cb.crank, ${d8("cs.sv", "cb.cw")} AS d
+       |  FROM csub cs JOIN cb ON cs.m = cb.m)
+       |  QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY d, crank) = 1),
+       |recon0 AS (SELECT codes.id, flatten(list(cb.cw ORDER BY cb.m)) AS r
+       |  FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.crank GROUP BY codes.id),
+       |recon AS (SELECT id, r, ($rr) AS rr FROM recon0),
+       |q AS (SELECT vec_id AS query_id, v, (${dotSql("v", "v")}) AS qq FROM c WHERE vec_id % 50 = 0),
+       |scored AS (SELECT q.query_id, rc.id AS neighbor_id,
+       |  round(q.qq + rc.rr - 2.0 * (${dotSql("q.v", "rc.r")}), 6) AS adc_dist2
+       |  FROM q CROSS JOIN recon rc WHERE q.query_id <> rc.id),
+       |rk AS (SELECT query_id, neighbor_id, adc_dist2,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5""".stripMargin
+  }
+
   /** Deterministic k-means over the embeddings (k=8, 3 Lloyd iterations,
    *  md5 seeding, fixed-point centroid updates — see ml.Clustering). */
   private def c1(spark: SparkSession, dir: String): DataFrame = {
@@ -1194,6 +1225,19 @@ object Queries {
          |SELECT query_id, neighbor_id, cos_r AS cos_sim, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5""".stripMargin
     }),
+    // Product-quantized ANN: corpus encoded as 8 codeword ids from 16-entry
+    // per-subspace codebooks (8 bytes/vector instead of 256), queries
+    // scanned with asymmetric distance against the reconstructions — the
+    // memory-compression half of an IVF-PQ index (compose with s3's cell
+    // routing to also bound candidates). Encode = map-side min_by argmin
+    // against a broadcast 128-row codebook; the full-ADC scan is the
+    // labeled baseline shape.
+    Spec("s5_knn_pq", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      Similarity.pqTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5)
+    }, Some(s5Oracle)),
+
     Spec("c1_kmeans", c1, Some(c1Oracle)),
 
     // Deterministic stratified sampling: N docs per language stratum,

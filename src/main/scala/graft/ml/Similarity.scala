@@ -183,6 +183,77 @@ object Similarity {
   }
 
   /**
+   * Product-quantization top-k (the memory-compression scale path): each
+   * corpus vector is encoded as `m` small codeword ids (here 8 × 4 bits ⇒
+   * 8 ids from 16-entry codebooks), queries scan the RECONSTRUCTED
+   * vectors with asymmetric squared-L2 distance. Because the subspaces
+   * partition the dimensions, sum over subspaces of ‖q_s − cw_s‖² equals
+   * the plain 64-dim distance to the concatenated reconstruction — so ADC
+   * is one native dot against `r`, not an 8-way join per pair.
+   *
+   * At 100 TB the win is state size: the scanned side carries 8 codes +
+   * norms instead of 64 floats (reconstruction happens once, corpus-side,
+   * not per pair), and the encode step is map-side `min_by` against a
+   * broadcast 128-row codebook — one shuffle on (id, subspace). Compose
+   * with [[ivfTopK]]'s cell routing to also bound the candidate count;
+   * the scan here is the labeled full-ADC baseline.
+   *
+   * Codebooks are deterministic (subvectors of the `codewords` smallest-
+   * md5(id) seed vectors — same reproducible-sample device as
+   * [[ivfTopK]]); swap in sampled k-means codebooks on a real cluster
+   * without touching the dataflow.
+   */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+             k: Int, dim: Int = 64, subspaces: Int = 8, codewords: Int = 16): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val sub = dim / subspaces
+    val corp = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val seeded = corp.select(col("id"), col("v"),
+      Hashing.oracleHash(col("id").cast("string")).as("h"))
+    // rank window runs after limit(codewords): single bounded group
+    // (allowlisted like ivfTopK's centroid ranking)
+    val seeds = seeded.orderBy(col("h"), col("id")).limit(codewords)
+      .withColumn("crank", row_number().over(Window.orderBy(col("h"), col("id"))))
+    def subVectors(v: Column): Column =
+      array((0 until subspaces).map(mm => slice(v, mm * sub + 1, sub)): _*)
+    val cb = seeds.select(col("crank"), posexplode(subVectors(col("v"))).as(Seq("m", "cw")))
+    val corpSub = corp.select(col("id"), posexplode(subVectors(col("v"))).as(Seq("m", "sv")))
+    // explicit (a-b)^2 terms, left-associated — textual mirror of the
+    // oracle's expression so doubles are bit-identical
+    def dist2(a: Column, b: Column): Column =
+      (1 to sub).map { i =>
+        val d = element_at(a, i) - element_at(b, i); d * d
+      }.reduce(_ + _)
+    // encode: per (vector, subspace) argmin over the broadcast codebook;
+    // min_by over [dist, crank] breaks ties to the smallest codeword id
+    // and partial-aggregates map-side before the one (id, m) shuffle
+    val codes = corpSub.join(broadcast(cb), Seq("m"))
+      .groupBy(col("id"), col("m"))
+      .agg(min_by(col("crank"),
+        array(dist2(col("sv"), col("cw")), col("crank").cast("double"))).as("code"))
+    // reconstruct once per corpus vector: codes -> codewords, subspace
+    // order restored by sorting the (m, cw) structs
+    val recon = codes.join(broadcast(cb),
+        codes("m") === cb("m") && codes("code") === cb("crank"))
+      .select(col("id"), codes("m").as("ms"), col("cw"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("ms"), col("cw")))),
+        s => s.getField("cw"))).as("r"))
+      .select(col("id").as("neighbor_id"), col("r"), dot(col("r"), col("r")).as("rr"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
+      dot(col(vecCol), col(vecCol)).as("qq"))
+    val scored = q.crossJoin(recon)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("qq") + col("rr") - lit(2.0) * dot(col("qv"), col("r")), 6)
+          .as("adc_dist2"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc_dist2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist2"), col("rank"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, blocked by a coarse key (e.g. a
    * label/cluster column) so the pair join never goes quadratic in the
    * corpus. Output: (id_a < id_b, cos_sim) with cos ≥ threshold.

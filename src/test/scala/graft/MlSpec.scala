@@ -216,6 +216,45 @@ class MlSpec extends SparkSpec {
     agree should be >= (lsh.size / 4)
   }
 
+  test("pq topk reconstructions are 64-dim and rank near the exact neighbors") {
+    implicit val s = spark
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val pq = Similarity.pqTopK(q, emb, "vec_id", "v", 5).collect()
+    val byQuery = pq.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      rows.length shouldBe 5
+      rows.map(_.getInt(3)).sorted.toSeq shouldBe Seq(1, 2, 3, 4, 5)
+      // ADC is a squared distance: non-negative, ascending with rank
+      val d = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      all(d) should be >= 0.0
+      d.sorted.toSeq shouldBe d.toSeq
+    }
+    // quantization is lossy by construction; require real overlap with the
+    // exact SQUARED-L2 top-5 (the metric ADC approximates), not agreement
+    import org.apache.spark.sql.expressions.Window
+    val withN = emb.select(col("vec_id").cast("long").as("id"), col("v"),
+      Similarity.dot(col("v"), col("v")).as("vv"))
+    val qn = withN.filter(col("id") % 100 === 0)
+      .select(col("id").as("qid"), col("v").as("qv"), col("vv").as("qq"))
+    val exact = qn.crossJoin(withN).filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        (col("qq") + col("vv") - lit(2.0) * Similarity.dot(col("qv"), col("v"))).as("d"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d"), col("id"))))
+      .filter(col("rank") <= 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val overlap = byQuery.map { case (k, rows) =>
+      rows.map(_.getLong(1)).count(exact.getOrElse(k, Set.empty))
+    }.sum
+    // 16-entry codebooks over isotropic random vectors quantize coarsely
+    // (high distortion is inherent, which is why real indexes train
+    // codebooks on the data); require clearly-above-chance overlap, not
+    // recall: random top-5 picks would overlap ≈ 5·5/499 ≈ 0.05/query.
+    overlap should be >= 2
+  }
+
   test("native dot/norm expressions are bit-identical to the fold form") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)

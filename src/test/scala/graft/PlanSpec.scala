@@ -116,6 +116,7 @@ class PlanSpec extends SparkSpec {
     // other than data volume, so the single task stays small at any scale:
     val allowed = Set(
       "s3_knn_ivf",      // centroid rank: window AFTER limit(k), k<=16 rows
+      "s5_knn_pq",       // codebook seed rank: window AFTER limit(16)
       "d8_training_pipeline", // composite pipeline embedding the s3 stage
       "u1_zipwithindex"  // offsets frame: one row per input PARTITION
     )
@@ -134,6 +135,8 @@ class PlanSpec extends SparkSpec {
     val allowed = Set(
       "s1_knn_bruteforce", // labeled exact baseline: all-pairs by design
       "s4_knn_quantized",  // labeled quantized exact baseline: same shape
+      "s5_knn_pq",         // labeled full-ADC scan (PQ compresses memory,
+                           // not candidate count; IVF cells bound that)
       "s3_knn_ivf",        // crossJoin vs broadcast k-row centroid frame
       "c1_kmeans",         // crossJoin vs broadcast k-row centroid frame
       "d8_training_pipeline", // composite pipeline embedding the above stages
