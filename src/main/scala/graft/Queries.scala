@@ -1429,6 +1429,58 @@ object Queries {
         |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin)),
 
+    // Stream-stream LEFT OUTER interval join: unmatched clicks must emit
+    // null-extended rows, which Spark only does once the watermark passes
+    // the end of each row's join window (otherwise a match could still
+    // arrive). The click side is cut off 6 days before stream end so
+    // every outer row's window closes below the final watermark — the
+    // no-data batch AvailableNow runs at drain end then flushes them,
+    // and the result equals the batch LEFT JOIN oracle. At scale the
+    // same watermark math bounds both the join state and result latency.
+    Spec("q48_stream_outer_join", (spark, dir) => {
+      // The global watermark is by default the MIN across inputs, and a
+      // side's own watermark never passes (its max event time - delay) —
+      // so the last delay+window span of the EARLIER-ending side can
+      // never flush its outer rows, no matter the cutoff. The documented
+      // `max` policy keys eviction to the later-ending purchase stream,
+      // which covers every cut-off click's window; its late-data caveat
+      // doesn't apply to a full AvailableNow drain (restored below).
+      val prevPolicy = spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
+      spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+      try {
+      val clicks = eventsStream(spark, dir)
+        .filter(col("event_type") === "click" &&
+          col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "30 minutes")
+      val purchases = eventsStream(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "30 minutes")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
+            .as("lag_seconds"))
+      drainToMemory(spark, joined, "q48_ssouter", "append")
+      } finally prevPolicy match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", p)
+        case None => spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+      }
+    }, Some(s"""WITH $eventsUsCte,
+        |c AS (SELECT event_id, ts, user_id FROM events_us
+        |      WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-25 00:00:00'),
+        |p AS (SELECT event_id, ts, user_id FROM events_us WHERE event_type = 'purchase')
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  floor(epoch(p.ts))::BIGINT - floor(epoch(c.ts))::BIGINT AS lag_seconds
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin)),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): single-source shortest depth
     // over an acyclic edge list derived from nation (each node's successor
     // is key + regionkey + 1 — strictly increasing, so recursion
