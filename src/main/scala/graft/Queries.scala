@@ -1522,6 +1522,30 @@ object Queries {
         |  WHERE nc.n_regionkey = r.r_regionkey
         |  ORDER BY n_cust DESC, n_name LIMIT 2) l""".stripMargin)),
 
+    // TRY_CAST error-safe conversion semantics (ANSI-safe ingestion of
+    // dirty columns — NULL instead of a runtime error, in both engines).
+    Spec("q49_try_cast", sqlQuery(Seq("orders"),
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
+        |  CAST(TRY_CAST(o_totalprice AS BIGINT) IS NOT NULL AS INT) AS price_ok
+        |FROM orders WHERE o_orderkey <= 400""".stripMargin),
+      Some("""SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
+        |  CAST(TRY_CAST(o_totalprice AS BIGINT) IS NOT NULL AS INT) AS price_ok
+        |FROM orders WHERE o_orderkey <= 400""".stripMargin)),
+
+    // GROUP BY ALL: every non-aggregate select item groups implicitly —
+    // identical modern-SQL sugar in both engines.
+    Spec("q50_group_by_all", sqlQuery(Seq("orders"),
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL""".stripMargin),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY ALL""".stripMargin)),
+
     // Time-interval RANGE window frame: per-user trailing-1-hour event
     // count and exact value sum (value is 2-decimal money — DECIMAL cast
     // is lossless and the frame-set sum order-independent). RANGE frames

@@ -33,6 +33,35 @@ class StreamingSpec extends SparkSpec {
     result.columns should contain("__timestamp")
   }
 
+  test("stateful aggregation resumes from checkpoint across restarts") {
+    // Two-phase drain over one checkpoint: phase 2 must see phase 1's agg
+    // state (and skip its already-committed input) — if recovery dropped
+    // state, key 'b' (absent from the second file) would vanish and 'a'
+    // would count only the new rows. Memory sink recovery is supported in
+    // complete mode.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val in = tmpDir("ckpt_in")
+    val ckpt = tmpDir("ckpt_state")
+    val schema = StructType(Seq(StructField("k", StringType), StructField("v", IntegerType)))
+    def drain(qname: String): Seq[(String, Long, Long)] = {
+      val agg = spark.readStream.schema(schema).csv(in)
+        .groupBy(col("k")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      val sq = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("complete").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      val out = spark.table(qname).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      spark.catalog.dropTempView(qname)
+      out
+    }
+    writeFile(in, "a.csv", "a,1\na,2\nb,3\n")
+    drain("ckpt_phase1") shouldBe Seq(("a", 3L, 2L), ("b", 3L, 1L))
+    writeFile(in, "b.csv", "a,10\nc,5\n")
+    drain("ckpt_phase2") shouldBe Seq(("a", 13L, 3L), ("b", 3L, 1L), ("c", 5L, 1L))
+  }
+
   test("fixed-width stream reader applies positional fields and watermark") {
     implicit val s = spark
     val in = tmpDir("fsin")
