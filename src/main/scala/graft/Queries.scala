@@ -1546,6 +1546,80 @@ object Queries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ALL""".stripMargin)),
 
+    // Rank-family window functions: ntile / percent_rank / cume_dist /
+    // first_value / nth_value under one named window, ANSI default frame.
+    // Tie-broken ordering keeps every function deterministic; the rank
+    // ratios are exact IEEE divisions of small ints — identical bits in
+    // both engines.
+    Spec("q51_rank_family", sqlQuery(Seq("orders"),
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_orderkey) OVER w AS first_k,
+        |  nth_value(o_orderkey, 3) OVER w AS third_k
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+      Some("""SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_orderkey) OVER w AS first_k,
+        |  nth_value(o_orderkey, 3) OVER w AS third_k
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
+
+    // String-function breadth: edit distance, padding, character
+    // translation, reversal, token addressing, repetition — same names
+    // and semantics in both engines.
+    Spec("q52_string_breadth", sqlQuery(Seq("documents"),
+      """SELECT doc_id,
+        |  CAST(levenshtein(substr(text, 1, 10), 'spark data') AS BIGINT) AS lev,
+        |  lpad(substr(text, 1, 5), 8, '_') AS lp,
+        |  translate(substr(text, 1, 10), 'aeiou', '12345') AS tr,
+        |  reverse(substr(text, 1, 8)) AS rev,
+        |  split_part(text, ' ', 3) AS w3,
+        |  repeat(substr(text, 1, 2), 3) AS rep
+        |FROM documents""".stripMargin),
+      Some("""SELECT doc_id,
+        |  CAST(levenshtein(substr(text, 1, 10), 'spark data') AS BIGINT) AS lev,
+        |  lpad(substr(text, 1, 5), 8, '_') AS lp,
+        |  translate(substr(text, 1, 10), 'aeiou', '12345') AS tr,
+        |  reverse(substr(text, 1, 8)) AS rev,
+        |  split_part(text, ' ', 3) AS w3,
+        |  repeat(substr(text, 1, 2), 3) AS rep
+        |FROM documents""".stripMargin)),
+
+    // Date arithmetic breadth: day/month offsets (month-end clamping
+    // matches between Spark add_months and DuckDB interval addition),
+    // last_day, day spans, month truncation, day-of-week (DuckDB is
+    // 0-based Sunday, Spark 1-based — normalized in the oracle), ISO
+    // week. Dates emitted as ISO strings for representation-independent
+    // hashing.
+    Spec("q53_date_arith", sqlQuery(Seq("orders"),
+      """WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |           FROM orders WHERE o_orderkey <= 1000)
+        |SELECT o_orderkey,
+        |  CAST(date_add(d, 30) AS STRING) AS plus30,
+        |  CAST(add_months(d, 2) AS STRING) AS plus2m,
+        |  CAST(last_day(d) AS STRING) AS eom,
+        |  CAST(datediff(DATE '1998-12-31', d) AS BIGINT) AS days_left,
+        |  CAST(trunc(d, 'MM') AS STRING) AS month_start,
+        |  CAST(dayofweek(d) AS BIGINT) AS dow,
+        |  CAST(weekofyear(d) AS BIGINT) AS woy
+        |FROM d""".stripMargin),
+      Some("""WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |           FROM orders WHERE o_orderkey <= 1000)
+        |SELECT o_orderkey,
+        |  CAST(CAST(d + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS plus30,
+        |  CAST(CAST(d + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS plus2m,
+        |  CAST(last_day(d) AS VARCHAR) AS eom,
+        |  CAST(date_diff('day', d, DATE '1998-12-31') AS BIGINT) AS days_left,
+        |  CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR) AS month_start,
+        |  CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        |  CAST(weekofyear(d) AS BIGINT) AS woy
+        |FROM d""".stripMargin)),
+
     // Time-interval RANGE window frame: per-user trailing-1-hour event
     // count and exact value sum (value is 2-decimal money — DECIMAL cast
     // is lossless and the frame-set sum order-independent). RANGE frames
