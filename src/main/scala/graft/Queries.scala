@@ -47,10 +47,15 @@ object Queries {
   }
 
   /** Streaming read of one parquet file inside the sf dir (the file stream
-   *  source wants a directory; the glob selects the file). */
+   *  source wants a directory; the glob selects the file). The batch-side
+   *  schema sniff is cached per path — q44/q48 build two stream sides per
+   *  run and the footer read would otherwise repeat per side. */
+  private val streamSchemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
   private def streamTable(spark: SparkSession, dir: String, file: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/$file").schema
+    val schema = streamSchemaCache.getOrElseUpdate(s"$dir/$file",
+      spark.read.parquet(s"$dir/$file").schema)
     spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir)
   }
 

@@ -42,13 +42,15 @@ object MemRowStore {
   case object NoSource extends RenameResult
   case object TargetExists extends RenameResult
 
+  // Every mutation holds the same monitor: rename is a cross-key
+  // check-then-act, so a create/drop racing it through unsynchronized
+  // TrieMap ops could still clobber the target (or crash the source
+  // lookup) even with rename itself locked. Reads stay lock-free.
   def get(key: String): Option[TableState] = tables.get(key)
-  def create(key: String, schema: StructType): Boolean =
+  def create(key: String, schema: StructType): Boolean = tables.synchronized {
     tables.putIfAbsent(key, TableState(schema, Vector.empty)).isEmpty
-  def drop(key: String): Boolean = tables.remove(key).isDefined
-  /** Atomic move: a check-then-act sequence over the TrieMap could let two
-   *  concurrent renames both pass the target-exists check and silently
-   *  clobber each other — the lock makes check and move one step. */
+  }
+  def drop(key: String): Boolean = tables.synchronized { tables.remove(key).isDefined }
   def rename(from: String, to: String): RenameResult = tables.synchronized {
     if (!tables.contains(from)) NoSource
     else if (tables.contains(to)) TargetExists
@@ -56,13 +58,17 @@ object MemRowStore {
   }
   def list(prefix: String): Seq[String] = tables.keys.filter(_.startsWith(prefix)).toSeq
 
-  def append(key: String, rows: Seq[InternalRow]): Unit = tables.updateWith(key) {
-    case Some(s) => Some(s.copy(rows = s.rows ++ rows))
-    case None => throw new IllegalStateException(s"mem table $key dropped mid-write")
+  def append(key: String, rows: Seq[InternalRow]): Unit = tables.synchronized {
+    tables.updateWith(key) {
+      case Some(s) => Some(s.copy(rows = s.rows ++ rows))
+      case None => throw new IllegalStateException(s"mem table $key dropped mid-write")
+    }
   }
-  def replace(key: String, rows: Seq[InternalRow]): Unit = tables.updateWith(key) {
-    case Some(s) => Some(s.copy(rows = rows.toVector))
-    case None => throw new IllegalStateException(s"mem table $key dropped mid-write")
+  def replace(key: String, rows: Seq[InternalRow]): Unit = tables.synchronized {
+    tables.updateWith(key) {
+      case Some(s) => Some(s.copy(rows = rows.toVector))
+      case None => throw new IllegalStateException(s"mem table $key dropped mid-write")
+    }
   }
   def rows(key: String): Array[InternalRow] =
     tables.get(key).map(_.rows.toArray).getOrElse(Array.empty)
@@ -231,8 +237,13 @@ class MemWriterFactory(tableSchema: StructType,
         val ordinals: IndexedSeq[Int] =
           if (width == tableSchema.length) {
             tableSchema.indices
-          } else if (width == writeSchema.length && nameBinding.isDefined) {
-            nameBinding.get
+          } else if (width == writeSchema.length) {
+            // the logical write schema explains this row width, so name
+            // binding MUST succeed — falling back to positional guessing
+            // here could silently misproject a name-permuted layout
+            nameBinding.getOrElse(throw new IllegalArgumentException(
+              s"write schema $writeSchema does not bind to table schema " +
+                s"$tableSchema by name (missing, ambiguous, or type-mismatched columns)"))
           } else {
             val skip = width - tableSchema.length
             require(skip >= 0,
