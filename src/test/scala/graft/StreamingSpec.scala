@@ -62,6 +62,53 @@ class StreamingSpec extends SparkSpec {
     drain("ckpt_phase2") shouldBe Seq(("a", 13L, 3L), ("b", 3L, 1L), ("c", 5L, 1L))
   }
 
+  test("watermark drops late data across micro-batches (update mode)") {
+    // Three files forced into three batches (maxFilesPerTrigger=1,
+    // mod-time order). Spark 3.4+ filters LATE EVENTS against the
+    // PREVIOUS batch's watermark while EVICTING state with the current
+    // one (SPARK-40925) — so a late row is only guaranteed dropped once
+    // a full batch boundary has passed since the watermark overtook it:
+    // batch 0 (max 11:50) sets the watermark to 11:40; batch 1 (12:30)
+    // raises it to 12:20; batch 2's 10:30 straggler is then filtered by
+    // the 11:40-or-later previous watermark and must never reach the
+    // (evicted) 10:00 window, while the fresh 13:30 row aggregates
+    // normally. This is the eviction contract that bounds state at scale.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val in = tmpDir("late_in")
+    val schema = StructType(Seq(StructField("k", StringType), StructField("ts", TimestampType)))
+    val fa = writeFile(in, "a.csv",
+      "a,2024-01-01 10:00:00\na,2024-01-01 10:20:00\na,2024-01-01 11:50:00\n")
+    val fb = writeFile(in, "b.csv", "a,2024-01-01 12:30:00\n")
+    val fc = writeFile(in, "c.csv",
+      "a,2024-01-01 10:30:00\na,2024-01-01 13:30:00\n")
+    Files.setLastModifiedTime(Paths.get(fa), FileTime.fromMillis(1000000L))
+    Files.setLastModifiedTime(Paths.get(fb), FileTime.fromMillis(2000000L))
+    Files.setLastModifiedTime(Paths.get(fc), FileTime.fromMillis(3000000L))
+    val agg = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").csv(in)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("k"), col("n"))
+    val qname = "late_drop_q"
+    val sq = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val rows = spark.table(qname).collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    spark.catalog.dropTempView(qname)
+    def h(t: String) = java.time.Instant.parse(s"2024-01-01T$t:00:00Z").getEpochSecond
+    // batch 0 emitted the 10:00 window with 2 rows; the straggler must
+    // never bump it to 3 (its state was evicted and the row filtered)
+    rows should contain((h("10"), 2L))
+    rows.contains((h("10"), 3L)) shouldBe false
+    // the fresh rows of batches 1 and 2 aggregated normally
+    rows should contain((h("12"), 1L))
+    rows should contain((h("13"), 1L))
+  }
+
   test("fixed-width stream reader applies positional fields and watermark") {
     implicit val s = spark
     val in = tmpDir("fsin")
