@@ -808,6 +808,21 @@ object Queries {
         |SELECT 'cust_only' AS tag, k FROM (
         |  SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier)""".stripMargin)),
 
+    // Multiset set operations: INTERSECT ALL keeps min(multiplicities),
+    // EXCEPT ALL subtracts them — ANSI semantics, same in both engines
+    // (q31 covers the DISTINCT variants).
+    Spec("q54_setops_all", sqlQuery(Seq("customer", "supplier"),
+      """SELECT 'both_all' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_surplus' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier)""".stripMargin),
+      Some("""SELECT 'both_all' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey AS k FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_surplus' AS tag, k FROM (
+        |  SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey AS k FROM supplier)""".stripMargin)),
+
     Spec("q32_correlated_subquery", sqlQuery(Seq("customer", "orders"),
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
@@ -1823,6 +1838,39 @@ object Queries {
         |SELECT tok, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
         |FROM toks WHERE length(tok) > 0
         |GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin)),
+
+    // Per-document distinctive keywords: top-3 tokens by the ratio of
+    // in-document frequency to corpus frequency (log-free TF-IDF analog —
+    // exact small-int division keeps cross-engine bits identical where a
+    // libm log() would not). The corpus term table is vocabulary-sized
+    // (bounded for any real tokenizer), so it broadcasts; the rank window
+    // partitions by doc.
+    Spec("t11_keywords", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"),
+          explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val docTf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val corpTf = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
+      docTf.join(broadcast(corpTf), "tok")
+        .withColumn("score", round(col("tf").cast("double") / col("ctf"), 9))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("tok"), col("tf"), col("score"),
+          col("rn").cast("int").as("rn"))
+    }, Some("""WITH toks AS (SELECT doc_id,
+        |  unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |ft AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        |dt AS (SELECT doc_id, tok, count(*) AS tf FROM ft GROUP BY doc_id, tok),
+        |ct AS (SELECT tok, count(*) AS ctf FROM ft GROUP BY tok),
+        |s AS (SELECT doc_id, dt.tok, tf, round(tf::double / ctf, 9) AS score
+        |  FROM dt JOIN ct ON dt.tok = ct.tok),
+        |r AS (SELECT doc_id, tok, tf, score,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM s)
+        |SELECT doc_id, tok, tf, score, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3""".stripMargin)),
 
     Spec("u1_zipwithindex", u1,
       Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct
