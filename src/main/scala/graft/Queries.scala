@@ -1501,6 +1501,26 @@ object Queries {
         |FROM c LEFT JOIN p
         |  ON c.user_id = p.user_id AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin)),
 
+    // Stream-STATIC join: the streaming side joins a bounded dimension
+    // frame with no state at all — the static side broadcasts and each
+    // micro-batch probes it (the dimension-enrichment shape; reference
+    // runs the same join in its stream scripts). Aggregated after the
+    // join so complete-mode output is bounded.
+    Spec("q56_stream_static_join", (spark, dir) => {
+      val dim = spark.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") <= 150)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = eventsStream(spark, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      drainToMemory(spark, joined, "q56_ss", "complete")
+    }, Some(s"""WITH $eventsUsCte
+        |SELECT c.c_mktsegment, e.event_type, count(*) AS n
+        |FROM events_us e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE c.c_custkey <= 150
+        |GROUP BY c.c_mktsegment, e.event_type""".stripMargin)),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): single-source shortest depth
     // over an acyclic edge list derived from nation (each node's successor
     // is key + regionkey + 1 — strictly increasing, so recursion
@@ -1838,6 +1858,30 @@ object Queries {
         |SELECT tok, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
         |FROM toks WHERE length(tok) > 0
         |GROUP BY tok ORDER BY tf DESC, tok LIMIT 100""".stripMargin)),
+
+    // Array higher-order functions in SQL: transform / filter / aggregate
+    // (DuckDB list_transform / list_filter / list_reduce), plus sort +
+    // slice composition. Integer-only lambda math keeps parity exact;
+    // list_sort and slice bounds behave identically (1-based, inclusive).
+    // Surface-coverage query — hot paths use codegen'd natives instead of
+    // interpreted HOFs (see VectorExpressions).
+    Spec("q55_array_hof", sqlQuery(Seq("documents"),
+      """WITH w AS (SELECT doc_id,
+        |  transform(split(lower(regexp_replace(text, '\\s+', ' ')), ' '), x -> length(x)) AS lens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(size(filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
+        |  CAST(aggregate(lens, 0, (a, x) -> a + x) AS BIGINT) AS total_chars,
+        |  array_join(transform(slice(array_sort(lens), 1, 5), x -> CAST(x AS STRING)), ',') AS min5
+        |FROM w""".stripMargin),
+      Some("""WITH w AS (SELECT doc_id,
+        |  list_transform(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x)) AS lens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
+        |  CAST(list_reduce(lens, (a, b) -> a + b) AS BIGINT) AS total_chars,
+        |  array_to_string(list_transform(list_slice(list_sort(lens), 1, 5), x -> x::varchar), ',') AS min5
+        |FROM w""".stripMargin)),
 
     // Per-document distinctive keywords: top-3 tokens by the ratio of
     // in-document frequency to corpus frequency (log-free TF-IDF analog —
