@@ -1883,6 +1883,46 @@ object Queries {
         |  array_to_string(list_transform(list_slice(list_sort(lens), 1, 5), x -> x::varchar), ',') AS min5
         |FROM w""".stripMargin)),
 
+    // Forward fill (gap filling) via IGNORE NULLS: carry the last known
+    // sensor value forward per user — the standard time-series repair
+    // pass. Nulls are synthesized deterministically (every 5th event by
+    // id) so both engines see identical gaps; the running frame is
+    // per-user, never global. Same semantics, different spellings:
+    // Spark last_value(v, true) == DuckDB last_value(v IGNORE NULLS).
+    Spec("q57_forward_fill", sqlQuery(Seq("events"),
+      """WITH g AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(last_value(v, true) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled
+        |FROM g""".stripMargin),
+      Some(s"""WITH $eventsUsCte,
+        |g AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+        |  FROM events_us)
+        |SELECT event_id, user_id,
+        |  CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS filled
+        |FROM g""".stripMargin)),
+
+    // Salted-join parity through the gate: DataframeHelper.saltedJoin
+    // (the hot-key spreader for when AQE's skew split can't rewrite the
+    // plan) must be result-identical to the plain join the oracle runs.
+    Spec("q58_salted_join", (spark, dir) => {
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val customer = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      DataframeHelper.saltedJoin(orders, customer, Seq("o_custkey"), salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    }, Some("""SELECT c.c_mktsegment, count(*) AS n,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin)),
+
     // Per-document distinctive keywords: top-3 tokens by the ratio of
     // in-document frequency to corpus frequency (log-free TF-IDF analog —
     // exact small-int division keeps cross-engine bits identical where a
