@@ -1863,25 +1863,30 @@ object Queries {
     // (DuckDB list_transform / list_filter / list_reduce), plus sort +
     // slice composition. Integer-only lambda math keeps parity exact;
     // list_sort and slice bounds behave identically (1-based, inclusive).
-    // Surface-coverage query — hot paths use codegen'd natives instead of
-    // interpreted HOFs (see VectorExpressions).
+    // The per-doc max() aggregate (single-row groups, so a no-op on
+    // values) is an optimizer barrier: without it CollapseProject inlines
+    // the regex+split+transform chain into all three consumers and
+    // tokenizes every row 3x. Surface-coverage query — hot paths use
+    // codegen'd natives instead of interpreted HOFs (VectorExpressions).
     Spec("q55_array_hof", sqlQuery(Seq("documents"),
       """WITH w AS (SELECT doc_id,
-        |  transform(split(lower(regexp_replace(text, '\\s+', ' ')), ' '), x -> length(x)) AS lens
-        |  FROM documents)
+        |  transform(split(lower(regexp_replace(text, '\\s+', ' ')), ' '), x -> length(x)) AS lens0
+        |  FROM documents),
+        |m AS (SELECT doc_id, max(lens0) AS lens FROM w GROUP BY doc_id)
         |SELECT doc_id,
         |  CAST(size(filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
         |  CAST(aggregate(lens, 0, (a, x) -> a + x) AS BIGINT) AS total_chars,
         |  array_join(transform(slice(array_sort(lens), 1, 5), x -> CAST(x AS STRING)), ',') AS min5
-        |FROM w""".stripMargin),
+        |FROM m""".stripMargin),
       Some("""WITH w AS (SELECT doc_id,
-        |  list_transform(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x)) AS lens
-        |  FROM documents)
+        |  list_transform(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x)) AS lens0
+        |  FROM documents),
+        |m AS (SELECT doc_id, max(lens0) AS lens FROM w GROUP BY doc_id)
         |SELECT doc_id,
         |  CAST(len(list_filter(lens, x -> x > 4)) AS BIGINT) AS n_long,
         |  CAST(list_reduce(lens, (a, b) -> a + b) AS BIGINT) AS total_chars,
         |  array_to_string(list_transform(list_slice(list_sort(lens), 1, 5), x -> x::varchar), ',') AS min5
-        |FROM w""".stripMargin)),
+        |FROM m""".stripMargin)),
 
     // Forward fill (gap filling) via IGNORE NULLS: carry the last known
     // sensor value forward per user — the standard time-series repair
@@ -1935,7 +1940,9 @@ object Queries {
           explode(split(Dedup.normText(col("text")), " ")).as("tok"))
         .filter(length(col("tok")) > 0)
       val docTf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val corpTf = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
+      // corpus counts roll up from the per-doc aggregate — re-aggregating
+      // the raw token stream would tokenize and explode the corpus twice
+      val corpTf = docTf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
       docTf.join(broadcast(corpTf), "tok")
         .withColumn("score", round(col("tf").cast("double") / col("ctf"), 9))
         .withColumn("rn", row_number().over(
@@ -1947,9 +1954,9 @@ object Queries {
     }, Some("""WITH toks AS (SELECT doc_id,
         |  unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
         |  FROM documents),
-        |ft AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
-        |dt AS (SELECT doc_id, tok, count(*) AS tf FROM ft GROUP BY doc_id, tok),
-        |ct AS (SELECT tok, count(*) AS ctf FROM ft GROUP BY tok),
+        |dt AS MATERIALIZED (SELECT doc_id, tok, count(*) AS tf FROM toks
+        |  WHERE length(tok) > 0 GROUP BY doc_id, tok),
+        |ct AS (SELECT tok, sum(tf) AS ctf FROM dt GROUP BY tok),
         |s AS (SELECT doc_id, dt.tok, tf, round(tf::double / ctf, 9) AS score
         |  FROM dt JOIN ct ON dt.tok = ct.tok),
         |r AS (SELECT doc_id, tok, tf, score,
