@@ -1963,6 +1963,189 @@ object Queries {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM s)
         |SELECT doc_id, tok, tf, score, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // EXISTS / NOT EXISTS correlated subqueries — Catalyst rewrites both
+    // to semi/anti hash joins on o_custkey (no per-row subquery execution),
+    // so the plan is two key-partitioned joins regardless of corpus size.
+    // Identical SQL accepted by both engines.
+    Spec("q59_exists_subquery", sqlQuery(Seq("customer", "orders"),
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin)),
+
+    // Correlated scalar subquery in the SELECT list — decorrelated by
+    // Catalyst into an aggregate + left outer join (count bug handled:
+    // empty groups surface 0, not NULL). Identical SQL both engines.
+    Spec("q60_scalar_subquery", sqlQuery(Seq("nation", "customer"),
+      """SELECT n_nationkey, n_name,
+        |  (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+        |FROM nation n""".stripMargin),
+      Some("""SELECT n_nationkey, n_name,
+        |  (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_cust
+        |FROM nation n""".stripMargin)),
+
+    // VALUES inline table joined against a fact — the idiomatic small-dim
+    // decode table; Catalyst folds the literal relation and broadcasts it,
+    // so the fact side never shuffles. Money summed in decimal, emitted as
+    // double (hash-parity rule).
+    Spec("q61_values_inline", sqlQuery(Seq("orders"),
+      """SELECT v.grp, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN (VALUES ('O', 'open'), ('F', 'filled'), ('P', 'pending')) AS v(st, grp)
+        |  ON o_orderstatus = v.st
+        |GROUP BY v.grp""".stripMargin),
+      Some("""SELECT v.grp, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN (VALUES ('O', 'open'), ('F', 'filled'), ('P', 'pending')) AS v(st, grp)
+        |  ON o_orderstatus = v.st
+        |GROUP BY v.grp""".stripMargin)),
+
+    // Bitwise aggregates (bit_and/bit_or/bit_xor) — exact integer results,
+    // fully partial-aggregable (associative + commutative), so they combine
+    // map-side before the single exchange. Identical SQL both engines.
+    Spec("q62_bit_agg", sqlQuery(Seq("orders"),
+      """SELECT o_orderstatus,
+        |  bit_and(o_orderkey) AS k_and, bit_or(o_orderkey) AS k_or, bit_xor(o_orderkey) AS k_xor,
+        |  bit_xor(o_custkey) AS c_xor, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      Some("""SELECT o_orderstatus,
+        |  bit_and(o_orderkey) AS k_and, bit_or(o_orderkey) AS k_or, bit_xor(o_orderkey) AS k_xor,
+        |  bit_xor(o_custkey) AS c_xor, count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // Calendar gap-fill: per-user date spine via sequence()+explode joined
+    // back to activity — the standard time-series densification. The spine
+    // is generated from a per-user (min,max) aggregate, so its size is
+    // bounded by user-count x span, never corpus-size; the left join is
+    // key-partitioned on (user_id, day). DuckDB mirrors with
+    // generate_series+unnest (timestamps, cast back to DATE).
+    Spec("q63_date_gapfill", sqlQuery(Seq("events"),
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM d GROUP BY user_id),
+        |cal AS (SELECT user_id, explode(sequence(d0, d1)) AS day FROM b),
+        |act AS (SELECT DISTINCT user_id, d AS day FROM d)
+        |SELECT cal.user_id, count(*) AS span_days,
+        |  count(act.day) AS active_days,
+        |  count(*) - count(act.day) AS gap_days
+        |FROM cal LEFT JOIN act ON cal.user_id = act.user_id AND cal.day = act.day
+        |GROUP BY cal.user_id""".stripMargin),
+      Some("""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM d GROUP BY user_id),
+        |cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |act AS (SELECT DISTINCT user_id, d AS day FROM d)
+        |SELECT cal.user_id, count(*) AS span_days,
+        |  count(act.day) AS active_days,
+        |  count(*) - count(act.day) AS gap_days
+        |FROM cal LEFT JOIN act ON cal.user_id = act.user_id AND cal.day = act.day
+        |GROUP BY cal.user_id""".stripMargin)),
+
+    // min_by/max_by (arg-min/arg-max) aggregates. Ties on o_totalprice are
+    // broken deterministically by folding the key into the ordering value:
+    // exact cents (decimal-sourced) * 1e8 + o_orderkey stays < 2^63 and is
+    // unique per row, so both engines pick the same row without relying on
+    // engine-specific tie behavior. Partial-aggregable, single exchange.
+    Spec("q64_argminmax", sqlQuery(Seq("orders"),
+      """WITH k AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 100000000 + o_orderkey AS ord
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  min_by(o_orderkey, ord) AS cheapest_key,
+        |  max_by(o_orderkey, ord) AS priciest_key,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  count(*) AS n
+        |FROM k GROUP BY o_orderpriority""".stripMargin),
+      Some("""WITH k AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 100000000 + o_orderkey AS ord
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  min_by(o_orderkey, ord) AS cheapest_key,
+        |  max_by(o_orderkey, ord) AS priciest_key,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  count(*) AS n
+        |FROM k GROUP BY o_orderpriority""".stripMargin)),
+
+    // KMV (k-minimum-values) distinct-count sketch, k=8: a mergeable
+    // cardinality estimator whose state is the k smallest 60-bit md5 hash
+    // values per group — the same sketch family as theta/HLL but exactly
+    // reproducible cross-engine (md5 is bit-identical, estimate is integer
+    // division). Single corpus pass: one distinct aggregate, then a rank
+    // window and a final per-lang aggregate that reads both count(*) and
+    // the 8th-smallest hash from the SAME ranked stream (a two-branch
+    // form would tokenize + distinct the corpus twice — the dominant cost
+    // at 100 TB; the window's sort is over the already-distinct vocab,
+    // orders of magnitude smaller, and the post-window groupBy reuses the
+    // lang partitioning so there is no extra exchange).
+    // est = (k-1) * 2^60 / kth_min; groups smaller than k report exactly.
+    Spec("t12_kmv_sketch", sqlQuery(Seq("documents"),
+      """WITH toks AS (SELECT DISTINCT lang, tok FROM (
+        |    SELECT lang, explode(split(lower(regexp_replace(text, '\\s+', ' ')), ' ')) AS tok
+        |    FROM documents) WHERE length(tok) > 0),
+        |h AS (SELECT lang, CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) AS hv FROM toks),
+        |r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h)
+        |SELECT lang, count(*) AS n_true,
+        |  max(CASE WHEN rn <= 8 THEN hv END) AS kth,
+        |  CASE WHEN count(*) < 8 THEN count(*)
+        |       ELSE 8070450532247928832 div max(CASE WHEN rn <= 8 THEN hv END) END AS est_kmv
+        |FROM r GROUP BY lang""".stripMargin),
+      Some("""WITH toks AS (SELECT DISTINCT lang, tok FROM (
+        |    SELECT lang, unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |    FROM documents) WHERE length(tok) > 0),
+        |h AS (SELECT lang, ('0x' || substr(md5(tok), 1, 15))::bigint AS hv FROM toks),
+        |r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h)
+        |SELECT lang, count(*) AS n_true,
+        |  max(CASE WHEN rn <= 8 THEN hv END) AS kth,
+        |  CAST(CASE WHEN count(*) < 8 THEN count(*)
+        |       ELSE 8070450532247928832 // max(CASE WHEN rn <= 8 THEN hv END) END AS BIGINT) AS est_kmv
+        |FROM r GROUP BY lang""".stripMargin)),
+
+    // Boilerplate-span stripping: remove every token position covered by a
+    // 3-gram shingle that occurs in >= 5 distinct documents, then emit the
+    // cleaned text's md5 — the transform counterpart to t9's ratio metric
+    // (real pipelines strip template spans before training). Runs through
+    // Dedup.boilerplateStrip, which tokenizes the corpus ONCE behind
+    // persists (the equivalent single-statement SQL re-tokenizes it four
+    // times — the oracle below does exactly that, which is fine for DuckDB
+    // at gate scale). Cleaned text compares as md5 so the oracle stays
+    // row-width-bounded.
+    Spec("d11_boilerplate_strip", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      Dedup.boilerplateStrip(docs, "text", "doc_id", 3, 5)
+        .select(col("id").as("doc_id"), col("n_total"), col("n_kept"),
+          col("n_removed"), md5(col("clean")).as("clean_md5"))
+    },
+      Some("""WITH toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos,
+        |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |sh AS (SELECT doc_id, pos,
+        |    concat_ws(' ', tok, lead(tok, 1) OVER w, lead(tok, 2) OVER w) AS s,
+        |    lead(tok, 2) OVER w AS t2
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |v AS (SELECT doc_id, pos, s FROM sh WHERE t2 IS NOT NULL),
+        |common AS (SELECT s FROM v GROUP BY s HAVING count(DISTINCT doc_id) >= 5),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT v.doc_id, unnest([v.pos, v.pos + 1, v.pos + 2]) AS pos
+        |    FROM v JOIN common USING (s))),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+        |  ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos),
+        |agg AS (SELECT doc_id, count(*) AS n_kept,
+        |    md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_total FROM toks GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_total, coalesce(agg.n_kept, 0) AS n_kept,
+        |  tot.n_total - coalesce(agg.n_kept, 0) AS n_removed,
+        |  coalesce(agg.clean_md5, md5('')) AS clean_md5
+        |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin)),
+
     Spec("u1_zipwithindex", u1,
       Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct
         |FROM lineitem""".stripMargin))

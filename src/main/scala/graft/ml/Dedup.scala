@@ -132,6 +132,59 @@ object Dedup {
    * Joins the (distinct) shingle lists of both sides — shuffles on doc id
    * only; per-pair work is linear in shingle counts.
    */
+  /**
+   * Boilerplate-span stripping: removes every token position covered by a
+   * word n-gram shingle that occurs in at least `minDocs` distinct
+   * documents, and returns the cleaned text per document — the transform
+   * counterpart to the boilerplate-ratio metric (real training pipelines
+   * strip template spans, they don't just score them).
+   *
+   * Output: (id, n_total, n_kept, n_removed, clean).
+   *
+   * Scale shape: the tokenized stream is produced ONCE (typed flatMap,
+   * narrow) and persisted — it has three consumers (shingle window,
+   * kept-token anti-join, per-doc totals); a single-statement SQL form
+   * re-tokenizes the corpus four times. Likewise the shingled stream is
+   * persisted for its two consumers (common-shingle aggregate + cover
+   * join). The common-shingle set is a tiny HAVING-style aggregate that
+   * broadcasts; every remaining shuffle is keyed on doc-id or
+   * (doc-id, pos). Caches are plan-keyed, so repeated invocations over the
+   * same input reuse one entry rather than stacking copies.
+   */
+  def boilerplateStrip(df: DataFrame, textCol: String, idCol: String,
+                       n: Int = 3, minDocs: Int = 5): DataFrame = {
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val toks = df.select(col(idCol).cast("long"), normText(col(textCol)))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        t.split(" ", -1).iterator.zipWithIndex.map { case (tok, p) => (id, p, tok) }
+      }.toDF("id", "pos", "tok")
+      .persist()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val sh = toks.select(col("id"), col("pos"),
+        concat_ws(" ", col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w)): _*).as("s"),
+        lead(col("tok"), n - 1).over(w).as("tn"))
+      .filter(col("tn").isNotNull)
+      .select("id", "pos", "s")
+      .persist()
+    val common = sh.groupBy("s").agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs).select("s")
+    val cov = sh.join(common, "s")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(cov, Seq("id", "pos"), "left_anti")
+    val agg = kept.groupBy("id").agg(count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok"))).as("clean"))
+    val tot = toks.groupBy("id").agg(count(lit(1)).as("n_total"))
+    tot.join(agg, Seq("id"), "left")
+      .select(col("id"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   def ngramJaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame = {
     val counts = shingleDf.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     val inter = pairs

@@ -79,6 +79,29 @@ class MlSpec extends SparkSpec {
     out(11L) shouldBe ((10L, true))
   }
 
+  test("boilerplate strip removes shared template spans, keeps unique text") {
+    implicit val s = spark
+    import spark.implicits._
+    // "click here to subscribe" is a 4-token template in 3 of 4 docs;
+    // with n=3, minDocs=3 the two 3-gram shingles inside it cover all
+    // four positions. Doc 40 is template-free; doc 41 is ONLY template.
+    val tpl = Seq(
+      (10L, "alpha beta click here to subscribe gamma"),
+      (20L, "delta click here to subscribe epsilon zeta"),
+      (30L, "click here to subscribe eta"),
+      (40L, "theta iota kappa lambda"),
+      (41L, "click here to subscribe")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateStrip(tpl, "text", "doc_id", n = 3, minDocs = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("clean"))).toMap
+    out(10L) shouldBe ((4L, "alpha beta gamma"))
+    out(20L) shouldBe ((4L, "delta epsilon zeta"))
+    out(30L) shouldBe ((4L, "eta"))
+    out(40L) shouldBe ((0L, "theta iota kappa lambda"))
+    out(41L) shouldBe ((4L, ""))  // fully covered -> empty clean text
+  }
+
   test("SimilaritySearchActor ivf method returns ranked neighbors") {
     implicit val s = spark
     val ctx = new graft.core.JobContext(graft.core.PipelineContext())
