@@ -24,6 +24,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VectorExpressions.ArrayL2Norm].getName, "vec_norm"),
       (es: Seq[Expression]) => VectorExpressions.ArrayL2Norm(es.head)))
+    e.injectFunction((FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[graft.functions.ZOrderExpression.ZOrderKey].getName, "zorder_key"),
+      (es: Seq[Expression]) => {
+        // zorder_key(a, b[, bits]) — bits must be a foldable integer
+        val bits = if (es.length >= 3) es(2).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"zorder_key bits must be an integer literal, got $other")
+        } else 16
+        def asLong(e: Expression) =
+          org.apache.spark.sql.catalyst.expressions.Cast(e,
+            org.apache.spark.sql.types.LongType)
+        graft.functions.ZOrderExpression.ZOrderKey(asLong(es(0)), asLong(es(1)), bits)
+      }))
     e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }
 }

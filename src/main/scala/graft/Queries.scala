@@ -128,6 +128,85 @@ object Queries {
     spark.sql(sql)
   }
 
+  /** Run `body` with the given session confs set, restoring the previous
+   *  values (or unsetting) afterward. Only safe when `body` forces
+   *  execution itself (e.g. via an eager localCheckpoint): a lazily
+   *  returned plan would be optimized AFTER the restore. */
+  private def withConfs[A](spark: SparkSession, confs: (String, String)*)(body: => A): A = {
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /**
+   * One-time per-sf-dir fixture for the dynamic-partition-pruning gate
+   * (q65): lineitem re-written partitioned by ship year, plus a tiny year
+   * dimension (year, era) parquet whose contents Spark cannot constant-fold
+   * (it must scan the file) — so pruning the fact side genuinely requires
+   * the runtime DPP subquery. Content is a pure function of the source dir;
+   * the path is keyed by dir and the `_SUCCESS` marker skips the rewrite on
+   * warm runs and across JVMs.
+   */
+  private val dppPaths = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def dppFixture(spark: SparkSession, dir: String): String =
+    dppPaths.getOrElseUpdate(dir, {
+      val base = s"/tmp/graft_dpp_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      if (!new java.io.File(s"$base/fact/_SUCCESS").isFile)
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .withColumn("ship_year", year(col("l_shipdate")))
+          .write.mode("overwrite").partitionBy("ship_year").parquet(s"$base/fact")
+      if (!new java.io.File(s"$base/dim/_SUCCESS").isFile) {
+        import spark.implicits._
+        (1990 to 2000).map(y => (y, if (y <= 1994) "early" else "late"))
+          .toDF("y", "era")
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/dim")
+      }
+      base
+    })
+
+  /** The q65 join, shared by the Spec and PlanSpec's DPP assertion. */
+  private[graft] def q65Frame(spark: SparkSession, dir: String): DataFrame = {
+    val base = dppFixture(spark, dir)
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim")
+    fact.join(dim.filter(col("era") === "early"), fact("ship_year") === dim("y"))
+      .groupBy(col("ship_year").cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
+  /** Runs `f` on the q66 join frame INSIDE its conf scope (plans built from
+   *  the frame after `f` returns are optimized bloom-less — force execution
+   *  or inspect plans within `f`). */
+  private[graft] def q66Scoped[A](spark: SparkSession, dir: String)(f: DataFrame => A): A = {
+    t(spark, dir, "lineitem", "orders")
+    // Runtime bloom-filter join pruning: the selective dimension filter is
+    // turned into a bloom filter applied on the fact scan BEFORE the
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling only rows that can possibly match.
+    // Broadcast is disabled so the join is shuffle-shaped (broadcast joins
+    // don't need the bloom; at real scale the filtered dim side exceeds
+    // the broadcast threshold on its own).
+    withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val df = spark.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+          |GROUP BY l_returnflag""".stripMargin)
+      f(df)
+    }
+  }
+
   /** Scalar-subquery dialect (`set` + `setrun`) through the SqlBase engine. */
   private def q9(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir, "customer")
@@ -2145,6 +2224,67 @@ object Queries {
         |  tot.n_total - coalesce(agg.n_kept, 0) AS n_removed,
         |  coalesce(agg.clean_md5, md5('')) AS clean_md5
         |FROM tot LEFT JOIN agg ON tot.doc_id = agg.doc_id""".stripMargin)),
+
+    // Dynamic partition pruning: the fact table is partitioned by ship
+    // year; the year dimension's non-key filter ('era') can only be
+    // resolved by scanning the dim file, so Spark injects a runtime
+    // pruning subquery into the fact scan and reads only the 'early' years
+    // (PlanSpec asserts `dynamicpruning` in the scan). At 100 TB,
+    // partition-on-date + DPP is the first line of defense: the fact scan
+    // never touches years the dimension filter excludes.
+    Spec("q65_dpp", (spark, dir) => q65Frame(spark, dir), Some {
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem WHERE year(l_shipdate) <= 1994
+        |GROUP BY 1""".stripMargin
+    }),
+
+    // Runtime bloom-filter join: see q66Scoped. Result is the plain join's
+    // (the bloom only skips rows that cannot match); the oracle is the
+    // plain join. The eager localCheckpoint materializes the 3-row
+    // aggregate while the bloom confs are live — a lazily returned plan
+    // would be optimized after the conf restore, bloom-less.
+    Spec("q66_bloom_join",
+      (spark, dir) => q66Scoped(spark, dir)(_.localCheckpoint(true)), Some {
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin
+    }),
+
+    // Z-order clustering key: Morton-interleave (l_partkey, l_suppkey)
+    // with the native codegen expression, bucket rows by the key's top 6
+    // bits, and report each bucket's span in BOTH dimensions — small spans
+    // per bucket are exactly why a z-ordered file layout lets parquet
+    // min/max stats prune scans filtered on either column (ZOrderSpec
+    // proves the file-skipping effect; the oracle proves the key bits).
+    Spec("z1_zorder_locality", (spark, dir) => {
+      val ab = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").cast("long").as("a"),
+          col("l_suppkey").cast("long").as("b"))
+      // normalize each dimension into the full 16-bit domain before
+      // interleaving (integer-exact, mirrored in the oracle): without it,
+      // the narrower column's high bits are constant zero and the key
+      // degenerates to a lexicographic sort on the wider column. The two
+      // max() scalars are the only driver-side reads (setrun-parity).
+      val mx = ab.agg(max(col("a")), max(col("b"))).head()
+      val (am, bm) = (mx.getLong(0), mx.getLong(1))
+      ab.withColumn("zkey", graft.functions.ZOrderExpression.zkey(
+          expr(s"a * 65535L div $am"), expr(s"b * 65535L div $bm"), 16))
+        .groupBy(shiftright(col("zkey"), 26).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+          min(col("b")).as("b_min"), max(col("b")).as("b_max"))
+    }, Some {
+      s"""WITH ab AS (SELECT CAST(l_partkey AS BIGINT) AS a, CAST(l_suppkey AS BIGINT) AS b FROM lineitem),
+         |mx AS (SELECT max(a) AS am, max(b) AS bm FROM ab),
+         |s AS (SELECT a, b, (a * 65535) // am AS an, (b * 65535) // bm AS bn FROM ab, mx),
+         |z AS (SELECT a, b, ${graft.functions.ZOrderExpression.duckdbSql("an", "bn", 16)} AS zkey FROM s)
+         |SELECT zkey >> 26 AS bucket, count(*) AS n,
+         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+         |FROM z GROUP BY 1""".stripMargin
+    }),
 
     Spec("u1_zipwithindex", u1,
       Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct

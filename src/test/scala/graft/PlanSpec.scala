@@ -196,6 +196,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q65: fact scan carries a dynamic-partition-pruning subquery") {
+    val p = plan(Queries.q65Frame(spark, sfDir))
+    // the partitioned scan's PartitionFilters must reference the runtime
+    // pruning subquery, not just the static isnotnull
+    p.toLowerCase should include("dynamicpruning")
+    p should include("PartitionFilters")
+  }
+
+  test("q66: runtime bloom filter from the dim filter reaches the fact scan") {
+    // plan must be inspected INSIDE the conf scope — q66Scoped restores
+    // broadcast/bloom confs on exit and a lazy plan would re-optimize
+    Queries.q66Scoped(spark, sfDir) { df =>
+      val p = plan(df).toLowerCase
+      p should include("might_contain")      // application (fact) side probe
+      p should include("bloom_filter_agg")   // creation (dim) side build
+    }
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     // under AQE codegen stages exist only after execution; plan with AQE
     // off to inspect the compiled subtree count deterministically
