@@ -168,6 +168,14 @@ object Queries {
       base
     })
 
+  /** Pre-materialize the write-once fixtures for `dir`. Bench calls this
+   *  before its timed loop so q65 times the DPP-pruned read, not the
+   *  one-time partitioned layout write (which the _SUCCESS marker already
+   *  skips on every later run against the same dir). */
+  def prepareFixtures(spark: SparkSession, dir: String): Unit = {
+    dppFixture(spark, dir); ()
+  }
+
   /** The q65 join, shared by the Spec and PlanSpec's DPP assertion. */
   private[graft] def q65Frame(spark: SparkSession, dir: String): DataFrame = {
     val base = dppFixture(spark, dir)
@@ -2284,6 +2292,96 @@ object Queries {
          |SELECT zkey >> 26 AS bucket, count(*) AS n,
          |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
          |FROM z GROUP BY 1""".stripMargin
+    }),
+
+    // Bigram language-model scoring — the classic cheap "perplexity-ish"
+    // quality signal: train corpus bigram counts in one pass, score each
+    // doc by the sum of its bigrams' conditional-probability quanta
+    // floor(1e6 * c(w1,w2) / c(w1)). Integer quanta (not libm log) keep
+    // cross-engine bits exact. Shapes: two token-scale partial-agg
+    // shuffles build the model; the model table is vocabulary-bounded (a
+    // production run would also threshold it to top-k bigrams before the
+    // scoring join, which then broadcasts).
+    Spec("t13_lm_score", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"),
+        filter(split(Dedup.normText(col("text")), " "), x => length(x) > 0).as("ts"))
+      val bi = toks.filter(size(col("ts")) >= 2).selectExpr("doc_id",
+          """explode(transform(sequence(1, size(ts) - 1),
+            |  i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))) AS bg""".stripMargin)
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val model = c2.join(c1, "w1")
+        .select(col("w1"), col("w2"), expr("1000000L * c2 div c1").as("pq"))
+      val scored = bi.join(model, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("pq")).as("lm_score"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("lm_score"), lit(0L)).as("lm_score"))
+    }, Some {
+      """WITH n AS (SELECT doc_id,
+        |  list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |toks AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS tok FROM n),
+        |bi AS (SELECT doc_id, w1, w2 FROM (
+        |  SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks)
+        |  WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        |model AS (SELECT w1, w2, (1000000 * c2.c2) // c1.c1 AS pq FROM c2 JOIN c1 USING (w1)),
+        |scored AS (SELECT doc_id, count(*) AS n_bigrams, SUM(pq) AS lm_score
+        |  FROM bi JOIN model USING (w1, w2) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  CAST(coalesce(s.lm_score, 0) AS BIGINT) AS lm_score
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin
+    }),
+
+    // PageRank (3 fixed power iterations, damping 0.85) over the bipartite
+    // part<->supplier co-occurrence graph — the link-quality weighting pass
+    // a web-scale corpus pipeline runs before sampling. All arithmetic is
+    // integer-quantized (ranks scaled by 1e6, floor division) so the fixed
+    // point is bit-identical cross-engine. Per iteration: one keyed join
+    // (contributions) + one keyed groupBy — no driver reads, no windows;
+    // rounds are data-parallel exactly like d7/d9's label propagation.
+    Spec("g1_pagerank", (spark, dir) => {
+      val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("s")).distinct()
+      val e = pairs.select(col("p").as("src"), (col("s") + 1000000L).as("dst"))
+        .unionAll(pairs.select((col("s") + 1000000L).as("src"), col("p").as("dst")))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val ed = e.join(deg, "src")
+      // both directions are present, so every node appears as a src (no
+      // dangling-mass term needed)
+      val nodes = e.select(col("src").as("id")).distinct()
+      var r = nodes.withColumn("pr", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contrib = ed.join(r, ed("src") === r("id"))
+          .select(col("dst").as("id"), expr("pr div deg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("sm"))
+        r = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"), expr("150000L + (85 * coalesce(sm, 0L)) div 100").as("pr"))
+      }
+      r
+    }, Some {
+      def iter(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.dst AS id, SUM($prev.r // d.deg) AS sm
+           |  FROM e JOIN d USING (src) JOIN $prev ON $prev.id = e.src GROUP BY e.dst),
+           |$cur AS (SELECT n.id, 150000 + (85 * COALESCE(c$cur.sm, 0)) // 100 AS r
+           |  FROM n LEFT JOIN c$cur USING (id))""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p, CAST(l_suppkey AS BIGINT) AS s FROM lineitem),
+         |e AS (SELECT p AS src, s + 1000000 AS dst FROM e0
+         |      UNION ALL SELECT s + 1000000 AS src, p AS dst FROM e0),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |n AS (SELECT DISTINCT src AS id FROM e),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT id, CAST(r AS BIGINT) AS pr FROM r3""".stripMargin
     }),
 
     Spec("u1_zipwithindex", u1,
