@@ -2384,6 +2384,89 @@ object Queries {
          |SELECT id, CAST(r AS BIGINT) AS pr FROM r3""".stripMargin
     }),
 
+    // IVF-PQ: cell routing bounds candidates (nprobe/16 of the corpus per
+    // query), PQ codes bound memory (8 codes vs 64 floats per scanned
+    // vector) — the composition s3 and s5 each prove half of. One
+    // md5-ordered seed set supplies both centroids and codebooks.
+    Spec("s6_knn_ivfpq", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5)
+    }, Some {
+      def d8(a: String, b: String): String =
+        (1 to 8).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+      val rr = (1 to 64).map(i => s"r[$i]*r[$i]").mkString(" + ")
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |vv AS (SELECT vec_id, v, (${dotSql("v", "v")}) AS vv FROM c),
+         |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
+         |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
+         |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+         |assigned AS (SELECT e.vec_id, e.v, e.vv, ct.crank,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY e.vv + ct.cc - 2 * (${dotSql("e.v", "ct.cv")}), ct.crank) AS arank
+         |  FROM vv e CROSS JOIN cent ct),
+         |cells AS (SELECT vec_id AS id, crank AS cell FROM assigned WHERE arank = 1),
+         |qcells AS (SELECT vec_id AS query_id, v AS qv, vv AS qq, crank AS cell FROM assigned
+         |  WHERE arank <= 4 AND vec_id % 50 = 0),
+         |ms AS (SELECT unnest(range(0, 8)) AS m),
+         |cb AS (SELECT crank, m, cv[m*8+1 : m*8+8] AS cw FROM cent CROSS JOIN ms),
+         |csub AS (SELECT vec_id AS id, m, v[m*8+1 : m*8+8] AS sv FROM c CROSS JOIN ms),
+         |codes AS (SELECT id, m, crank AS code FROM (
+         |  SELECT cs.id, cs.m, cb.crank, ${d8("cs.sv", "cb.cw")} AS d
+         |  FROM csub cs JOIN cb ON cs.m = cb.m)
+         |  QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY d, crank) = 1),
+         |recon0 AS (SELECT codes.id, flatten(list(cb.cw ORDER BY cb.m)) AS r
+         |  FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.crank GROUP BY codes.id),
+         |recon AS (SELECT id, r, ($rr) AS rr FROM recon0),
+         |scored AS (SELECT q.query_id, cl.id AS neighbor_id,
+         |  round(q.qq + rc.rr - 2.0 * (${dotSql("q.qv", "rc.r")}), 6) AS adc_dist2
+         |  FROM qcells q JOIN cells cl ON q.cell = cl.cell JOIN recon rc ON rc.id = cl.id
+         |  WHERE q.query_id <> cl.id),
+         |rk AS (SELECT query_id, neighbor_id, adc_dist2,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5""".stripMargin
+    }),
+
+    // SCD Type-2 dimension maintenance through real row-level DML on the
+    // v2 catalog: close the changed current rows (MERGE ... UPDATE), then
+    // append the new versions — the canonical warehouse pattern for
+    // history-keeping dimensions. The oracle reconstructs the final state
+    // algebraically.
+    Spec("q67_scd2", (spark, dir) => {
+      t(spark, dir, "customer")
+      val ctx = new JobContext(PipelineContext())(spark)
+      spark.conf.set("spark.sql.catalog.graft_mem",
+        classOf[graft.source.MemRowCatalog].getName)
+      new graft.sql.SqlActor().sqlString(
+        """DROP TABLE IF EXISTS graft_mem.db.q67_dim;
+          |CREATE TABLE graft_mem.db.q67_dim
+          |  (k BIGINT, segment STRING, valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN)
+          |""".stripMargin).run(ctx)(spark)
+      val w = (s: String) => new graft.sql.SqlWriter().sqlString(s).run(ctx)(spark)
+      w("""INSERT INTO graft_mem.db.q67_dim
+          |SELECT c_custkey, c_mktsegment, 0L, CAST(NULL AS BIGINT), true FROM customer""".stripMargin)
+      // day-1 batch: every third customer's segment changes
+      w("""MERGE INTO graft_mem.db.q67_dim t
+          |USING (SELECT c_custkey AS k, concat(c_mktsegment, '-V2') AS seg
+          |       FROM customer WHERE c_custkey % 3 = 0) s
+          |ON t.k = s.k AND t.is_current = true
+          |WHEN MATCHED AND t.segment <> s.seg THEN
+          |  UPDATE SET is_current = false, valid_to = 1""".stripMargin)
+      w("""INSERT INTO graft_mem.db.q67_dim
+          |SELECT c_custkey, concat(c_mktsegment, '-V2'), 1L, CAST(NULL AS BIGINT), true
+          |FROM customer WHERE c_custkey % 3 = 0""".stripMargin)
+      spark.table("graft_mem.db.q67_dim")
+    }, Some {
+      """SELECT c_custkey AS k, c_mktsegment AS segment, CAST(0 AS BIGINT) AS valid_from,
+        |  CAST(CASE WHEN c_custkey % 3 = 0 THEN 1 END AS BIGINT) AS valid_to,
+        |  c_custkey % 3 <> 0 AS is_current
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment || '-V2', CAST(1 AS BIGINT),
+        |  CAST(NULL AS BIGINT), true
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin
+    }),
+
     Spec("u1_zipwithindex", u1,
       Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct
         |FROM lineitem""".stripMargin))

@@ -254,6 +254,83 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ top-k — the full composition of [[ivfTopK]]'s candidate
+   * bounding with [[pqTopK]]'s memory compression, i.e. the standard
+   * billion-scale ANN index shape: a query probes its `nprobe` nearest
+   * coarse cells and scans only those cells' vectors, each represented by
+   * `subspaces` codeword ids (reconstructed once, corpus-side) under
+   * asymmetric squared-L2 distance. Per-query work is
+   * ~nprobe/numCentroids of the corpus; per-vector state is `subspaces`
+   * codes + one norm instead of `dim` floats.
+   *
+   * One deterministic md5-ordered seed set (size `seedCount`) provides
+   * BOTH the coarse centroids and the PQ codebook sub-vectors, keeping
+   * the oracle's CTE graph small; on a real cluster swap in k-means
+   * products for both without touching the dataflow. Cells route through
+   * a keyed join on the cell id; encode is map-side min_by against the
+   * broadcast codebook — the only corpus-wide shuffles are keyed.
+   */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, seedCount: Int = 16, nprobe: Int = 4,
+                dim: Int = 64, subspaces: Int = 8): DataFrame = {
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val sub = dim / subspaces
+    val corp = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      dot(col(vecCol), col(vecCol)).as("vv"))
+    val seeded = corp.select(col("id"), col("v"), col("vv"),
+      Hashing.oracleHash(col("id").cast("string")).as("h"))
+    // rank window runs after limit(seedCount): single bounded group
+    // (allowlisted in the catalog-wide partitionless-window guard)
+    val seeds = seeded.orderBy(col("h"), col("id")).limit(seedCount)
+      .withColumn("crank", row_number().over(Window.orderBy(col("h"), col("id"))))
+    val cents = seeds.select(col("crank"), col("v").as("cv"), col("vv").as("cc"))
+    def dist2: Column = col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("cv"))
+    def ranked(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cents))
+        .withColumn("__arank_", row_number().over(
+          Window.partitionBy(col("id")).orderBy(dist2, col("crank"))))
+    val corpCells = ranked(corp).filter(col("__arank_") === 1)
+      .select(col("id"), col("crank").as("cell"))
+    val qIn = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      dot(col(vecCol), col(vecCol)).as("vv"))
+    val queryCells = ranked(qIn).filter(col("__arank_") <= nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("vv").as("qq"),
+        col("crank").as("cell"))
+    // PQ encode + reconstruct (same mechanics as pqTopK, sharing the seeds)
+    def subVectors(v: Column): Column =
+      array((0 until subspaces).map(mm => slice(v, mm * sub + 1, sub)): _*)
+    val cb = seeds.select(col("crank"), posexplode(subVectors(col("v"))).as(Seq("m", "cw")))
+    val corpSub = corp.select(col("id"), posexplode(subVectors(col("v"))).as(Seq("m", "sv")))
+    def sdist2(a: Column, b: Column): Column =
+      (1 to sub).map { i =>
+        val d = element_at(a, i) - element_at(b, i); d * d
+      }.reduce(_ + _)
+    val codes = corpSub.join(broadcast(cb), Seq("m"))
+      .groupBy(col("id"), col("m"))
+      .agg(min_by(col("crank"),
+        array(sdist2(col("sv"), col("cw")), col("crank").cast("double"))).as("code"))
+    val recon = codes.join(broadcast(cb),
+        codes("m") === cb("m") && codes("code") === cb("crank"))
+      .select(col("id"), codes("m").as("ms"), col("cw"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("ms"), col("cw")))),
+        s => s.getField("cw"))).as("r"))
+      .select(col("id"), col("r"), dot(col("r"), col("r")).as("rr"))
+    // candidates: only vectors in probed cells, ADC against reconstructions
+    val scored = queryCells
+      .join(corpCells.join(recon, "id")
+        .select(col("id").as("neighbor_id"), col("cell"), col("r"), col("rr")), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("qq") + col("rr") - lit(2.0) * dot(col("qv"), col("r")), 6)
+          .as("adc_dist2"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc_dist2"), col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist2"), col("rank"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, blocked by a coarse key (e.g. a
    * label/cluster column) so the pair join never goes quadratic in the
    * corpus. Output: (id_a < id_b, cos_sim) with cos ≥ threshold.

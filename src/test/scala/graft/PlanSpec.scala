@@ -117,6 +117,7 @@ class PlanSpec extends SparkSpec {
     val allowed = Set(
       "s3_knn_ivf",      // centroid rank: window AFTER limit(k), k<=16 rows
       "s5_knn_pq",       // codebook seed rank: window AFTER limit(16)
+      "s6_knn_ivfpq",    // shared seed rank: window AFTER limit(16)
       "d8_training_pipeline", // composite pipeline embedding the s3 stage
       "u1_zipwithindex"  // offsets frame: one row per input PARTITION
     )
@@ -138,6 +139,7 @@ class PlanSpec extends SparkSpec {
       "s5_knn_pq",         // labeled full-ADC scan (PQ compresses memory,
                            // not candidate count; IVF cells bound that)
       "s3_knn_ivf",        // crossJoin vs broadcast k-row centroid frame
+      "s6_knn_ivfpq",      // crossJoin vs broadcast 16-row centroid frame
       "c1_kmeans",         // crossJoin vs broadcast k-row centroid frame
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats"    // 1-row x 1-row join of two global aggregates
