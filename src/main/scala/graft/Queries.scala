@@ -2467,6 +2467,93 @@ object Queries {
         |FROM customer WHERE c_custkey % 3 = 0""".stripMargin
     }),
 
+    // Streaming dedup-within-watermark: two copies of the event stream
+    // unioned, then dropDuplicatesWithinWatermark on the event id — the
+    // at-least-once-ingest repair pattern. Unlike q41's complete-mode
+    // aggregation this is APPEND mode with bounded state: a key's state is
+    // evicted once the watermark passes its event time, so state size
+    // tracks the watermark window, not the stream's lifetime key count.
+    // Duplicates arrive within one drain, so exactly one row per event
+    // survives and the batch table is the oracle.
+    Spec("q69_stream_dedup_watermark", (spark, dir) => {
+      def side = eventsStream(spark, dir).withWatermark("ts", "1 hour")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val out = side.unionAll(side)
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("ts").cast("long").as("ts_sec"),
+          col("user_id"), col("event_type"))
+      drainToMemory(spark, out, "q69_dedup", "append")
+    }, Some(s"""WITH $eventsUsCte
+      |SELECT event_id, floor(epoch(ts))::BIGINT AS ts_sec, user_id, event_type
+      |FROM events_us""".stripMargin)),
+
+    // FULL OUTER join (both-side null extension) — the one outer-join
+    // variant the catalog didn't yet pin down.
+    Spec("q68_full_outer", sqlQuery(Seq("customer", "supplier"),
+      """SELECT a.c_custkey AS ck, a.c_name, b.s_suppkey AS sk, b.s_name
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100) a
+        |FULL JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 2 = 0) b
+        |  ON a.c_custkey = b.s_suppkey * 3""".stripMargin),
+      Some("""SELECT a.c_custkey AS ck, a.c_name, b.s_suppkey AS sk, b.s_name
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 100) a
+        |FULL JOIN (SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey % 2 = 0) b
+        |  ON a.c_custkey = b.s_suppkey * 3""".stripMargin)),
+
+    // Per-group z-score outlier detection — the numeric-cleaning pass of a
+    // training pipeline. Mean and E[x^2] aggregate in DECIMAL (exact,
+    // order-free), variance/std/z assemble in double with the same
+    // expression text both engines (IEEE ops on identical operands are
+    // bit-identical; round(,6) guards the final emit). One partial-agg
+    // shuffle over the 3-row group table, broadcast back onto the stream.
+    Spec("t14_outlier_zscore", sqlQuery(Seq("events"),
+      """WITH s AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS ex2
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  round((value - mean) / sqrt(ex2 - mean * mean), 6) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs((value - mean) / sqrt(ex2 - mean * mean)) > 2.5""".stripMargin),
+      Some(s"""WITH $eventsUsCte,
+        |s AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) / count(*) AS ex2
+        |  FROM events_us GROUP BY event_type)
+        |SELECT event_id, e.event_type, value,
+        |  round((value - mean) / sqrt(ex2 - mean * mean), 6) AS z
+        |FROM events_us e JOIN s ON e.event_type = s.event_type
+        |WHERE abs((value - mean) / sqrt(ex2 - mean * mean)) > 2.5""".stripMargin)),
+
+    // Triangle counting (edge-iterator: wedges joined against the edge
+    // list — two keyed equi-joins, the MapReduce-classic shape) over the
+    // co-supply projection of a hash-sampled part set. Reports edge/node
+    // counts, triangle count, and the global clustering coefficient in
+    // exact integer ppm. Sampling keeps the projected graph's density
+    // scale-stable; all joins are keyed (no broadcast-NL anywhere).
+    Spec("g2_triangle_count", sqlQuery(Seq("lineitem"),
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 101 = 0),
+        |e AS (SELECT DISTINCT a.s AS s1, b.s AS s2 FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |tri AS (SELECT count(*) AS n_tri FROM e e1
+        |  JOIN e e2 ON e2.s1 = e1.s2
+        |  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        |d AS (SELECT v, count(*) AS deg FROM
+        |  (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e) GROUP BY v),
+        |w AS (SELECT CAST(SUM((deg * (deg - 1)) div 2) AS BIGINT) AS n_wedges, count(*) AS n_nodes FROM d)
+        |SELECT w.n_nodes, (SELECT count(*) FROM e) AS n_edges, tri.n_tri AS n_triangles,
+        |  CASE WHEN w.n_wedges = 0 THEN 0 ELSE (3000000 * tri.n_tri) div w.n_wedges END AS cc_ppm
+        |FROM w, tri""".stripMargin),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 101 = 0),
+        |e AS (SELECT DISTINCT a.s AS s1, b.s AS s2 FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |tri AS (SELECT count(*) AS n_tri FROM e e1
+        |  JOIN e e2 ON e2.s1 = e1.s2
+        |  JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+        |d AS (SELECT v, count(*) AS deg FROM
+        |  (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e) GROUP BY v),
+        |w AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges, count(*) AS n_nodes FROM d)
+        |SELECT w.n_nodes, (SELECT count(*) FROM e) AS n_edges, tri.n_tri AS n_triangles,
+        |  CAST(CASE WHEN w.n_wedges = 0 THEN 0 ELSE (3000000 * tri.n_tri) // w.n_wedges END AS BIGINT) AS cc_ppm
+        |FROM w, tri""".stripMargin)),
+
     Spec("u1_zipwithindex", u1,
       Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct
         |FROM lineitem""".stripMargin))

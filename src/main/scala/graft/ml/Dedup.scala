@@ -424,8 +424,12 @@ object Dedup {
       // already-star-shaped) round after the fixpoint
       val (mid, midIds) = trackedCheckpoint(
         smallStarRound(largeStarRound(edges)), eager = false)
+      // next stays LAZY too: the fingerprint action below materializes the
+      // checkpoint as part of its own job — an eager checkpoint here would
+      // run the same 2-round DAG as a separate driver-synchronized job
+      // first (measured one extra ~100ms job per probe at bench scale)
       val (next, nextIds) = trackedCheckpoint(
-        smallStarRound(largeStarRound(mid)), eager = true)
+        smallStarRound(largeStarRound(mid)), eager = false)
       val nfp = fingerprint(next)
       // everything before `next` is now dead weight — free the superseded
       // rounds' blocks instead of pinning one edge-list copy per round

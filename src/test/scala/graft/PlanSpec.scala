@@ -142,7 +142,8 @@ class PlanSpec extends SparkSpec {
       "s6_knn_ivfpq",      // crossJoin vs broadcast 16-row centroid frame
       "c1_kmeans",         // crossJoin vs broadcast k-row centroid frame
       "d8_training_pipeline", // composite pipeline embedding the above stages
-      "t7_corpus_stats"    // 1-row x 1-row join of two global aggregates
+      "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
+      "g2_triangle_count"  // 1-row x 1-row join of two global aggregates
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val p = plan(spec.run(spark, sfDir))
