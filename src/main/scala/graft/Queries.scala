@@ -2487,6 +2487,89 @@ object Queries {
       |SELECT event_id, floor(epoch(ts))::BIGINT AS ts_sec, user_id, event_type
       |FROM events_us""".stripMargin)),
 
+    // Streaming incremental materialized view: each micro-batch partial-
+    // aggregates (count + exact integer cents) and MERGEs the deltas into
+    // a catalog table — the foreachBatch-upsert pattern that keeps a
+    // serving table current without complete-mode's full-state rewrite.
+    // Integer accumulators make cross-batch order irrelevant, so the final
+    // table equals the batch aggregate (the oracle) no matter how the
+    // drain was batched.
+    Spec("q70_stream_upsert", (spark, dir) => {
+      val ctx = new JobContext(PipelineContext())(spark)
+      spark.conf.set("spark.sql.catalog.graft_mem",
+        classOf[graft.source.MemRowCatalog].getName)
+      new graft.sql.SqlActor().sqlString(
+        """DROP TABLE IF EXISTS graft_mem.db.q70_agg;
+          |CREATE TABLE graft_mem.db.q70_agg (event_type STRING, cnt BIGINT, total_cents BIGINT)
+          |""".stripMargin).run(ctx)(spark)
+      val stream = eventsStream(spark, dir).select(col("event_type"), col("value"))
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.createOrReplaceTempView("q70_batch_src")
+            batch.sparkSession.sql(
+              """MERGE INTO graft_mem.db.q70_agg t
+                |USING (SELECT event_type, count(*) AS c,
+                |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS s
+                |       FROM q70_batch_src GROUP BY event_type) b
+                |ON t.event_type = b.event_type
+                |WHEN MATCHED THEN UPDATE SET cnt = t.cnt + b.c, total_cents = t.total_cents + b.s
+                |WHEN NOT MATCHED THEN INSERT (event_type, cnt, total_cents) VALUES (b.event_type, b.c, b.s)
+                |""".stripMargin)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.table("graft_mem.db.q70_agg")
+    }, Some(s"""WITH $eventsUsCte
+      |SELECT event_type, count(*) AS cnt,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM events_us GROUP BY event_type""".stripMargin)),
+
+    // Embedding-space decontamination: flag training vectors whose cosine
+    // to ANY held-out eval vector exceeds the threshold — d10's n-gram
+    // decontamination for the modality where paraphrases beat string
+    // matching. Candidates are restricted to LSH bucket collisions (the
+    // s2 device), so the eval×train pair join never goes quadratic: at
+    // 100 TB the bucket join shuffles on the bucket id and high-cosine
+    // pairs are exactly the ones LSH collides.
+    Spec("d12_embed_decontaminate", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+      val n = emb
+        .withColumn("nrm", Similarity.l2Norm(col("v")))
+        .withColumn("bucket", Similarity.lshBucket(col("v"), 64, 6))
+      val evalSide = n.filter(col("id") % 50 === 0)
+        .select(col("id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"), col("bucket"))
+      val trainSide = n.filter(col("id") % 50 =!= 0)
+        .select(col("id").as("train_id"), col("v").as("tv"), col("nrm").as("tn"), col("bucket"))
+      trainSide.join(evalSide, Seq("bucket"))
+        .select(col("train_id"),
+          round(Similarity.dot(col("tv"), col("ev")) / (col("tn") * col("en")), 6).as("cos_r"))
+        .filter(col("cos_r") >= 0.3)
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_hits"), max(col("cos_r")).as("max_cos"))
+    }, Some {
+      val bucket = (0 until 6).map { p =>
+        val dotW = (1 to 64).map(d => s"${planeWeightSql(p, d - 1)} * v[$d]").mkString(" + ")
+        s"(CASE WHEN ($dotW) > 0 THEN ${1 << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm, $bucket AS bucket FROM c),
+         |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+         |t AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
+         |s AS (SELECT t.vec_id AS train_id,
+         |  round((${dotSql("t.v", "q.v")}) / (t.nrm * q.nrm), 6) AS cos_r
+         |  FROM t JOIN q ON t.bucket = q.bucket)
+         |SELECT train_id, count(*) AS n_hits, max(cos_r) AS max_cos
+         |FROM s WHERE cos_r >= 0.3 GROUP BY train_id""".stripMargin
+    }),
+
     // FULL OUTER join (both-side null extension) — the one outer-join
     // variant the catalog didn't yet pin down.
     Spec("q68_full_outer", sqlQuery(Seq("customer", "supplier"),
