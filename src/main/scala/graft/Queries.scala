@@ -2570,6 +2570,45 @@ object Queries {
          |FROM s WHERE cos_r >= 0.3 GROUP BY train_id""".stripMargin
     }),
 
+    // Native streaming session windows: the declarative counterpart of
+    // q34's custom state machine — session_window merges as state across
+    // micro-batches; final state must equal the batch q26 answer.
+    Spec("q73_stream_session", (spark, dir) => {
+      val agg = eventsStream(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("session_start"), col("cnt"))
+      drainToMemory(spark, agg, "q73_sess", "complete")
+    }, Some(s"""WITH $eventsUsCte,
+        |s AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events_us),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS cnt
+        |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    // ROWS-frame moving average (the bounded-frame family; q7 is the
+    // running UNBOUNDED form, q47 the INTERVAL RANGE form). Frame sums
+    // aggregate in DECIMAL so the emitted double is order-independent.
+    Spec("q72_moving_avg", sqlQuery(Seq("events"),
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS mavg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin),
+      Some(s"""WITH $eventsUsCte
+        |SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) / count(*) OVER w AS mavg
+        |FROM events_us
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // CDC log compaction (latest-wins apply): reconstruct final table
     // state from an ordered insert/update/delete op log — the standard
     // change-stream -> snapshot pass. One keyed window (partitioned by the

