@@ -76,7 +76,8 @@ object Queries {
   private def drainToMemory(spark: SparkSession, df: DataFrame, prefix: String,
                             mode: String): DataFrame = {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.props.getOrElse("graft.drain.shuffle", "8"))
     try {
       val qname = s"${prefix}_${System.nanoTime}"
       val sq = df.writeStream.format("memory").queryName(qname)

@@ -104,6 +104,33 @@ class GuardRailSpec extends SparkSpec {
     spark.sql("DROP TABLE memguard.db.g1")
   }
 
+  test("zorder_key guards: bits bounds and non-integer SQL inputs fail fast") {
+    import graft.functions.ZOrderExpression
+    intercept[IllegalArgumentException] {
+      ZOrderExpression.zkey(col("a"), col("b"), 0)
+    }.getMessage should include("bits")
+    intercept[IllegalArgumentException] {
+      ZOrderExpression.zkey(col("a"), col("b"), 33)
+    }.getMessage should include("bits")
+    // raw expression (no implicit cast): a string child fails analysis
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge
+    val df = Seq(("x", 1L)).toDF("s", "b")
+    val raw = ZOrderExpression.ZOrderKey(
+      GraftSqlBridge.expression($"s"), GraftSqlBridge.expression($"b"), 4)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(GraftSqlBridge.column(raw)).collect()
+    }.getMessage.toLowerCase should include("zorder_key expects")
+  }
+
+  test("ivfPqTopK rejects a dimension that does not divide into subspaces") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      graft.ml.Similarity.ivfPqTopK(emb, emb, "id", "v", 1, dim = 3, subspaces = 2)
+    }.getMessage should include("divisible")
+  }
+
   test("avro decode guards: multi-branch union error carries its guidance") {
     // (the reflective spark-avro gate + fallback behavior is covered in
     // AvroDecoderSpec; this guards only the error message contract)
