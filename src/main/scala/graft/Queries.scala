@@ -2610,6 +2610,59 @@ object Queries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // Spark-4 transformWithState through the oracle gate: q34's scenario
+    // on the typed-ValueState/RocksDB API (q34 itself runs the
+    // flatMapGroupsWithState path) — both custom-state APIs now prove the
+    // same session algebra end-to-end.
+    Spec("q74_tws_sessions", (spark, dir) => {
+      eventsStream(spark, dir).createOrReplaceTempView("q74_in")
+      val ctx = new JobContext(PipelineContext())(spark)
+      val actor = new graft.transform.StreamStatefulTransformer()
+      actor.init(Map(
+        "view" -> "q74_in",
+        "processor.type" -> "graft.streaming.SessionizeTwsProcessor",
+        "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
+        "processor.gapSeconds" -> "1800"))(spark)
+      val out = actor.run(ctx)(spark).get
+      drainToMemory(spark, out, "q74_sessions", "append")
+    }, Some(s"""WITH $eventsUsCte,
+        |s AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events_us),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS cnt
+        |FROM g GROUP BY user_id, sid""".stripMargin)),
+
+    // Pearson correlation per group from DECIMAL-exact moments (the t14
+    // device extended to second cross-moments): built-in corr() aggregates
+    // doubles in partition order and cannot hash-match across engines; the
+    // moment sums are exact and the final assembly is order-free IEEE.
+    Spec("q75_corr_moments", sqlQuery(Seq("lineitem"),
+      """WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM m""".stripMargin),
+      Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM m""".stripMargin)),
+
     // CDC log compaction (latest-wins apply): reconstruct final table
     // state from an ordered insert/update/delete op log — the standard
     // change-stream -> snapshot pass. One keyed window (partitioned by the
