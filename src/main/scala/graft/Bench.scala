@@ -33,9 +33,13 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
     // one-time layout fixtures (e.g. q65's partitioned fact) are built
-    // outside the timed loop — the timed query measures the pruned read
+    // outside the timed loop — the timed query measures the pruned read.
+    // A failure here is visible (the layout write lands in q65's timed
+    // number), so say so instead of swallowing silently.
     try Queries.prepareFixtures(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] fixture pre-build failed (q65 will time the write): $e")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (canWarm && warmSpentNs < warmBudgetNs) {
         val w0 = System.nanoTime()

@@ -28,11 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ZOrderExpression.ZOrderKey].getName, "zorder_key"),
       (es: Seq[Expression]) => {
         // zorder_key(a, b[, bits]) — bits must be a foldable integer
-        val bits = if (es.length >= 3) es(2).eval(null) match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"zorder_key bits must be an integer literal, got $other")
+        if (es.length < 2 || es.length > 3) throw new IllegalArgumentException(
+          s"zorder_key expects 2 or 3 arguments (a, b[, bits]), got ${es.length}")
+        val bits = if (es.length == 3) {
+          if (!es(2).foldable) throw new IllegalArgumentException(
+            "zorder_key bits must be an integer literal, got a non-constant expression")
+          es(2).eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"zorder_key bits must be an integer literal, got $other")
+          }
         } else 16
         def asLong(e: Expression) =
           org.apache.spark.sql.catalyst.expressions.Cast(e,

@@ -146,6 +146,63 @@ object Similarity {
    * broadcast: assignment is a narrow map over the corpus, no shuffle of
    * the embedding column; the candidate join shuffles on the cell id.
    */
+  /** Deterministic seed set: the `n` rows with the smallest md5(id),
+   *  ranked 1..n as `crank` (a reproducible pseudo-random sample — swap in
+   *  k-means products on a real cluster without touching callers). The
+   *  rank window runs AFTER limit(n), so its single group is n rows —
+   *  bounded regardless of corpus size (allowlisted in the catalog-wide
+   *  partitionless-window PlanSpec guard). Input must carry `id`; all
+   *  other columns pass through. */
+  private def seedSet(corp: DataFrame, n: Int): DataFrame =
+    corp.withColumn("h", Hashing.oracleHash(col("id").cast("string")))
+      .orderBy(col("h"), col("id")).limit(n)
+      .withColumn("crank", row_number().over(Window.orderBy(col("h"), col("id"))))
+
+  /** Cell assignment: rank broadcast centroids (crank, cv, cc) per row by
+   *  squared L2 distance spelled (vv + cc) - (2 * v·c) — the exact
+   *  expression shape of the SQL oracles, so doubles are bit-identical.
+   *  Input needs (id, v, vv); adds `crank` + `__arank_`. */
+  private def rankCells(df: DataFrame, cents: DataFrame): DataFrame = {
+    val dist2 = col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("cv"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("__arank_", row_number().over(
+        Window.partitionBy(col("id")).orderBy(dist2, col("crank"))))
+  }
+
+  private def subVectors(v: Column, subspaces: Int, sub: Int): Column =
+    array((0 until subspaces).map(mm => slice(v, mm * sub + 1, sub)): _*)
+
+  /** Explicit (a-b)^2 terms, left-associated — textual mirror of the
+   *  oracle's per-subspace distance, so doubles are bit-identical. */
+  private def subDist2(a: Column, b: Column, sub: Int): Column =
+    (1 to sub).map { i =>
+      val d = element_at(a, i) - element_at(b, i); d * d
+    }.reduce(_ + _)
+
+  /** PQ codebook from a ranked seed frame: (crank, m, cw) sub-vectors. */
+  private def pqCodebook(seeds: DataFrame, subspaces: Int, sub: Int): DataFrame =
+    seeds.select(col("crank"), posexplode(subVectors(col("v"), subspaces, sub)).as(Seq("m", "cw")))
+
+  /** Encode each (id, v) corpus row as `subspaces` codeword ids against
+   *  the broadcast codebook (map-side min_by argmin, ties to the smallest
+   *  codeword id, one (id, m) shuffle), then reconstruct once per vector:
+   *  returns (id, r, rr = r·r). */
+  private def pqReconstruct(corp: DataFrame, cb: DataFrame,
+                            subspaces: Int, sub: Int): DataFrame = {
+    val corpSub = corp.select(col("id"), posexplode(subVectors(col("v"), subspaces, sub)).as(Seq("m", "sv")))
+    val codes = corpSub.join(broadcast(cb), Seq("m"))
+      .groupBy(col("id"), col("m"))
+      .agg(min_by(col("crank"),
+        array(subDist2(col("sv"), col("cw"), sub), col("crank").cast("double"))).as("code"))
+    codes.join(broadcast(cb),
+        codes("m") === cb("m") && codes("code") === cb("crank"))
+      .select(col("id"), codes("m").as("ms"), col("cw"))
+      .groupBy(col("id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("ms"), col("cw")))),
+        s => s.getField("cw"))).as("r"))
+      .select(col("id"), col("r"), dot(col("r"), col("r")).as("rr"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
     // (id, v, vv = v·v) — vv feeds both the distance and the final norm
@@ -153,24 +210,9 @@ object Similarity {
       df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         dot(col(vecCol), col(vecCol)).as("vv"))
     val corp = withVv(corpus)
-    // deterministic "sample": numCentroids rows with the smallest id-hash,
-    // ranked 1..numCentroids (crank is the cell id)
-    val seeded = corp.select(col("id"), col("v"), col("vv"),
-      Hashing.oracleHash(col("id").cast("string")).as("h"))
-    // the rank window runs AFTER limit(numCentroids), so its single group
-    // is k rows — bounded regardless of corpus size (allowlisted in the
-    // catalog-wide partitionless-window PlanSpec guard)
-    val cents = seeded.orderBy(col("h"), col("id")).limit(numCentroids)
-      .withColumn("crank", row_number().over(
-        Window.orderBy(col("h"), col("id"))))
+    val cents = seedSet(corp, numCentroids)
       .select(col("crank"), col("v").as("cv"), col("vv").as("cc"))
-    // squared L2 distance via (vv + cc) - (2 * v·c): same expression shape
-    // as the SQL oracle, so doubles are bit-identical
-    def dist2: Column = col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("cv"))
-    def ranked(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("__arank_", row_number().over(
-          Window.partitionBy(col("id")).orderBy(dist2, col("crank"))))
+    def ranked(df: DataFrame): DataFrame = rankCells(df, cents)
     val corpCells = ranked(corp).filter(col("__arank_") === 1)
       .select(col("id").as("neighbor_id"), col("v").as("cv2"), col("vv").as("cvv"), col("crank"))
     val queryCells = ranked(withVv(queries)).filter(col("__arank_") <= nprobe)
@@ -208,38 +250,9 @@ object Similarity {
     require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
     val sub = dim / subspaces
     val corp = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val seeded = corp.select(col("id"), col("v"),
-      Hashing.oracleHash(col("id").cast("string")).as("h"))
-    // rank window runs after limit(codewords): single bounded group
-    // (allowlisted like ivfTopK's centroid ranking)
-    val seeds = seeded.orderBy(col("h"), col("id")).limit(codewords)
-      .withColumn("crank", row_number().over(Window.orderBy(col("h"), col("id"))))
-    def subVectors(v: Column): Column =
-      array((0 until subspaces).map(mm => slice(v, mm * sub + 1, sub)): _*)
-    val cb = seeds.select(col("crank"), posexplode(subVectors(col("v"))).as(Seq("m", "cw")))
-    val corpSub = corp.select(col("id"), posexplode(subVectors(col("v"))).as(Seq("m", "sv")))
-    // explicit (a-b)^2 terms, left-associated — textual mirror of the
-    // oracle's expression so doubles are bit-identical
-    def dist2(a: Column, b: Column): Column =
-      (1 to sub).map { i =>
-        val d = element_at(a, i) - element_at(b, i); d * d
-      }.reduce(_ + _)
-    // encode: per (vector, subspace) argmin over the broadcast codebook;
-    // min_by over [dist, crank] breaks ties to the smallest codeword id
-    // and partial-aggregates map-side before the one (id, m) shuffle
-    val codes = corpSub.join(broadcast(cb), Seq("m"))
-      .groupBy(col("id"), col("m"))
-      .agg(min_by(col("crank"),
-        array(dist2(col("sv"), col("cw")), col("crank").cast("double"))).as("code"))
-    // reconstruct once per corpus vector: codes -> codewords, subspace
-    // order restored by sorting the (m, cw) structs
-    val recon = codes.join(broadcast(cb),
-        codes("m") === cb("m") && codes("code") === cb("crank"))
-      .select(col("id"), codes("m").as("ms"), col("cw"))
-      .groupBy(col("id"))
-      .agg(flatten(transform(array_sort(collect_list(struct(col("ms"), col("cw")))),
-        s => s.getField("cw"))).as("r"))
-      .select(col("id").as("neighbor_id"), col("r"), dot(col("r"), col("r")).as("rr"))
+    val cb = pqCodebook(seedSet(corp, codewords), subspaces, sub)
+    val recon = pqReconstruct(corp, cb, subspaces, sub)
+      .withColumnRenamed("id", "neighbor_id")
     val q = queries.select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"),
       dot(col(vecCol), col(vecCol)).as("qq"))
     val scored = q.crossJoin(recon)
@@ -277,45 +290,18 @@ object Similarity {
     val sub = dim / subspaces
     val corp = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       dot(col(vecCol), col(vecCol)).as("vv"))
-    val seeded = corp.select(col("id"), col("v"), col("vv"),
-      Hashing.oracleHash(col("id").cast("string")).as("h"))
-    // rank window runs after limit(seedCount): single bounded group
-    // (allowlisted in the catalog-wide partitionless-window guard)
-    val seeds = seeded.orderBy(col("h"), col("id")).limit(seedCount)
-      .withColumn("crank", row_number().over(Window.orderBy(col("h"), col("id"))))
+    val seeds = seedSet(corp, seedCount)
     val cents = seeds.select(col("crank"), col("v").as("cv"), col("vv").as("cc"))
-    def dist2: Column = col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("cv"))
-    def ranked(df: DataFrame): DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("__arank_", row_number().over(
-          Window.partitionBy(col("id")).orderBy(dist2, col("crank"))))
-    val corpCells = ranked(corp).filter(col("__arank_") === 1)
+    val corpCells = rankCells(corp, cents).filter(col("__arank_") === 1)
       .select(col("id"), col("crank").as("cell"))
     val qIn = queries.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
       dot(col(vecCol), col(vecCol)).as("vv"))
-    val queryCells = ranked(qIn).filter(col("__arank_") <= nprobe)
+    val queryCells = rankCells(qIn, cents).filter(col("__arank_") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("vv").as("qq"),
         col("crank").as("cell"))
-    // PQ encode + reconstruct (same mechanics as pqTopK, sharing the seeds)
-    def subVectors(v: Column): Column =
-      array((0 until subspaces).map(mm => slice(v, mm * sub + 1, sub)): _*)
-    val cb = seeds.select(col("crank"), posexplode(subVectors(col("v"))).as(Seq("m", "cw")))
-    val corpSub = corp.select(col("id"), posexplode(subVectors(col("v"))).as(Seq("m", "sv")))
-    def sdist2(a: Column, b: Column): Column =
-      (1 to sub).map { i =>
-        val d = element_at(a, i) - element_at(b, i); d * d
-      }.reduce(_ + _)
-    val codes = corpSub.join(broadcast(cb), Seq("m"))
-      .groupBy(col("id"), col("m"))
-      .agg(min_by(col("crank"),
-        array(sdist2(col("sv"), col("cw")), col("crank").cast("double"))).as("code"))
-    val recon = codes.join(broadcast(cb),
-        codes("m") === cb("m") && codes("code") === cb("crank"))
-      .select(col("id"), codes("m").as("ms"), col("cw"))
-      .groupBy(col("id"))
-      .agg(flatten(transform(array_sort(collect_list(struct(col("ms"), col("cw")))),
-        s => s.getField("cw"))).as("r"))
-      .select(col("id"), col("r"), dot(col("r"), col("r")).as("rr"))
+    // PQ encode + reconstruct, sharing the seed set with the centroids
+    val cb = pqCodebook(seeds, subspaces, sub)
+    val recon = pqReconstruct(corp.select(col("id"), col("v")), cb, subspaces, sub)
     // candidates: only vectors in probed cells, ADC against reconstructions
     val scored = queryCells
       .join(corpCells.join(recon, "id")
