@@ -2692,6 +2692,23 @@ object Queries {
         |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
         |FROM m""".stripMargin)),
 
+    // Ordered string aggregation: LISTAGG ... WITHIN GROUP (Spark 4) ==
+    // DuckDB string_agg(... ORDER BY) — the report-building aggregate,
+    // deterministic because the order clause is total.
+    Spec("q76_listagg", sqlQuery(Seq("customer"),
+      """WITH top5 AS (SELECT c_mktsegment, c_name FROM (
+        |  SELECT c_mktsegment, c_name,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+        |  FROM customer) t WHERE rn <= 5)
+        |SELECT c_mktsegment, listagg(c_name, '|') WITHIN GROUP (ORDER BY c_name) AS names
+        |FROM top5 GROUP BY c_mktsegment""".stripMargin),
+      Some("""WITH top5 AS (SELECT c_mktsegment, c_name FROM (
+        |  SELECT c_mktsegment, c_name,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+        |  FROM customer) t WHERE rn <= 5)
+        |SELECT c_mktsegment, string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM top5 GROUP BY c_mktsegment""".stripMargin)),
+
     // CDC log compaction (latest-wins apply): reconstruct final table
     // state from an ordered insert/update/delete op log — the standard
     // change-stream -> snapshot pass. One keyed window (partitioned by the

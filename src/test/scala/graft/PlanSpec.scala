@@ -199,6 +199,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q6: rank filter pushes down as WindowGroupLimit (top-3 per key pre-shuffle)") {
+    // Spark's WindowGroupLimit keeps only each partition key's top rn
+    // candidates BEFORE the shuffle+sort — without it the full orders
+    // table sorts per customer just to discard everything past rank 3
+    val p = plan(q("q6_window_rownum"))
+    p should include("WindowGroupLimit")
+  }
+
   test("q65: fact scan carries a dynamic-partition-pruning subquery") {
     val p = plan(Queries.q65Frame(spark, sfDir))
     // the partitioned scan's PartitionFilters must reference the runtime

@@ -87,11 +87,18 @@ def main():
         elif spark_rows != duck_rows:
             diff = next((i, a, b) for i, (a, b) in enumerate(zip(spark_rows, duck_rows)) if a != b)
             results[name] = f"VALUE_MISMATCH first_diff_row={diff[0]} spark={diff[1]} duck={diff[2]}"
+        elif len(spark_rows) == 0:
+            # both engines agree on ZERO rows — usually a filter constant
+            # missing the data's real domain, i.e. a vacuous pass
+            results[name] = "OK-EMPTY rows=0 (vacuous: both engines returned nothing)"
         else:
             results[name] = f"OK rows={len(spark_rows)}"
     ok = sum(1 for v in results.values() if v.startswith("OK"))
     for k, v in sorted(results.items()):
-        print(f"{'PASS' if v.startswith('OK') else 'INFO' if v.startswith('ROWS_ONLY') else 'FAIL':5s} {k}: {v}")
+        tag = ('WARN' if v.startswith('OK-EMPTY')
+               else 'PASS' if v.startswith('OK')
+               else 'INFO' if v.startswith('ROWS_ONLY') else 'FAIL')
+        print(f"{tag:5s} {k}: {v}")
     print(f"\n{ok}/{len([r for r in results.values() if not r.startswith('ROWS_ONLY')])} oracle-checked queries pass")
 
 if __name__ == "__main__":
