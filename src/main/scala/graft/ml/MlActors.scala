@@ -68,7 +68,8 @@ class DedupActor extends Actor {
   }
 }
 
-/** ANN actor: top-k cosine neighbors. `method`: brute-force | lsh | ivf.
+/** ANN actor: top-k cosine neighbors. `method`: brute-force | lsh | ivf
+ *  | pq | ivfpq.
  *  The query set is the rows matching `queryWhere` (default: whole view). */
 class SimilaritySearchActor extends Actor {
   protected var view: String = ""
@@ -81,11 +82,13 @@ class SimilaritySearchActor extends Actor {
   protected var numPlanes: Int = 8
   protected var numCentroids: Int = 16
   protected var nprobe: Int = 2
+  protected var subspaces: Int = 8
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("brute-force", "lsh", "ivf").contains(m), s"SimilaritySearchActor: bad method $m")
+      require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq").contains(m),
+        s"SimilaritySearchActor: bad method $m")
       method = m
     }
     properties.get("idField").foreach(idCol = _)
@@ -96,7 +99,10 @@ class SimilaritySearchActor extends Actor {
     properties.get("numPlanes").foreach(v => numPlanes = v.toInt)
     properties.get("numCentroids").foreach(v => numCentroids = v.toInt)
     properties.get("nprobe").foreach(v => nprobe = v.toInt)
+    properties.get("subspaces").foreach(v => subspaces = v.toInt)
     if (method == "lsh") require(dim > 0, "SimilaritySearchActor: lsh requires dim")
+    if (method == "pq" || method == "ivfpq")
+      require(dim > 0, s"SimilaritySearchActor: $method requires dim")
   }
 
   override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
@@ -108,6 +114,9 @@ class SimilaritySearchActor extends Actor {
       case "brute-force" => Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
       case "lsh" => Similarity.lshTopK(queries, corpus, idCol, vecCol, k, dim, numPlanes)
       case "ivf" => Similarity.ivfTopK(queries, corpus, idCol, vecCol, k, numCentroids, nprobe)
+      case "pq" => Similarity.pqTopK(queries, corpus, idCol, vecCol, k, dim, subspaces)
+      case "ivfpq" => Similarity.ivfPqTopK(queries, corpus, idCol, vecCol, k,
+        numCentroids, nprobe, dim, subspaces)
     })
   }
 }

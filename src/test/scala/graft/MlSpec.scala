@@ -300,6 +300,26 @@ class MlSpec extends SparkSpec {
     rows.groupBy(_.getLong(0)).values.foreach(_.length.toLong should be < corpusN)
   }
 
+  test("SimilaritySearchActor exposes pq and ivfpq through the pipeline surface") {
+    implicit val s = spark
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("ann_in")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    for (m <- Seq("pq", "ivfpq")) {
+      val actor = new graft.ml.SimilaritySearchActor()
+      actor.init(Map("view" -> "ann_in", "method" -> m, "k" -> "3",
+        "dim" -> "64", "queryWhere" -> "vec_id % 100 = 0"))
+      val out = actor.run(ctx).get
+      withClue(m) {
+        out.columns should contain allOf ("query_id", "neighbor_id", "rank")
+        out.count() should be > 0L
+      }
+    }
+    // dim is mandatory for the code-based methods
+    intercept[IllegalArgumentException] {
+      new graft.ml.SimilaritySearchActor().init(Map("view" -> "ann_in", "method" -> "ivfpq"))
+    }.getMessage should include("requires dim")
+  }
+
   test("native dot/norm expressions are bit-identical to the fold form") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100)
