@@ -2709,6 +2709,36 @@ object Queries {
         |SELECT c_mktsegment, string_agg(c_name, '|' ORDER BY c_name) AS names
         |FROM top5 GROUP BY c_mktsegment""".stripMargin)),
 
+    // Dynamic partition overwrite — the idempotent partition-reload
+    // pattern: re-running one day's load replaces ONLY that partition.
+    // The gate is semantic: if dynamic mode regressed to static (wiping
+    // untouched partitions), every year but 1996 would vanish and the
+    // oracle would mismatch. Prices carried as integer cents so the
+    // halving correction stays exact across engines.
+    Spec("q77_dynamic_overwrite", (spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_dpo").toString
+      val base = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)").as("cents"),
+          year(col("o_orderdate")).as("y"))
+      base.write.partitionBy("y").mode("overwrite").parquet(tmp)
+      // corrected reload of 1996 only; dynamic mode leaves other years alone
+      base.filter(col("y") === 1996)
+        .withColumn("cents", expr("cents div 2"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("y").parquet(tmp)
+      spark.read.parquet(tmp)
+        .groupBy(col("y").cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+    }, Some {
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, count(*) AS n,
+        |  CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 2
+        |       ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS BIGINT) AS total_cents
+        |FROM orders WHERE o_orderkey % 20 = 0 GROUP BY 1""".stripMargin
+    }),
+
     // CDC log compaction (latest-wins apply): reconstruct final table
     // state from an ordered insert/update/delete op log — the standard
     // change-stream -> snapshot pass. One keyed window (partitioned by the
