@@ -175,9 +175,13 @@ object Queries {
             java.nio.file.Paths.get(stage), java.nio.file.Paths.get(s"$base/$sub"),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           catch {
-            case _: java.nio.file.FileAlreadyExistsException
-                 | _: java.nio.file.AccessDeniedException =>
-              org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage)); ()
+            // the race loser's rename fails as DirectoryNotEmptyException
+            // (or FileAlreadyExists/AccessDenied depending on fs) — all
+            // FileSystemExceptions here mean "someone else won"; verify
+            // the winner's copy actually exists before discarding ours
+            case _: java.nio.file.FileSystemException
+              if new java.io.File(s"$base/$sub/_SUCCESS").isFile =>
+                org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage)); ()
           }
         }
       build("fact") { stage =>
@@ -457,13 +461,25 @@ object Queries {
   private def planeWeightSql(p: Int, d: Int): String =
     s"((('0x' || substr(md5('plane:$p:$d'), 1, 15))::bigint::double / 1152921504606846976.0) - 0.5)"
 
-  private val s2Oracle: String = {
-    // sign-bit bucket: sum over 6 hyperplanes of (dot(v, w_p) > 0) << p.
-    // Left-to-right accumulation matches the native dot's loop order.
-    val bucket = (0 until 6).map { p =>
+  /** Sign-bit LSH bucket over column `v`: sum over `planes` hyperplanes of
+   *  (dot(v, w_p) > 0) << p. Left-to-right accumulation matches the native
+   *  dot's loop order. Shared by the s2 and d12 oracles. */
+  private def lshBucketSql(planes: Int): String =
+    (0 until planes).map { p =>
       val dotW = (1 to 64).map(d => s"${planeWeightSql(p, d - 1)} * v[$d]").mkString(" + ")
       s"(CASE WHEN ($dotW) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Per-subspace squared distance (explicit left-assoc terms) and the
+   *  reconstruction self-dot — shared by the s5 and s6 oracles; the
+   *  spelling must stay the textual mirror of Similarity.subDist2 /
+   *  dot(r, r). */
+  private def pqSubDistSql(a: String, b: String): String =
+    (1 to 8).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+  private val pqRrSql: String = (1 to 64).map(i => s"r[$i]*r[$i]").mkString(" + ")
+
+  private val s2Oracle: String = {
+    val bucket = lshBucketSql(6)
     val cos = s"(${dotSql("q.v", "c2.v")}) / (q.nrm * c2.nrm)"
     s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm, $bucket AS bucket FROM c),
@@ -513,9 +529,8 @@ object Queries {
    *  ADC expression (qq + rr − 2·dot) — doubles are bit-identical because
    *  every sum is spelled in the same left-to-right order. */
   private val s5Oracle: String = {
-    def d8(a: String, b: String): String =
-      (1 to 8).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
-    val rr = (1 to 64).map(i => s"r[$i]*r[$i]").mkString(" + ")
+    def d8(a: String, b: String): String = pqSubDistSql(a, b)
+    val rr = pqRrSql
     s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
        |seeded AS (SELECT vec_id, v, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM c),
        |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
@@ -2424,9 +2439,8 @@ object Queries {
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       Similarity.ivfPqTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5)
     }, Some {
-      def d8(a: String, b: String): String =
-        (1 to 8).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
-      val rr = (1 to 64).map(i => s"r[$i]*r[$i]").mkString(" + ")
+      def d8(a: String, b: String): String = pqSubDistSql(a, b)
+      val rr = pqRrSql
       s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
          |vv AS (SELECT vec_id, v, (${dotSql("v", "v")}) AS vv FROM c),
          |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
@@ -2585,12 +2599,8 @@ object Queries {
         .groupBy(col("train_id"))
         .agg(count(lit(1)).as("n_hits"), max(col("cos_r")).as("max_cos"))
     }, Some {
-      val bucket = (0 until 6).map { p =>
-        val dotW = (1 to 64).map(d => s"${planeWeightSql(p, d - 1)} * v[$d]").mkString(" + ")
-        s"(CASE WHEN ($dotW) > 0 THEN ${1 << p} ELSE 0 END)"
-      }.mkString(" + ")
       s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
-         |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm, $bucket AS bucket FROM c),
+         |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm, ${lshBucketSql(6)} AS bucket FROM c),
          |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
          |t AS (SELECT * FROM n WHERE vec_id % 50 <> 0),
          |s AS (SELECT t.vec_id AS train_id,

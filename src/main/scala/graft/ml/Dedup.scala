@@ -31,7 +31,9 @@ object Dedup {
 
   /** Word n-gram shingles of the normalized text. `distinct = true` for
    *  set semantics (Jaccard); signature building can skip the dedup
-   *  shuffle — min() is idempotent over duplicates. */
+   *  shuffle — min() is idempotent over duplicates. Rows with a NULL id
+   *  or NULL text contribute no shingles (the typed encoder below would
+   *  otherwise NPE on them — real corpora do contain null documents). */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int,
                distinct: Boolean = true): DataFrame = {
     // A Catalyst higher-order transform() lambda is interpreted (no
@@ -42,7 +44,8 @@ object Dedup {
     // Spark/DuckDB split semantics (trailing empties kept).
     val spark0 = df.sparkSession
     import spark0.implicits._
-    val bound = df.select(col(idCol).cast("long"), normText(col(textCol))).as[(Long, String)]
+    val bound = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), normText(col(textCol))).as[(Long, String)]
     val out = bound.flatMap { case (id, t) =>
       val ws = t.split(" ", -1)
       if (ws.length >= n) ws.iterator.sliding(n).withPartial(false).map(s => (id, s.mkString(" ")))
@@ -127,12 +130,6 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard similarity for given candidate pairs:
-   * |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)|.
-   * Joins the (distinct) shingle lists of both sides — shuffles on doc id
-   * only; per-pair work is linear in shingle counts.
-   */
-  /**
    * Boilerplate-span stripping: removes every token position covered by a
    * word n-gram shingle that occurs in at least `minDocs` distinct
    * documents, and returns the cleaned text per document — the transform
@@ -155,7 +152,9 @@ object Dedup {
                        n: Int = 3, minDocs: Int = 5): DataFrame = {
     val spark0 = df.sparkSession
     import spark0.implicits._
-    val toks = df.select(col(idCol).cast("long"), normText(col(textCol)))
+    // null-id/null-text rows contribute no tokens (typed encoder would NPE)
+    val toks = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), normText(col(textCol)))
       .as[(Long, String)]
       .flatMap { case (id, t) =>
         t.split(" ", -1).iterator.zipWithIndex.map { case (tok, p) => (id, p, tok) }
@@ -185,6 +184,12 @@ object Dedup {
         coalesce(col("clean"), lit("")).as("clean"))
   }
 
+  /**
+   * Exact n-gram Jaccard similarity for given candidate pairs:
+   * |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)|.
+   * Joins the (distinct) shingle lists of both sides — shuffles on doc id
+   * only; per-pair work is linear in shingle counts.
+   */
   def ngramJaccard(pairs: DataFrame, shingleDf: DataFrame): DataFrame = {
     val counts = shingleDf.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
     val inter = pairs

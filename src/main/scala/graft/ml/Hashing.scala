@@ -20,10 +20,6 @@ object Hashing {
   def oracleHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Salted variant: independent hash function per salt (the MinHash family). */
-  def oracleHash(c: Column, salt: Int): Column =
-    oracleHash(concat(lit(salt.toString), lit(":"), c))
-
   /** Production-path hash (xxhash64, codegen'd, no cryptographic cost). */
   def fastHash(c: Column, salt: Int = 0): Column = xxhash64(lit(salt), c)
 
@@ -43,17 +39,24 @@ object Hashing {
     0xD1B54A33L, 0xABCF1E4DL, 0x19D699A5L, 0x4F6CDD1DL,
     0x87C37B91L, 0xFF51AFD7L, 0xC4CEB9FEL, 0x2127599BL).map(_ & 0x7FFFFFFFL)
 
-  def derivedHash(base: Column, j: Int): Column =
+  /** Largest supported derived-hash family (the constant tables above). */
+  val maxDerivedHashes: Int = 16
+
+  def derivedHash(base: Column, j: Int): Column = {
+    require(j >= 0 && j < maxDerivedHashes,
+      s"derivedHash family has $maxDerivedHashes members, got index $j " +
+        "(check the numHashes property)")
     (lit(derivedA(j)) * base.bitwiseAND(lit(1073741823L)) + lit(derivedC(j))) % lit(2147483647L)
+  }
 
   /** DuckDB SQL mirroring [[derivedHash]] over a base-hash expression. */
-  def duckdbDerivedSql(baseExpr: String, j: Int): String =
+  def duckdbDerivedSql(baseExpr: String, j: Int): String = {
+    require(j >= 0 && j < maxDerivedHashes,
+      s"derivedHash family has $maxDerivedHashes members, got index $j")
     s"((${derivedA(j)} * (($baseExpr) & 1073741823) + ${derivedC(j)}) % 2147483647)"
+  }
 
   /** DuckDB SQL snippet mirroring [[oracleHash]] for oracle authoring. */
   def duckdbHashSql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 15))::bigint)"
-
-  def duckdbHashSql(expr: String, salt: Int): String =
-    duckdbHashSql(s"'$salt' || ':' || ($expr)")
 }

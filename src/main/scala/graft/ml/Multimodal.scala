@@ -40,15 +40,29 @@ object Multimodal {
    */
   def decodeStub(id: Long, payload: Array[Byte]): Row = {
     val header = new String(payload.take(32), "ISO-8859-1")
-    val (mediaType, fmt, w, h, dur) =
-      if (header.startsWith("IMG:")) {
-        val parts = header.split(":", 4)
-        ("image", "fake-img", parts(1).toInt, parts(2).toInt, 0L)
-      } else if (header.startsWith("AUD:")) {
-        val parts = header.split(":", 3)
-        ("audio", "fake-aud", 0, 0, parts(1).toLong)
-      } else ("unknown", "raw", 0, 0, 0L)
-    val body = payload.drop(header.take(32).lastIndexOf(':') + 1)
+    // parse the declared header fields left-to-right and take the body
+    // AFTER the header's own final delimiter — a lastIndexOf over the
+    // first 32 bytes would misparse any body that itself contains ':'.
+    // Malformed headers (truncated, non-numeric) degrade to opaque "raw"
+    // with the full payload as body instead of throwing on a bad record.
+    def field(from: Int): Option[(String, Int)] = {
+      val i = header.indexOf(':', from)
+      if (i < 0) None else Some((header.substring(from, i), i + 1))
+    }
+    val parsed: Option[(String, String, Int, Int, Long, Int)] =
+      if (header.startsWith("IMG:"))
+        for {
+          (ws, afterW) <- field(4); wv <- ws.toIntOption
+          (hs, afterH) <- field(afterW); hv <- hs.toIntOption
+        } yield ("image", "fake-img", wv, hv, 0L, afterH)
+      else if (header.startsWith("AUD:"))
+        for {
+          (ds, afterD) <- field(4); dv <- ds.toLongOption
+        } yield ("audio", "fake-aud", 0, 0, dv, afterD)
+      else None
+    val (mediaType, fmt, w, h, dur, bodyStart) =
+      parsed.getOrElse(("unknown", "raw", 0, 0, 0L, 0))
+    val body = payload.drop(bodyStart)
     val feats = Array.tabulate(8) { k =>
       if (body.isEmpty) 0f
       else body.iterator.zipWithIndex

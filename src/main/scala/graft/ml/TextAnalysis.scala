@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /**
  * Text analysis for training-data pipelines: token counting, quality
- * scoring, language identification, document fingerprinting. All pure
- * column expressions (codegen'd) — no UDFs, so they stay inside
- * whole-stage codegen at 100 TB scale.
+ * scoring, language identification, document fingerprinting. Pure column
+ * expressions (codegen'd) wherever the expression evaluates once per row;
+ * langId is the exception — its multi-language scoring is a single-pass
+ * JIT'd Scala UDF because the column form re-tokenized every row once per
+ * language (see langIdFn).
  */
 object TextAnalysis {
 
@@ -58,14 +60,41 @@ object TextAnalysis {
 
   /** Language-ID: language with the highest stopword-hit count;
    *  deterministic tie-break on language code; 'und' when no hits. */
-  def langId(text: Column): Column = {
-    val toks = split(Dedup.normText(text), " ")
-    val scores = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val sw = array(words.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(sw, t))).as("hits"), lit(lang).as("lang"))
+  def langId(text: Column): Column = langIdFn(text)
+
+  /**
+   * One-pass language scorer. The previous column form referenced the
+   * tokenization expression inside 5 per-language interpreted filter()
+   * lambdas, so every row was regex-normalized and split 5 times
+   * (CollapseProject re-inlines any pre-binding projection — the same
+   * trap documented at Dedup.shingles). A Scala UDF tokenizes ONCE in
+   * JIT'd code; per the project's preference order that beats the
+   * interpreted-HOF chain (native Expression > Scala UDF > interpreted
+   * HOF). Semantics are unchanged: hit-count max with ascending-struct
+   * tie-break == larger (hits, lang) pair wins; 'und' when no hits.
+   */
+  private lazy val langIdFn: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val langSets: Array[(String, Set[String])] =
+      stopwords.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }.toArray
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        // mirrors Dedup.normText: lower(regexp_replace(text, '\s+', ' '))
+        val toks = s.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+          .split(" ", -1)
+        var bestHits = -1
+        var bestLang = ""
+        langSets.foreach { case (lang, words) =>
+          var hits = 0
+          var i = 0
+          while (i < toks.length) { if (words.contains(toks(i))) hits += 1; i += 1 }
+          if (hits > bestHits || (hits == bestHits && lang > bestLang)) {
+            bestHits = hits; bestLang = lang
+          }
+        }
+        if (bestHits > 0) bestLang else "und"
+      }
     }
-    val best = array_max(array(scores: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
   /**
