@@ -405,6 +405,19 @@ object Dedup {
    * whole point.
    */
   def clusterLabelsStars(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+    val spark0 = pairs.sparkSession
+    // the per-round frames are pair-list-sized, far below the session's
+    // fact-table-sized shuffle settings: fewer reduce partitions per round
+    // cut AQE planning + task-launch latency across the ~5 shuffles/round
+    // (override for real-cluster corpora via graft.stars.shuffle)
+    val prevShuffle = spark0.conf.get("spark.sql.shuffle.partitions")
+    spark0.conf.set("spark.sql.shuffle.partitions",
+      sys.props.getOrElse("graft.stars.shuffle", "8"))
+    try clusterLabelsStarsImpl(pairs, maxIterations)
+    finally spark0.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def clusterLabelsStarsImpl(pairs: DataFrame, maxIterations: Int): DataFrame = {
     val (edges0, edges0Ids) = trackedCheckpoint(
       pairs
         .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
