@@ -23,8 +23,15 @@ final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSe
   private val _sqlVariables = mutable.LinkedHashMap.empty[String, String]
   /** How many times each view has been referenced as an input so far. */
   private val _viewRefs = mutable.Map.empty[String, Int].withDefaultValue(0)
-  /** Views we persisted, so the runner can unpersist at job end. */
-  private val _cached = mutable.Set.empty[String]
+  /** Views referenced within the CURRENT action — a view both declared in
+   *  input-views and found in the SQL plan parse is one logical use, not
+   *  two (the reference counts via either the runner or the plan parse,
+   *  never both — SqlActor.scala:94-109). */
+  private var _seenThisAction = mutable.Set.empty[String]
+  /** The exact DataFrames we persisted (not just names): a later
+   *  createOrReplaceTempView re-binds the name to a new plan, and
+   *  unpersisting THAT plan would leak the original cache entry. */
+  private val _cached = mutable.Map.empty[String, DataFrame]
   /** All views promoted during this job, in order, with their global flag. */
   private val _promoted = mutable.LinkedHashMap.empty[String, Boolean]
 
@@ -56,15 +63,20 @@ final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSe
       if (spark.catalog.tableExists(g)) g else name
     }
 
+  /** Reset the per-action reference dedup scope (runner calls this at the
+   *  start of every action). */
+  def beginAction(): Unit = _seenThisAction = mutable.Set.empty
+
   /** Count a reference to `name`; auto-persist on the 2nd reference
-   *  (skipped for streaming views — persist is illegal on them). */
-  def referenceView(name: String): Unit = {
+   *  (skipped for streaming views — persist is illegal on them). At most
+   *  one count per view per action — see [[_seenThisAction]]. */
+  def referenceView(name: String): Unit = if (_seenThisAction.add(name)) {
     _viewRefs(name) += 1
     if (_viewRefs(name) == 2 && viewExists(name) && !_cached.contains(name)) {
       val df = getView(name)
       if (!df.isStreaming) {
         df.persist(StorageLevel.MEMORY_AND_DISK)
-        _cached += name
+        _cached(name) = df
       }
     }
   }
@@ -80,12 +92,10 @@ final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSe
   /** Unpersist everything we cached (job teardown;
    *  reference: PipelineRunner.scala:243-258). */
   def cleanup(): Unit = {
-    _cached.foreach { name =>
-      if (viewExists(name)) {
-        val df = getView(name)
-        if (!df.isStreaming) df.unpersist()
-      }
-    }
+    // unpersist the DataFrames we actually cached — resolving by name here
+    // would unpersist whatever plan the name points at NOW (a no-op if the
+    // view was re-promoted), leaking the original cache entry
+    _cached.values.foreach(df => scala.util.Try(df.unpersist()))
     _cached.clear()
   }
 }

@@ -44,7 +44,12 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
       case Some(names) => pipeline.jobs.filter(j => names.contains(j.name))
       case None => pipeline.jobs
     }
-    jobs.foreach { job =>
+    // fresh metrics per run (a reused runner must not re-report the prior
+    // run's actions), and the file is written even when a job throws —
+    // the failure row recorded for the failing action is the one a metrics
+    // consumer most needs
+    _metrics.clear()
+    try jobs.foreach { job =>
       implicit val session: SparkSession =
         if (ctxTemplate.singleSparkSession) rootSession else rootSession.newSession()
       // system + pipeline-declared UDFs registered per job sub-session
@@ -58,7 +63,7 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
       try runJob(job, ctx)(session)
       finally ctx.cleanup()
     }
-    writeMetrics(pipeline.name)
+    finally writeMetrics(pipeline.name)
   }
 
   /** One metrics JSON document per run when a metrics uri is configured
@@ -67,7 +72,17 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
     pipelineCtx.metricsUri.foreach { uri =>
       val dir = java.nio.file.Paths.get(uri)
       java.nio.file.Files.createDirectories(dir)
-      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // full JSON string escape incl. control chars (a tab in a schema DDL
+      // or action name must not produce an unparseable metrics file)
+      def q(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
       val rows = _metrics.map { m =>
         s"""{"job": ${q(m.job)}, "action": ${q(m.action)}, "rowCount": ${m.rowCount.getOrElse(-1L)},
            | "schema": ${q(m.schema)}, "estimatedSizeBytes": ${m.estimatedSizeBytes.getOrElse(BigInt(-1))},
@@ -104,7 +119,10 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
     if (missing.nonEmpty)
       throw new IllegalStateException(
         s"job '${job.name}' action '${action.name}': missing input view(s): ${missing.mkString(", ")}")
-    // 2. ref-count → auto-cache on 2nd reference (reference :69-72)
+    // 2. ref-count → auto-cache on 2nd reference (reference :69-72);
+    //    beginAction scopes the dedup so a view both declared here and
+    //    found by the actor's plan parse counts once
+    ctx.beginAction()
     inputs.foreach(ctx.referenceView)
     // 3. late-bound SQL variables then execute
     action.actor.beforeRun(ctx)

@@ -128,22 +128,27 @@ object PipelineBuilder {
       appConfig ++ submitVars ++ pipelineVars, appConfig)
     // variables may reference each other (including chains a -> b -> c):
     // resolve to a fixpoint, then evaluate `sql(...)`-tagged values eagerly
-    val chained = {
+    val resolvedVars = {
+      def evalSql(r: String): String =
+        if (r.startsWith("sql(") && r.endsWith(")"))
+          spark.sql(s"SELECT ${r.substring(4, r.length - 1)}").first().get(0).toString
+        else r
       var cur = merged
       var changed = true
       var rounds = 0
-      while (changed && rounds < 10) { // bound guards reference cycles
-        val next = cur.map { case (k, v) => k -> resolveVars(v, cur) }
+      while (changed && rounds < 12) { // bound guards reference cycles
+        // evaluate fully-resolved sql(...) values FIRST, then splice: a
+        // variable referencing one ("dt=${a}") must pick up the evaluated
+        // result, not the literal sql(...) text
+        val evaluated = cur.map { case (k, v) =>
+          k -> (if (VarRe.findFirstIn(v).isEmpty) evalSql(v) else v)
+        }
+        val next = evaluated.map { case (k, v) => k -> resolveVars(v, evaluated) }
         changed = next != cur
         cur = next
         rounds += 1
       }
-      cur
-    }
-    val resolvedVars = chained.map { case (k, r) =>
-      k -> (if (r.startsWith("sql(") && r.endsWith(")"))
-        spark.sql(s"SELECT ${r.substring(4, r.length - 1)}").first().get(0).toString
-      else r)
+      cur.map { case (k, v) => k -> evalSql(v) }
     }
 
     val aliases = defaultAliases ++
@@ -154,7 +159,7 @@ object PipelineBuilder {
 
     val settings = asMap(root.get("settings")).map { case (k, v) => k -> v.toString }
 
-    val jobs = asList(root.get("jobs")).flatMap {
+    val jobs = asListStrict(root.get("jobs"), s"pipeline '$name': jobs").map {
       case m: Map[String @unchecked, Any @unchecked] =>
         m.get("include") match {
           case Some(inc) =>
@@ -164,10 +169,11 @@ object PipelineBuilder {
             val mapper = if (ext.startsWith("y")) new ObjectMapper(new YAMLFactory()) else new ObjectMapper()
             val sub = toScala(mapper.readValue(txt, classOf[java.util.Map[String, Object]]))
               .asInstanceOf[Map[String, Any]]
-            Seq(buildJob(sub, aliases, resolvedVars, baseDir))
-          case None => Seq(buildJob(m, aliases, resolvedVars, baseDir))
+            buildJob(sub, aliases, resolvedVars, baseDir)
+          case None => buildJob(m, aliases, resolvedVars, baseDir)
         }
-      case _ => Seq.empty
+      case other => throw new IllegalArgumentException(
+        s"pipeline '$name': each jobs entry must be a map, got: $other")
     }
 
     Pipeline(name, jobs,
@@ -180,7 +186,8 @@ object PipelineBuilder {
   private def buildJob(m: Map[String, Any], aliases: Map[String, String],
                        vars: Map[String, String], baseDir: Option[java.nio.file.Path])
                       (implicit spark: SparkSession): Job = {
-    val actions = asList(m.get("actions")).collect {
+    val actions = asListStrict(m.get("actions"),
+        s"job '${m.getOrElse("name", "job")}': actions").map {
       case a: Map[String @unchecked, Any @unchecked] =>
         val actorName = a.getOrElse("actor",
           throw new IllegalArgumentException("action missing 'actor'")).toString
@@ -195,12 +202,20 @@ object PipelineBuilder {
           case kv => kv
         }
         actor.init(propsWithFiles)
-        val outputView = a.get("output-view").collect {
+        val outputView = a.get("output-view").map {
           case ov: Map[String @unchecked, Any @unchecked] =>
             View(ov("name").toString, ov.get("global").exists(_.toString.toBoolean))
+          // a plain-string output-view would otherwise be DROPPED silently
+          // and downstream actions fail with a confusing missing-view error
+          case s: String => View(s, global = false)
+          case other => throw new IllegalArgumentException(
+            s"action '${a.getOrElse("name", actorName)}': output-view must be a map " +
+              s"with 'name' (or a bare view name), got: $other")
         }
         val inputs = asList(a.get("input-views")).map(_.toString)
         Action(a.getOrElse("name", actorName).toString, actor, outputView, inputs)
+      case other => throw new IllegalArgumentException(
+        s"job '${m.getOrElse("name", "job")}': each actions entry must be a map, got: $other")
     }
     Job(m.getOrElse("name", "job").toString, actions)
   }
@@ -224,5 +239,14 @@ object PipelineBuilder {
   private def asList(v: Option[Any]): List[Any] = v match {
     case Some(l: List[_]) => l
     case _ => List.empty
+  }
+  /** Like [[asList]] but a present non-list value is an ERROR, not an empty
+   *  result — a malformed `jobs:`/`actions:` section must fail loudly, not
+   *  run zero actions "successfully". */
+  private def asListStrict(v: Option[Any], what: String): List[Any] = v match {
+    case None | Some(null) => List.empty
+    case Some(l: List[_]) => l
+    case Some(other) => throw new IllegalArgumentException(
+      s"$what must be a list, got: ${other.getClass.getSimpleName}")
   }
 }

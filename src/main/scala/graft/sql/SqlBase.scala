@@ -58,8 +58,17 @@ object SqlBase {
     var inBacktick = false
     while (i < n) {
       val c = sql.charAt(i)
-      if (inSingle) { out += c; if (c == '\'' ) inSingle = false; i += 1 }
-      else if (inDouble) { out += c; if (c == '"') inDouble = false; i += 1 }
+      // inside '/" literals a backslash escapes the next char (Spark's
+      // default escapedStringLiterals=false): 'it\'s -- x' is ONE literal
+      // and must not end the string or start a comment
+      if (inSingle) {
+        if (c == '\\' && i + 1 < n) { out += c; out += sql.charAt(i + 1); i += 2 }
+        else { out += c; if (c == '\'') inSingle = false; i += 1 }
+      }
+      else if (inDouble) {
+        if (c == '\\' && i + 1 < n) { out += c; out += sql.charAt(i + 1); i += 2 }
+        else { out += c; if (c == '"') inDouble = false; i += 1 }
+      }
       else if (inBacktick) { out += c; if (c == '`') inBacktick = false; i += 1 }
       else c match {
         case '\'' => inSingle = true; out += c; i += 1
@@ -81,20 +90,54 @@ object SqlBase {
     out.toString
   }
 
-  /** Split on `;` outside quotes/backticks. */
+  /** Split on `;` outside quotes/backticks (backslash-escaped quotes inside
+   *  '/" literals do not terminate the literal). */
   def splitStatements(sql: String): Seq[String] = {
     val stmts = mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inSingle = false; var inDouble = false; var inBacktick = false
-    sql.foreach { c =>
-      if (c == '\'' && !inDouble && !inBacktick) inSingle = !inSingle
-      else if (c == '"' && !inSingle && !inBacktick) inDouble = !inDouble
-      else if (c == '`' && !inSingle && !inDouble) inBacktick = !inBacktick
-      if (c == ';' && !inSingle && !inDouble && !inBacktick) { stmts += cur.toString; cur.clear() }
-      else cur += c
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if ((inSingle || inDouble) && c == '\\' && i + 1 < sql.length) {
+        cur += c; cur += sql.charAt(i + 1); i += 2
+      } else {
+        if (c == '\'' && !inDouble && !inBacktick) inSingle = !inSingle
+        else if (c == '"' && !inSingle && !inBacktick) inDouble = !inDouble
+        else if (c == '`' && !inSingle && !inDouble) inBacktick = !inBacktick
+        if (c == ';' && !inSingle && !inDouble && !inBacktick) { stmts += cur.toString; cur.clear() }
+        else cur += c
+        i += 1
+      }
     }
     if (cur.toString.trim.nonEmpty) stmts += cur.toString
     stmts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** True when a leading '(' closes at the string's LAST char — i.e. the
+   *  outer parens are one wrapping pair, not two adjacent groups like
+   *  `(select ...) + (select ...)`. Quote-aware. */
+  private def outerParensMatch(s: String): Boolean = {
+    var depth = 0
+    var inSingle = false; var inDouble = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((inSingle || inDouble) && c == '\\' && i + 1 < s.length) i += 1
+      else if (inSingle) { if (c == '\'') inSingle = false }
+      else if (inDouble) { if (c == '"') inDouble = false }
+      else c match {
+        case '\'' => inSingle = true
+        case '"' => inDouble = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0 && i < s.length - 1) return false
+        case _ => ()
+      }
+      i += 1
+    }
+    depth == 0
   }
 
   def classify(stmt: String): Stmt = stmt match {
@@ -129,7 +172,10 @@ object SqlBase {
           val resolved = resolveVariables(value, vars)
           val inner = resolved.trim
           val unparen =
-            if (inner.startsWith("(") && inner.endsWith(")")) inner.substring(1, inner.length - 1)
+            // strip only a genuinely WRAPPING pair — `(select a) + (select b)`
+            // starts and ends with parens but they are two groups
+            if (inner.startsWith("(") && inner.endsWith(")") && outerParensMatch(inner))
+              inner.substring(1, inner.length - 1)
             else inner
           val v =
             if (isQuery(unparen)) {
@@ -212,7 +258,11 @@ class SqlActor extends SqlActorBase
  *  (reference: source/SqlReader.scala:14-21). */
 class SqlReader extends SqlActorBase {
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
-    require(SqlBase.splitStatements(SqlBase.stripComments(sqlScript))
+    // gate the RESOLVED text — a statement supplied via a runtime variable
+    // ("${stmt}") classifies correctly only after substitution
+    val resolved = SqlBase.resolveVariables(
+      SqlBase.stripComments(sqlScript), ctx.variables ++ ctx.sqlVariables)
+    require(SqlBase.splitStatements(resolved)
       .map(SqlBase.classify).collect { case SqlBase.SqlStatement(t) => t }
       .forall(SqlBase.isQuery), "SqlReader requires SELECT/CTE statements")
     super.run(ctx)
@@ -223,7 +273,9 @@ class SqlReader extends SqlActorBase {
  *  (reference: sink/SqlWriter.scala:14-21). */
 class SqlWriter extends SqlActorBase {
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
-    require(SqlBase.splitStatements(SqlBase.stripComments(sqlScript))
+    val resolved = SqlBase.resolveVariables(
+      SqlBase.stripComments(sqlScript), ctx.variables ++ ctx.sqlVariables)
+    require(SqlBase.splitStatements(resolved)
       .map(SqlBase.classify).collect { case SqlBase.SqlStatement(t) => t }
       .forall(SqlBase.isDml), "SqlWriter requires DML statements")
     super.run(ctx)

@@ -216,4 +216,43 @@ class PipelineBuilderSpec extends SparkSpec {
     // the cycle doesn't hang; the unresolvable reference survives verbatim
     p.variables("cycA") should include("${cyc")
   }
+
+  test("a variable referencing a sql(...) variable splices the evaluated value") {
+    implicit val s = spark
+    val yaml =
+      """name: sqlvar
+        |variables:
+        |  answer: "sql(40 + 2)"
+        |  msg: "value=${answer}"
+        |jobs: []
+        |""".stripMargin
+    val p = PipelineBuilder.fromString(yaml, "yaml")
+    p.variables("answer") shouldBe "42"
+    p.variables("msg") shouldBe "value=42"
+  }
+
+  test("malformed pipeline shapes fail loudly, not silently") {
+    implicit val s = spark
+    // actions: a string where a list is required
+    val badActions =
+      """name: bad1
+        |jobs:
+        |  - name: j
+        |    actions: oops
+        |""".stripMargin
+    (the[IllegalArgumentException] thrownBy
+      PipelineBuilder.fromString(badActions, "yaml")).getMessage should include("must be a list")
+    // a bare-string output-view binds as a local view instead of dropping
+    val bareView =
+      """name: ok1
+        |jobs:
+        |  - name: j
+        |    actions:
+        |      - actor: sql
+        |        properties: { sqlString: "select 1 as one" }
+        |        output-view: myview
+        |""".stripMargin
+    val p = PipelineBuilder.fromString(bareView, "yaml")
+    p.jobs.head.actions.head.outputView.map(_.name) shouldBe Some("myview")
+  }
 }

@@ -68,8 +68,14 @@ class PipelineRunnerSpec extends SparkSpec {
     implicit val s = spark
     val ctx = new JobContext(PipelineContext())
     spark.read.parquet(s"$sfDir/region.parquet").createOrReplaceTempView("cache_v")
+    // references are deduped per action scope: two references from ONE
+    // action (declared input + plan parse) count once...
+    ctx.beginAction()
+    ctx.referenceView("cache_v")
     ctx.referenceView("cache_v")
     spark.table("cache_v").storageLevel.useMemory shouldBe false
+    // ...a second ACTION's reference triggers the auto-persist
+    ctx.beginAction()
     ctx.referenceView("cache_v")
     spark.table("cache_v").storageLevel.useMemory shouldBe true
     ctx.cleanup()

@@ -80,4 +80,40 @@ class SqlBaseSpec extends SparkSpec {
     val out = SqlBase.execute("set v = 7; select ${v} as x", ctx)
     out.get.collect().head.get(0).toString shouldBe "7"
   }
+
+  test("backslash-escaped quotes inside literals survive splitting and stripping") {
+    // Spark's default parser treats \' inside a '-literal as an escaped
+    // quote; the ; and -- inside this ONE literal are content, not syntax
+    val sql = """SELECT 'it\'s; fine -- not a comment' AS s"""
+    SqlBase.splitStatements(sql) shouldBe Seq(sql)
+    SqlBase.stripComments(sql) shouldBe sql
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    SqlBase.execute(sql, ctx).get.collect().head.getString(0) shouldBe "it's; fine -- not a comment"
+  }
+
+  test("setrun strips only a genuinely wrapping paren pair") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    // two adjacent groups: stripping first/last chars would yield
+    // `select 1) + (select 2` — must stay intact and splice as text
+    val out = SqlBase.execute(
+      "setrun x = (select 1) + (select 2); select ${x} as v", ctx)
+    out.get.collect().head.get(0).toString shouldBe "3"
+    // a real wrapping pair still evaluates eagerly to a scalar
+    val out2 = SqlBase.execute("setrun y = (select 40 + 2); select ${y} as v", ctx)
+    out2.get.collect().head.get(0).toString shouldBe "42"
+  }
+
+  test("SqlReader/SqlWriter gates classify statements supplied via variables") {
+    implicit val s = spark
+    val ctx = new JobContext(PipelineContext())
+    ctx.setVariable("stmt", "select 5 as v")
+    val r = new graft.sql.SqlReader().sqlString("${stmt}")
+    r.run(ctx).get.collect().head.get(0).toString shouldBe "5"
+    // and still rejects once resolved to non-query
+    ctx.setVariable("bad", "drop table nope")
+    an[IllegalArgumentException] should be thrownBy
+      new graft.sql.SqlReader().sqlString("${bad}").run(ctx)
+  }
 }
