@@ -39,7 +39,9 @@ object Decoder {
       }
       i += 1
     }
-    val sign = if ((bytes(bytes.length - 1) & 0x0f) == 0x0d) -1 else 1
+    // packed-decimal sign nibbles: 0xB and 0xD are negative; A/C/E/F positive
+    val signNibble = bytes(bytes.length - 1) & 0x0f
+    val sign = if (signNibble == 0x0d || signNibble == 0x0b) -1 else 1
     (value, sign)
   }
 

@@ -48,9 +48,14 @@ abstract class ConnectorWriter(format: String) extends Actor {
   protected def prepare(df: DataFrame): DataFrame = df
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val isInsertInto = table.isDefined && mode != "overwrite"
     var w = prepare(ctx.getView(view)).write.format(format).options(options)
-    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-    bucketSpec.foreach { case (n, cols) => w = w.bucketBy(n, cols.head, cols.tail: _*) }
+    // insertInto appends into the table's EXISTING layout and Spark rejects
+    // combining it with partitionBy/bucketBy — the table already carries
+    // both; layout declarations apply to table creation and path writes
+    if (partitionBy.nonEmpty && !isInsertInto) w = w.partitionBy(partitionBy: _*)
+    if (!isInsertInto)
+      bucketSpec.foreach { case (n, cols) => w = w.bucketBy(n, cols.head, cols.tail: _*) }
     (table, path) match {
       // table addressing: overwrite => saveAsTable, else insertInto
       // (reference: DeltaWriter.scala:41-44)
@@ -114,12 +119,17 @@ abstract class ConnectorStreamWriter(format: String, continuousAllowed: Boolean)
     require(df.isStreaming, s"$format stream writer: view '$view' is not a stream")
     var w = df.writeStream.format(format).options(options).outputMode(outputMode)
     checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
-    (table, path) match {
-      case (Some(t), _) => w = w.option("path", t)
-      case (None, Some(p)) => w = w.option("path", p)
+    val query = (table, path) match {
+      // a TABLE name must start via toTable — Delta treats option("path")
+      // strictly as a filesystem path and would silently write a directory
+      // literally named after the table. Iceberg is the exception: its
+      // DSv2 sink addresses tables through the path option.
+      case (Some(t), _) if format == "iceberg" => applyTrigger(w.option("path", t)).start()
+      case (Some(t), _) => applyTrigger(w).toTable(t)
+      case (None, Some(p)) => applyTrigger(w.option("path", p)).start()
       case _ => throw new IllegalArgumentException(s"$format stream writer: table or path required")
     }
-    startAndWait(applyTrigger(w))
+    awaitIfRequested(query)
     None
   }
 }

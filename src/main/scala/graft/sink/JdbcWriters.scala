@@ -186,12 +186,20 @@ class JdbcWriter extends Actor {
         val batch = batchSize.getOrElse(ctx.pipelineCtx.ioBatchSize)
         val opts = connOptions
         // cap concurrent connections: split into chunks of <= conns
-        // partitions, written sequentially (reference :50-54)
-        DataframeHelper.split(df, conns).foreach { chunk =>
+        // partitions, written sequentially (reference :50-54). The frame is
+        // persisted first: each chunk is a separate job over the same plan,
+        // and an unpersisted re-evaluation could re-bucket rows (AQE /
+        // indeterminate-stage rerun), writing a row into two chunks or none
+        // — besides costing one full recompute per chunk.
+        val chunks = DataframeHelper.split(df, conns)
+        val needPersist = chunks.lengthCompare(1) > 0 &&
+          df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        if (needPersist) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try chunks.foreach { chunk =>
           chunk.rdd.foreachPartition { rows =>
             JdbcTemplating.writePartition(rows, opts, tpl, batch)
           }
-        }
+        } finally if (needPersist) df.unpersist()
     }
     None
   }
@@ -276,11 +284,16 @@ class JdbcStreamWriter extends Actor with graft.streaming.StreamWriteSupport {
           .foreach(new JdbcContinuousWriter(opts, tpl, batch))
       case _ =>
         df.writeStream.outputMode(outputMode).foreachBatch { (batchDf: DataFrame, batchId: Long) =>
-          DataframeHelper.split(batchDf, conns).foreach { chunk =>
+          // persist before multi-chunk writes — see the batch merge path
+          val chunks = DataframeHelper.split(batchDf, conns)
+          val needPersist = chunks.lengthCompare(1) > 0 &&
+            batchDf.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+          if (needPersist) batchDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try chunks.foreach { chunk =>
             chunk.rdd.foreachPartition { rows =>
               JdbcTemplating.writePartition(rows, opts, tpl, batch, batchId)
             }
-          }
+          } finally if (needPersist) batchDf.unpersist()
         }
     }
     checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))

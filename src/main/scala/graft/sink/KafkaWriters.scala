@@ -75,6 +75,7 @@ class KafkaStreamWriter extends Actor with StreamWriteSupport {
   protected var view: String = ""
   protected var keyField: Option[String] = None
   protected var valueField: Option[String] = None
+  protected var headersField: Option[String] = None
   protected var options: Map[String, String] = Map.empty
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
@@ -83,6 +84,7 @@ class KafkaStreamWriter extends Actor with StreamWriteSupport {
     view = require_(properties, "view")
     keyField = properties.get("keyField")
     valueField = properties.get("valueField")
+    headersField = properties.get("headersField")
     options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
     initStreamWrite(properties)
   }
@@ -90,7 +92,7 @@ class KafkaStreamWriter extends Actor with StreamWriteSupport {
   override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
-    val df = KafkaRecord.assemble(ctx.getView(view), keyField, valueField, None, avroValue = false)
+    val df = KafkaRecord.assemble(ctx.getView(view), keyField, valueField, headersField, avroValue = false)
     var w = df.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)

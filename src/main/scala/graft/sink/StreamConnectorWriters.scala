@@ -45,16 +45,45 @@ class HBaseStreamWriter(channel: HBaseChannel) extends Actor with StreamWriteSup
     val tbl = table
     val keyCols = rowKeyFrom
     val sep = concatenator
-    var w = df.writeStream.outputMode(outputMode).foreachBatch { (batch: DataFrame, _: Long) =>
-      val withKey = batch.withColumn("__rowkey_", HBaseMapping.rowKeyColumn(batch, keyCols, sep))
+    if (triggerMode.contains("continuous")) {
+      // continuous trigger cannot use foreachBatch — per-partition
+      // ForeachWriter with the same channel put path (reference:
+      // sink/process/HBaseContinuousWriter.scala)
+      val withKey = df.withColumn("__rowkey_", HBaseMapping.rowKeyColumn(df, keyCols, sep))
       val keyIdx = withKey.columns.indexOf("__rowkey_")
-      withKey.rdd.foreachPartition { rows =>
-        token.foreach(ch.installToken)
-        ch.put(tbl, rows, keyIdx, m, bs)
+      val writer = new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+        @transient private var buf: scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row] = _
+        override def open(partitionId: Long, epochId: Long): Boolean = {
+          token.foreach(ch.installToken)
+          buf = scala.collection.mutable.ArrayBuffer.empty
+          true
+        }
+        override def process(row: org.apache.spark.sql.Row): Unit = {
+          buf += row
+          if (buf.size >= bs) flush()
+        }
+        override def close(errorOrNull: Throwable): Unit =
+          if (errorOrNull == null) flush()
+        private def flush(): Unit = if (buf.nonEmpty) {
+          ch.put(tbl, buf.iterator, keyIdx, m, bs)
+          buf.clear()
+        }
       }
+      var w = withKey.writeStream.outputMode(outputMode).foreach(writer)
+      checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
+      startAndWait(applyTrigger(w))
+    } else {
+      var w = df.writeStream.outputMode(outputMode).foreachBatch { (batch: DataFrame, _: Long) =>
+        val withKey = batch.withColumn("__rowkey_", HBaseMapping.rowKeyColumn(batch, keyCols, sep))
+        val keyIdx = withKey.columns.indexOf("__rowkey_")
+        withKey.rdd.foreachPartition { rows =>
+          token.foreach(ch.installToken)
+          ch.put(tbl, rows, keyIdx, m, bs)
+        }
+      }
+      checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
+      startAndWait(applyTrigger(w))
     }
-    checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
-    startAndWait(applyTrigger(w))
     None
   }
 }

@@ -71,7 +71,13 @@ private[streaming] object SessionMerge {
       else if (t - last > gapUs) {
         out += ((key, Math.floorDiv(start, 1000000L), cnt))
         start = t; last = t; cnt = 1L
-      } else { last = t; cnt += 1L }
+      } else {
+        // a LATER batch can deliver events earlier than the open session's
+        // bounds (late-but-within-watermark): merging must extend the
+        // session, never move `last` backward — that would split the next
+        // on-time event into a spurious new session
+        last = math.max(last, t); start = math.min(start, t); cnt += 1L
+      }
     }
     if (cnt > 0L) {
       out += ((key, Math.floorDiv(start, 1000000L), cnt)) // open session

@@ -49,15 +49,18 @@ trait StreamWriteSupport { this: Actor =>
    *  A drain trigger (once/availableNow) terminates by itself and is
    *  always awaited — otherwise a later pipeline action reading the sink
    *  would race the still-running drain. */
-  protected def startAndWait[T](w: DataStreamWriter[T]): Unit = {
-    val q = w.start()
+  protected def startAndWait[T](w: DataStreamWriter[T]): Unit =
+    awaitIfRequested(w.start())
+
+  /** The await half of [[startAndWait]], for sinks whose start call is not
+   *  `.start()` (e.g. `.toTable(t)`). */
+  protected def awaitIfRequested(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     waitTimeMs match {
       case Some(ms) => q.awaitTermination(ms); if (q.isActive) q.stop()
       case None if triggerMode.exists(m => m == "once" || m == "availableNow") =>
         q.awaitTermination()
       case None => ()
     }
-  }
 }
 
 /**

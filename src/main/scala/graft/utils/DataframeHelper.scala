@@ -53,9 +53,14 @@ object DataframeHelper {
     require(salt > 1, "salt must be > 1")
     require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins, got $joinType")
-    // deterministic spread: hash of the row id, not rand() — keeps the
-    // result a pure function of the input
-    val l = left.withColumn("__salt_", pmod(hash(monotonically_increasing_id()), lit(salt)))
+    // deterministic spread: hash of the row's FULL CONTENT, not rand() or
+    // monotonically_increasing_id (both vary across recomputations /
+    // indeterminate stage retries) — the salt is a pure function of the
+    // row, so re-evaluation re-derives the same bucket. Same-key rows with
+    // different payloads spread across buckets; fully identical duplicate
+    // rows co-locate (they cannot be told apart deterministically).
+    val l = left.withColumn("__salt_",
+      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salt)))
     val r = right.withColumn("__salt_", explode(array((0 until salt).map(lit): _*)))
     l.join(r, keys :+ "__salt_", joinType).drop("__salt_")
   }

@@ -65,8 +65,15 @@ class SchemaValidator extends Actor {
         }
         Some(df)
       case "adapt" =>
+        // resolve names under the session's case sensitivity — a strict
+        // contains() would null out a column differing only by case even
+        // though col(name) resolves it fine
+        val caseSensitive = spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+        def has(name: String): Boolean =
+          if (caseSensitive) df.columns.contains(name)
+          else df.columns.exists(_.equalsIgnoreCase(name))
         val cols = target.fields.map { f =>
-          if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+          if (has(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         }
         Some(df.select(cols.toSeq: _*))
@@ -99,6 +106,10 @@ class SqlDataValidator extends Actor {
       require(Seq("error", "staging", "ignore").contains(v), s"bad action: $v"); action = v
     }
     stagingUri = properties.get("stagingUri")
+    // action=staging with no uri would silently DISCARD the invalid rows
+    // (neither staged nor reported) — a misconfiguration, not a choice
+    require(action != "staging" || stagingUri.isDefined,
+      "SqlDataValidator: action=staging requires stagingUri")
     properties.get("stagingFormat").foreach { f =>
       require(Seq("csv", "json", "parquet", "avro").contains(f), s"bad staging format: $f")
       stagingFormat = f
@@ -129,10 +140,10 @@ class SqlDataValidator extends Actor {
         if (n > 0) throw new IllegalStateException(
           s"SqlDataValidator: $n invalid row(s) in view '$view' (predicate: $validPred)")
       case "staging" =>
-        stagingUri.foreach { uri =>
-          invalid.write.mode("append").format(stagingFormat)
-            .option("header", "true").save(uri)
-        }
+        val uri = stagingUri.getOrElse(throw new IllegalStateException(
+          "SqlDataValidator: action=staging requires stagingUri"))
+        invalid.write.mode("append").format(stagingFormat)
+          .option("header", "true").save(uri)
       case "ignore" => ()
     }
     Some(valid)
