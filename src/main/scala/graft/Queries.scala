@@ -2749,6 +2749,21 @@ object Queries {
         |FROM orders WHERE o_orderkey % 20 = 0 GROUP BY 1""".stripMargin
     }),
 
+    // GROUPING / GROUPING_ID over CUBE: the aggregation-level indicator
+    // functions reports use to tell subtotal rows from data rows (q33
+    // covers CUBE itself; this pins the indicator functions).
+    Spec("q78_grouping_id", sqlQuery(Seq("lineitem"),
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
     // CDC log compaction (latest-wins apply): reconstruct final table
     // state from an ordered insert/update/delete op log — the standard
     // change-stream -> snapshot pass. One keyed window (partitioned by the
