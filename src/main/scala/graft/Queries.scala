@@ -2833,6 +2833,57 @@ object Queries {
         |        / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS vruns_per_word
         |FROM documents""".stripMargin)),
 
+    // Multi-column IN subquery — tuple membership, planned as a left-semi
+    // join on both columns (Spark spells the subquery as bare columns,
+    // DuckDB as a row constructor; same semantics).
+    Spec("q81_multi_in", sqlQuery(Seq("lineitem", "orders"),
+      """SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem
+        |WHERE (l_orderkey, l_linenumber) IN
+        |  (SELECT o_orderkey, 1 FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin),
+      Some("""SELECT count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem
+        |WHERE (l_orderkey, l_linenumber) IN
+        |  (SELECT (o_orderkey, 1) FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // LATERAL VIEW OUTER explode: rows with an EMPTY generator output are
+    // kept with a null element (q30 is the inner variant that drops them).
+    // DuckDB mirrors by substituting [NULL] for empty lists pre-unnest.
+    Spec("q82_outer_explode", sqlQuery(Seq("documents"),
+      """SELECT doc_id, tok FROM documents
+        |LATERAL VIEW OUTER explode(filter(split(lower(text), ' '), x -> length(x) > 12)) t AS tok
+        |WHERE doc_id < 200""".stripMargin),
+      Some("""WITH a AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), x -> length(x) > 12) AS l
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok FROM a""".stripMargin)),
+
+    // Array set algebra (except/intersect/union): Spark's natives dedup;
+    // the DuckDB mirror composes list_filter/list_intersect/list_concat
+    // with list_distinct, and both sides sort before hashing so element
+    // order is engine-independent.
+    Spec("q83_array_setops", sqlQuery(Seq("documents"),
+      """WITH t AS (SELECT doc_id, array_distinct(split(lower(text), ' ')) AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |  filter(toks, x -> length(x) % 2 = 0) AS a,
+        |  filter(toks, x -> x LIKE '%e%') AS b FROM t)
+        |SELECT doc_id,
+        |  md5(array_join(array_sort(array_except(a, b)), ',')) AS ex_md5,
+        |  md5(array_join(array_sort(array_intersect(a, b)), ',')) AS in_md5,
+        |  md5(array_join(array_sort(array_union(a, b)), ',')) AS un_md5
+        |FROM p""".stripMargin),
+      Some("""WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |  list_filter(toks, x -> length(x) % 2 = 0) AS a,
+        |  list_filter(toks, x -> x LIKE '%e%') AS b FROM t)
+        |SELECT doc_id,
+        |  md5(coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '')) AS ex_md5,
+        |  md5(coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ','), '')) AS in_md5,
+        |  md5(coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '')) AS un_md5
+        |FROM p""".stripMargin)),
+
     // CDC log compaction (latest-wins apply): reconstruct final table
     // state from an ordered insert/update/delete op log — the standard
     // change-stream -> snapshot pass. One keyed window (partitioned by the
