@@ -1232,6 +1232,42 @@ object Queries {
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin)),
 
+    // Edit-distance verification of the LSH candidates: exact levenshtein
+    // (integer, identical definitions cross-engine) computed ONLY for the
+    // banded candidate pairs — the standard confirm step after probabilistic
+    // blocking, quadratic per pair but pair count is LSH-bounded. Distance
+    // normalized by the longer text; near-dups flagged under 0.2.
+    Spec("d13_edit_distance", (spark, dir) => {
+      val corpus = docCorpus(spark, dir)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minHashSignatures(corpus, "text", "doc_id"))
+        .select(col("id_a"), col("id_b"))
+      val texts = corpus.select(col("doc_id"), Dedup.normText(col("text")).as("t"))
+      pairs
+        .join(texts.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+        .join(texts.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          round(levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb"))), 6).as("edit_ratio"))
+        .withColumn("is_near_dup", col("edit_ratio") < 0.2)
+    }, Some {
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |txt AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM corpus),
+         |kept AS (SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+         |  WHERE ($estExpr) / 8.0 >= 0.5)
+         |SELECT k.id_a, k.id_b,
+         |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
+         |  round(levenshtein(a.t, b.t) / greatest(length(a.t), length(b.t)), 6) AS edit_ratio,
+         |  round(levenshtein(a.t, b.t) / greatest(length(a.t), length(b.t)), 6) < 0.2 AS is_near_dup
+         |FROM kept k JOIN txt a ON k.id_a = a.doc_id JOIN txt b ON k.id_b = b.doc_id""".stripMargin
+    }),
+
     Spec("d2_minhash_signatures", d2, Some {
       s"""WITH ${shingleCte("documents")},
          |$sigCte
