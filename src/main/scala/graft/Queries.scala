@@ -68,9 +68,11 @@ object Queries {
 
   /** Drain a streaming frame through a memory sink (AvailableNow) and
    *  return the result. Shared epilogue for every streaming gate query:
-   *  shuffle partitions drop to 8 for the run (state-store count equals
-   *  shuffle partitions; 8 covers these key cardinalities at 4× less
-   *  per-partition store setup) and the sink's temp view is dropped once
+   *  shuffle partitions drop for the run (state-store count equals
+   *  shuffle partitions; the default 8 covers these key cardinalities at
+   *  4× less per-partition store setup than the session's 32, and the
+   *  stateful stream-stream joins pass 4 — they carry 4 stores per
+   *  partition) and the sink's temp view is dropped once
    *  the result Dataset is resolved — otherwise each invocation pins a
    *  full result table in driver memory for the session's lifetime. */
   private def drainToMemory(spark: SparkSession, df: DataFrame, prefix: String,
@@ -460,6 +462,20 @@ object Queries {
    *  both engines; /2^60 is exact scaling). */
   private def planeWeightSql(p: Int, d: Int): String =
     s"((('0x' || substr(md5('plane:$p:$d'), 1, 15))::bigint::double / 1152921504606846976.0) - 0.5)"
+
+  /** Decimal-exact first/second-moment CTE over lineitem (x = quantity,
+   *  y = extendedprice), shared by q75 (correlation) and q80 (regression)
+   *  on BOTH engines — the sums are order-free and partial-aggregable; the
+   *  final statistics assemble from them in plain IEEE. One copy so a
+   *  precision change cannot silently fork the two queries. */
+  private val momentCte: String =
+    """m AS (SELECT l_returnflag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+      |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)""".stripMargin
 
   /** Sign-bit LSH bucket over column `v`: sum over `planes` hyperplanes of
    *  (dot(v, w_p) > 0) << p. Left-to-right accumulation matches the native
@@ -2720,23 +2736,11 @@ object Queries {
     // doubles in partition order and cannot hash-match across engines; the
     // moment sums are exact and the final assembly is order-free IEEE.
     Spec("q75_corr_moments", sqlQuery(Seq("lineitem"),
-      """WITH m AS (SELECT l_returnflag, count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+      s"""WITH $momentCte
         |SELECT l_returnflag, n,
         |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
         |FROM m""".stripMargin),
-      Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+      Some(s"""WITH $momentCte
         |SELECT l_returnflag, n,
         |  round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
         |FROM m""".stripMargin)),
@@ -2804,40 +2808,30 @@ object Queries {
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
 
     // median(): both engines linear-interpolate between the two middle
-    // values; quantity is integral so the interpolated halves are exactly
-    // representable (round(,6) guards the emit regardless).
-    Spec("q79_median", sqlQuery(Seq("lineitem"),
-      """SELECT l_returnflag, round(median(CAST(l_quantity AS DOUBLE)), 6) AS med_qty,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
-      Some("""SELECT l_returnflag, round(median(CAST(l_quantity AS DOUBLE)), 6) AS med_qty,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+    // values. Computed over the CONTINUOUS events.value column so the
+    // middle pair is genuinely unequal and the interpolation formula is
+    // exercised (integral quantity columns always land on equal middle
+    // pairs in this data — vacuous coverage); round(,6) absorbs the
+    // at-most-1-ulp difference between a+0.5*(b-a) and (a+b)/2 spellings.
+    Spec("q79_median", sqlQuery(Seq("events"),
+      """SELECT event_type, round(median(value), 6) AS med_value, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin),
+      Some(s"""WITH $eventsUsCte
+        |SELECT event_type, round(median(value), 6) AS med_value, count(*) AS n
+        |FROM events_us GROUP BY event_type""".stripMargin)),
 
     // Linear regression (slope/intercept/R^2) from the same decimal-exact
     // moments as q75 — the built-in regr_* aggregates sum doubles in
     // partition order and cannot hash-match cross-engine; the moment form
     // is both reproducible and partial-aggregable (one shuffle).
     Spec("q80_regression_moments", sqlQuery(Seq("lineitem"),
-      """WITH m AS (SELECT l_returnflag, count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+      s"""WITH $momentCte
         |SELECT l_returnflag, n,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
         |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM m""".stripMargin),
-      Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+      Some(s"""WITH $momentCte
         |SELECT l_returnflag, n,
         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
         |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
@@ -2848,26 +2842,35 @@ object Queries {
     // vowel-run syllable proxy, and the two ratios — integer counts from
     // identical regexes, ratios as single IEEE divisions of those integers
     // (exact cross-engine), the float-constant Flesch formula left to the
-    // consumer. One narrow scan, no shuffle.
+    // consumer. One narrow scan, no shuffle. The synthetic corpus carries
+    // NO sentence punctuation, so a deterministic mark-insertion step
+    // (period at every ' the ' boundary, identical in both engines) keeps
+    // the sentence-count regex actually exercised — without it n_sents is
+    // 0 on every row and that column could diverge without failing the
+    // gate (vacuous coverage).
     Spec("t15_readability", sqlQuery(Seq("documents"),
-      """SELECT doc_id,
+      """WITH s AS (SELECT doc_id, text,
+        |  regexp_replace(text, ' the ', ' . ') AS marked FROM documents)
+        |SELECT doc_id,
         |  CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_words,
-        |  CAST(length(regexp_replace(text, '[^.!?]', '')) AS BIGINT) AS n_sents,
+        |  CAST(length(regexp_replace(marked, '[^.!?]', '')) AS BIGINT) AS n_sents,
         |  CAST(size(regexp_extract_all(lower(text), '[aeiou]+', 0)) AS BIGINT) AS n_vruns,
         |  round(CAST(size(split(trim(text), '\\s+')) AS DOUBLE)
-        |        / greatest(length(regexp_replace(text, '[^.!?]', '')), 1), 6) AS words_per_sent,
+        |        / greatest(length(regexp_replace(marked, '[^.!?]', '')), 1), 6) AS words_per_sent,
         |  round(CAST(size(regexp_extract_all(lower(text), '[aeiou]+', 0)) AS DOUBLE)
         |        / greatest(size(split(trim(text), '\\s+')), 1), 6) AS vruns_per_word
-        |FROM documents""".stripMargin),
-      Some("""SELECT doc_id,
+        |FROM s""".stripMargin),
+      Some("""WITH s AS (SELECT doc_id, text,
+        |  regexp_replace(text, ' the ', ' . ', 'g') AS marked FROM documents)
+        |SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
-        |  CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT) AS n_sents,
+        |  CAST(length(regexp_replace(marked, '[^.!?]', '', 'g')) AS BIGINT) AS n_sents,
         |  CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_vruns,
         |  round(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
-        |        / greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1), 6) AS words_per_sent,
+        |        / greatest(length(regexp_replace(marked, '[^.!?]', '', 'g')), 1), 6) AS words_per_sent,
         |  round(CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS DOUBLE)
         |        / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1), 6) AS vruns_per_word
-        |FROM documents""".stripMargin)),
+        |FROM s""".stripMargin)),
 
     // Multi-column IN subquery — tuple membership, planned as a left-semi
     // join on both columns (Spark spells the subquery as bare columns,
