@@ -302,6 +302,13 @@ object Queries {
           concat(col("text"), lit(" dup dup dup")).as("text")))
   }
 
+  /** DuckDB mirror of d1/q41's exact-duplicate planting. */
+  private val exactCorpusCte =
+    """ecorpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
   private val corpusCte =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
@@ -1113,18 +1120,20 @@ object Queries {
     Spec("q36_funnel", sqlQuery(Seq("events"),
       """WITH v AS (SELECT user_id, min(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY user_id),
         |c AS (SELECT e.user_id, min(e.ts) AS cts FROM events e JOIN v ON e.user_id = v.user_id
-        |      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+        |      WHERE e.event_type = 'click' AND e.ts > v.vts
+        |        AND e.ts <= v.vts + INTERVAL 1 HOUR GROUP BY e.user_id),
         |p AS (SELECT e.user_id, min(e.ts) AS pts FROM events e JOIN c ON e.user_id = c.user_id
-        |      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.cts AND e.value > 500 GROUP BY e.user_id)
         |SELECT 'f1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT 'f2_view_click' AS stage, count(*) AS n_users FROM c
         |UNION ALL SELECT 'f3_view_click_purchase' AS stage, count(*) AS n_users FROM p""".stripMargin),
       Some(s"""WITH $eventsUsCte,
         |v AS (SELECT user_id, min(ts) AS vts FROM events_us WHERE event_type = 'view' GROUP BY user_id),
         |c AS (SELECT e.user_id, min(e.ts) AS cts FROM events_us e JOIN v ON e.user_id = v.user_id
-        |      WHERE e.event_type = 'click' AND e.ts > v.vts GROUP BY e.user_id),
+        |      WHERE e.event_type = 'click' AND e.ts > v.vts
+        |        AND e.ts <= v.vts + INTERVAL 1 HOUR GROUP BY e.user_id),
         |p AS (SELECT e.user_id, min(e.ts) AS pts FROM events_us e JOIN c ON e.user_id = c.user_id
-        |      WHERE e.event_type = 'purchase' AND e.ts > c.cts GROUP BY e.user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.cts AND e.value > 500 GROUP BY e.user_id)
         |SELECT 'f1_view' AS stage, count(*) AS n_users FROM v
         |UNION ALL SELECT 'f2_view_click' AS stage, count(*) AS n_users FROM c
         |UNION ALL SELECT 'f3_view_click_purchase' AS stage, count(*) AS n_users FROM p""".stripMargin)),
@@ -1227,10 +1236,18 @@ object Queries {
     // ------------------------------------------- training-data pipeline ops
 
     Spec("d1_dedup_exact", (spark, dir) => {
-      Dedup.exact(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
-    }, Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+      // exact copies planted at shifted ids: the raw synthetic corpus has
+      // ZERO exact duplicates, so dup_count was 1 on every row and the
+      // keep-smallest-id grouping was never exercised (vacuous coverage)
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.exact(planted, "text", "doc_id")
+    }, Some(s"""WITH $exactCorpusCte
+        |SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
-        |FROM documents GROUP BY 1""".stripMargin)),
+        |FROM ecorpus GROUP BY 1""".stripMargin)),
 
     // Streaming exact dedup: the same content-hash grouping as d1 run as a
     // STREAMING stateful aggregation (complete mode) — the incremental
@@ -1238,15 +1255,23 @@ object Queries {
     // per content hash across micro-batches. Final state must equal the
     // batch answer (stream/batch parity), so d1's oracle applies verbatim.
     Spec("q41_stream_dedup", (spark, dir) => {
-      val out = streamTable(spark, dir, "documents.parquet")
-        .select(md5(Dedup.normText(col("text"))).as("content_hash"),
-          col("doc_id").cast("long").as("doc_id"))
+      // same exact-duplicate planting as d1 (stream side: a second source
+      // with shifted ids unioned in), so the state actually merges
+      // duplicates instead of counting singletons
+      def side = streamTable(spark, dir, "documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val planted = side.unionAll(
+        side.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      val out = planted
+        .select(md5(Dedup.normText(col("text"))).as("content_hash"), col("doc_id"))
         .groupBy(col("content_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       drainToMemory(spark, out, "q41_dedup", "complete")
-    }, Some("""SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+    }, Some(s"""WITH $exactCorpusCte
+        |SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS content_hash,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
-        |FROM documents GROUP BY 1""".stripMargin)),
+        |FROM ecorpus GROUP BY 1""".stripMargin)),
 
     // Edit-distance verification of the LSH candidates: exact levenshtein
     // (integer, identical definitions cross-engine) computed ONLY for the
@@ -1492,14 +1517,14 @@ object Queries {
               .orderBy(col("doc_id"))
               .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("doc_id"), col("tokens"), col("shard"),
-          (col("cum_before") / lit(4096)).cast("long").as("pack_id"))
+          (col("cum_before") / lit(512)).cast("long").as("pack_id"))
     }, Some("""WITH t AS (SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tokens,
         |  doc_id % 16 AS shard FROM documents),
         |c AS (SELECT doc_id, tokens, shard,
         |  coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |  FROM t)
-        |SELECT doc_id, tokens, shard, CAST(floor(cum_before / 4096.0) AS BIGINT) AS pack_id FROM c""".stripMargin)),
+        |SELECT doc_id, tokens, shard, CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id FROM c""".stripMargin)),
 
     // Overlapping token-window chunking (window 64, stride 48): the
     // pre-tokenization split of long documents into training sequences
@@ -1751,12 +1776,16 @@ object Queries {
       """SELECT o_orderkey,
         |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
-        |  CAST(TRY_CAST(o_totalprice AS BIGINT) IS NOT NULL AS INT) AS price_ok
+        |  CAST(TRY_CAST(o_totalprice AS BIGINT) IS NOT NULL AS INT) AS price_ok,
+        |  TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+        |           ELSE CAST(o_orderkey AS STRING) END AS INT) AS mixed
         |FROM orders WHERE o_orderkey <= 400""".stripMargin),
       Some("""SELECT o_orderkey,
         |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
         |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
-        |  CAST(TRY_CAST(o_totalprice AS BIGINT) IS NOT NULL AS INT) AS price_ok
+        |  CAST(TRY_CAST(o_totalprice AS BIGINT) IS NOT NULL AS INT) AS price_ok,
+        |  TRY_CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority
+        |           ELSE CAST(o_orderkey AS VARCHAR) END AS INT) AS mixed
         |FROM orders WHERE o_orderkey <= 400""".stripMargin)),
 
     // GROUP BY ALL: every non-aggregate select item groups implicitly —
@@ -1981,8 +2010,10 @@ object Queries {
     // corpus size would add a global-aggregate join for no behavioral
     // gain. Two keyed shuffles: df per shingle, then ratio per doc.
     Spec("t9_boilerplate_ratio", (spark, dir) => {
-      val sh = Dedup.shingles(spark.read.parquet(s"$dir/documents.parquet"),
-        "text", "doc_id", 3)
+      // runs over the dup-planted corpus: on the raw synthetic documents NO
+      // 3-gram reaches the df threshold at gate scale, so every ratio was
+      // 0.0 and the numerator path was never exercised (vacuous coverage)
+      val sh = Dedup.shingles(docCorpus(spark, dir), "text", "doc_id", 3)
       val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       sh.join(dfreq, "shingle")
         .groupBy(col("id"))
@@ -1991,7 +2022,8 @@ object Queries {
           .as("boilerplate_ratio"))
         .select(col("id").as("doc_id"), col("boilerplate_ratio"))
     }, Some {
-      s"""WITH ${shingleCte("documents")},
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
          |dfreq AS (SELECT shingle, count(*) AS df FROM shing GROUP BY shingle)
          |SELECT s.doc_id,
          |  round(sum(CASE WHEN d.df >= 10 THEN 1 ELSE 0 END)::double / count(*), 6) AS boilerplate_ratio
@@ -2892,10 +2924,10 @@ object Queries {
     // DuckDB mirrors by substituting [NULL] for empty lists pre-unnest.
     Spec("q82_outer_explode", sqlQuery(Seq("documents"),
       """SELECT doc_id, tok FROM documents
-        |LATERAL VIEW OUTER explode(filter(split(lower(text), ' '), x -> length(x) > 12)) t AS tok
+        |LATERAL VIEW OUTER explode(filter(split(lower(text), ' '), x -> length(x) > 6)) t AS tok
         |WHERE doc_id < 200""".stripMargin),
       Some("""WITH a AS (SELECT doc_id,
-        |  list_filter(string_split(lower(text), ' '), x -> length(x) > 12) AS l
+        |  list_filter(string_split(lower(text), ' '), x -> length(x) > 6) AS l
         |  FROM documents WHERE doc_id < 200)
         |SELECT doc_id, unnest(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS tok FROM a""".stripMargin)),
 
