@@ -626,16 +626,23 @@ object Queries {
   private val qWsTokensSql = "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
 
   private val t2Oracle: String =
+    // quality components computed over deterministically punctuated text
+    // (same mark insertion as t15): the raw corpus carries no punctuation,
+    // which left punct_cnt constant-0 — a divergence there could never
+    // fail the gate. Aliasing the marked text AS text keeps every shared
+    // component snippet unchanged.
     s"""SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS len_chars,
        |  round($qAlphaSql, 6) AS alpha_ratio,
        |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS punct_cnt,
        |  round($qMwlSql, 6) AS mean_word_len,
        |  $qQualitySql AS quality
-       |FROM documents""".stripMargin
+       |FROM (SELECT doc_id, regexp_replace(text, ' the ', ' . ', 'g') AS text FROM documents) t""".stripMargin
 
   private def t2(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), " the ", " . ").as("text"))
     docs.select(col("doc_id"),
       length(col("text")).cast("long").as("len_chars"),
       round(TextAnalysis.alphaRatio(col("text")), 6).as("alpha_ratio"),
