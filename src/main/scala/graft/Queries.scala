@@ -2231,15 +2231,19 @@ object Queries {
     // Bitwise aggregates (bit_and/bit_or/bit_xor) — exact integer results,
     // fully partial-aggregable (associative + commutative), so they combine
     // map-side before the single exchange. Identical SQL both engines.
+    // Groups are 101 consecutive keys: large groups saturate AND to 0 and
+    // OR to all-ones, and EVEN-length consecutive runs XOR-cancel pairwise
+    // to a constant — the odd, bounded group keeps every aggregate column
+    // genuinely varying (non-vacuous coverage).
     Spec("q62_bit_agg", sqlQuery(Seq("orders"),
-      """SELECT o_orderstatus,
+      """SELECT o_orderkey div 101 AS grp,
         |  bit_and(o_orderkey) AS k_and, bit_or(o_orderkey) AS k_or, bit_xor(o_orderkey) AS k_xor,
         |  bit_xor(o_custkey) AS c_xor, count(*) AS n
-        |FROM orders GROUP BY o_orderstatus""".stripMargin),
-      Some("""SELECT o_orderstatus,
+        |FROM orders GROUP BY o_orderkey div 101""".stripMargin),
+      Some("""SELECT o_orderkey // 101 AS grp,
         |  bit_and(o_orderkey) AS k_and, bit_or(o_orderkey) AS k_or, bit_xor(o_orderkey) AS k_xor,
         |  bit_xor(o_custkey) AS c_xor, count(*) AS n
-        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+        |FROM orders GROUP BY o_orderkey // 101""".stripMargin)),
 
     // Calendar gap-fill: per-user date spine via sequence()+explode joined
     // back to activity — the standard time-series densification. The spine
