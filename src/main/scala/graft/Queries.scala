@@ -1284,7 +1284,8 @@ object Queries {
     // (integer, identical definitions cross-engine) computed ONLY for the
     // banded candidate pairs — the standard confirm step after probabilistic
     // blocking, quadratic per pair but pair count is LSH-bounded. Distance
-    // normalized by the longer text; near-dups flagged under 0.2.
+    // normalized by the longer text; near-dups flagged under 0.05 (the
+    // candidate ratios span ~0.008-0.2, so both flag branches are real).
     Spec("d13_edit_distance", (spark, dir) => {
       val corpus = docCorpus(spark, dir)
       val pairs = Dedup.lshCandidatePairs(
@@ -1298,7 +1299,7 @@ object Queries {
           levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
           round(levenshtein(col("ta"), col("tb")).cast("double") /
             greatest(length(col("ta")), length(col("tb"))), 6).as("edit_ratio"))
-        .withColumn("is_near_dup", col("edit_ratio") < 0.2)
+        .withColumn("is_near_dup", col("edit_ratio") < 0.05)
     }, Some {
       s"""WITH $corpusCte,
          |${shingleCte("corpus")},
@@ -1312,7 +1313,7 @@ object Queries {
          |SELECT k.id_a, k.id_b,
          |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS edit_dist,
          |  round(levenshtein(a.t, b.t) / greatest(length(a.t), length(b.t)), 6) AS edit_ratio,
-         |  round(levenshtein(a.t, b.t) / greatest(length(a.t), length(b.t)), 6) < 0.2 AS is_near_dup
+         |  round(levenshtein(a.t, b.t) / greatest(length(a.t), length(b.t)), 6) < 0.05 AS is_near_dup
          |FROM kept k JOIN txt a ON k.id_a = a.doc_id JOIN txt b ON k.id_b = b.doc_id""".stripMargin
     }),
 
