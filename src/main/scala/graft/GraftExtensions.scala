@@ -40,10 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"zorder_key bits must be an integer literal, got $other")
           }
         } else 16
-        def asLong(e: Expression) =
-          org.apache.spark.sql.catalyst.expressions.Cast(e,
-            org.apache.spark.sql.types.LongType)
-        graft.functions.ZOrderExpression.ZOrderKey(asLong(es(0)), asLong(es(1)), bits)
+        // no implicit Cast: ZOrderKey accepts any integral type itself, and
+        // anything else must reach checkInputDataTypes as an analysis error
+        // (an unconditional Cast to LONG would mask bad input as NULL keys)
+        graft.functions.ZOrderExpression.ZOrderKey(es(0), es(1), bits)
       }))
     e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }

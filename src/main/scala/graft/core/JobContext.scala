@@ -28,6 +28,11 @@ final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSe
    *  two (the reference counts via either the runner or the plan parse,
    *  never both — SqlActor.scala:94-109). */
   private var _seenThisAction = mutable.Set.empty[String]
+  /** Whether beginAction() has ever been called. Code that drives actors on
+   *  a bare JobContext (tests, the query catalog) never delimits actions —
+   *  for them every referenceView call must count, or the 2nd-reference
+   *  auto-persist could never trigger. */
+  private var _actionScoped = false
   /** The exact DataFrames we persisted (not just names): a later
    *  createOrReplaceTempView re-binds the name to a new plan, and
    *  unpersisting THAT plan would leak the original cache entry. */
@@ -65,12 +70,14 @@ final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSe
 
   /** Reset the per-action reference dedup scope (runner calls this at the
    *  start of every action). */
-  def beginAction(): Unit = _seenThisAction = mutable.Set.empty
+  def beginAction(): Unit = { _actionScoped = true; _seenThisAction = mutable.Set.empty }
 
   /** Count a reference to `name`; auto-persist on the 2nd reference
    *  (skipped for streaming views — persist is illegal on them). At most
-   *  one count per view per action — see [[_seenThisAction]]. */
-  def referenceView(name: String): Unit = if (_seenThisAction.add(name)) {
+   *  one count per view per action — see [[_seenThisAction]] — but only
+   *  once the runner has delimited actions via beginAction(); bare-context
+   *  callers count every reference. */
+  def referenceView(name: String): Unit = if (!_actionScoped || _seenThisAction.add(name)) {
     _viewRefs(name) += 1
     if (_viewRefs(name) == 2 && viewExists(name) && !_cached.contains(name)) {
       val df = getView(name)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /**
  * Z-order (Morton) key: interleave the low `bits` bits of two long
@@ -33,19 +33,26 @@ object ZOrderExpression {
     require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     override def dataType: DataType = LongType
     override def nullable: Boolean = left.nullable || right.nullable
+    // integral-only, like the built-in bit expressions: strings / fractionals
+    // must FAIL analysis, not be silently cast to NULL/truncated keys —
+    // which is why the SQL builder and zkey inject no implicit Cast
+    private def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      if (left.dataType == LongType && right.dataType == LongType)
+      if (integral(left.dataType) && integral(right.dataType))
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"zorder_key expects (bigint, bigint), got " +
+        s"zorder_key expects integral arguments (tinyint..bigint), got " +
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
     override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
 
     override protected def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[Long]
-      val b = r.asInstanceOf[Long]
+      val a = l.asInstanceOf[Number].longValue // byte..long all widen exactly
+      val b = r.asInstanceOf[Number].longValue
       var res = 0L
       var i = 0
       while (i < bits) {
@@ -70,11 +77,13 @@ object ZOrderExpression {
   }
 
   /** Column API: Morton key of the two dimensions' low `bits` bits.
-   *  Callers are expected to pre-scale dimensions into [0, 2^bits). */
+   *  Callers are expected to pre-scale dimensions into [0, 2^bits).
+   *  Integral columns only — no implicit cast, so a string or fractional
+   *  column is an analysis error rather than a silently-wrong key. */
   def zkey(a: Column, b: Column, bits: Int = 16): Column =
     GraftSqlBridge.column(ZOrderKey(
-      GraftSqlBridge.expression(a.cast("long")),
-      GraftSqlBridge.expression(b.cast("long")), bits))
+      GraftSqlBridge.expression(a),
+      GraftSqlBridge.expression(b), bits))
 
   /** The DuckDB/ANSI mirror of [[zkey]]: an unrolled OR of 2·bits shifted
    *  single-bit terms over columns `a`/`b` (exact integer ops — parity with

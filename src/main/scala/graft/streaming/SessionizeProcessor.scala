@@ -61,28 +61,33 @@ class SessionizeProcessor extends ArbitraryStatefulProcessor {
 private[streaming] object SessionMerge {
   /** Merge sorted event micros into the open session; returns (emitted
    *  sessions — every closed one plus the still-open one — and the new
-   *  open-session state (start, last, count)). */
+   *  open-session state (start, last, count)).
+   *
+   *  The prior open session and each batch event are treated as intervals
+   *  and re-merged start-sorted with standard gap semantics. This is what
+   *  batch `session_window` computes: a late event more than `gap` BEFORE
+   *  the open session's start is a distinct (already-complete) earlier
+   *  session, not a backward extension — while a late-but-within-gap event
+   *  still widens the session without ever moving `last` backward. */
   def merge(key: Long, open: Option[(Long, Long, Long)], sortedUs: Array[Long],
             gapUs: Long): (Seq[(Long, Long, Long)], Option[(Long, Long, Long)]) = {
-    var (start, last, cnt) = open.getOrElse((0L, 0L, 0L))
+    val intervals = ArrayBuffer.empty[(Long, Long, Long)] // (start, last, cnt)
+    open.foreach(intervals += _)
+    sortedUs.foreach(t => intervals += ((t, t, 1L)))
+    if (intervals.isEmpty) return (Nil, None)
+    val byStart = intervals.sortBy(iv => (iv._1, iv._2))
     val out = ArrayBuffer.empty[(Long, Long, Long)]
-    sortedUs.foreach { t =>
-      if (cnt == 0L) { start = t; last = t; cnt = 1L }
-      else if (t - last > gapUs) {
+    var (start, last, cnt) = byStart.head
+    byStart.iterator.drop(1).foreach { case (s, l, c) =>
+      if (s - last > gapUs) {
         out += ((key, Math.floorDiv(start, 1000000L), cnt))
-        start = t; last = t; cnt = 1L
+        start = s; last = l; cnt = c
       } else {
-        // a LATER batch can deliver events earlier than the open session's
-        // bounds (late-but-within-watermark): merging must extend the
-        // session, never move `last` backward — that would split the next
-        // on-time event into a spurious new session
-        last = math.max(last, t); start = math.min(start, t); cnt += 1L
+        last = math.max(last, l); cnt += c
       }
     }
-    if (cnt > 0L) {
-      out += ((key, Math.floorDiv(start, 1000000L), cnt)) // open session
-      (out.toSeq, Some((start, last, cnt)))
-    } else (out.toSeq, None)
+    out += ((key, Math.floorDiv(start, 1000000L), cnt)) // last one stays open
+    (out.toSeq, Some((start, last, cnt)))
   }
 }
 

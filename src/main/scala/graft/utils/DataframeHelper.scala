@@ -47,20 +47,44 @@ object DataframeHelper {
    * aggregation feeding the join).
    *
    * Supports inner and left joins (right-side replication preserves both).
+   *
+   * With `spreadDuplicates` the partition id joins the hash input, so exact
+   * duplicate rows of a hot key living in different partitions spread too
+   * (the worst skew shape: many identical rows). Retry-safe — a recomputed
+   * map task has the same partition index, so it re-derives the same salt —
+   * and join-correct regardless: the right side carries every salt value,
+   * so ANY salt in [0, salt) matches. Identical duplicates within ONE
+   * partition still co-locate; that residual is bounded by rows-per-
+   * partition, not by the hot key's total population.
    */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 salt: Int, joinType: String = "inner"): DataFrame = {
+                 salt: Int, joinType: String = "inner",
+                 spreadDuplicates: Boolean = false): DataFrame = {
     require(salt > 1, "salt must be > 1")
     require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left joins, got $joinType")
-    // deterministic spread: hash of the row's FULL CONTENT, not rand() or
+    // deterministic spread: hash of the row's content, not rand() or
     // monotonically_increasing_id (both vary across recomputations /
     // indeterminate stage retries) — the salt is a pure function of the
-    // row, so re-evaluation re-derives the same bucket. Same-key rows with
-    // different payloads spread across buckets; fully identical duplicate
-    // rows co-locate (they cannot be told apart deterministically).
-    val l = left.withColumn("__salt_",
-      pmod(hash(left.columns.map(col).toIndexedSeq: _*), lit(salt)))
+    // row, so re-evaluation re-derives the same bucket. Map-typed columns
+    // are excluded from the hash input (hash() rejects maps — their
+    // iteration order is undefined); rows differing only in a map column
+    // co-locate, like exact duplicates do without `spreadDuplicates`.
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def containsMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => containsMap(et)
+      case StructType(fs) => fs.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+    val hashable = left.schema.fields
+      .filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    val saltInput = (if (spreadDuplicates) hashable :+ spark_partition_id() else hashable) match {
+      case empty if empty.isEmpty => IndexedSeq(spark_partition_id()) // all-map row: partition spread only
+      case cols => cols
+    }
+    val l = left.withColumn("__salt_", pmod(hash(saltInput: _*), lit(salt)))
     val r = right.withColumn("__salt_", explode(array((0 until salt).map(lit): _*)))
     l.join(r, keys :+ "__salt_", joinType).drop("__salt_")
   }

@@ -112,15 +112,26 @@ class GuardRailSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       ZOrderExpression.zkey(col("a"), col("b"), 33)
     }.getMessage should include("bits")
-    // raw expression (no implicit cast): a string child fails analysis
+    // no implicit cast anywhere: a string child fails analysis on BOTH the
+    // raw-expression and Column-API paths (an unconditional Cast to LONG
+    // used to mask bad input as NULL keys under ANSI-off)
     import spark.implicits._
     import org.apache.spark.sql.GraftSqlBridge
-    val df = Seq(("x", 1L)).toDF("s", "b")
+    val df = Seq(("x", 1L, 1.5)).toDF("s", "b", "f")
     val raw = ZOrderExpression.ZOrderKey(
       GraftSqlBridge.expression($"s"), GraftSqlBridge.expression($"b"), 4)
     intercept[org.apache.spark.sql.AnalysisException] {
       df.select(GraftSqlBridge.column(raw)).collect()
     }.getMessage.toLowerCase should include("zorder_key expects")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ZOrderExpression.zkey($"s", $"b", 4)).collect()
+    }.getMessage.toLowerCase should include("zorder_key expects")
+    // fractional input is also an analysis error, not a truncated key
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ZOrderExpression.zkey($"f", $"b", 4)).collect()
+    }.getMessage.toLowerCase should include("zorder_key expects")
+    // integer (non-bigint) input widens natively
+    df.select(ZOrderExpression.zkey(lit(3), lit(5), 4)).head.getLong(0) shouldBe 27L
   }
 
   test("ivfPqTopK rejects a dimension that does not divide into subspaces") {

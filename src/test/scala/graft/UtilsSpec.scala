@@ -146,6 +146,39 @@ class UtilsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin tolerates map columns and spreads exact duplicates on request") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a MapType column on the left used to fail analysis (hash() rejects
+    // maps); it must now be excluded from the salt hash, not break the join
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+      .withColumn("m", map(col("v"), col("k")))
+    val right = Seq((1L, "X"), (2L, "Y")).toDF("k", "w")
+    val out = DataframeHelper.saltedJoin(left, right, Seq("k"), 4)
+      .select("k", "v", "w").collect().map(_.toString).sorted
+    out shouldBe Seq("[1,a,X]", "[1,b,X]", "[2,c,Y]")
+
+    // exact-duplicate rows of one hot key: content hash puts them all in a
+    // single bucket; spreadDuplicates mixes in the partition id so the
+    // duplicates spread across salt buckets (join result identical)
+    val dup = spark.range(0, 4000).select(lit(42L).as("k"), lit("same").as("v"))
+      .repartition(8)
+    val plainRows = DataframeHelper
+      .saltedJoin(dup, Seq((42L, "Z")).toDF("k", "w"), Seq("k"), 8, "inner", spreadDuplicates = true)
+      .count()
+    plainRows shouldBe 4000L
+    // distinct salt buckets actually used: 1 without spreading (all rows
+    // identical), >1 with partition-id spreading across 8 partitions
+    val saltsUsed = (spread: Boolean) => {
+      val salted = dup.withColumn("__salt_", pmod(hash(
+        (if (spread) dup.columns.map(col).toIndexedSeq :+ spark_partition_id()
+         else dup.columns.map(col).toIndexedSeq): _*), lit(8)))
+      salted.select("__salt_").distinct().count()
+    }
+    saltsUsed(false) shouldBe 1L
+    saltsUsed(true) should be > 1L
+  }
+
   test("SqlTableWriter writes a catalog table") {
     implicit val s = spark
     val ctx = new JobContext(PipelineContext())

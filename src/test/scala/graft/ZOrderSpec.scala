@@ -36,12 +36,9 @@ class ZOrderSpec extends SparkSpec {
     }
 
     // SQL registration via GraftExtensions' injected builder
+    // int literals are accepted natively (integral widening, no Cast)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "zorder_key",
-      es => {
-        def asLong(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-          org.apache.spark.sql.catalyst.expressions.Cast(e, org.apache.spark.sql.types.LongType)
-        ZOrderExpression.ZOrderKey(asLong(es(0)), asLong(es(1)), 4)
-      })
+      es => ZOrderExpression.ZOrderKey(es(0), es(1), 4))
     spark.sql("SELECT zorder_key(3, 5)").head.getLong(0) shouldBe 27L
   }
 

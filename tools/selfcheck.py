@@ -3,15 +3,17 @@
 scale factor, then run each oracle SQL in DuckDB over the same parquet
 tables and compare (columns sorted by name, rows sorted, values hashed).
 
-Usage: python3 tools/selfcheck.py [sfdir] [outdir]
+Usage: python3 tools/selfcheck.py [sfdir] [outdir] [--strict]
+  --strict: exit nonzero if any query is vacuous (OK-EMPTY), not just on failures
 """
 import sys, os, json, subprocess, glob
 import duckdb
 import pyarrow.parquet as pq
 import decimal, datetime, math
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.001"
+OUT = _pos[1] if len(_pos) > 1 else "/tmp/verify_out"
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -93,13 +95,22 @@ def main():
             results[name] = "OK-EMPTY rows=0 (vacuous: both engines returned nothing)"
         else:
             results[name] = f"OK rows={len(spark_rows)}"
-    ok = sum(1 for v in results.values() if v.startswith("OK"))
+    # OK-EMPTY is a vacuous agreement (0 rows on both engines), NOT a pass:
+    # count it separately so a query that silently filters everything away
+    # can never inflate the pass total, and fail the gate under --strict
+    ok = sum(1 for v in results.values() if v.startswith("OK") and not v.startswith("OK-EMPTY"))
+    vacuous = sum(1 for v in results.values() if v.startswith("OK-EMPTY"))
     for k, v in sorted(results.items()):
         tag = ('WARN' if v.startswith('OK-EMPTY')
                else 'PASS' if v.startswith('OK')
                else 'INFO' if v.startswith('ROWS_ONLY') else 'FAIL')
         print(f"{tag:5s} {k}: {v}")
-    print(f"\n{ok}/{len([r for r in results.values() if not r.startswith('ROWS_ONLY')])} oracle-checked queries pass")
+    checked = len([r for r in results.values() if not r.startswith('ROWS_ONLY')])
+    print(f"\n{ok}/{checked} oracle-checked queries pass"
+          + (f" ({vacuous} vacuous OK-EMPTY excluded)" if vacuous else ""))
+    strict = "--strict" in sys.argv
+    if ok + vacuous < checked or (strict and vacuous):
+        sys.exit(1)
 
 if __name__ == "__main__":
     main()
