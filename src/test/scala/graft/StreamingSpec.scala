@@ -184,6 +184,65 @@ class StreamingSpec extends SparkSpec {
     tws shouldBe fmgws
     tws should not be empty
   }
+
+  test("Trigger.Continuous actually executes: rate source -> ForeachWriter, epochs commit") {
+    // The one streaming mode the catalog plumbs but never ran: start a real
+    // continuous-trigger query (epoch-based, no micro-batches) and observe
+    // (a) rows flowing through the per-partition open/process/close
+    // contract, (b) MULTIPLE distinct epochs — i.e. epoch markers are
+    // propagating and committing, and (c) durable epoch commits in the
+    // checkpoint, then a clean stop.
+    implicit val s = spark
+    import java.nio.file.{Files, Paths}
+    ContinuousProbe.reset()
+    val ckpt = tmpDir("cont_ckpt")
+    val ctx = new JobContext(PipelineContext())
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").option("numPartitions", "2").load()
+    ctx.promoteView("cont_rate_v", rate, global = false)
+    val before = spark.streams.active.map(_.id).toSet
+    new graft.streaming.ForeachStreamWriter(new ContinuousCollector)
+      .sourceView("cont_rate_v")
+      .withTrigger("continuous", "500 milliseconds")
+      .withCheckpoint(ckpt)
+      .run(ctx)
+    val q = spark.streams.active.find(a => !before.contains(a.id)).get
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while ((ContinuousProbe.rows.size() < 100 || ContinuousProbe.epochs.size < 3)
+             && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    } finally q.stop()
+    ContinuousProbe.rows.size() should be >= 100
+    // >= 3 distinct epochIds seen by open(): the writer was re-opened per
+    // epoch, not running one giant batch
+    ContinuousProbe.epochs.size should be >= 3
+    // epoch commit log is durable
+    val commits = Files.list(Paths.get(s"$ckpt/commits")).count()
+    commits should be >= 1L
+    q.isActive shouldBe false
+    // rate-source values are non-negative increasing longs; spot-check range
+    import scala.jdk.CollectionConverters._
+    ContinuousProbe.rows.asScala.forall(_ >= 0L) shouldBe true
+  }
+}
+
+/** Driver-side probe for the continuous-trigger test: executor threads (same
+ *  JVM in local mode) record what the ForeachWriter saw. */
+object ContinuousProbe {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  val epochs: java.util.Set[java.lang.Long] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]()
+  def reset(): Unit = { rows.clear(); epochs.clear() }
+}
+
+/** Per-epoch open/process/close collector (continuous-capable sink). */
+class ContinuousCollector extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    ContinuousProbe.epochs.add(epochId); true
+  }
+  override def process(row: org.apache.spark.sql.Row): Unit =
+    ContinuousProbe.rows.add(row.getAs[Long]("value"))
+  override def close(errorOrNull: Throwable): Unit = ()
 }
 
 /** groupByKey + mapGroupsWithState accumulator (the reference's canonical
