@@ -40,7 +40,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] fixture pre-build failed (q65 will time the write): $e")
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional subsetting for A/B diagnosis: comma-separated exact names
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
+      .map { case (name, fn) =>
       if (canWarm && warmSpentNs < warmBudgetNs) {
         val w0 = System.nanoTime()
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }

@@ -1224,21 +1224,68 @@ object Queries {
         |  CAST(length(substr(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS BIGINT) AS frame_bytes
         |FROM f WHERE i % 4 = 0""".stripMargin)),
 
-    // "Resize" through the multimodal plumbing: deterministic 1-in-4-byte
-    // downsample per payload (stub scaler, real partition-parallel shape).
+    // Resize on REAL pixels through the REAL codec: each document becomes a
+    // genuine 16x16 gray PNG (pixel i = ascii of text[(i*7) mod len]),
+    // encoded AND decoded via JDK ImageIO, then 2x2 average-pooled in exact
+    // integer arithmetic. PNG is lossless, so the oracle verifies the whole
+    // encode->decode->pool path by recomputing the pooling directly from
+    // the text-derived pixels — without ever parsing a PNG.
     Spec("m3_resize", (spark, dir) => {
       implicit val s: SparkSession = spark
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
-      graft.ml.Multimodal.resizeStub(docs, factor = 4)
-        .select(col("id").as("doc_id"), md5(col("payload")).as("resized_md5"),
-          length(col("payload")).cast("long").as("resized_bytes"))
-    }, Some("""SELECT doc_id,
-        |  md5(array_to_string(list_transform(
-        |    range(0, CAST(ceil(length(text) / 4.0) AS BIGINT)),
-        |    i -> substr(text, CAST(i * 4 + 1 AS BIGINT), 1)), '')) AS resized_md5,
-        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS resized_bytes
-        |FROM documents""".stripMargin)),
+        .select(col("doc_id"), col("text"))
+      val imgs = graft.ml.Multimodal.textToGrayPng(docs, "doc_id", "text", 16, 16)
+      graft.ml.Multimodal.averagePool(imgs, factor = 2)
+        .select(col("id").as("doc_id"),
+          expr("md5(encode(array_join(transform(pooled, x -> cast(x AS STRING)), ','), 'UTF-8'))")
+            .as("resized_md5"),
+          expr("aggregate(pooled, CAST(0 AS BIGINT), (a, x) -> a + x)").as("resized_sum"),
+          col("width").cast("long").as("src_w"), col("height").cast("long").as("src_h"))
+    }, Some("""WITH px AS (
+        |  SELECT doc_id, list_transform(range(0, 256), i ->
+        |    ascii(substr(text, CAST((i * 7) % length(text) AS BIGINT) + 1, 1))) AS g
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id, list_transform(range(0, 64), p ->
+        |    (g[CAST((p // 8) * 32 + (p % 8) * 2 AS BIGINT) + 1]
+        |     + g[CAST((p // 8) * 32 + (p % 8) * 2 + 1 AS BIGINT) + 1]
+        |     + g[CAST((p // 8) * 32 + (p % 8) * 2 + 16 AS BIGINT) + 1]
+        |     + g[CAST((p // 8) * 32 + (p % 8) * 2 + 17 AS BIGINT) + 1]) // 4) AS pg
+        |  FROM px)
+        |SELECT doc_id, md5(array_to_string(pg, ',')) AS resized_md5,
+        |  CAST(list_sum(pg) AS BIGINT) AS resized_sum,
+        |  CAST(16 AS BIGINT) AS src_w, CAST(16 AS BIGINT) AS src_h
+        |FROM pl""".stripMargin)),
+
+    // Full real-codec decode: ImageIO parses the PNG we encoded, meta dims
+    // come from the DECODED image (not the generator), features are the 8
+    // horizontal-band gray sums (exact integers). The oracle recomputes the
+    // band sums from the generator — equality proves ImageIO round-tripped
+    // every pixel.
+    Spec("m4_image_decode", (spark, dir) => {
+      implicit val s: SparkSession = spark
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val imgs = graft.ml.Multimodal.textToGrayPng(docs, "doc_id", "text", 16, 16)
+      graft.ml.Multimodal.decode(imgs)
+        .select(col("id").as("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          expr("md5(encode(array_join(transform(feature, x -> cast(cast(x AS BIGINT) AS STRING)), ','), 'UTF-8'))")
+            .as("band_md5"))
+    }, Some("""WITH px AS (
+        |  SELECT doc_id, list_transform(range(0, 256), i ->
+        |    ascii(substr(text, CAST((i * 7) % length(text) AS BIGINT) + 1, 1))) AS g
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, list_transform(range(0, 8), k ->
+        |    list_sum(g[CAST(k * 32 + 1 AS BIGINT):CAST(k * 32 + 32 AS BIGINT)])) AS bs
+        |  FROM px)
+        |SELECT doc_id, 'png' AS format,
+        |  CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  md5(array_to_string(bs, ',')) AS band_md5
+        |FROM b""".stripMargin)),
 
     // ------------------------------------------- training-data pipeline ops
 

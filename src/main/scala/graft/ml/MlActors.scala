@@ -149,7 +149,9 @@ class TextAnalysisActor extends Actor {
 }
 
 /** Multimodal decode actor: (id, payload binary) view -> decoded metadata
- *  + feature vectors through the partition-parallel stub codec. */
+ *  + feature vectors, partition-parallel. Images decode for REAL (JDK
+ *  ImageIO: PNG/BMP pixels, band-sum features); audio/video fall back to
+ *  the synthetic-header codec. */
 class MultimodalDecodeActor extends Actor {
   protected var view: String = ""
 

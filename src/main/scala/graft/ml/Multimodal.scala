@@ -3,20 +3,28 @@ package graft.ml
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
 
 /**
  * Multimodal (image/audio/video) column plumbing: media travel as opaque
  * `binary` columns + typed metadata structs; decode / feature-extract /
  * resize / frame-sample run per-partition over the binary payloads.
  *
- * The Spark-side plumbing — schema, partition-parallel execution, batch
- * shape — is real and tested. The codec step itself is STUBBED with a
- * deterministic fake (this container ships no image/audio libraries): it
- * parses a tiny synthetic header and derives "features" from content bytes.
- * Swap [[decodeStub]] for a real codec (JNI/javax.imageio/ffmpeg) without
- * touching the plan shape.
+ * The IMAGE codec is REAL: PNG/BMP encode + decode through the JDK's
+ * `javax.imageio` (no external libraries needed) — [[decodeImage]] sniffs
+ * the magic bytes, decodes actual pixels, and [[averagePool]] is a true
+ * pixel downsample in exact integer arithmetic. Audio/video payloads keep
+ * the deterministic synthetic-header fake ([[decodeStub]] — the JDK ships
+ * no audio/video codecs); swap it for ffmpeg/JNI without touching the plan
+ * shape.
  */
 object Multimodal {
+
+  // keep PNG encode/decode fully in-memory (ImageIO defaults to a temp-file
+  // cache per call — pure overhead for KB-sized payloads on executors)
+  ImageIO.setUseCache(false)
 
   /** Typed metadata carried beside every media payload. */
   val mediaMetaSchema: StructType = StructType(Seq(
@@ -32,11 +40,94 @@ object Multimodal {
     StructField("meta", mediaMetaSchema),
     StructField("feature", ArrayType(FloatType))))
 
+  // ---- real image codec (JDK ImageIO) -------------------------------------
+
+  /** Sniff the container format from magic bytes (what a real pipeline does
+   *  before picking a decoder — file extensions don't survive binary
+   *  columns). */
+  def sniffFormat(p: Array[Byte]): String =
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else "unknown"
+
+  /** Encode 8-bit gray pixels (row-major, values 0-255) as a real PNG via
+   *  the JDK codec. PNG is lossless: decode(encode(px)) == px exactly,
+   *  which is what lets an external oracle verify the decode path by
+   *  recomputing pixel arithmetic without ever parsing a PNG. */
+  def grayPng(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(gray.length == w * h, s"expected ${w * h} pixels, got ${gray.length}")
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, gray(i) & 0xff); x += 1; i += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a real image payload via ImageIO and return the gray channel
+   *  row-major (luma by integer BT.601 for color inputs; the raw sample for
+   *  gray inputs). Returns null if ImageIO has no reader for the bytes. */
+  def decodeGray(payload: Array[Byte]): (Array[Int], Int, Int) = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    if (img == null) return null
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](w * h)
+    if (img.getType == BufferedImage.TYPE_BYTE_GRAY) {
+      val raster = img.getRaster
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(i) = raster.getSample(x, y, 0); x += 1; i += 1 }
+        y += 1
+      }
+    } else {
+      var y = 0; var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+          out(i) = (299 * r + 587 * g + 114 * b) / 1000 // integer BT.601 luma
+          x += 1; i += 1
+        }
+        y += 1
+      }
+    }
+    (out, w, h)
+  }
+
+  /** REAL image decode: ImageIO pixels → meta (sniffed format, true decoded
+   *  dimensions) + 8 horizontal-band gray sums as features (exact integers,
+   *  so they are bit-stable across engines and reruns). Non-image payloads
+   *  fall through to the synthetic-header fake. */
+  def decodeImage(id: Long, payload: Array[Byte]): Row = {
+    val fmt = sniffFormat(payload)
+    val decoded = if (fmt == "unknown") null else decodeGray(payload)
+    if (decoded == null) return decodeStub(id, payload)
+    val (gray, w, h) = decoded
+    val bands = new Array[Long](8)
+    var y = 0
+    while (y < h) {
+      val band = math.min(7, y * 8 / h)
+      var x = 0
+      while (x < w) { bands(band) += gray(y * w + x); x += 1 }
+      y += 1
+    }
+    Row(id, Row("image", fmt, w, h, 0L, payload.length.toLong),
+      bands.map(_.toFloat)) // band sums < 2^24 for sane dims: exact in Float
+  }
+
   /**
-   * STUB codec: deterministic fake decode. Header convention for the
-   * synthetic fixtures: "IMG:<w>:<h>:" / "AUD:<ms>:" prefix, rest is
-   * payload. Features: 8 moments of the payload bytes. Replace with a real
-   * decoder for production; everything downstream only sees the schema.
+   * STUB codec: deterministic fake decode for NON-image payloads (the JDK
+   * ships no audio/video codecs). Header convention for the synthetic
+   * fixtures: "IMG:<w>:<h>:" / "AUD:<ms>:" prefix, rest is payload.
+   * Features: 8 moments of the payload bytes. Replace with a real decoder
+   * (ffmpeg/JNI) for production; everything downstream only sees the schema.
    */
   def decodeStub(id: Long, payload: Array[Byte]): Row = {
     val header = new String(payload.take(32), "ISO-8859-1")
@@ -82,14 +173,76 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
     df.select(col("id").cast("long"), col("payload"))
       .mapPartitions { rows =>
-        // real impl: initialize codec once here, reuse across the partition
-        rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
+        // one codec context per partition: ImageIO reader instances are
+        // created per call, but the (class-init-heavy) plugin registry is
+        // touched once per executor JVM
+        rows.map(r => decodeImage(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+  }
+
+  /** Deterministic text→image fixture: materialize each document as a REAL
+   *  8-bit gray PNG whose pixel (i) is the ASCII code of the
+   *  text character at `(i*7) mod len` — a generator an external oracle can
+   *  recompute in SQL, while the Spark side goes through genuine PNG
+   *  encode(+decode) via ImageIO. */
+  def textToGrayPng(df: DataFrame, idCol: String, textCol: String, w: Int, h: Int)
+                   (implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val t = r.getString(1)
+          require(t.nonEmpty, s"empty text for id ${r.getLong(0)}")
+          val gray = Array.tabulate(w * h)(i => t.charAt((i * 7) % t.length).toInt & 0xff)
+          Row(r.getLong(0), grayPng(gray, w, h))
+        }
+      }(enc)
+  }
+
+  /** REAL resize: ImageIO decode → factor×factor average-pool over true
+   *  pixels (floor integer mean of each block — exact arithmetic, so the
+   *  result is verifiable by recomputing it from the source pixels).
+   *  Output: (id, width, height of the DECODED source, pooled gray values
+   *  row-major). Payloads ImageIO cannot decode fail loudly — silently
+   *  passing garbage through a resize is how a 100 TB media job produces
+   *  100 TB of garbage. */
+  def averagePool(df: DataFrame, factor: Int)(implicit spark: SparkSession): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("pooled", ArrayType(IntegerType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col("id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val decoded = decodeGray(r.getAs[Array[Byte]](1))
+          require(decoded != null, s"payload for id $id is not a decodable image")
+          val (gray, w, h) = decoded
+          val (pw, ph) = (w / factor, h / factor)
+          val pooled = Array.tabulate(pw * ph) { p =>
+            val (px, py) = (p % pw, p / pw)
+            var sum = 0
+            var dy = 0
+            while (dy < factor) {
+              var dx = 0
+              while (dx < factor) {
+                sum += gray((py * factor + dy) * w + (px * factor + dx)); dx += 1
+              }
+              dy += 1
+            }
+            sum / (factor * factor)
+          }
+          Row(id, w, h, pooled)
+        }
       }(enc)
   }
 
   /** Frame sampling for video payloads: every nth chunk of `frameBytes` as
    *  its own row — the partition-parallel explode shape a real video
-   *  pipeline uses (chunking is the stub; the plan shape is real). */
+   *  pipeline uses (fixed-size chunking stands in for codec GOP boundaries:
+   *  the JDK ships no video demuxer; swap the chunker for ffmpeg/JNI). */
   def sampleFrames(df: DataFrame, frameBytes: Int, everyNth: Int)(implicit spark: SparkSession): DataFrame = {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("frame_no", IntegerType),
@@ -106,9 +259,10 @@ object Multimodal {
       }(enc)
   }
 
-  /** "Resize": deterministic byte-level downsample of an image payload —
-   *  stub for a real scaler; keeps the 1-in-N-bytes plan shape. */
-  def resizeStub(df: DataFrame, factor: Int)(implicit spark: SparkSession): DataFrame = {
+  /** Format-agnostic 1-in-N byte decimation over opaque payloads (bandwidth
+   *  shaping when the format is unknown). For true pixel resize use
+   *  [[averagePool]] — this one never decodes. */
+  def decimateBytes(df: DataFrame, factor: Int)(implicit spark: SparkSession): DataFrame = {
     val schema = StructType(Seq(StructField("id", LongType), StructField("payload", BinaryType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col("id").cast("long"), col("payload"))

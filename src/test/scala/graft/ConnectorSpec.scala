@@ -70,11 +70,11 @@ class ConnectorSpec extends SparkSpec {
     outer.filter("k = 'u2'").select("rid").collect().head.isNullAt(0) shouldBe true
   }
 
-  test("multimodal resize stub downsamples deterministically") {
+  test("multimodal byte decimation downsamples deterministically") {
     implicit val s = spark
     import spark.implicits._
     val df = Seq((1L, Array.tabulate[Byte](100)(_.toByte))).toDF("id", "payload")
-    val out = graft.ml.Multimodal.resizeStub(df, 4).collect().head
+    val out = graft.ml.Multimodal.decimateBytes(df, 4).collect().head
     out.getAs[Array[Byte]](1).length shouldBe 25
   }
 

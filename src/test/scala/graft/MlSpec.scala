@@ -402,6 +402,39 @@ class MlSpec extends SparkSpec {
     again(1L) shouldBe rows(1L).getSeq[Float](2)
   }
 
+  test("real PNG codec round-trips pixels exactly and pools with integer means") {
+    implicit val s = spark
+    import spark.implicits._
+    // 4x4 gradient: encode via ImageIO, decode back, expect identical pixels
+    val px = Array(0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120, 130, 140, 250)
+    val png = Multimodal.grayPng(px, 4, 4)
+    Multimodal.sniffFormat(png) shouldBe "png"
+    val (back, w, h) = Multimodal.decodeGray(png)
+    (w, h) shouldBe ((4, 4))
+    back.toSeq shouldBe px.toSeq
+    // 2x2 average-pool: floor integer block means
+    val pooled = Multimodal.averagePool(Seq((1L, png)).toDF("id", "payload"), 2).collect().head
+    pooled.getInt(1) shouldBe 4
+    pooled.getInt(2) shouldBe 4
+    pooled.getSeq[Int](3) shouldBe Seq((0 + 10 + 40 + 50) / 4, (20 + 30 + 60 + 70) / 4,
+      (80 + 90 + 120 + 130) / 4, (100 + 110 + 140 + 250) / 4)
+    // decodeImage: real meta + 8 band sums as exact float features
+    val d = Multimodal.decodeImage(9L, png)
+    d.getStruct(1).getString(0) shouldBe "image"
+    d.getStruct(1).getString(1) shouldBe "png"
+    d.getStruct(1).getInt(2) shouldBe 4
+    d.getStruct(1).getInt(3) shouldBe 4
+    // h=4 -> bands 0..7 from y*8/4: y0->0, y1->2, y2->4, y3->6 (rest empty)
+    val feats = d.getAs[Array[Float]](2)
+    feats(0) shouldBe (0 + 10 + 20 + 30).toFloat
+    feats(2) shouldBe (40 + 50 + 60 + 70).toFloat
+    feats(7) shouldBe 0f
+    // non-decodable payload through averagePool fails loudly
+    intercept[Exception] {
+      Multimodal.averagePool(Seq((2L, "junk".getBytes)).toDF("id", "payload"), 2).collect()
+    }
+  }
+
   test("frame sampling explodes payload chunks with stable numbering") {
     implicit val s = spark
     import spark.implicits._
