@@ -77,20 +77,23 @@ object Queries {
    *  full result table in driver memory for the session's lifetime. */
   private def drainToMemory(spark: SparkSession, df: DataFrame, prefix: String,
                             mode: String, shuffle: String = "8"): DataFrame = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.props.getOrElse("graft.drain.shuffle", shuffle))
-    try {
-      val qname = s"${prefix}_${System.nanoTime}"
-      val sq = df.writeStream.format("memory").queryName(qname)
-        .outputMode(mode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
-      val result = spark.table(qname)
-      spark.catalog.dropTempView(qname)
-      result
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // The low shuffle-partition override lives on a CLONED session
+    // (isolated SQLConf, shared SparkContext/cache) so a concurrent query
+    // planning against the shared session never observes it — mutate-and-
+    // restore on the shared conf raced.
+    val scoped = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+      "spark.sql.shuffle.partitions" -> sys.props.getOrElse("graft.drain.shuffle", shuffle))
+    val qname = s"${prefix}_${System.nanoTime}"
+    val sq = org.apache.spark.sql.GraftSqlBridge.onSession(scoped, df)
+      .writeStream.format("memory").queryName(qname)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val result = scoped.table(qname)
+    scoped.catalog.dropTempView(qname)
+    // hand the drained result back on the caller's session
+    org.apache.spark.sql.GraftSqlBridge.onSession(spark, result)
   }
 
   /** DuckDB-side mirror of [[eventsView]]'s microsecond truncation. */

@@ -409,12 +409,17 @@ object Dedup {
     // the per-round frames are pair-list-sized, far below the session's
     // fact-table-sized shuffle settings: fewer reduce partitions per round
     // cut AQE planning + task-launch latency across the ~5 shuffles/round
-    // (override for real-cluster corpora via graft.stars.shuffle)
-    val prevShuffle = spark0.conf.get("spark.sql.shuffle.partitions")
-    spark0.conf.set("spark.sql.shuffle.partitions",
-      sys.props.getOrElse("graft.stars.shuffle", "8"))
-    try clusterLabelsStarsImpl(pairs, maxIterations)
-    finally spark0.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // (override for real-cluster corpora via graft.stars.shuffle).
+    // The override lives on a CLONED session (isolated SQLConf, shared
+    // SparkContext + cache), never on the caller's — a concurrent query
+    // planning against the shared session must not observe it.
+    val scoped = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark0,
+      "spark.sql.shuffle.partitions" -> sys.props.getOrElse("graft.stars.shuffle", "8"))
+    val result = clusterLabelsStarsImpl(
+      org.apache.spark.sql.GraftSqlBridge.onSession(scoped, pairs), maxIterations)
+    // hand the result back on the caller's session so downstream composition
+    // stays single-session
+    org.apache.spark.sql.GraftSqlBridge.onSession(spark0, result)
   }
 
   private def clusterLabelsStarsImpl(pairs: DataFrame, maxIterations: Int): DataFrame = {

@@ -13,6 +13,31 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Clone a session for per-query conf scoping: isolated SQLConf, shared
+   *  SparkContext/cache. `newSession()` only carries builder-time options,
+   *  so the caller's EXPLICIT runtime conf sets (e.g. a state-store
+   *  provider) are copied over before applying `overrides` — static confs
+   *  (unsettable at runtime, already inherited via the SparkContext) are
+   *  skipped. */
+  def clonedSession(spark: SparkSession, overrides: (String, String)*): SparkSession = {
+    val scoped = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(scoped.conf.set(k, v))
+    }
+    overrides.foreach { case (k, v) => scoped.conf.set(k, v) }
+    scoped
+  }
+
+  /** Rebind an ANALYZED logical plan to another session of the same
+   *  SparkContext — the session-isolation primitive behind per-query conf
+   *  scoping (run a plan on a cloned session with its own SQLConf instead
+   *  of mutating the shared session's conf). Pass an analyzed plan: temp
+   *  view references are already resolved, so the target session needs
+   *  none of the source session's catalog. */
+  def onSession(spark: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Register a temp SQL function backed by a raw Expression builder. */
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =

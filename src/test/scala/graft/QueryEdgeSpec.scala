@@ -25,4 +25,27 @@ class QueryEdgeSpec extends SparkSpec {
     // every cell populated — absent combinations are 0, never null
     out shouldBe Seq(("1-URGENT", 2L, 0L, 0L), ("2-HIGH", 1L, 1L, 0L))
   }
+
+  test("d9 and q73 run CONCURRENTLY on one session with correct results") {
+    // Both queries used to mutate-and-restore the session-global shuffle-
+    // partition conf (Dedup.clusterLabelsStars / drainToMemory) — racing
+    // when run concurrently on one session. The overrides now live on
+    // cloned sessions; prove it by racing them and comparing to the
+    // sequential results.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def run(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, sfDir).collect().map(_.toString).toSet
+    val seqD9 = run("d9_connected_components")
+    val seqQ73 = run("q73_stream_session")
+    // shared-conf canary: the session value must survive the race unchanged
+    val canary = spark.conf.get("spark.sql.shuffle.partitions")
+    val (concD9, concQ73) = Await.result(
+      Future(run("d9_connected_components")).zip(Future(run("q73_stream_session"))),
+      5.minutes)
+    concD9 shouldBe seqD9
+    concQ73 shouldBe seqQ73
+    spark.conf.get("spark.sql.shuffle.partitions") shouldBe canary
+  }
 }
