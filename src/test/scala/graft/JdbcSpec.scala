@@ -121,6 +121,48 @@ class JdbcSpec extends SparkSpec {
     } finally c.close()
   }
 
+  test("batchId-guarded merge makes micro-batch replay idempotent") {
+    // foreachBatch replays a batch after failure with the SAME batchId —
+    // Spark's documented exactly-once recipe is an idempotent sink keyed on
+    // batchId. Prove the templated merge path delivers it on Derby: the
+    // guard `t.batch_id < @batchId` turns a replayed (already-applied)
+    // batch into a no-op, while genuinely new batches accumulate.
+    implicit val s = spark
+    import spark.implicits._
+    val c0 = conn()
+    try {
+      c0.createStatement().execute(
+        "CREATE TABLE batch_agg (k VARCHAR(32) NOT NULL, v INT, batch_id BIGINT, PRIMARY KEY (k))")
+    } finally c0.close()
+    val tpl = JdbcTemplating.compile(
+      """MERGE INTO batch_agg t USING SYSIBM.SYSDUMMY1 s ON t.k = @k
+        |WHEN MATCHED AND t.batch_id < @batchId
+        |  THEN UPDATE SET v = t.v + @v, batch_id = @batchId
+        |WHEN NOT MATCHED THEN INSERT (k, v, batch_id) VALUES (@k, @v, @batchId)""".stripMargin)
+    val opts = Map("url" -> url)
+    def writeBatch(batchId: Long, rows: (String, Int)*): Unit =
+      JdbcTemplating.writePartition(
+        rows.toDF("k", "v").collect().iterator, opts, tpl, batchSize = 100, batchId = batchId)
+    def snapshot(): Map[String, (Int, Long)] = {
+      val c = conn()
+      try {
+        val rs = c.createStatement().executeQuery("SELECT k, v, batch_id FROM batch_agg")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => r.getString(1) -> ((r.getInt(2), r.getLong(3)))).toMap
+      } finally c.close()
+    }
+    writeBatch(0L, "a" -> 1, "b" -> 2)
+    writeBatch(1L, "a" -> 10)
+    snapshot() shouldBe Map("a" -> ((11, 1L)), "b" -> ((2, 0L)))
+    // failure happens AFTER commit, checkpoint not advanced -> the engine
+    // re-delivers batch 1 verbatim: must not double-apply
+    writeBatch(1L, "a" -> 10)
+    snapshot() shouldBe Map("a" -> ((11, 1L)), "b" -> ((2, 0L)))
+    // progress resumes normally after the replay
+    writeBatch(2L, "a" -> 5, "b" -> 1)
+    snapshot() shouldBe Map("a" -> ((16, 2L)), "b" -> ((3, 2L)))
+  }
+
   test("upsert-style merge statement binds batchId and repeated fields") {
     // Derby has no ON DUPLICATE KEY; emulate via plain parameterized UPDATE
     implicit val s = spark
