@@ -225,6 +225,48 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // The automatic path for join skew (q58's salted join is the manual
+    // fallback for plans AQE cannot rewrite, e.g. skew born in an
+    // aggregation feeding the join). Plant a key carrying ~100x the rows
+    // of every other key, force a sort-merge join, and require the FINAL
+    // adaptive plan to mark the join skew-optimized — the hot partition
+    // was split across tasks instead of landing on one straggler.
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // thresholds scaled down so ~MB-sized test shuffles trigger the same
+    // OptimizeSkewedJoin rule that 100 GB partitions hit in production —
+    // on a cloned session, so the shared session's conf is untouched
+    val s2 = GraftSqlBridge.clonedSession(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    // pad must be (a) non-foldable, (b) incompressible (shuffle blocks are
+    // lz4'd and the skew detector sees compressed sizes), and (c) actually
+    // consumed downstream so column pruning keeps it in the shuffle
+    val left = s2.range(0, 120000).selectExpr(
+      "CASE WHEN id < 100000 THEN 0 ELSE id % 100 END AS k",
+      "md5(CAST(id AS STRING)) AS pad")
+    val right = s2.range(0, 100).selectExpr("id AS k", "id * 2 AS w")
+    val joined = left.join(right, "k")
+      .selectExpr("count(*) AS n", "sum(length(pad) + w) AS chk")
+    joined.collect().head.getLong(0) shouldBe 120000L
+    val adaptive = joined.queryExecution.executedPlan
+      .collectFirst { case a: AdaptiveSparkPlanExec => a }
+      .getOrElse(fail("no adaptive plan"))
+    // plan-tree collect() stops at query-stage boundaries; the final plan
+    // STRING carries the authoritative markers
+    val finalPlan = adaptive.executedPlan.toString
+    withClue(finalPlan) {
+      finalPlan should include("SortMergeJoin(skew=true)")
+      finalPlan should include("AQEShuffleRead skewed")
+    }
+  }
+
   test("q1: aggregation runs inside whole-stage codegen") {
     // under AQE codegen stages exist only after execution; plan with AQE
     // off to inspect the compiled subtree count deterministically
