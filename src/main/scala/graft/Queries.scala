@@ -2697,9 +2697,14 @@ object Queries {
           |CREATE TABLE graft_mem.db.q70_agg (event_type STRING, cnt BIGINT, total_cents BIGINT)
           |""".stripMargin).run(ctx)(spark)
       val stream = eventsStream(spark, dir).select(col("event_type"), col("value"))
-      withConfs(spark, "spark.sql.shuffle.partitions" ->
-          sys.props.getOrElse("graft.drain.shuffle", "8")) {
-        val q = stream.writeStream
+      // low drain shuffle on a CLONED session (same discipline as
+      // drainToMemory): the clone copies the catalog registration above,
+      // and MemRowStore is JVM-global, so the MERGEs land in the same
+      // store the final read (on the caller's session) sees
+      val scoped = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+        "spark.sql.shuffle.partitions" -> sys.props.getOrElse("graft.drain.shuffle", "8"))
+      locally {
+        val q = org.apache.spark.sql.GraftSqlBridge.onSession(scoped, stream).writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.createOrReplaceTempView("q70_batch_src")
             batch.sparkSession.sql(
@@ -2803,16 +2808,22 @@ object Queries {
     // flatMapGroupsWithState path) — both custom-state APIs now prove the
     // same session algebra end-to-end.
     Spec("q74_tws_sessions", (spark, dir) => {
-      eventsStream(spark, dir).createOrReplaceTempView("q74_in")
-      val ctx = new JobContext(PipelineContext())(spark)
+      // whole query on a CLONED session: the TwS processor forces the
+      // RocksDB state-store provider onto its session's conf (the API
+      // requires that provider) — scoping it here keeps the shared
+      // session's provider, and every other streaming query, untouched
+      val s2 = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark)
+      eventsStream(s2, dir).createOrReplaceTempView("q74_in")
+      val ctx = new JobContext(PipelineContext())(s2)
       val actor = new graft.transform.StreamStatefulTransformer()
       actor.init(Map(
         "view" -> "q74_in",
         "processor.type" -> "graft.streaming.SessionizeTwsProcessor",
         "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
-        "processor.gapSeconds" -> "1800"))(spark)
-      val out = actor.run(ctx)(spark).get
-      drainToMemory(spark, out, "q74_sessions", "append")
+        "processor.gapSeconds" -> "1800"))(s2)
+      val out = actor.run(ctx)(s2).get
+      org.apache.spark.sql.GraftSqlBridge.onSession(spark,
+        drainToMemory(s2, out, "q74_sessions", "append"))
     }, Some(s"""WITH $eventsUsCte,
         |s AS (SELECT user_id, ts,
         |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -48,4 +48,14 @@ class QueryEdgeSpec extends SparkSpec {
     concQ73 shouldBe seqQ73
     spark.conf.get("spark.sql.shuffle.partitions") shouldBe canary
   }
+
+  test("q74 leaves the shared session's state-store provider untouched") {
+    // the TwS processor forces RocksDB — on q74's cloned session only; a
+    // later streaming query on the shared session must still get the
+    // default provider (checkpoints are not portable across providers)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    SparkEntry.queries("q74_tws_sessions")(spark, sfDir).collect().length should be > 0
+    spark.conf.getOption(key) shouldBe before
+  }
 }
