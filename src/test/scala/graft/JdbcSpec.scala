@@ -163,6 +163,49 @@ class JdbcSpec extends SparkSpec {
     snapshot() shouldBe Map("a" -> ((16, 2L)), "b" -> ((3, 2L)))
   }
 
+  test("JdbcStreamWriter continuous trigger writes per-epoch into Derby") {
+    // the real continuous path end-to-end: rate source -> Trigger.Continuous
+    // -> per-row JdbcContinuousWriter (open/bind/commit per epoch) -> Derby.
+    // Continuous mode is at-least-once, so the sink table has no PK and the
+    // assertion is "rows arrived across multiple epochs", not exact count.
+    implicit val s = spark
+    val c0 = conn()
+    try c0.createStatement().execute(
+      "CREATE TABLE rate_sink (v BIGINT, batch_id BIGINT)")
+    finally c0.close()
+    val ctx = new JobContext(PipelineContext())
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").option("numPartitions", "2").load()
+      .selectExpr("value")
+    ctx.promoteView("rate_cont_v", rate, global = false)
+    val before = spark.streams.active.map(_.id).toSet
+    new graft.sink.JdbcStreamWriter()
+      .connection(Map("url" -> url))
+      .sourceView("rate_cont_v")
+      .sinkSql("INSERT INTO rate_sink (v, batch_id) VALUES (@value, @batchId)")
+      .withTrigger("continuous", "500 milliseconds")
+      .withCheckpoint(tmpDir("rate_ckpt"))
+      .run(ctx)
+    val q = spark.streams.active.find(a => !before.contains(a.id)).get
+    def state(): (Long, Long) = {
+      val c = conn()
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT COUNT(*), COUNT(DISTINCT batch_id) FROM rate_sink")
+        rs.next(); (rs.getLong(1), rs.getLong(2))
+      } finally c.close()
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while ({ val (n, e) = state(); (n < 100 || e < 2) } &&
+             System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val (n, epochs) = state()
+    n should be >= 100L
+    epochs should be >= 2L // distinct epoch ids bound through @batchId
+    q.isActive shouldBe false
+  }
+
   test("upsert-style merge statement binds batchId and repeated fields") {
     // Derby has no ON DUPLICATE KEY; emulate via plain parameterized UPDATE
     implicit val s = spark
