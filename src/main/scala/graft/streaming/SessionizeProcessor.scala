@@ -20,7 +20,12 @@ import scala.collection.mutable.ArrayBuffer
  * file / AvailableNow) the emitted set is exactly the batch
  * `session_window` result; across multiple batches the still-open session
  * is re-emitted when extended — downstream takes the last emission per
- * (key, session_start), the standard update-sink contract.
+ * (key, session_start), the standard update-sink contract. Caveat of that
+ * contract: a late-but-within-gap event can extend a session's start
+ * BACKWARD, re-keying it — the superseded (key, old_start) emission is
+ * not retracted (append mode cannot), so exact multi-batch consumers
+ * should drop a row whose [start, start+gap) span is covered by a later
+ * wider emission for the same key.
  *
  * Timestamps are processed as epoch MICROS (`unix_micros`), not
  * `java.sql.Timestamp` — getTime would truncate to millis and diverge
