@@ -71,9 +71,14 @@ object Multimodal {
 
   /** Decode a real image payload via ImageIO and return the gray channel
    *  row-major (luma by integer BT.601 for color inputs; the raw sample for
-   *  gray inputs). Returns null if ImageIO has no reader for the bytes. */
+   *  gray inputs). Returns null when the bytes are not a decodable image —
+   *  BOTH when no reader claims them and when a reader claims the magic
+   *  bytes but chokes on the body (text starting "BM", truncated PNGs):
+   *  bad-record handling is the caller's policy decision, not an exception.
+   */
   def decodeGray(payload: Array[Byte]): (Array[Int], Int, Int) = {
-    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    val img = try ImageIO.read(new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val (w, h) = (img.getWidth, img.getHeight)
     val out = new Array[Int](w * h)
@@ -194,6 +199,12 @@ object Multimodal {
         rows.map { r =>
           val t = r.getString(1)
           require(t.nonEmpty, s"empty text for id ${r.getLong(0)}")
+          // ASCII-only by contract: the oracle mirror indexes CHARACTERS
+          // and takes full codepoints, this side indexes UTF-16 units and
+          // masks to a byte — identical only below 0x80. Fail loudly here
+          // rather than as a confusing downstream pixel-hash mismatch.
+          require(t.forall(_ < 128), s"non-ASCII text for id ${r.getLong(0)}: " +
+            "textToGrayPng's generator is only oracle-mirrorable for ASCII corpora")
           val gray = Array.tabulate(w * h)(i => t.charAt((i * 7) % t.length).toInt & 0xff)
           Row(r.getLong(0), grayPng(gray, w, h))
         }

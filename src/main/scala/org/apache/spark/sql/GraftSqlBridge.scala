@@ -14,16 +14,13 @@ object GraftSqlBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** Clone a session for per-query conf scoping: isolated SQLConf, shared
-   *  SparkContext/cache. `newSession()` only carries builder-time options,
-   *  so the caller's EXPLICIT runtime conf sets (e.g. a state-store
-   *  provider) are copied over before applying `overrides` — static confs
-   *  (unsettable at runtime, already inherited via the SparkContext) are
-   *  skipped. */
+   *  SparkContext/cache. Uses Spark's own `cloneSession()` (the mechanism
+   *  behind per-query isolation inside the engine), which also carries the
+   *  caller's runtime conf sets, temp views, and runtime-registered
+   *  functions — a hand-rolled newSession+conf copy would lose the latter
+   *  two. `overrides` are applied on the clone afterwards. */
   def clonedSession(spark: SparkSession, overrides: (String, String)*): SparkSession = {
-    val scoped = spark.newSession()
-    spark.conf.getAll.foreach { case (k, v) =>
-      scala.util.Try(scoped.conf.set(k, v))
-    }
+    val scoped = spark.asInstanceOf[classic.SparkSession].cloneSession()
     overrides.foreach { case (k, v) => scoped.conf.set(k, v) }
     scoped
   }

@@ -433,6 +433,16 @@ class MlSpec extends SparkSpec {
     intercept[Exception] {
       Multimodal.averagePool(Seq((2L, "junk".getBytes)).toDF("id", "payload"), 2).collect()
     }
+    // text that happens to start with BMP magic ("BM...") must degrade to
+    // the stub decode path, not crash the task with an IIOException
+    val bmText = Multimodal.decodeImage(3L, "BMW dealers posted record sales".getBytes)
+    bmText.getStruct(1).getString(1) shouldBe "raw"
+    // non-ASCII text is rejected up front by the fixture generator (the
+    // oracle mirror is only byte-identical for ASCII)
+    intercept[Exception] {
+      Multimodal.textToGrayPng(
+        Seq((4L, "café " * 20)).toDF("doc_id", "text"), "doc_id", "text", 16, 16).collect()
+    }
   }
 
   test("frame sampling explodes payload chunks with stable numbering") {

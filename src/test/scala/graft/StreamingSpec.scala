@@ -216,8 +216,10 @@ class StreamingSpec extends SparkSpec {
     // >= 3 distinct epochIds seen by open(): the writer was re-opened per
     // epoch, not running one giant batch
     ContinuousProbe.epochs.size should be >= 3
-    // epoch commit log is durable
-    val commits = Files.list(Paths.get(s"$ckpt/commits")).count()
+    // epoch commit log is durable (close the directory stream — Files.list
+    // leaks an fd otherwise)
+    val listing = Files.list(Paths.get(s"$ckpt/commits"))
+    val commits = try listing.count() finally listing.close()
     commits should be >= 1L
     q.isActive shouldBe false
     // rate-source values are non-negative increasing longs; spot-check range

@@ -114,16 +114,24 @@ def main():
     if "--build-only" in sys.argv:
         return
     queries = LINEAR_SET + MODELED_SET
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--queries"):
-            queries = a.split("=", 1)[1].split(",")
+            # accept both --queries=a,b,c and --queries a,b,c
+            val = a.split("=", 1)[1] if "=" in a else (
+                argv[i + 1] if i + 1 < len(argv) else
+                sys.exit("--queries needs a comma-separated list"))
+            queries = [q for q in val.split(",") if q]
     t01 = bench(SRC, queries)
     t1 = bench(DST, queries)
+    # a requested query with no measurement (typo, renamed catalog entry)
+    # must fail the gate, not silently vanish from it
+    unmeasured = [q for q in queries if t01.get(q) is None or t1.get(q) is None]
+    if unmeasured:
+        sys.exit(f"no measurement for {unmeasured} — unknown query name(s)?")
     rows, bad = [], []
     for q in queries:
         a, b = t01.get(q), t1.get(q)
-        if a is None or b is None:
-            continue
         ratio = b / a if a > 0 else float("inf")
         linear = q in LINEAR_SET
         # per-unit-data cost ratio: 1.0 = perfectly linear, <1 = sublinear
