@@ -134,20 +134,6 @@ object Queries {
     spark.sql(sql)
   }
 
-  /** Run `body` with the given session confs set, restoring the previous
-   *  values (or unsetting) afterward. Only safe when `body` forces
-   *  execution itself (e.g. via an eager localCheckpoint): a lazily
-   *  returned plan would be optimized AFTER the restore. */
-  private def withConfs[A](spark: SparkSession, confs: (String, String)*)(body: => A): A = {
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
   /**
    * One-time per-sf-dir fixture for the dynamic-partition-pruning gate
    * (q65): lineitem re-written partitioned by ship year, plus a tiny year
@@ -222,9 +208,12 @@ object Queries {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
   }
 
-  /** Runs `f` on the q66 join frame INSIDE its conf scope (plans built from
-   *  the frame after `f` returns are optimized bloom-less — force execution
-   *  or inspect plans within `f`). */
+  /** Runs `f` on the q66 join frame. The conf scope is a CLONED session —
+   *  cloneSession carries the temp views the SQL needs — so the
+   *  bloom/broadcast overrides never touch the shared session and cannot
+   *  race a concurrent query. The clone keeps its confs for the frame's
+   *  lifetime, so (unlike the old mutate-and-restore) even lazily-built
+   *  plans stay bloom-shaped. */
   private[graft] def q66Scoped[A](spark: SparkSession, dir: String)(f: DataFrame => A): A = {
     t(spark, dir, "lineitem", "orders")
     // Runtime bloom-filter join pruning: the selective dimension filter is
@@ -234,20 +223,19 @@ object Queries {
     // Broadcast is disabled so the join is shuffle-shaped (broadcast joins
     // don't need the bloom; at real scale the filtered dim side exceeds
     // the broadcast threshold on its own).
-    withConfs(spark,
+    val scoped = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
-      val df = spark.sql(
-        """SELECT l_returnflag, count(*) AS n,
-          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-          |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
-          |GROUP BY l_returnflag""".stripMargin)
-      f(df)
-    }
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val df = scoped.sql(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin)
+    f(df)
   }
 
   /** Scalar-subquery dialect (`set` + `setrun`) through the SqlBase engine. */
