@@ -1718,17 +1718,17 @@ object Queries {
       // never flush its outer rows, no matter the cutoff. The documented
       // `max` policy keys eviction to the later-ending purchase stream,
       // which covers every cut-off click's window; its late-data caveat
-      // doesn't apply to a full AvailableNow drain (restored below).
-      val prevPolicy = spark.conf.getOption("spark.sql.streaming.multipleWatermarkPolicy")
-      spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
-      try {
-      val clicks = eventsStream(spark, dir)
+      // doesn't apply to a full AvailableNow drain. The policy lives on a
+      // CLONED session so the shared session's (min) policy is untouched.
+      val s2 = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+        "spark.sql.streaming.multipleWatermarkPolicy" -> "max")
+      val clicks = eventsStream(s2, dir)
         .filter(col("event_type") === "click" &&
           col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
         .select(col("event_id").as("click_id"), col("user_id"),
           col("ts").as("click_ts"))
         .withWatermark("click_ts", "30 minutes")
-      val purchases = eventsStream(spark, dir)
+      val purchases = eventsStream(s2, dir)
         .filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"),
           col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
@@ -1741,11 +1741,8 @@ object Queries {
         .select(col("click_id"), col("purchase_id"), col("user_id"),
           (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
             .as("lag_seconds"))
-      drainToMemory(spark, joined, "q48_ssouter", "append", shuffle = "4")
-      } finally prevPolicy match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", p)
-        case None => spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
-      }
+      org.apache.spark.sql.GraftSqlBridge.onSession(spark,
+        drainToMemory(s2, joined, "q48_ssouter", "append", shuffle = "4"))
     }, Some(s"""WITH $eventsUsCte,
         |c AS (SELECT event_id, ts, user_id FROM events_us
         |      WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-25 00:00:00'),
