@@ -576,8 +576,11 @@ object Queries {
     graft.ml.Clustering.kmeans(emb, "vec_id", "v", dim = 64, k = 8, iterations = 3)
   }
 
-  private val c1Oracle: String = {
-    val vvExpr = dotSql("v", "v")
+  /** DuckDB mirror of [[graft.ml.Clustering.kmeans]]: the seed/assign/
+   *  update CTE chain from a `vv` CTE (vec_id, v, vv) through the final
+   *  assignment `a{iters+1}`(vec_id, v, crank). One copy shared by the c1
+   *  and d14 oracles so a precision change cannot silently fork them. */
+  private def kmeansCteChain(k: Int, iters: Int): String = {
     val distDot = dotSql("e.v", "ct.cv") // centroid CTE is always aliased ct
     def assignCte(i: Int, cent: String) =
       s"""a$i AS MATERIALIZED (SELECT e.vec_id, e.v, ct.crank
@@ -593,16 +596,62 @@ object Queries {
       s"""u$i AS (SELECT crank, $dims FROM a$i GROUP BY crank),
          |cent$i AS MATERIALIZED (SELECT crank, $cv AS cv, ($cc) AS cc FROM u$i)""".stripMargin
     }
-    val iters = (1 to 3).map(i =>
+    val itersSql = (1 to iters).map(i =>
       s"${assignCte(i, s"cent${i - 1}")},\n${updateCtes(i)}").mkString(",\n")
-    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
-       |vv AS MATERIALIZED (SELECT vec_id, v, ($vvExpr) AS vv FROM c),
-       |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
-       |cent0pre AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 8),
+    s"""seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
+       |cent0pre AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT $k),
        |cent0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0pre),
-       |$iters,
-       |${assignCte(4, "cent3")}
+       |$itersSql,
+       |${assignCte(iters + 1, s"cent$iters")}""".stripMargin
+  }
+
+  private val c1Oracle: String =
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |vv AS MATERIALIZED (SELECT vec_id, v, (${dotSql("v", "v")}) AS vv FROM c),
+       |${kmeansCteChain(8, 3)}
        |SELECT vec_id AS id, CAST(crank AS INT) AS cluster FROM a4""".stripMargin
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+   *  embedding space, then prune near-duplicates only WITHIN each cluster
+   *  — clustering bounds the quadratic pair search to cluster-sized
+   *  blocks, which is what makes embedding-space dedup tractable at
+   *  corpus scale. Same injected perturbed near-dups as d6 so both flag
+   *  branches carry rows; keep-lowest-id is the deterministic pruning
+   *  rule. Scale shape: assignment is kmeans' broadcast-centroid scan +
+   *  map-side argmin; the pair join is keyed on the cluster id — no
+   *  corpus-wide all-pairs join anywhere. */
+  private def d14(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val base = emb.select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val pert = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1).cast("double") + lit(0.1)),
+          transform(slice(col("embedding"), 2, 63), _.cast("double"))).as("v"))
+    val all = base.unionAll(pert)
+    val assigned = graft.ml.Clustering.kmeans(all, "vec_id", "v", dim = 64, k = 8, iterations = 3)
+      .join(all.select(col("vec_id").as("id"), col("v")), "id")
+    val dup = Similarity.nearDupPairs(assigned, "id", "v", "cluster", 0.9)
+      .select(col("id_b").as("vec_id")).distinct()
+    assigned.select(col("id").as("vec_id"), col("cluster"))
+      .join(dup.withColumn("d", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("d"), lit(0)).cast("int").as("is_dup"))
+  }
+
+  private val d14Oracle: String = {
+    val cos = s"(${dotSql("a.v", "b.v")}) / (${normSql("a.v")} * ${normSql("b.v")})"
+    s"""WITH base AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |pert AS (SELECT vec_id + 100000 AS vec_id,
+       |  list_prepend(embedding[1]::double + 0.1, list_transform(embedding[2:64], x -> x::double)) AS v
+       |  FROM embeddings WHERE vec_id % 7 = 0),
+       |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+       |vv AS MATERIALIZED (SELECT vec_id, v, (${dotSql("v", "v")}) AS vv FROM c),
+       |${kmeansCteChain(8, 3)},
+       |dup AS (SELECT DISTINCT b.vec_id AS vec_id FROM a4 a JOIN a4 b
+       |  ON a.crank = b.crank AND a.vec_id < b.vec_id AND round($cos, 6) >= 0.9)
+       |SELECT m.vec_id, CAST(m.crank AS INT) AS cluster,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+       |FROM a4 m LEFT JOIN dup d ON m.vec_id = d.vec_id""".stripMargin
   }
 
   private def textNormSql: String = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
@@ -1510,6 +1559,7 @@ object Queries {
     }, Some(s5Oracle)),
 
     Spec("c1_kmeans", c1, Some(c1Oracle)),
+    Spec("d14_semdedup", d14, Some(d14Oracle)),
 
     // Deterministic stratified sampling: N docs per language stratum,
     // selected by content-independent hash order — the balancing step of a
@@ -2517,6 +2567,57 @@ object Queries {
         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin
     }),
 
+    // BM25 relevance scoring (Robertson–Sparck Jones) for a fixed query
+    // {dup, join, query} — the ranking function behind corpus search and
+    // query-targeted filtering. All arithmetic is integer-rational: the
+    // log-free probabilistic idf (2N-2df+1)/(2df+1) and the k1=1.2/b=0.75
+    // saturation term assemble into ONE BIGINT floor-division per
+    // (doc, term) — score = (1e4·idf_num·44·avgdl·tf) div
+    // (idf_den·(20·avgdl·tf + 6·avgdl + 18·dl)) — so score quanta are
+    // bit-exact cross-engine (no libm log). Scale shape: postings are
+    // filtered to the query's terms BEFORE the tf shuffle (three terms'
+    // postings move, not the corpus); df/corpus stats are tiny broadcasts.
+    Spec("t16_bm25", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val terms = Seq("dup", "join", "query")
+      val toks = docs.select(col("doc_id"),
+        filter(split(Dedup.normText(col("text")), " "), x => length(x) > 0).as("ts"))
+      val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+      val st = dl.agg(count(lit(1)).as("nd"), expr("sum(dl) div count(*)").as("avgdl"))
+      val tf = toks.selectExpr("doc_id", "explode(ts) AS tok")
+        .filter(col("tok").isin(terms: _*))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val sc = tf.join(broadcast(dfc), "tok").join(dl, "doc_id").crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          expr("(10000L * (2L*nd - 2L*df + 1L) * 44L * avgdl * tf) div " +
+            "((2L*df + 1L) * (20L*avgdl*tf + 6L*avgdl + 18L*dl))").as("q"))
+      val perDoc = sc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"), sum(col("q")).as("bm25_q"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+          coalesce(col("bm25_q"), lit(0L)).as("bm25_q"))
+    }, Some {
+      """WITH n AS (SELECT doc_id,
+        |  list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM n),
+        |st AS (SELECT count(*) AS nd, SUM(dl) // count(*) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(ts) AS tok FROM n),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |  WHERE tok IN ('dup', 'join', 'query') GROUP BY doc_id, tok),
+        |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT tf.doc_id,
+        |  (10000 * (2*st.nd - 2*dfc.df + 1) * 44 * st.avgdl * tf.tf)
+        |  // ((2*dfc.df + 1) * (20*st.avgdl*tf.tf + 6*st.avgdl + 18*dl.dl)) AS q
+        |  FROM tf JOIN dfc USING (tok) JOIN dl USING (doc_id) CROSS JOIN st),
+        |a AS (SELECT doc_id, count(*) AS n_terms, SUM(q) AS bm25_q FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(a.n_terms, 0) AS BIGINT) AS n_terms,
+        |  CAST(coalesce(a.bm25_q, 0) AS BIGINT) AS bm25_q
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+    }),
+
     // PageRank (3 fixed power iterations, damping 0.85) over the bipartite
     // part<->supplier co-occurrence graph — the link-quality weighting pass
     // a web-scale corpus pipeline runs before sampling. All arithmetic is
@@ -2604,6 +2705,45 @@ object Queries {
          |rk AS (SELECT query_id, neighbor_id, adc_dist2,
          |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank FROM scored)
          |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5""".stripMargin
+    }),
+
+    // ANN index quality evaluation: recall@5 of the LSH (s2) and IVF (s3)
+    // indexes against the exact brute-force top-5 (s1), per query — the
+    // metric that decides whether an index's plane/probe parameters are
+    // usable before pointing it at the full corpus (here it shows 6-plane
+    // LSH collapsing on near-uniform vectors while IVF nprobe=2 holds).
+    // Output is all-integer (hit counts and recall in whole percent), so
+    // the comparison is bit-exact. Scale shape: all three sides are the
+    // already-proven index shapes; the eval joins are keyed on
+    // (query_id, neighbor_id) over k rows per query.
+    Spec("s7_ann_recall", (spark, dir) => {
+      val ex = s1(spark, dir).select(col("query_id"), col("neighbor_id"))
+      val lsh = s2(spark, dir).select(col("query_id"), col("neighbor_id"))
+        .withColumn("ml", lit(1))
+      val ivf = s3(spark, dir).select(col("query_id"), col("neighbor_id"))
+        .withColumn("mi", lit(1))
+      ex.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("ml"), lit(0))).cast("long").as("hits_lsh"),
+          sum(coalesce(col("mi"), lit(0))).cast("long").as("hits_ivf"))
+        .select(col("query_id"),
+          col("hits_lsh"), (col("hits_lsh") * 20).cast("long").as("recall_lsh_pct"),
+          col("hits_ivf"), (col("hits_ivf") * 20).cast("long").as("recall_ivf_pct"))
+    }, Some {
+      s"""WITH ex AS ($s1Oracle),
+         |lsh AS ($s2Oracle),
+         |ivf AS ($s3Oracle),
+         |h AS (SELECT ex.query_id,
+         |  count(lsh.neighbor_id) AS hits_lsh, count(ivf.neighbor_id) AS hits_ivf
+         |  FROM ex
+         |  LEFT JOIN lsh ON ex.query_id = lsh.query_id AND ex.neighbor_id = lsh.neighbor_id
+         |  LEFT JOIN ivf ON ex.query_id = ivf.query_id AND ex.neighbor_id = ivf.neighbor_id
+         |  GROUP BY ex.query_id)
+         |SELECT query_id,
+         |  CAST(hits_lsh AS BIGINT) AS hits_lsh, CAST(hits_lsh * 20 AS BIGINT) AS recall_lsh_pct,
+         |  CAST(hits_ivf AS BIGINT) AS hits_ivf, CAST(hits_ivf * 20 AS BIGINT) AS recall_ivf_pct
+         |FROM h""".stripMargin
     }),
 
     // SCD Type-2 dimension maintenance through real row-level DML on the

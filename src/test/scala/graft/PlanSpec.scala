@@ -118,6 +118,7 @@ class PlanSpec extends SparkSpec {
       "s3_knn_ivf",      // centroid rank: window AFTER limit(k), k<=16 rows
       "s5_knn_pq",       // codebook seed rank: window AFTER limit(16)
       "s6_knn_ivfpq",    // shared seed rank: window AFTER limit(16)
+      "s7_ann_recall",   // embeds s3's post-limit seed rank for the IVF side
       "d8_training_pipeline", // composite pipeline embedding the s3 stage
       "u1_zipwithindex"  // offsets frame: one row per input PARTITION
     )
@@ -141,6 +142,12 @@ class PlanSpec extends SparkSpec {
       "s3_knn_ivf",        // crossJoin vs broadcast k-row centroid frame
       "s6_knn_ivfpq",      // crossJoin vs broadcast 16-row centroid frame
       "c1_kmeans",         // crossJoin vs broadcast k-row centroid frame
+      "d14_semdedup",      // kmeans assignment: crossJoin vs broadcast
+                           // k-row centroid frame (pair join itself is
+                           // keyed on the cluster id)
+      "s7_ann_recall",     // composes s1 (labeled exact ground truth) and
+                           // s3 (broadcast centroid frame) for the eval
+      "t16_bm25",          // crossJoin vs broadcast 1-row corpus stats
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
       "g2_triangle_count"  // 1-row x 1-row join of two global aggregates
