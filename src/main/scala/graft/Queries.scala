@@ -628,14 +628,9 @@ object Queries {
         concat(array(element_at(col("embedding"), 1).cast("double") + lit(0.1)),
           transform(slice(col("embedding"), 2, 63), _.cast("double"))).as("v"))
     val all = base.unionAll(pert)
-    val assigned = graft.ml.Clustering.kmeans(all, "vec_id", "v", dim = 64, k = 8, iterations = 3)
-      .join(all.select(col("vec_id").as("id"), col("v")), "id")
-    val dup = Similarity.nearDupPairs(assigned, "id", "v", "cluster", 0.9)
-      .select(col("id_b").as("vec_id")).distinct()
-    assigned.select(col("id").as("vec_id"), col("cluster"))
-      .join(dup.withColumn("d", lit(1)), Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"),
-        coalesce(col("d"), lit(0)).cast("int").as("is_dup"))
+    graft.ml.Dedup.semDedup(all, "vec_id", "v", dim = 64, k = 8,
+        iterations = 3, threshold = 0.9)
+      .withColumnRenamed("id", "vec_id")
   }
 
   private val d14Oracle: String = {
@@ -2579,25 +2574,8 @@ object Queries {
     // postings move, not the corpus); df/corpus stats are tiny broadcasts.
     Spec("t16_bm25", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val terms = Seq("dup", "join", "query")
-      val toks = docs.select(col("doc_id"),
-        filter(split(Dedup.normText(col("text")), " "), x => length(x) > 0).as("ts"))
-      val dl = toks.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
-      val st = dl.agg(count(lit(1)).as("nd"), expr("sum(dl) div count(*)").as("avgdl"))
-      val tf = toks.selectExpr("doc_id", "explode(ts) AS tok")
-        .filter(col("tok").isin(terms: _*))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val sc = tf.join(broadcast(dfc), "tok").join(dl, "doc_id").crossJoin(broadcast(st))
-        .select(col("doc_id"),
-          expr("(10000L * (2L*nd - 2L*df + 1L) * 44L * avgdl * tf) div " +
-            "((2L*df + 1L) * (20L*avgdl*tf + 6L*avgdl + 18L*dl))").as("q"))
-      val perDoc = sc.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_terms"), sum(col("q")).as("bm25_q"))
-      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_terms"), lit(0L)).as("n_terms"),
-          coalesce(col("bm25_q"), lit(0L)).as("bm25_q"))
+      TextAnalysis.bm25Scores(docs, "text", "doc_id", Seq("dup", "join", "query"))
+        .withColumnRenamed("id", "doc_id")
     }, Some {
       """WITH n AS (SELECT doc_id,
         |  list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts

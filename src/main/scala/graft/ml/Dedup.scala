@@ -469,4 +469,31 @@ object Dedup {
       .unionAll(edges.select(col("v").as("id"), col("v").as("cluster_id")))
       .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
   }
+
+  /**
+   * SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup over an
+   * embedding column. K-means clusters the space first, then near-dup
+   * pairs are searched only WITHIN each cluster — candidate volume is
+   * Σ|cluster|² instead of N², which is what makes embedding dedup
+   * tractable at corpus scale. Keep-lowest-id is the pruning rule: a row
+   * is a duplicate iff a same-cluster row with a smaller id has quantized
+   * cosine ≥ `threshold`. Output: (id, cluster, is_dup 0/1), one row per
+   * input row.
+   *
+   * Scale shape: assignment is [[Clustering.kmeans]]'s broadcast-centroid
+   * scan + map-side argmin; the pair join is keyed on the cluster id. A
+   * skewed giant cluster is the one failure mode — handle like any hot
+   * key (raise k, or salt the block key).
+   */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               k: Int = 8, iterations: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val assigned = Clustering.kmeans(df, idCol, vecCol, dim, k, iterations)
+      .join(df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "id")
+    val dup = Similarity.nearDupPairs(assigned, "id", "v", "cluster", threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.select(col("id"), col("cluster"))
+      .join(dup.withColumn("d", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("d"), lit(0)).cast("int").as("is_dup"))
+  }
 }

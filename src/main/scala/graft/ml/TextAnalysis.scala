@@ -124,4 +124,45 @@ object TextAnalysis {
     Dedup.shingles(df, textCol, idCol, shingleLen, distinct = false) // min() is dup-safe
       .groupBy(col("id"))
       .agg(min(Hashing.oracleHash(col("shingle"))).as("min_shingle_hash"))
+
+  /**
+   * BM25 relevance of each document to a fixed term set — the ranking
+   * function behind corpus search and query-targeted filtering. All
+   * arithmetic is integer-rational so scores are bit-reproducible in any
+   * engine: the log-free probabilistic idf (2N−2df+1)/(2df+1) and the
+   * k1=1.2 / b=0.75 saturation term assemble into ONE BIGINT floor
+   * division per (doc, term):
+   *   score = (1e4·(2N−2df+1)·44·avgdl·tf) div
+   *           ((2df+1)·(20·avgdl·tf + 6·avgdl + 18·dl))
+   * (44/20/6/18 are k1, b cleared of denominators; avgdl = Σdl div N).
+   * Output: (id, n_terms matched, bm25_q summed score quanta), one row
+   * per input document (0/0 when no term matches).
+   *
+   * Scale shape: the posting explode is filtered to `terms` BEFORE the tf
+   * groupBy, so only matching postings enter the shuffle; df and the
+   * corpus stats are broadcast |terms|-row frames. The per-doc length
+   * count is the only corpus-scale aggregation and partial-aggregates
+   * map-side.
+   */
+  def bm25Scores(df: DataFrame, textCol: String, idCol: String,
+                 terms: Seq[String]): DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      filter(split(Dedup.normText(col(textCol)), " "), x => length(x) > 0).as("ts"))
+    val dl = toks.select(col("id"), size(col("ts")).cast("long").as("dl"))
+    val st = dl.agg(count(lit(1)).as("nd"), expr("sum(dl) div count(*)").as("avgdl"))
+    val tf = toks.selectExpr("id", "explode(ts) AS tok")
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val sc = tf.join(broadcast(dfc), "tok").join(dl, "id").crossJoin(broadcast(st))
+      .select(col("id"),
+        expr("(10000L * (2L*nd - 2L*df + 1L) * 44L * avgdl * tf) div " +
+          "((2L*df + 1L) * (20L*avgdl*tf + 6L*avgdl + 18L*dl))").as("q"))
+    val perDoc = sc.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("q")).as("bm25_q"))
+    df.select(col(idCol).cast("long").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("bm25_q"), lit(0L)).as("bm25_q"))
+  }
 }

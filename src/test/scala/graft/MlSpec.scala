@@ -383,6 +383,50 @@ class MlSpec extends SparkSpec {
     r.getDouble(2) should (be > 0.0 and be <= 1.0)
   }
 
+  test("bm25: rarer term outranks common term, tf raises score, no-match scores 0") {
+    implicit val s = spark
+    import spark.implicits._
+    // 'rare' appears in 1 of 4 docs, 'common' in 3; equal lengths so the
+    // length normalization can't mask the idf ordering
+    val df = Seq(
+      (1L, "rare alpha beta gamma"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common common alpha beta"),
+      (4L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Scores(df, "text", "doc_id", Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(4L) shouldBe ((0L, 0L))                  // no query term
+    out(1L)._1 shouldBe 1L
+    out(1L)._2 should be > out(2L)._2            // idf: df=1 beats df=3 at tf=1
+    out(3L)._2 should be > out(2L)._2            // saturation is monotonic in tf
+  }
+
+  test("semDedup flags same-cluster near-dups, keeps lowest id") {
+    implicit val s = spark
+    import spark.implicits._
+    // two tight groups on opposite axes + one exact duplicate in each;
+    // k=2 must separate the groups, and within each group only the
+    // higher-id copy of the duplicate pair may be flagged
+    def v(x: Double, y: Double) = Array(x, y, 0.0, 0.0)
+    val df = Seq(
+      (1L, v(1.0, 0.02)), (2L, v(1.0, 0.02)),    // dup pair, group A
+      (3L, v(1.0, -0.4)),                        // group A, distinct
+      (10L, v(0.02, 1.0)), (11L, v(0.02, 1.0)),  // dup pair, group B
+      (12L, v(-0.4, 1.0))                        // group B, distinct
+    ).toDF("vec_id", "v")
+    val out = Dedup.semDedup(df, "vec_id", "v", dim = 4, k = 2,
+        iterations = 3, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 10L, 11L, 12L)
+    out(2L)._2 shouldBe 1                         // higher id of dup pair pruned
+    out(11L)._2 shouldBe 1
+    Seq(1L, 3L, 10L, 12L).foreach(id => out(id)._2 shouldBe 0)
+    out(1L)._1 shouldBe out(2L)._1                // dups share a cluster
+    out(10L)._1 shouldBe out(11L)._1
+    out(1L)._1 should not be out(10L)._1          // groups separated
+  }
+
   test("multimodal stub decode produces schema-stable features partition-parallel") {
     implicit val s = spark
     import spark.implicits._
