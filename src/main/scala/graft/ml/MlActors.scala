@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
  * the rest of the catalog.
  */
 
-/** Deduplication actor. `method`: exact | minhash-lsh | simhash | resolve.
+/** Deduplication actor. `method`: exact | minhash-lsh | simhash | resolve
+ *  | semdedup.
  *  exact: emits (content_hash, keep_id, dup_count);
  *  minhash-lsh: emits candidate near-dup pairs (id_a, id_b, est_jaccard);
  *  simhash: emits (id, simhash);
  *  resolve: full minhash-lsh + cluster resolution, emits
- *  (id, keep_id, is_duplicate) for every id in the duplicate graph. */
+ *  (id, keep_id, is_duplicate) for every id in the duplicate graph;
+ *  semdedup: embedding-space dedup over `vectorField` (k-means blocks the
+ *  pair search), emits (id, cluster, is_dup) — `iterations` is the Lloyd
+ *  iteration count here, `clusters`/`dim`/`cosineThreshold` apply. */
 class DedupActor extends Actor {
   protected var view: String = ""
   protected var method: String = "exact"
@@ -28,11 +32,16 @@ class DedupActor extends Actor {
   protected var bands: Int = 4
   protected var minEstJaccard: Double = 0.5
   protected var iterations: Int = 4
+  protected var vecCol: String = "embedding"
+  protected var dim: Int = 64
+  protected var clusters: Int = 8
+  protected var cosineThreshold: Double = 0.9
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("exact", "minhash-lsh", "simhash", "resolve").contains(m), s"DedupActor: bad method $m")
+      require(Seq("exact", "minhash-lsh", "simhash", "resolve", "semdedup").contains(m),
+        s"DedupActor: bad method $m")
       method = m
     }
     properties.get("textField").foreach(textCol = _)
@@ -42,6 +51,10 @@ class DedupActor extends Actor {
     properties.get("bands").foreach(v => bands = v.toInt)
     properties.get("minEstJaccard").foreach(v => minEstJaccard = v.toDouble)
     properties.get("iterations").foreach(v => iterations = v.toInt)
+    properties.get("vectorField").foreach(vecCol = _)
+    properties.get("dim").foreach(v => dim = v.toInt)
+    properties.get("clusters").foreach(v => clusters = v.toInt)
+    properties.get("cosineThreshold").foreach(v => cosineThreshold = v.toDouble)
   }
 
   def sourceView(v: String): this.type = { view = v; this }
@@ -64,6 +77,12 @@ class DedupActor extends Actor {
           Dedup.lshCandidatePairs(
             Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
             numHashes, bands, minEstJaccard), iterations)
+      case "semdedup" =>
+        // float embeddings cast to double once, so the kmeans/cosine
+        // arithmetic matches the bit-reproducible oracle form
+        val vdf = df.select(col(idCol),
+          transform(col(vecCol), _.cast("double")).as(vecCol))
+        Dedup.semDedup(vdf, idCol, vecCol, dim, clusters, iterations, cosineThreshold)
     })
   }
 }
@@ -122,14 +141,21 @@ class SimilaritySearchActor extends Actor {
 }
 
 /** Text analysis actor: appends token counts, quality score, language id,
- *  and content fingerprint columns to the view. */
+ *  and content fingerprint columns to the view. With `bm25Terms` set
+ *  (comma-separated) it also appends BM25 relevance columns (`n_terms`,
+ *  `bm25_q`) joined on integral `idField`. */
 class TextAnalysisActor extends Actor {
   protected var view: String = ""
   protected var textCol: String = "text"
+  protected var idCol: String = "doc_id"
+  protected var bm25Terms: Seq[String] = Seq.empty
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("textField").foreach(textCol = _)
+    properties.get("idField").foreach(idCol = _)
+    properties.get("bm25Terms").foreach(v =>
+      bm25Terms = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
   }
 
   def sourceView(v: String): this.type = { view = v; this }
@@ -139,12 +165,17 @@ class TextAnalysisActor extends Actor {
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
     val t = col(textCol)
-    Some(df
+    val enriched = df
       .withColumn("ws_tokens", TextAnalysis.wsTokenCount(t).cast("long"))
       .withColumn("bpe_tokens", TextAnalysis.bpeTokenCount(t).cast("long"))
       .withColumn("quality", TextAnalysis.qualityScore(t))
       .withColumn("lang_pred", TextAnalysis.langId(t))
-      .withColumn("fingerprint", TextAnalysis.fingerprint(t)))
+      .withColumn("fingerprint", TextAnalysis.fingerprint(t))
+    Some(if (bm25Terms.isEmpty) enriched
+    else enriched.join(
+      TextAnalysis.bm25Scores(df, textCol, idCol, bm25Terms)
+        .withColumnRenamed("id", idCol),
+      idCol))
   }
 }
 

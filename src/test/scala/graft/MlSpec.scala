@@ -427,6 +427,29 @@ class MlSpec extends SparkSpec {
     out(1L)._1 should not be out(10L)._1          // groups separated
   }
 
+  test("semdedup and bm25 are reachable through the actor surface") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("sd_in")
+    val da = new graft.ml.DedupActor()
+    da.init(Map("view" -> "sd_in", "method" -> "semdedup", "idField" -> "vec_id",
+      "dim" -> "64", "clusters" -> "4", "iterations" -> "2", "cosineThreshold" -> "0.9"))
+    val sd = da.run(ctx).get
+    sd.columns shouldBe Array("id", "cluster", "is_dup")
+    sd.count() shouldBe spark.table("sd_in").count()
+
+    Seq((1L, "alpha beta rare"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text").createOrReplaceTempView("bm_in")
+    val ta = new graft.ml.TextAnalysisActor()
+    ta.init(Map("view" -> "bm_in", "bm25Terms" -> "rare, gamma"))
+    val bm = ta.run(ctx).get
+    bm.columns should contain allOf ("quality", "n_terms", "bm25_q")
+    bm.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_terms"))
+      .toMap shouldBe Map(1L -> 1L, 2L -> 1L)
+  }
+
   test("multimodal stub decode produces schema-stable features partition-parallel") {
     implicit val s = spark
     import spark.implicits._
