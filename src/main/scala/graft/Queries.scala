@@ -538,6 +538,20 @@ object Queries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** PQ full-ADC top-k — the memory-compression half of IVF-PQ. */
+  private def s5(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    Similarity.pqTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5)
+  }
+
+  /** IVF-PQ top-k — cell routing + PQ codes (see the s6 spec comment). */
+  private def s6(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5)
+  }
+
   /** DuckDB mirror of [[Similarity.pqTopK]]: same md5-seeded codebooks,
    *  same (dist, crank)-ordered argmin encode, same reconstructed-vector
    *  ADC expression (qq + rr − 2·dot) — doubles are bit-identical because
@@ -563,6 +577,44 @@ object Queries {
        |scored AS (SELECT q.query_id, rc.id AS neighbor_id,
        |  round(q.qq + rc.rr - 2.0 * (${dotSql("q.v", "rc.r")}), 6) AS adc_dist2
        |  FROM q CROSS JOIN recon rc WHERE q.query_id <> rc.id),
+       |rk AS (SELECT query_id, neighbor_id, adc_dist2,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.ivfPqTopK]]: one md5-ordered seed set
+   *  supplies both the IVF centroids and the PQ codebooks; qcells routes
+   *  each query to its nprobe=4 nearest cells, and the ADC scan runs only
+   *  over same-cell candidates. */
+  private val s6Oracle: String = {
+    def d8(a: String, b: String): String = pqSubDistSql(a, b)
+    val rr = pqRrSql
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |vv AS (SELECT vec_id, v, (${dotSql("v", "v")}) AS vv FROM c),
+       |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
+       |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+       |assigned AS (SELECT e.vec_id, e.v, e.vv, ct.crank,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY e.vv + ct.cc - 2 * (${dotSql("e.v", "ct.cv")}), ct.crank) AS arank
+       |  FROM vv e CROSS JOIN cent ct),
+       |cells AS (SELECT vec_id AS id, crank AS cell FROM assigned WHERE arank = 1),
+       |qcells AS (SELECT vec_id AS query_id, v AS qv, vv AS qq, crank AS cell FROM assigned
+       |  WHERE arank <= 4 AND vec_id % 50 = 0),
+       |ms AS (SELECT unnest(range(0, 8)) AS m),
+       |cb AS (SELECT crank, m, cv[m*8+1 : m*8+8] AS cw FROM cent CROSS JOIN ms),
+       |csub AS (SELECT vec_id AS id, m, v[m*8+1 : m*8+8] AS sv FROM c CROSS JOIN ms),
+       |codes AS (SELECT id, m, crank AS code FROM (
+       |  SELECT cs.id, cs.m, cb.crank, ${d8("cs.sv", "cb.cw")} AS d
+       |  FROM csub cs JOIN cb ON cs.m = cb.m)
+       |  QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY d, crank) = 1),
+       |recon0 AS (SELECT codes.id, flatten(list(cb.cw ORDER BY cb.m)) AS r
+       |  FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.crank GROUP BY codes.id),
+       |recon AS (SELECT id, r, ($rr) AS rr FROM recon0),
+       |scored AS (SELECT q.query_id, cl.id AS neighbor_id,
+       |  round(q.qq + rc.rr - 2.0 * (${dotSql("q.qv", "rc.r")}), 6) AS adc_dist2
+       |  FROM qcells q JOIN cells cl ON q.cell = cl.cell JOIN recon rc ON rc.id = cl.id
+       |  WHERE q.query_id <> cl.id),
        |rk AS (SELECT query_id, neighbor_id, adc_dist2,
        |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank FROM scored)
        |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5""".stripMargin
@@ -1547,11 +1599,7 @@ object Queries {
     // routing to also bound candidates). Encode = map-side min_by argmin
     // against a broadcast 128-row codebook; the full-ADC scan is the
     // labeled baseline shape.
-    Spec("s5_knn_pq", (spark, dir) => {
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      Similarity.pqTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5)
-    }, Some(s5Oracle)),
+    Spec("s5_knn_pq", s5, Some(s5Oracle)),
 
     Spec("c1_kmeans", c1, Some(c1Oracle)),
     Spec("d14_semdedup", d14, Some(d14Oracle)),
@@ -2647,80 +2695,56 @@ object Queries {
     // query), PQ codes bound memory (8 codes vs 64 floats per scanned
     // vector) — the composition s3 and s5 each prove half of. One
     // md5-ordered seed set supplies both centroids and codebooks.
-    Spec("s6_knn_ivfpq", (spark, dir) => {
-      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      Similarity.ivfPqTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5)
-    }, Some {
-      def d8(a: String, b: String): String = pqSubDistSql(a, b)
-      val rr = pqRrSql
-      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
-         |vv AS (SELECT vec_id, v, (${dotSql("v", "v")}) AS vv FROM c),
-         |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
-         |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
-         |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
-         |assigned AS (SELECT e.vec_id, e.v, e.vv, ct.crank,
-         |  row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY e.vv + ct.cc - 2 * (${dotSql("e.v", "ct.cv")}), ct.crank) AS arank
-         |  FROM vv e CROSS JOIN cent ct),
-         |cells AS (SELECT vec_id AS id, crank AS cell FROM assigned WHERE arank = 1),
-         |qcells AS (SELECT vec_id AS query_id, v AS qv, vv AS qq, crank AS cell FROM assigned
-         |  WHERE arank <= 4 AND vec_id % 50 = 0),
-         |ms AS (SELECT unnest(range(0, 8)) AS m),
-         |cb AS (SELECT crank, m, cv[m*8+1 : m*8+8] AS cw FROM cent CROSS JOIN ms),
-         |csub AS (SELECT vec_id AS id, m, v[m*8+1 : m*8+8] AS sv FROM c CROSS JOIN ms),
-         |codes AS (SELECT id, m, crank AS code FROM (
-         |  SELECT cs.id, cs.m, cb.crank, ${d8("cs.sv", "cb.cw")} AS d
-         |  FROM csub cs JOIN cb ON cs.m = cb.m)
-         |  QUALIFY row_number() OVER (PARTITION BY id, m ORDER BY d, crank) = 1),
-         |recon0 AS (SELECT codes.id, flatten(list(cb.cw ORDER BY cb.m)) AS r
-         |  FROM codes JOIN cb ON codes.m = cb.m AND codes.code = cb.crank GROUP BY codes.id),
-         |recon AS (SELECT id, r, ($rr) AS rr FROM recon0),
-         |scored AS (SELECT q.query_id, cl.id AS neighbor_id,
-         |  round(q.qq + rc.rr - 2.0 * (${dotSql("q.qv", "rc.r")}), 6) AS adc_dist2
-         |  FROM qcells q JOIN cells cl ON q.cell = cl.cell JOIN recon rc ON rc.id = cl.id
-         |  WHERE q.query_id <> cl.id),
-         |rk AS (SELECT query_id, neighbor_id, adc_dist2,
-         |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank FROM scored)
-         |SELECT query_id, neighbor_id, adc_dist2, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 5""".stripMargin
-    }),
+    Spec("s6_knn_ivfpq", s6, Some(s6Oracle)),
 
-    // ANN index quality evaluation: recall@5 of the LSH (s2) and IVF (s3)
-    // indexes against the exact brute-force top-5 (s1), per query — the
-    // metric that decides whether an index's plane/probe parameters are
-    // usable before pointing it at the full corpus (here it shows 6-plane
-    // LSH collapsing on near-uniform vectors while IVF nprobe=2 holds).
+    // ANN index quality evaluation: recall@5 of all four approximate
+    // index families (LSH s2, IVF s3, PQ s5, IVF-PQ s6) against the exact
+    // brute-force top-5 (s1), per query — the selection table a user
+    // reads before pointing an index at the full corpus (here it shows
+    // 6-plane LSH collapsing on near-uniform vectors, IVF nprobe=2
+    // holding 0-60%, and the 8-byte PQ codes trading recall for memory).
     // Output is all-integer (hit counts and recall in whole percent), so
-    // the comparison is bit-exact. Scale shape: all three sides are the
+    // the comparison is bit-exact. Scale shape: all five sides are the
     // already-proven index shapes; the eval joins are keyed on
     // (query_id, neighbor_id) over k rows per query.
     Spec("s7_ann_recall", (spark, dir) => {
       val ex = s1(spark, dir).select(col("query_id"), col("neighbor_id"))
-      val lsh = s2(spark, dir).select(col("query_id"), col("neighbor_id"))
-        .withColumn("ml", lit(1))
-      val ivf = s3(spark, dir).select(col("query_id"), col("neighbor_id"))
-        .withColumn("mi", lit(1))
-      ex.join(lsh, Seq("query_id", "neighbor_id"), "left")
-        .join(ivf, Seq("query_id", "neighbor_id"), "left")
+      def side(df: DataFrame, mark: String): DataFrame =
+        df.select(col("query_id"), col("neighbor_id")).withColumn(mark, lit(1))
+      ex.join(side(s2(spark, dir), "ml"), Seq("query_id", "neighbor_id"), "left")
+        .join(side(s3(spark, dir), "mi"), Seq("query_id", "neighbor_id"), "left")
+        .join(side(s5(spark, dir), "mp"), Seq("query_id", "neighbor_id"), "left")
+        .join(side(s6(spark, dir), "mq"), Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("ml"), lit(0))).cast("long").as("hits_lsh"),
-          sum(coalesce(col("mi"), lit(0))).cast("long").as("hits_ivf"))
+          sum(coalesce(col("mi"), lit(0))).cast("long").as("hits_ivf"),
+          sum(coalesce(col("mp"), lit(0))).cast("long").as("hits_pq"),
+          sum(coalesce(col("mq"), lit(0))).cast("long").as("hits_ivfpq"))
         .select(col("query_id"),
           col("hits_lsh"), (col("hits_lsh") * 20).cast("long").as("recall_lsh_pct"),
-          col("hits_ivf"), (col("hits_ivf") * 20).cast("long").as("recall_ivf_pct"))
+          col("hits_ivf"), (col("hits_ivf") * 20).cast("long").as("recall_ivf_pct"),
+          col("hits_pq"), (col("hits_pq") * 20).cast("long").as("recall_pq_pct"),
+          col("hits_ivfpq"), (col("hits_ivfpq") * 20).cast("long").as("recall_ivfpq_pct"))
     }, Some {
       s"""WITH ex AS ($s1Oracle),
          |lsh AS ($s2Oracle),
          |ivf AS ($s3Oracle),
+         |pq AS ($s5Oracle),
+         |ivfpq AS ($s6Oracle),
          |h AS (SELECT ex.query_id,
-         |  count(lsh.neighbor_id) AS hits_lsh, count(ivf.neighbor_id) AS hits_ivf
+         |  count(lsh.neighbor_id) AS hits_lsh, count(ivf.neighbor_id) AS hits_ivf,
+         |  count(pq.neighbor_id) AS hits_pq, count(ivfpq.neighbor_id) AS hits_ivfpq
          |  FROM ex
          |  LEFT JOIN lsh ON ex.query_id = lsh.query_id AND ex.neighbor_id = lsh.neighbor_id
          |  LEFT JOIN ivf ON ex.query_id = ivf.query_id AND ex.neighbor_id = ivf.neighbor_id
+         |  LEFT JOIN pq ON ex.query_id = pq.query_id AND ex.neighbor_id = pq.neighbor_id
+         |  LEFT JOIN ivfpq ON ex.query_id = ivfpq.query_id AND ex.neighbor_id = ivfpq.neighbor_id
          |  GROUP BY ex.query_id)
          |SELECT query_id,
          |  CAST(hits_lsh AS BIGINT) AS hits_lsh, CAST(hits_lsh * 20 AS BIGINT) AS recall_lsh_pct,
-         |  CAST(hits_ivf AS BIGINT) AS hits_ivf, CAST(hits_ivf * 20 AS BIGINT) AS recall_ivf_pct
+         |  CAST(hits_ivf AS BIGINT) AS hits_ivf, CAST(hits_ivf * 20 AS BIGINT) AS recall_ivf_pct,
+         |  CAST(hits_pq AS BIGINT) AS hits_pq, CAST(hits_pq * 20 AS BIGINT) AS recall_pq_pct,
+         |  CAST(hits_ivfpq AS BIGINT) AS hits_ivfpq, CAST(hits_ivfpq * 20 AS BIGINT) AS recall_ivfpq_pct
          |FROM h""".stripMargin
     }),
 
