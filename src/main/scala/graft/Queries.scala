@@ -2644,6 +2644,34 @@ object Queries {
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
     }),
 
+    // BPE merge induction, one round: the most frequent adjacent symbol
+    // pairs across all corpus tokens — the statistic a tokenizer trainer
+    // computes per merge step (here the first round over characters; on
+    // this corpus 'er' wins, as it does on English). Scale shape: tokens
+    // explode to in-token bigrams map-side, the pair groupBy partial-
+    // aggregates before its single exchange (alphabet² keys, not corpus
+    // rows), and top-20 plans as TakeOrdered, never a global sort. A full
+    // BPE trainer loops this query, re-tokenizing against the merges
+    // found so far — each round is exactly this shape.
+    Spec("t17_bpe_pairs", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(explode(
+        filter(split(Dedup.normText(col("text")), " "), x => length(x) > 0)).as("tok"))
+      toks.filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }, Some {
+      """WITH n AS (SELECT list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |tok AS (SELECT unnest(ts) AS tok FROM n),
+        |p AS (SELECT tok, unnest(range(1, length(tok))) AS i FROM tok WHERE length(tok) >= 2),
+        |pr AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair FROM p)
+        |SELECT pair, count(*) AS cnt FROM pr GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+    }),
+
     // PageRank (3 fixed power iterations, damping 0.85) over the bipartite
     // part<->supplier co-occurrence graph — the link-quality weighting pass
     // a web-scale corpus pipeline runs before sampling. All arithmetic is

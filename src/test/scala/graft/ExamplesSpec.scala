@@ -44,4 +44,16 @@ class ExamplesSpec extends SparkSpec {
     // here is that the pipeline runs and emits the documented shape
     pairs.columns should contain allOf ("id_a", "id_b")
   }
+
+  test("curate_corpus.yaml runs semdedup and bm25 through the actor surface") {
+    val out = tmpDir("ex_curate")
+    runExample("curate_corpus.yaml",
+      Map("data_dir" -> sfDir, "out_dir" -> out, "bm25_terms" -> "dup, join, query"))
+    val dups = spark.read.parquet(s"$out/semantic_dups")
+    dups.columns shouldBe Array("id", "cluster", "is_dup")
+    dups.count() shouldBe spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val scored = spark.read.parquet(s"$out/scored_docs")
+    scored.columns should contain allOf ("quality", "n_terms", "bm25_q")
+    scored.count() shouldBe spark.read.parquet(s"$sfDir/documents.parquet").count()
+  }
 }
