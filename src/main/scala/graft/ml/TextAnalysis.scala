@@ -143,6 +143,11 @@ object TextAnalysis {
    * corpus stats are broadcast |terms|-row frames. The per-doc length
    * count is the only corpus-scale aggregation and partial-aggregates
    * map-side.
+   *
+   * Headroom: the numerator 1e4·(2N−2df+1)·44·avgdl·tf must stay below
+   * 2^63 — safe while N·avgdl·tf ≲ 2·10^13 (e.g. a billion docs at
+   * avgdl 500, tf 40). Beyond that, drop the 1e4 quantum or assemble the
+   * final ratio in double (costing bit-exactness, not correctness).
    */
   def bm25Scores(df: DataFrame, textCol: String, idCol: String,
                  terms: Seq[String]): DataFrame = {

@@ -23,7 +23,7 @@ LINEAR_SET = [
     "q1_pricing_summary", "q2_filter_project", "q5_star_join_agg",
     "q6_window_rownum", "q22_sliding_window", "q43_unpivot",
     "q51_rank_family", "d1_dedup_exact", "d5_simhash", "t13_lm_score",
-    "c3_token_packing",
+    "c3_token_packing", "t16_bm25", "t17_bpe_pairs",
 ]
 # Round-dominated / iterative / stateful / quadratic-by-construction:
 # expected flat-to-linear (or, for the kNN family whose query set is a
@@ -32,7 +32,9 @@ LINEAR_SET = [
 # path). Each has a cost model documented in PLANS.md.
 MODELED_SET = ["d9_connected_components", "c1_kmeans", "g1_pagerank",
                "q45_recursive_cte", "q69_stream_dedup_watermark",
-               "s1_knn_bruteforce", "s2_knn_lsh", "s6_knn_ivfpq"]
+               "s1_knn_bruteforce", "s2_knn_lsh", "s6_knn_ivfpq",
+               "d14_semdedup",   # kmeans passes + per-cluster pair join
+               "s7_ann_recall"]  # embeds s1: O(Q*N) by design
 
 
 def build_sf1():
