@@ -2647,20 +2647,24 @@ object Queries {
     // BPE merge induction, one round: the most frequent adjacent symbol
     // pairs across all corpus tokens — the statistic a tokenizer trainer
     // computes per merge step (here the first round over characters; on
-    // this corpus 'er' wins, as it does on English). Scale shape: tokens
-    // explode to in-token bigrams map-side, the pair groupBy partial-
-    // aggregates before its single exchange (alphabet² keys, not corpus
-    // rows), and top-20 plans as TakeOrdered, never a global sort. A full
-    // BPE trainer loops this query, re-tokenizing against the merges
-    // found so far — each round is exactly this shape.
+    // this corpus 'er' wins, as it does on English). Scale shape: the way
+    // real BPE trainers do it — collapse the corpus to the WORD-FREQUENCY
+    // dictionary first (one corpus scan, map-side partial agg, vocab-sized
+    // exchange — Zipf makes vocab ≪ tokens), then explode bigrams and sum
+    // weighted counts over vocab-sized data only; top-20 plans as
+    // TakeOrdered, never a global sort. A full trainer loops this query,
+    // re-tokenizing against the merges found so far — each round is
+    // exactly this shape.
     Spec("t17_bpe_pairs", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val toks = docs.select(explode(
-        filter(split(Dedup.normText(col("text")), " "), x => length(x) > 0)).as("tok"))
-      toks.filter(length(col("tok")) >= 2)
+      val tokCounts = docs.select(explode(
+          filter(split(Dedup.normText(col("text")), " "), x => length(x) > 0)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+      tokCounts.filter(length(col("tok")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"),
+          col("tc"))
+        .groupBy(col("pair")).agg(sum(col("tc")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(20)
     }, Some {
       """WITH n AS (SELECT list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
