@@ -384,6 +384,73 @@ object Queries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Dedup-method evaluation against the INJECTED ground truth — the
+   *  dedup-family counterpart of s7's ANN recall table. docCorpus plants
+   *  one known near-dup per doc_id%5==0 (base, base+100000); each
+   *  detection tier (raw LSH candidates, est-jaccard >= 0.5 floor, true
+   *  jaccard >= 0.5) is scored on how many injected pairs it catches
+   *  (recall) and how many additional pairs it reports (the candidate
+   *  volume the next tier must pay to verify). All-integer output. Scale
+   *  shape: the three tiers share one shingle frame and one banded join —
+   *  the eval adds only a broadcast join against the 1/5-of-corpus truth
+   *  frame and a 3-group aggregate. */
+  private def d15(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = docCorpus(spark, dir)
+    val truth = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
+    val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
+    val sig = Dedup.signaturesFromShingles(sh)
+    val cand = Dedup.lshCandidatePairs(sig, minEstJaccard = 0.0).select(col("id_a"), col("id_b"))
+    val est = Dedup.lshCandidatePairs(sig).select(col("id_a"), col("id_b"))
+    val jac = Dedup.ngramJaccard(cand, sh)
+      .filter(round(col("jaccard"), 6) >= 0.5).select(col("id_a"), col("id_b"))
+    val tagged = cand.withColumn("method", lit("lsh_candidates"))
+      .unionAll(est.withColumn("method", lit("est_jaccard_05")))
+      .unionAll(jac.withColumn("method", lit("true_jaccard_05")))
+    tagged.join(broadcast(truth.withColumn("injected", lit(1))),
+        Seq("id_a", "id_b"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("detected_pairs"),
+        sum(coalesce(col("injected"), lit(0))).cast("long").as("detected_injected"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("injected_total"))))
+      .select(col("method"), col("injected_total"), col("detected_injected"),
+        expr("100L * detected_injected div injected_total").as("recall_pct"),
+        (col("detected_pairs") - col("detected_injected")).as("extra_pairs"))
+  }
+
+  private val d15Oracle: String =
+    s"""WITH $corpusCte,
+       |${shingleCte("corpus")},
+       |$sigCte,
+       |$bandedCte,
+       |$candCte,
+       |est AS (SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+       |  WHERE ($estExpr) / 8.0 >= 0.5),
+       |counts AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+       |inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+       |  FROM cand c JOIN shing sa ON c.id_a = sa.doc_id
+       |  JOIN shing sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+       |  GROUP BY c.id_a, c.id_b),
+       |jac AS (SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN counts ca ON c.id_a = ca.doc_id JOIN counts cb ON c.id_b = cb.doc_id
+       |  LEFT JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b
+       |  WHERE round(coalesce(ni, 0)::double / (ca.n + cb.n - coalesce(ni, 0)), 6) >= 0.5),
+       |truth AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents WHERE doc_id % 5 = 0),
+       |tagged AS (SELECT 'lsh_candidates' AS method, id_a, id_b FROM cand
+       |  UNION ALL SELECT 'est_jaccard_05', id_a, id_b FROM est
+       |  UNION ALL SELECT 'true_jaccard_05', id_a, id_b FROM jac),
+       |tt AS (SELECT count(*) AS injected_total FROM truth),
+       |agg AS (SELECT method, count(*) AS detected_pairs,
+       |  SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS detected_injected
+       |  FROM tagged LEFT JOIN truth t USING (id_a, id_b) GROUP BY method)
+       |SELECT method, CAST(injected_total AS BIGINT) AS injected_total,
+       |  CAST(detected_injected AS BIGINT) AS detected_injected,
+       |  CAST(100 * detected_injected // injected_total AS BIGINT) AS recall_pct,
+       |  CAST(detected_pairs - detected_injected AS BIGINT) AS extra_pairs
+       |FROM agg, tt""".stripMargin
+
   private def d5(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHash(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
 
@@ -1603,6 +1670,7 @@ object Queries {
 
     Spec("c1_kmeans", c1, Some(c1Oracle)),
     Spec("d14_semdedup", d14, Some(d14Oracle)),
+    Spec("d15_dedup_eval", d15, Some(d15Oracle)),
 
     // Deterministic stratified sampling: N docs per language stratum,
     // selected by content-independent hash order — the balancing step of a

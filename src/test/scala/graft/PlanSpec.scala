@@ -150,7 +150,9 @@ class PlanSpec extends SparkSpec {
       "t16_bm25",          // crossJoin vs broadcast 1-row corpus stats
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
-      "g2_triangle_count"  // 1-row x 1-row join of two global aggregates
+      "g2_triangle_count", // 1-row x 1-row join of two global aggregates
+      "d15_dedup_eval"     // crossJoin vs broadcast 1-row injected-total
+                           // aggregate (detection tiers are keyed joins)
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val p = plan(spec.run(spark, sfDir))
