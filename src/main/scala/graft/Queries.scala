@@ -401,8 +401,11 @@ object Queries {
       .select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
     val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
     val sig = Dedup.signaturesFromShingles(sh)
-    val cand = Dedup.lshCandidatePairs(sig, minEstJaccard = 0.0).select(col("id_a"), col("id_b"))
-    val est = Dedup.lshCandidatePairs(sig).select(col("id_a"), col("id_b"))
+    // ONE band join serves both tiers: est is a filter over the candidate
+    // tier's already-scored est_jaccard, not a second LSH pass
+    val candFull = Dedup.lshCandidatePairs(sig, minEstJaccard = 0.0)
+    val cand = candFull.select(col("id_a"), col("id_b"))
+    val est = candFull.filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b"))
     val jac = Dedup.ngramJaccard(cand, sh)
       .filter(round(col("jaccard"), 6) >= 0.5).select(col("id_a"), col("id_b"))
     val tagged = cand.withColumn("method", lit("lsh_candidates"))
