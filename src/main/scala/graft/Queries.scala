@@ -454,6 +454,60 @@ object Queries {
        |  CAST(detected_pairs - detected_injected AS BIGINT) AS extra_pairs
        |FROM agg, tt""".stripMargin
 
+  /** Incremental-ingest dedup: a NEW batch matched against the prebuilt
+   *  corpus index via the one-sided LSH join ([[Dedup.lshMatches]]) — the
+   *  continuous-ingestion shape where the index's pairwise work is
+   *  already paid and a batch must never trigger an index×index join.
+   *  The batch plants both outcomes: perturbed copies of index docs
+   *  (+200000, near-dup suffix → must match) and reversed texts
+   *  (+300000, shingles destroyed → must not). Output per batch doc:
+   *  matched flag + the best signature-match count (est·8, integer). */
+  private def d16(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val index = docs.select(col("doc_id"), col("text"))
+    val b0 = docs.filter(col("doc_id") % 10 === 0)
+    val batch = b0.select((col("doc_id") + 200000L).as("doc_id"),
+        concat(col("text"), lit(" dup dup dup")).as("text"))
+      .unionAll(b0.select((col("doc_id") + 300000L).as("doc_id"),
+        reverse(col("text")).as("text")))
+    val m = Dedup.lshMatches(
+      Dedup.minHashSignatures(batch, "text", "doc_id"),
+      Dedup.minHashSignatures(index, "text", "doc_id"))
+    val best = m.groupBy(col("new_id"))
+      .agg(max(round(col("est_jaccard") * 8).cast("long")).as("best_matches"))
+    batch.select(col("doc_id").as("new_id"))
+      .join(best, Seq("new_id"), "left")
+      .select(col("new_id"),
+        when(col("best_matches").isNotNull, 1).otherwise(0).cast("int").as("matched"),
+        coalesce(col("best_matches"), lit(0L)).as("best_matches"))
+  }
+
+  private val d16Oracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id, text || ' dup dup dup' AS text
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id, reverse(text) AS text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |${shingleCte("corpus")},
+       |$sigCte,
+       |$bandedCte,
+       |candx AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS index_id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+       |  AND a.doc_id < 200000 AND b.doc_id >= 200000),
+       |scored AS (SELECT c.new_id, ($estExpr) AS m
+       |  FROM candx c JOIN sig sa ON c.index_id = sa.doc_id JOIN sig sb ON c.new_id = sb.doc_id),
+       |best AS (SELECT new_id, max(m) AS best_matches FROM scored
+       |  WHERE m / 8.0 >= 0.5 GROUP BY new_id),
+       |batch AS (SELECT doc_id + 200000 AS new_id FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 300000 FROM documents WHERE doc_id % 10 = 0)
+       |SELECT b.new_id,
+       |  CAST(CASE WHEN best.new_id IS NULL THEN 0 ELSE 1 END AS INT) AS matched,
+       |  CAST(coalesce(best.best_matches, 0) AS BIGINT) AS best_matches
+       |FROM batch b LEFT JOIN best ON b.new_id = best.new_id""".stripMargin
+
   private def d5(spark: SparkSession, dir: String): DataFrame =
     Dedup.simHash(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
 
@@ -1674,6 +1728,7 @@ object Queries {
     Spec("c1_kmeans", c1, Some(c1Oracle)),
     Spec("d14_semdedup", d14, Some(d14Oracle)),
     Spec("d15_dedup_eval", d15, Some(d15Oracle)),
+    Spec("d16_incremental_dedup", d16, Some(d16Oracle)),
 
     // Deterministic stratified sampling: N docs per language stratum,
     // selected by content-independent hash order — the balancing step of a

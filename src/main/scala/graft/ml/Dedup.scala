@@ -86,15 +86,24 @@ object Dedup {
    * the blow-up is bounded by bucket size, not corpus size. Output:
    * (id_a < id_b, est_jaccard = matching-component fraction).
    */
-  def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 8,
-                        bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  /** (id, band, bucket) expansion of a signature frame — ids-only, so the
+   *  band join exchange stays narrow. Shared by the self-join
+   *  (lshCandidatePairs) and the incremental one-sided join (lshMatches). */
+  private def bandedFrame(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val mhCols = (0 until numHashes).map(j => col(s"mh$j"))
     val bandCols = (0 until bands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bucket"))
     }
+    signatures
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 8,
+                        bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val mhCols = (0 until numHashes).map(j => col(s"mh$j"))
     // The band self-join carries IDS ONLY: at corpus scale the banded frame
     // is corpus×bands rows, and shipping the full signature struct through
     // that exchange multiplies shuffle bytes by the signature width. Join
@@ -110,9 +119,7 @@ object Dedup {
     // is cheap. At true corpus scale, callers should persist the
     // signature frame themselves before fanning out — the API takes a
     // DataFrame precisely so that choice stays with the caller.
-    val banded = signatures
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedFrame(signatures, numHashes, bands)
     val idPairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -125,6 +132,38 @@ object Dedup {
       .join(sigs.as("sa"), col("id_a") === col("sa.id"))
       .join(sigs.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
+        (matches.reduce(_ + _).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /**
+   * Incremental-ingest near-dup match: each row of `newSigs` against the
+   * prebuilt `indexSigs` ONLY — the production shape for continuous
+   * corpus ingestion, where the index's pairwise work was already paid
+   * and a new batch must never trigger an index×index join. Both inputs
+   * are signature frames from [[minHashSignatures]] /
+   * [[signaturesFromShingles]]. Emits (new_id, index_id, est_jaccard).
+   *
+   * Scale shape: both sides band-expand ids-only and join keyed on
+   * (band, bucket); with a small ingest batch the planner broadcasts its
+   * banded frame against the index's, so the index side never shuffles.
+   */
+  def lshMatches(newSigs: DataFrame, indexSigs: DataFrame, numHashes: Int = 8,
+                 bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val mhCols = (0 until numHashes).map(j => col(s"mh$j"))
+    val idPairs = bandedFrame(newSigs, numHashes, bands).as("a")
+      .join(bandedFrame(indexSigs, numHashes, bands).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("new_id"), col("b.id").as("index_id"))
+      .distinct()
+    def sigs(df: DataFrame) = df.select(col("id"), struct(mhCols: _*).as("sig"))
+    val matches = (0 until numHashes).map(j =>
+      when(col(s"sa.sig.mh$j") === col(s"sb.sig.mh$j"), 1).otherwise(0))
+    idPairs
+      .join(sigs(newSigs).as("sa"), col("new_id") === col("sa.id"))
+      .join(sigs(indexSigs).as("sb"), col("index_id") === col("sb.id"))
+      .select(col("new_id"), col("index_id"),
         (matches.reduce(_ + _).cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }

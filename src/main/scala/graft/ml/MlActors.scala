@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
  *  (id, keep_id, is_duplicate) for every id in the duplicate graph;
  *  semdedup: embedding-space dedup over `vectorField` (k-means blocks the
  *  pair search), emits (id, cluster, is_dup) — `iterations` is the Lloyd
- *  iteration count here, `clusters`/`dim`/`cosineThreshold` apply. */
+ *  iteration count here, `clusters`/`dim`/`cosineThreshold` apply;
+ *  incremental: one-sided match of `view` (the new batch) against
+ *  `indexView` (the prebuilt corpus) — emits (new_id, index_id,
+ *  est_jaccard), never an index×index pair. */
 class DedupActor extends Actor {
   protected var view: String = ""
   protected var method: String = "exact"
@@ -36,14 +39,18 @@ class DedupActor extends Actor {
   protected var dim: Int = 64
   protected var clusters: Int = 8
   protected var cosineThreshold: Double = 0.9
+  protected var indexView: String = ""
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("exact", "minhash-lsh", "simhash", "resolve", "semdedup").contains(m),
+      require(Seq("exact", "minhash-lsh", "simhash", "resolve", "semdedup", "incremental").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
+    properties.get("indexView").foreach(indexView = _)
+    require(method != "incremental" || indexView.nonEmpty,
+      "DedupActor: incremental requires indexView")
     properties.get("textField").foreach(textCol = _)
     properties.get("idField").foreach(idCol = _)
     properties.get("numHashes").foreach(v => numHashes = v.toInt)
@@ -61,7 +68,9 @@ class DedupActor extends Actor {
   def dedupMethod(m: String): this.type = { method = m; this }
   def onColumns(text: String, id: String): this.type = { textCol = text; idCol = id; this }
 
-  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+  override def inputViews: Seq[String] =
+    (if (view.nonEmpty) Seq(view) else Seq.empty) ++
+      (if (indexView.nonEmpty) Seq(indexView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
@@ -83,6 +92,11 @@ class DedupActor extends Actor {
         val vdf = df.select(col(idCol),
           transform(col(vecCol), _.cast("double")).as(vecCol))
         Dedup.semDedup(vdf, idCol, vecCol, dim, clusters, iterations, cosineThreshold)
+      case "incremental" =>
+        Dedup.lshMatches(
+          Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
+          Dedup.minHashSignatures(ctx.getView(indexView), textCol, idCol, numHashes, shingleLen),
+          numHashes, bands, minEstJaccard)
     })
   }
 }

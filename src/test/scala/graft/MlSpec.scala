@@ -427,6 +427,21 @@ class MlSpec extends SparkSpec {
     out(1L)._1 should not be out(10L)._1          // groups separated
   }
 
+  test("lshMatches pairs new rows against the index side only") {
+    implicit val s = spark
+    import spark.implicits._
+    val idx = Dedup.minHashSignatures(docs, "text", "doc_id")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // dup of 1/4/5
+      (101L, "qqq www eee rrr ttt yyy uuu")                  // unrelated
+    ).toDF("doc_id", "text")
+    val m = Dedup.lshMatches(Dedup.minHashSignatures(batch, "text", "doc_id"), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    m.map(_._1).toSet shouldBe Set(100L)          // only the dup matches...
+    m.map(_._2).toSet should contain allOf (1L, 4L) // ...against its index bases
+    all(m.map(_._2)) should be < 100L             // never index x index or new x new
+  }
+
   test("semdedup and bm25 are reachable through the actor surface") {
     implicit val s = spark
     import spark.implicits._
