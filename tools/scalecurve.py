@@ -24,6 +24,7 @@ LINEAR_SET = [
     "q6_window_rownum", "q22_sliding_window", "q43_unpivot",
     "q51_rank_family", "d1_dedup_exact", "d5_simhash", "t13_lm_score",
     "c3_token_packing", "t16_bm25", "t17_bpe_pairs",
+    "d16_incremental_dedup",  # keyed (band,bucket) join; batch ∝ corpus here
 ]
 # Round-dominated / iterative / stateful / quadratic-by-construction:
 # expected flat-to-linear (or, for the kNN family whose query set is a
@@ -34,7 +35,8 @@ MODELED_SET = ["d9_connected_components", "c1_kmeans", "g1_pagerank",
                "q45_recursive_cte", "q69_stream_dedup_watermark",
                "s1_knn_bruteforce", "s2_knn_lsh", "s6_knn_ivfpq",
                "d14_semdedup",   # kmeans passes + per-cluster pair join
-               "s7_ann_recall"]  # embeds s1: O(Q*N) by design
+               "s7_ann_recall",  # embeds s1: O(Q*N) by design
+               "d15_dedup_eval"] # O(LSH-bounded candidates x shingles/doc)
 
 
 def build_sf1():
