@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
  */
 
 /** Deduplication actor. `method`: exact | minhash-lsh | simhash | resolve
- *  | semdedup.
+ *  | semdedup | incremental.
  *  exact: emits (content_hash, keep_id, dup_count);
  *  minhash-lsh: emits candidate near-dup pairs (id_a, id_b, est_jaccard);
  *  simhash: emits (id, simhash);
