@@ -45,6 +45,18 @@ class ExamplesSpec extends SparkSpec {
     pairs.columns should contain allOf ("id_a", "id_b")
   }
 
+  test("incremental_ingest.yaml matches a new batch against the corpus index") {
+    val out = tmpDir("ex_ingest")
+    runExample("incremental_ingest.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val m = spark.read.parquet(s"$out/ingest_matches")
+    m.columns shouldBe Array("new_id", "index_id", "est_jaccard")
+    // every planted copy matches its base doc (new_id = base + 500000)
+    val baseHits = m.filter(org.apache.spark.sql.functions.expr("index_id = new_id - 500000")).count()
+    val planted = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter("doc_id % 25 = 0").count()
+    baseHits shouldBe planted
+  }
+
   test("curate_corpus.yaml runs semdedup and bm25 through the actor surface") {
     val out = tmpDir("ex_curate")
     runExample("curate_corpus.yaml",
