@@ -630,6 +630,32 @@ object Queries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** Multi-probe LSH: same 6 planes as s2, plus the 6 Hamming-1 probe
+   *  buckets per query — the recall fix s7's table motivates. */
+  private def s8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    Similarity.lshMultiProbeTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v", 5, 64, 6)
+  }
+
+  private val s8Oracle: String = {
+    val bucket = lshBucketSql(6)
+    val cos = s"(${dotSql("q.v", "c2.v")}) / (q.nrm * c2.nrm)"
+    val probeList = "[bucket" + (0 until 6).map(p => s", xor(bucket, ${1 << p})").mkString + "]"
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${normSql("v")} AS nrm, $bucket AS bucket FROM c),
+       |q AS (SELECT * FROM n WHERE vec_id % 50 = 0),
+       |probes AS (SELECT vec_id AS query_id, unnest($probeList) AS bucket FROM q),
+       |cand AS (SELECT DISTINCT p.query_id, c2.vec_id AS neighbor_id
+       |  FROM probes p JOIN n c2 USING (bucket) WHERE p.query_id <> c2.vec_id),
+       |scored AS (SELECT cd.query_id, cd.neighbor_id, round($cos, 6) AS cos_r
+       |  FROM cand cd JOIN q ON cd.query_id = q.vec_id JOIN n c2 ON cd.neighbor_id = c2.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos_r,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cos_r AS cos_sim, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   /** IVF-flat ANN: deterministic md5-seeded centroids, nprobe=2. */
   private def s3(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -2855,6 +2881,14 @@ object Queries {
     // md5-ordered seed set supplies both centroids and codebooks.
     Spec("s6_knn_ivfpq", s6, Some(s6Oracle)),
 
+    // Multi-probe LSH (Lv et al., VLDB'07): probe the query's bucket AND
+    // its 6 Hamming-1 neighbors in plane-sign space — the recall fix for
+    // s2's collapse on near-uniform vectors (a vector near a hyperplane
+    // puts its true neighbors one sign-bit away). Probe explode is
+    // ids-only; pairs distinct BEFORE vectors re-attach. s7's table
+    // quantifies the recall it buys over s2 at 7x the probe volume.
+    Spec("s8_knn_lsh_multiprobe", s8, Some(s8Oracle)),
+
     // ANN index quality evaluation: recall@5 of all four approximate
     // index families (LSH s2, IVF s3, PQ s5, IVF-PQ s6) against the exact
     // brute-force top-5 (s1), per query — the selection table a user
@@ -2870,36 +2904,43 @@ object Queries {
       def side(df: DataFrame, mark: String): DataFrame =
         df.select(col("query_id"), col("neighbor_id")).withColumn(mark, lit(1))
       ex.join(side(s2(spark, dir), "ml"), Seq("query_id", "neighbor_id"), "left")
+        .join(side(s8(spark, dir), "mm"), Seq("query_id", "neighbor_id"), "left")
         .join(side(s3(spark, dir), "mi"), Seq("query_id", "neighbor_id"), "left")
         .join(side(s5(spark, dir), "mp"), Seq("query_id", "neighbor_id"), "left")
         .join(side(s6(spark, dir), "mq"), Seq("query_id", "neighbor_id"), "left")
         .groupBy(col("query_id"))
         .agg(sum(coalesce(col("ml"), lit(0))).cast("long").as("hits_lsh"),
+          sum(coalesce(col("mm"), lit(0))).cast("long").as("hits_mplsh"),
           sum(coalesce(col("mi"), lit(0))).cast("long").as("hits_ivf"),
           sum(coalesce(col("mp"), lit(0))).cast("long").as("hits_pq"),
           sum(coalesce(col("mq"), lit(0))).cast("long").as("hits_ivfpq"))
         .select(col("query_id"),
           col("hits_lsh"), (col("hits_lsh") * 20).cast("long").as("recall_lsh_pct"),
+          col("hits_mplsh"), (col("hits_mplsh") * 20).cast("long").as("recall_mplsh_pct"),
           col("hits_ivf"), (col("hits_ivf") * 20).cast("long").as("recall_ivf_pct"),
           col("hits_pq"), (col("hits_pq") * 20).cast("long").as("recall_pq_pct"),
           col("hits_ivfpq"), (col("hits_ivfpq") * 20).cast("long").as("recall_ivfpq_pct"))
     }, Some {
       s"""WITH ex AS ($s1Oracle),
          |lsh AS ($s2Oracle),
+         |mplsh AS ($s8Oracle),
          |ivf AS ($s3Oracle),
          |pq AS ($s5Oracle),
          |ivfpq AS ($s6Oracle),
          |h AS (SELECT ex.query_id,
-         |  count(lsh.neighbor_id) AS hits_lsh, count(ivf.neighbor_id) AS hits_ivf,
+         |  count(lsh.neighbor_id) AS hits_lsh, count(mplsh.neighbor_id) AS hits_mplsh,
+         |  count(ivf.neighbor_id) AS hits_ivf,
          |  count(pq.neighbor_id) AS hits_pq, count(ivfpq.neighbor_id) AS hits_ivfpq
          |  FROM ex
          |  LEFT JOIN lsh ON ex.query_id = lsh.query_id AND ex.neighbor_id = lsh.neighbor_id
+         |  LEFT JOIN mplsh ON ex.query_id = mplsh.query_id AND ex.neighbor_id = mplsh.neighbor_id
          |  LEFT JOIN ivf ON ex.query_id = ivf.query_id AND ex.neighbor_id = ivf.neighbor_id
          |  LEFT JOIN pq ON ex.query_id = pq.query_id AND ex.neighbor_id = pq.neighbor_id
          |  LEFT JOIN ivfpq ON ex.query_id = ivfpq.query_id AND ex.neighbor_id = ivfpq.neighbor_id
          |  GROUP BY ex.query_id)
          |SELECT query_id,
          |  CAST(hits_lsh AS BIGINT) AS hits_lsh, CAST(hits_lsh * 20 AS BIGINT) AS recall_lsh_pct,
+         |  CAST(hits_mplsh AS BIGINT) AS hits_mplsh, CAST(hits_mplsh * 20 AS BIGINT) AS recall_mplsh_pct,
          |  CAST(hits_ivf AS BIGINT) AS hits_ivf, CAST(hits_ivf * 20 AS BIGINT) AS recall_ivf_pct,
          |  CAST(hits_pq AS BIGINT) AS hits_pq, CAST(hits_pq * 20 AS BIGINT) AS recall_pq_pct,
          |  CAST(hits_ivfpq AS BIGINT) AS hits_ivfpq, CAST(hits_ivfpq * 20 AS BIGINT) AS recall_ivfpq_pct

@@ -133,6 +133,42 @@ object Similarity {
   }
 
   /**
+   * Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its own
+   * bucket AND every bucket at Hamming distance 1 in plane-sign space —
+   * the standard recall fix when sign-LSH buckets are too fine (a vector
+   * near a hyperplane lands on either side with ~equal probability, so
+   * its true neighbors sit one bit away). Candidate volume grows by
+   * ×(numPlanes+1) probes over [[lshTopK]] while staying
+   * ~corpus/2^numPlanes per probe — still far below the brute-force scan.
+   *
+   * Scale shape: the probe explode is ids-only (query_id, bucket); pairs
+   * are distinct-ed BEFORE vectors re-attach, so the widened candidate
+   * set never ships vectors through the probe join.
+   */
+  def lshMultiProbeTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, dim: Int,
+                        numPlanes: Int = 8): DataFrame = {
+    val d = Some(dim)
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn", d)
+      .withColumn("bucket", lshBucket(col("qv"), dim, numPlanes))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn", d)
+      .withColumn("bucket", lshBucket(col("cv"), dim, numPlanes))
+    val probeCols = col("bucket") +:
+      (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1 << p)))
+    val cand = q.select(col("query_id"), explode(array(probeCols: _*)).as("bucket"))
+      .join(c.select(col("neighbor_id"), col("bucket")), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(q.select(col("query_id"), col("qv"), col("qn")), Seq("query_id"))
+      .join(c.select(col("neighbor_id"), col("cv"), col("cn")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotD(col("qv"), col("cv"), d) / (col("qn") * col("cn"))).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /**
    * IVF-flat approximate top-k: the corpus is partitioned into
    * `numCentroids` Voronoi cells; a query scans only its `nprobe` nearest
    * cells, then exact-cosine-reranks. Per-query work drops from |corpus|
