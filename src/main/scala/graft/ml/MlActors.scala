@@ -185,11 +185,18 @@ class TextAnalysisActor extends Actor {
       .withColumn("quality", TextAnalysis.qualityScore(t))
       .withColumn("lang_pred", TextAnalysis.langId(t))
       .withColumn("fingerprint", TextAnalysis.fingerprint(t))
+    // Row-preserving enrichment: bm25Scores emits one row per INPUT row
+    // (so a duplicate id appears twice); dedup by id before the join and
+    // join LEFT so null-id rows survive (with the 0/0 defaults) instead of
+    // being dropped, and duplicate ids aren't row-multiplied.
     Some(if (bm25Terms.isEmpty) enriched
     else enriched.join(
       TextAnalysis.bm25Scores(df, textCol, idCol, bm25Terms)
+        .dropDuplicates("id")
         .withColumnRenamed("id", idCol),
-      idCol))
+      Seq(idCol), "left")
+      .withColumn("n_terms", coalesce(col("n_terms"), lit(0L)))
+      .withColumn("bm25_q", coalesce(col("bm25_q"), lit(0L))))
   }
 }
 
