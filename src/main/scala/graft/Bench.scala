@@ -12,8 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
     // extra confs for A/B experiments, e.g.
     // SPARK_GRAFT_EXTRA_CONF="spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider"
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    // Entries are ';'-separated; a literal ';' inside a value is escaped
+    // as '\;' (rare, but JDBC URLs have them).
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(
+      _.split("(?<!\\\\);").map(_.replace("\\;", ";")).filter(_.contains("="))
+        .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed steady-state warmup: run each query once at sf0.001 (~1% of
@@ -62,7 +65,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The metric line is ~6 KB at 140 queries and sbt interleaves its own
+    // epilogue around stdout, so ALSO land the JSON in a file the driver
+    // (or any harness) can read without scraping logs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    println(json)
     spark.stop()
   }
 }

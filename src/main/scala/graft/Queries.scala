@@ -3024,11 +3024,15 @@ object Queries {
           |""".stripMargin).run(ctx)(spark)
       val stream = eventsStream(spark, dir).select(col("event_type"), col("value"))
       // low drain shuffle on a CLONED session (same discipline as
-      // drainToMemory): the clone copies the catalog registration above,
-      // and MemRowStore is JVM-global, so the MERGEs land in the same
-      // store the final read (on the caller's session) sees
+      // drainToMemory). The graft_mem catalog registration rides in the
+      // OVERRIDES (not just set on the parent above) because clones are
+      // cached per override-set and snapshot the parent conf at first
+      // use — a clone cached before the parent-side set would miss it.
+      // MemRowStore is JVM-global, so the MERGEs land in the same store
+      // the final read (on the caller's session) sees.
       val scoped = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
-        "spark.sql.shuffle.partitions" -> sys.props.getOrElse("graft.drain.shuffle", "8"))
+        "spark.sql.shuffle.partitions" -> sys.props.getOrElse("graft.drain.shuffle", "8"),
+        "spark.sql.catalog.graft_mem" -> classOf[graft.source.MemRowCatalog].getName)
       locally {
         val q = org.apache.spark.sql.GraftSqlBridge.onSession(scoped, stream).writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -3137,8 +3141,12 @@ object Queries {
       // whole query on a CLONED session: the TwS processor forces the
       // RocksDB state-store provider onto its session's conf (the API
       // requires that provider) — scoping it here keeps the shared
-      // session's provider, and every other streaming query, untouched
-      val s2 = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark)
+      // session's provider, and every other streaming query, untouched.
+      // The provider rides in the overrides so the processor's
+      // set-if-unset no-ops and the CACHED clone is never mutated.
+      val s2 = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       eventsStream(s2, dir).createOrReplaceTempView("q74_in")
       val ctx = new JobContext(PipelineContext())(s2)
       val actor = new graft.transform.StreamStatefulTransformer()

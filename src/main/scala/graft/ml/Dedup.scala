@@ -145,14 +145,33 @@ object Dedup {
    * [[signaturesFromShingles]]. Emits (new_id, index_id, est_jaccard).
    *
    * Scale shape: both sides band-expand ids-only and join keyed on
-   * (band, bucket); with a small ingest batch the planner broadcasts its
-   * banded frame against the index's, so the index side never shuffles.
+   * (band, bucket). The batch side is broadcast EXPLICITLY when it is
+   * small (`broadcastBatchMaxRows`, measured with a bounded limit+count
+   * probe) — pinned rather than left to the planner, because a stats
+   * misestimate on the batch subtree would silently degrade this to
+   * shuffling the INDEX on (band, bucket), re-paying at every ingest the
+   * work the prebuilt index exists to amortize. The banded expansion is
+   * rows×bands ids-only tuples (~60 B each), so the default threshold
+   * (256k batch rows, 4 bands) broadcasts ≤ ~60 MB. Pass 0 to disable
+   * the probe and leave the choice to the planner (e.g. when the caller
+   * knows the batch is huge).
    */
   def lshMatches(newSigs: DataFrame, indexSigs: DataFrame, numHashes: Int = 8,
-                 bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {
+                 bands: Int = 4, minEstJaccard: Double = 0.5,
+                 broadcastBatchMaxRows: Long = 1L << 18): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val mhCols = (0 until numHashes).map(j => col(s"mh$j"))
-    val idPairs = bandedFrame(newSigs, numHashes, bands).as("a")
+    val bandedNew = bandedFrame(newSigs, numHashes, bands)
+    val probe = math.min(broadcastBatchMaxRows, (Int.MaxValue - 1).toLong).toInt
+    val small = broadcastBatchMaxRows > 0 &&
+      newSigs.limit(probe + 1).count() <= broadcastBatchMaxRows
+    // `pin` marks every batch-derived frame broadcast-side, so the index
+    // is STREAMED through all three of its appearances (band join + the
+    // two sig re-attaches collapse to: band join, then one streamed pass
+    // over the index signatures). Without the second pin the re-attach
+    // would sort-merge on id and shuffle the full index anyway.
+    def pin(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val idPairs = pin(bandedNew).as("a")
       .join(bandedFrame(indexSigs, numHashes, bands).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("new_id"), col("b.id").as("index_id"))
@@ -160,8 +179,8 @@ object Dedup {
     def sigs(df: DataFrame) = df.select(col("id"), struct(mhCols: _*).as("sig"))
     val matches = (0 until numHashes).map(j =>
       when(col(s"sa.sig.mh$j") === col(s"sb.sig.mh$j"), 1).otherwise(0))
-    idPairs
-      .join(sigs(newSigs).as("sa"), col("new_id") === col("sa.id"))
+    pin(pin(idPairs)
+        .join(sigs(newSigs).as("sa"), col("new_id") === col("sa.id")))
       .join(sigs(indexSigs).as("sb"), col("index_id") === col("sb.id"))
       .select(col("new_id"), col("index_id"),
         (matches.reduce(_ + _).cast("double") / numHashes).as("est_jaccard"))

@@ -185,18 +185,32 @@ class TextAnalysisActor extends Actor {
       .withColumn("quality", TextAnalysis.qualityScore(t))
       .withColumn("lang_pred", TextAnalysis.langId(t))
       .withColumn("fingerprint", TextAnalysis.fingerprint(t))
-    // Row-preserving enrichment: bm25Scores emits one row per INPUT row
-    // (so a duplicate id appears twice); dedup by id before the join and
-    // join LEFT so null-id rows survive (with the 0/0 defaults) instead of
-    // being dropped, and duplicate ids aren't row-multiplied.
+    // Row-preserving enrichment. bm25Scores emits one row per INPUT row,
+    // each carrying the per-id MERGED aggregate (it groupBys id
+    // internally), so duplicate-id rows are column-identical; the
+    // max-aggregate below collapses them to one row per id
+    // deterministically (max of identical values) before the left join,
+    // so duplicate input ids aren't row-multiplied. The join key casts
+    // the input's id to long to MATCH bm25Scores' internal cast — without
+    // it a string idField would coerce the bm25 side back to string and
+    // silently mismatch. Null-id rows never match and keep the 0/0
+    // defaults.
     Some(if (bm25Terms.isEmpty) enriched
-    else enriched.join(
-      TextAnalysis.bm25Scores(df, textCol, idCol, bm25Terms)
-        .dropDuplicates("id")
-        .withColumnRenamed("id", idCol),
-      Seq(idCol), "left")
-      .withColumn("n_terms", coalesce(col("n_terms"), lit(0L)))
-      .withColumn("bm25_q", coalesce(col("bm25_q"), lit(0L))))
+    else {
+      val clash = df.columns.toSet.intersect(Set("n_terms", "bm25_q"))
+      require(clash.isEmpty,
+        s"TextAnalysisActor(bm25Terms): input view '$view' already has column(s) " +
+          s"${clash.mkString(", ")} — rename them; bm25 output uses these names")
+      val scores = TextAnalysis.bm25Scores(df, textCol, idCol, bm25Terms)
+        .groupBy(col("id"))
+        .agg(max(col("n_terms")).as("n_terms"), max(col("bm25_q")).as("bm25_q"))
+        .withColumnRenamed("id", "graft_bm25_id")
+      enriched.join(scores,
+          enriched(idCol).cast("long") === scores("graft_bm25_id"), "left")
+        .drop("graft_bm25_id")
+        .withColumn("n_terms", coalesce(col("n_terms"), lit(0L)))
+        .withColumn("bm25_q", coalesce(col("bm25_q"), lit(0L)))
+    })
   }
 }
 

@@ -71,15 +71,15 @@ object Multimodal {
 
   /** Decode a real image payload via ImageIO and return the gray channel
    *  row-major (luma by integer BT.601 for color inputs; the raw sample for
-   *  gray inputs). Returns null when the bytes are not a decodable image —
+   *  gray inputs). Returns None when the bytes are not a decodable image —
    *  BOTH when no reader claims them and when a reader claims the magic
    *  bytes but chokes on the body (text starting "BM", truncated PNGs):
    *  bad-record handling is the caller's policy decision, not an exception.
    */
-  def decodeGray(payload: Array[Byte]): (Array[Int], Int, Int) = {
+  def decodeGray(payload: Array[Byte]): Option[(Array[Int], Int, Int)] = {
     val img = try ImageIO.read(new ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) return null
+    if (img == null) return None
     val (w, h) = (img.getWidth, img.getHeight)
     val out = new Array[Int](w * h)
     if (img.getType == BufferedImage.TYPE_BYTE_GRAY) {
@@ -103,7 +103,7 @@ object Multimodal {
         y += 1
       }
     }
-    (out, w, h)
+    Some((out, w, h))
   }
 
   /** REAL image decode: ImageIO pixels → meta (sniffed format, true decoded
@@ -112,9 +112,9 @@ object Multimodal {
    *  fall through to the synthetic-header fake. */
   def decodeImage(id: Long, payload: Array[Byte]): Row = {
     val fmt = sniffFormat(payload)
-    val decoded = if (fmt == "unknown") null else decodeGray(payload)
-    if (decoded == null) return decodeStub(id, payload)
-    val (gray, w, h) = decoded
+    val decoded = if (fmt == "unknown") None else decodeGray(payload)
+    if (decoded.isEmpty) return decodeStub(id, payload)
+    val (gray, w, h) = decoded.get
     val bands = new Array[Long](8)
     var y = 0
     while (y < h) {
@@ -229,8 +229,8 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val decoded = decodeGray(r.getAs[Array[Byte]](1))
-          require(decoded != null, s"payload for id $id is not a decodable image")
-          val (gray, w, h) = decoded
+          require(decoded.isDefined, s"payload for id $id is not a decodable image")
+          val (gray, w, h) = decoded.get
           val (pw, ph) = (w / factor, h / factor)
           val pooled = Array.tabulate(pw * ph) { p =>
             val (px, py) = (p % pw, p / pw)

@@ -153,7 +153,13 @@ object TextAnalysis {
                  terms: Seq[String]): DataFrame = {
     val toks = df.select(col(idCol).cast("long").as("id"),
       filter(split(Dedup.normText(col(textCol)), " "), x => length(x) > 0).as("ts"))
+    // dl is aggregated PER ID (not per row): duplicate-id rows are one
+    // merged document — sum their lengths, or the tf-side join below
+    // multiplies every posting by the id's row count. For unique-id
+    // corpora the groupBy is a no-op pre-aggregation (map-side partial,
+    // same exchange the dl join pays anyway).
     val dl = toks.select(col("id"), size(col("ts")).cast("long").as("dl"))
+      .groupBy(col("id")).agg(sum(col("dl")).as("dl"))
     val st = dl.agg(count(lit(1)).as("nd"), expr("sum(dl) div count(*)").as("avgdl"))
     val tf = toks.selectExpr("id", "explode(ts) AS tok")
       .filter(col("tok").isin(terms: _*))

@@ -18,12 +18,27 @@ object GraftSqlBridge {
    *  behind per-query isolation inside the engine), which also carries the
    *  caller's runtime conf sets, temp views, and runtime-registered
    *  functions — a hand-rolled newSession+conf copy would lose the latter
-   *  two. `overrides` are applied on the clone afterwards. */
-  def clonedSession(spark: SparkSession, overrides: (String, String)*): SparkSession = {
-    val scoped = spark.asInstanceOf[classic.SparkSession].cloneSession()
-    overrides.foreach { case (k, v) => scoped.conf.set(k, v) }
-    scoped
-  }
+   *  two. `overrides` are applied on the clone afterwards.
+   *
+   *  Clones are CACHED per (parent, override-set): every cloneSession()
+   *  hooks a fresh execution-listener manager onto the shared context's
+   *  listener bus, so clone-per-call accumulates live listeners for the
+   *  context's lifetime (a 140-query bench pays 100+ of them). Caching
+   *  means the clone snapshots the parent's conf / temp views / function
+   *  registrations at FIRST use of an override set — parent state
+   *  registered later (e.g. a v2 catalog conf) is invisible to the cached
+   *  clone, so pass such state as part of `overrides`: it then lands both
+   *  in the cache key and on the clone. Callers must not mutate a cached
+   *  clone's conf beyond per-run temp views. */
+  private val cloneCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, List[(String, String)]), SparkSession]()
+
+  def clonedSession(spark: SparkSession, overrides: (String, String)*): SparkSession =
+    cloneCache.computeIfAbsent((spark, overrides.toList), { key =>
+      val scoped = key._1.asInstanceOf[classic.SparkSession].cloneSession()
+      key._2.foreach { case (k, v) => scoped.conf.set(k, v) }
+      scoped
+    })
 
   /** Rebind an ANALYZED logical plan to another session of the same
    *  SparkContext — the session-isolation primitive behind per-query conf

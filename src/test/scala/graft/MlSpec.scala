@@ -465,6 +465,60 @@ class MlSpec extends SparkSpec {
       .toMap shouldBe Map(1L -> 1L, 2L -> 1L)
   }
 
+  test("bm25 actor is row-preserving: null ids survive, duplicate ids don't multiply") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    // one null id, one duplicated id (different texts), one plain row
+    Seq((null.asInstanceOf[java.lang.Long], "rare words here"),
+        (7L: java.lang.Long, "alpha beta rare"),
+        (7L: java.lang.Long, "gamma delta"),
+        (9L: java.lang.Long, "no match at all"))
+      .toDF("doc_id", "text").createOrReplaceTempView("bm_edge")
+    val ta = new graft.ml.TextAnalysisActor()
+    ta.init(Map("view" -> "bm_edge", "bm25Terms" -> "rare, gamma"))
+    val out = ta.run(ctx).get.cache()
+    out.count() shouldBe 4 // exactly the input rows: no drop, no multiply
+    val nullRow = out.filter(col("doc_id").isNull).collect()
+    nullRow.length shouldBe 1
+    nullRow.head.getAs[Long]("n_terms") shouldBe 0L
+    nullRow.head.getAs[Long]("bm25_q") shouldBe 0L
+    // duplicate id: both rows carry the SAME merged per-id aggregate
+    // ("alpha beta rare" + "gamma delta" together hit both terms), and
+    // a second run produces identical values (deterministic max-agg)
+    val dup = out.filter(col("doc_id") === 7L).collect()
+    dup.length shouldBe 2
+    dup.map(_.getAs[Long]("n_terms")).toSet shouldBe Set(2L)
+    dup.map(_.getAs[Long]("bm25_q")).distinct.length shouldBe 1
+    val again = ta.run(ctx).get.filter(col("doc_id") === 7L)
+      .collect().map(_.getAs[Long]("bm25_q")).distinct
+    again.toSeq shouldBe dup.map(_.getAs[Long]("bm25_q")).distinct.toSeq
+    out.unpersist()
+  }
+
+  test("bm25 actor joins correctly on a STRING idField and rejects column clashes") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    // string ids that are castable to long must still line up row-for-row
+    Seq(("10", "alpha beta rare"), ("11", "gamma"), ("12", "nothing"))
+      .toDF("sid", "text").createOrReplaceTempView("bm_str")
+    val ta = new graft.ml.TextAnalysisActor()
+    ta.init(Map("view" -> "bm_str", "idField" -> "sid", "bm25Terms" -> "rare, gamma"))
+    val out = ta.run(ctx).get
+    out.count() shouldBe 3
+    out.collect().map(r => r.getAs[String]("sid") -> r.getAs[Long]("n_terms"))
+      .toMap shouldBe Map("10" -> 1L, "11" -> 1L, "12" -> 0L)
+    // a pre-existing output-named column is a clear error, not an
+    // ambiguous-reference failure deep in the join
+    Seq((1L, "x", 5L)).toDF("doc_id", "text", "n_terms")
+      .createOrReplaceTempView("bm_clash")
+    val tb = new graft.ml.TextAnalysisActor()
+    tb.init(Map("view" -> "bm_clash", "bm25Terms" -> "x"))
+    val ex = intercept[IllegalArgumentException] { tb.run(ctx) }
+    ex.getMessage should include("n_terms")
+  }
+
   test("multimodal stub decode produces schema-stable features partition-parallel") {
     implicit val s = spark
     import spark.implicits._
@@ -491,7 +545,7 @@ class MlSpec extends SparkSpec {
     val px = Array(0, 10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120, 130, 140, 250)
     val png = Multimodal.grayPng(px, 4, 4)
     Multimodal.sniffFormat(png) shouldBe "png"
-    val (back, w, h) = Multimodal.decodeGray(png)
+    val (back, w, h) = Multimodal.decodeGray(png).get
     (w, h) shouldBe ((4, 4))
     back.toSeq shouldBe px.toSeq
     // 2x2 average-pool: floor integer block means

@@ -179,6 +179,70 @@ class PlanSpec extends SparkSpec {
     (p should not).include("BroadcastNestedLoopJoin")
   }
 
+  test("d16: the (band,bucket) join broadcasts the banded batch, index side streamed") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q("d16_incremental_dedup").queryExecution.executedPlan
+      // the 2-key join IS the (band,bucket) join; the pinned broadcast()
+      // makes it a broadcast join no matter what the planner estimates
+      // for the batch subtree
+      val bhj = plan.collect {
+        case j: BroadcastHashJoinExec if j.leftKeys.size == 2 => j
+      }
+      bhj should have size 1
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("lshMatches: a prebuilt parquet index is never exchanged on its way to a join") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    import spark.implicits._
+    // production shape: the index signature frame is prebuilt and read
+    // back from parquet; an ingest batch must stream the index through
+    // the band join AND the sig re-attach without repartitioning it
+    val dir = tmpDir("lshidx")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.ml.Dedup.minHashSignatures(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(dir)
+    val index = spark.read.parquet(dir)
+    val batch = Seq((900001L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val m = graft.ml.Dedup.lshMatches(
+        graft.ml.Dedup.minHashSignatures(batch, "text", "doc_id"), index)
+      val plan = m.queryExecution.executedPlan
+      val bandJoins = plan.collect {
+        case j: BroadcastHashJoinExec if j.leftKeys.size == 2 => j
+      }
+      bandJoins should have size 1
+      // the index scan must be on the STREAMED side of its band join,
+      // not collected to the driver
+      def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
+        p.collect { case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(dir)) => f }
+      val buildSubtree = bandJoins.head.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bandJoins.head.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => bandJoins.head.right
+      }
+      scansOf(buildSubtree) shouldBe empty
+      // no shuffle exchange repartitions a raw (pre-join) index stream:
+      // walk each exchange's subtree, stopping at joins — past a join the
+      // shuffled data is join OUTPUT (candidate pairs), not the index
+      def preJoinScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case f: FileSourceScanExec => Seq(f)
+        case _: BaseJoinExec => Seq.empty
+        case other => other.children.flatMap(preJoinScans)
+      }
+      val offending = plan.collect { case e: ShuffleExchangeExec => e }
+        .flatMap(e => e.children.flatMap(preJoinScans))
+        .filter(f => f.relation.location.rootPaths.exists(_.toString.contains(dir)))
+      offending shouldBe empty
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("d10: decontamination broadcasts the eval-set shingles, corpus side unshuffled") {
     val p = plan(q("d10_decontaminate"))
     p should include("BroadcastHashJoin")
