@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // (an unconditional Cast to LONG would mask bad input as NULL keys)
         graft.functions.ZOrderExpression.ZOrderKey(es(0), es(1), bits)
       }))
+    e.injectFunction((FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.HllDistinct].getName, "graft_hll"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.hllBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_kll"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.KllQuantiles].getName, "graft_kll"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.kllBuilder(es)))
     e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }
 }

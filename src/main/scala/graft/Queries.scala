@@ -2714,6 +2714,63 @@ object Queries {
          |FROM z GROUP BY 1""".stripMargin
     }),
 
+    // HyperLogLog distinct estimate (graft.functions.SketchAggregates.
+    // HllDistinct, a native TypedImperativeAggregate): per-group sketch
+    // vs exact count-distinct, emitting a within-3σ verdict flag. The
+    // flag (not the estimate) is what the oracle hashes: DuckDB cannot
+    // reproduce another engine's HLL registers, but it CAN verify the
+    // estimate's documented error bound — and the sketch is fully
+    // deterministic (fixed XxHash64 seed, order-free max-merge), so the
+    // flag is a constant of the data, not a probability. Scale shape:
+    // the sketch side is two ObjectHashAggregates around one exchange
+    // carrying a 4 KB state per group (PlanSpec pins it); the exact side
+    // (the expensive expand + distinct shuffle) exists only to GRADE the
+    // sketch and would be dropped in production use.
+    Spec("k1_hll_distinct", (spark, dir) => {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      // 3σ at precision 12 (m=4096): 3 * 1.04/sqrt(4096) = 4.875%; floor
+      // of 2 absolute for tiny groups where linear counting is exact-ish
+      li.groupBy(col("l_returnflag"))
+        .agg(graft.functions.SketchAggregates.hllDistinct(col("l_partkey")).as("hll"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(col("hll") - col("exact_distinct")) <=
+            greatest(lit(2L), ceil(col("exact_distinct") * 0.04875).cast("long")))
+            .cast("int").as("within"))
+    }, Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct,
+              |  1 AS within
+              |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // KLL quantile sketch (SketchAggregates.KllQuantiles): one pass folds
+    // the corpus into O(k log n) state, partial-merged across the
+    // exchange; estimates are then RANK-verified in a second pass — count
+    // rows ≤ each estimate and check the observed rank sits within the
+    // sketch's rank-error budget of the target. Rank-checking (not value
+    // hashing) is the cross-engine contract because merge order under
+    // shuffle fetch legitimately perturbs the estimate by < the error
+    // bound. The verify pass joins the corpus against the broadcast 1-row
+    // estimate frame (the same stats-crossJoin shape as t16).
+    Spec("k2_kll_quantiles", (spark, dir) => {
+      val phis = Seq(0.25, 0.5, 0.9, 0.99)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("value").cast("double").as("v")).filter(col("v").isNotNull)
+      val est = ev.agg(
+        graft.functions.SketchAggregates.kllQuantiles(col("v"), phis).as("qs"))
+      val rankAggs = count(lit(1)).cast("double").as("n") +:
+        phis.indices.map(i => sum(when(col("v") <=
+          element_at(col("qs"), i + 1), 1L).otherwise(0L)).cast("double").as(s"r$i"))
+      val ranks = ev.crossJoin(broadcast(est))
+        .agg(rankAggs.head, rankAggs.tail: _*)
+      // rank budget: k=200 keeps rank error well under 1%; 2.5% margin
+      val checks = phis.zipWithIndex.map { case (phi, i) =>
+        struct(lit(s"p$phi").as("phi"),
+          (abs(col(s"r$i") / col("n") - phi) <= 0.025).cast("int").as("within"))
+      }
+      ranks.select(explode(array(checks: _*)).as("c"))
+        .select(col("c.phi").as("phi"), col("c.within").as("within"))
+    }, Some("""SELECT 'p' || phi AS phi, 1 AS within FROM (VALUES
+              |  ('0.25'), ('0.5'), ('0.9'), ('0.99')) t(phi)""".stripMargin)),
+
     // Bigram language-model scoring — the classic cheap "perplexity-ish"
     // quality signal: train corpus bigram counts in one pass, score each
     // doc by the sum of its bigrams' conditional-probability quanta

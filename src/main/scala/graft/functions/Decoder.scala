@@ -105,6 +105,11 @@ object UdfRegistry {
       es => VectorExpressions.ArrayDotProduct(es(0), es(1)))
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "vec_norm",
       es => VectorExpressions.ArrayL2Norm(es.head))
+    // mergeable sketch aggregates (HyperLogLog distinct, KLL quantiles)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_hll",
+      SketchAggregates.hllBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_kll",
+      SketchAggregates.kllBuilder)
     // HOF-vector-math -> native-expression optimizer rewrite (idempotent add)
     if (!spark.experimental.extraOptimizations.contains(VectorRewriteRule))
       spark.experimental.extraOptimizations =

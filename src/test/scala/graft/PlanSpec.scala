@@ -148,6 +148,8 @@ class PlanSpec extends SparkSpec {
       "s7_ann_recall",     // composes s1 (labeled exact ground truth) and
                            // s3 (broadcast centroid frame) for the eval
       "t16_bm25",          // crossJoin vs broadcast 1-row corpus stats
+      "k2_kll_quantiles",  // rank-verify pass: crossJoin vs broadcast
+                           // 1-row sketch-estimate frame (t16's shape)
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
       "g2_triangle_count", // 1-row x 1-row join of two global aggregates
@@ -241,6 +243,27 @@ class PlanSpec extends SparkSpec {
         .filter(f => f.relation.location.rootPaths.exists(_.toString.contains(dir)))
       offending shouldBe empty
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("sketch aggregates partial-merge: ObjectHashAggregate pair around one exchange") {
+    // the property that makes a sketch worth having at 100 TB: each task
+    // folds its partition into fixed-size state and only STATES cross the
+    // wire — a plan shipping raw rows to a single final aggregate would
+    // show one aggregate node and more exchange traffic
+    import org.apache.spark.sql.functions.col
+    for ((name, agg) <- Seq(
+      "graft_hll" -> graft.functions.SketchAggregates.hllDistinct(col("l_partkey")),
+      "graft_kll" -> graft.functions.SketchAggregates.kllQuantiles(
+        col("l_partkey").cast("double"), Seq(0.5)))) {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag")).agg(agg.as("sk"))
+      val tree = plan(df).linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")
+      withClue(name) {
+        tree.sliding("ObjectHashAggregate".length)
+          .count(_ == "ObjectHashAggregate") shouldBe 2
+        tree.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+      }
+    }
   }
 
   test("d10: decontamination broadcasts the eval-set shingles, corpus side unshuffled") {

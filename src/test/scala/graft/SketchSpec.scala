@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sketch aggregates (SketchAggregates.HllDistinct / KllQuantiles):
+ *  accuracy against known cardinalities/ranks, determinism, partial-merge
+ *  across partitions, and the SQL registration surface. */
+class SketchSpec extends SparkSpec {
+
+  test("hll estimates 100k distinct longs within the 3-sigma bound, deterministically") {
+    val df = spark.range(0, 100000).selectExpr("id % 50000 AS k")
+    val est = df.agg(graft.functions.SketchAggregates.hllDistinct(col("k")))
+      .head().getLong(0)
+    // precision 12: sigma = 1.04/64 ~ 1.63%; 3 sigma ~ 4.9%
+    math.abs(est - 50000L).toDouble / 50000 should be < 0.049
+    // deterministic: fixed hash seed + order-free max-merge
+    val again = df.repartition(13)
+      .agg(graft.functions.SketchAggregates.hllDistinct(col("k")))
+      .head().getLong(0)
+    again shouldBe est
+  }
+
+  test("hll small-range linear counting is near-exact and null-safe") {
+    import spark.implicits._
+    val vals: Seq[Option[Long]] = (1 to 300).map(i => Some((i % 97).toLong)) :+ None
+    val df = vals.toDF("k")
+    val est = df.agg(graft.functions.SketchAggregates.hllDistinct(col("k")))
+      .head().getLong(0)
+    est shouldBe (97L +- 2L)
+  }
+
+  test("kll median of a shuffled range lands within the rank budget, merged across partitions") {
+    val n = 200000
+    // deterministic shuffle: bit-mixed order, values 1..n
+    val df = spark.range(0, n)
+      .selectExpr(s"CAST((id * 48271) % $n AS DOUBLE) AS v")
+      .repartition(11)
+    val qs = df.agg(graft.functions.SketchAggregates
+        .kllQuantiles(col("v"), Seq(0.25, 0.5, 0.9)))
+      .head().getSeq[Double](0)
+    qs.length shouldBe 3
+    // values are the permuted 0..n-1, so value ~ rank: check directly
+    math.abs(qs(0) / n - 0.25) should be < 0.02
+    math.abs(qs(1) / n - 0.5) should be < 0.02
+    math.abs(qs(2) / n - 0.9) should be < 0.02
+    // estimates are non-decreasing in rank
+    qs(0) should be <= qs(1)
+    qs(1) should be <= qs(2)
+  }
+
+  test("sketches are callable from SQL via the registry and extension builders") {
+    graft.functions.UdfRegistry.registerSystemUdfs(spark)
+    spark.range(0, 10000).selectExpr("id % 1234 AS k", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("sk_in")
+    val h = spark.sql("SELECT graft_hll(k) AS d FROM sk_in").head().getLong(0)
+    math.abs(h - 1234L).toDouble / 1234 should be < 0.05
+    val q = spark.sql(
+      "SELECT graft_kll(v, array(CAST(0.5 AS DOUBLE)), 100) AS qs FROM sk_in")
+      .head().getSeq[Double](0)
+    math.abs(q.head / 10000 - 0.5) should be < 0.03
+    // builder misuse is an immediate, clear error
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_kll(v, array(v)) FROM sk_in").collect()
+    }
+    ex.getMessage should include("literal")
+  }
+
+  test("kll state survives serialize/deserialize round-trip exactly") {
+    val agg = graft.functions.SketchAggregates.KllQuantiles(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0), Seq(0.5), 64)
+    val buf = agg.createAggregationBuffer()
+    (1 to 5000).foreach(i => buf.insert(((i * 48271) % 5000).toDouble))
+    val back = agg.deserialize(agg.serialize(buf))
+    back.quantiles(Seq(0.1, 0.5, 0.9)).toSeq shouldBe buf.quantiles(Seq(0.1, 0.5, 0.9)).toSeq
+    back.compactions shouldBe buf.compactions
+  }
+}

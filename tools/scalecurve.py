@@ -16,27 +16,87 @@ DST = "/tmp/graft_scale/sf1"
 REPLICAS = 10
 LINEAR_CAP = 1.5  # "<= ~1.5x linear" per-unit-data budget
 
-# Queries expected to scale ~linearly (narrow / keyed / single-shuffle
-# plans). Anything else in RUN is measured and reported but judged by its
-# own documented model, not the linear cap.
+# FULL-CATALOG classification: every catalog query is either LINEAR
+# (gated: per-unit-data cost must stay <= LINEAR_CAP) or MODELED (its
+# growth follows a documented non-linear cost model in PLANS.md —
+# measured and reported, not gated). A query missing from both lists,
+# or listed but not measured, FAILS the probe: new catalog entries must
+# be classified here (see the query-addition checklist).
 LINEAR_SET = [
-    "q1_pricing_summary", "q2_filter_project", "q5_star_join_agg",
-    "q6_window_rownum", "q22_sliding_window", "q43_unpivot",
-    "q51_rank_family", "d1_dedup_exact", "d5_simhash", "t13_lm_score",
-    "c3_token_packing", "t16_bm25", "t17_bpe_pairs",
+    # TPC-H-ish scans / joins / windows / aggregates — single-pass plans
+    "q1_pricing_summary", "q2_filter_project", "q3_distinct", "q4_left_join",
+    "q5_star_join_agg", "q6_window_rownum", "q7_running_sum", "q8_cte",
+    "q9_scalar_setrun", "q10_tumbling_window", "q11_interval_range_join",
+    "q11b_asof_join", "q12_string_funcs", "q13_topk", "q14_union",
+    "q15_anti_join", "q16_conditional_agg", "q17_semi_join", "q18_having",
+    "q19_rollup", "q20_date_parts", "q21_json_extract", "q22_sliding_window",
+    "q23_percentile", "q24_ordered_collect", "q25_asof_bucketed",
+    "q26_session_window", "q28_lead_lag", "q29_grouping_sets",
+    "q30_posexplode", "q31_setops", "q32_correlated_subquery", "q33_cube",
+    "q35_broadcast_hint", "q36_funnel", "q37_null_safe_eq",
+    "q38_filter_clause", "q39_dml_insert", "q40_dml_merge", "q42_pivot",
+    "q43_unpivot", "q46_lateral_topn", "q47_range_frame", "q49_try_cast",
+    "q50_group_by_all", "q51_rank_family", "q52_string_breadth",
+    "q53_date_arith", "q54_setops_all", "q55_array_hof", "q57_forward_fill",
+    "q58_salted_join", "q59_exists_subquery", "q60_scalar_subquery",
+    "q61_values_inline", "q62_bit_agg", "q63_date_gapfill", "q64_argminmax",
+    "q65_dpp", "q66_bloom_join", "q67_scd2", "q68_full_outer",
+    "q71_cdc_apply", "q72_moving_avg", "q75_corr_moments", "q76_listagg",
+    "q77_dynamic_overwrite", "q78_grouping_id", "q79_median",
+    "q80_regression_moments", "q81_multi_in", "q82_outer_explode",
+    "q83_array_setops",
+    # streaming drains: state linear in distinct keys (users replicate in
+    # the sf1 build, so keys grow with data); AvailableNow re-planning is
+    # a fixed per-batch overhead
+    "q27_stream_tumbling", "q34_stateful_sessions", "q41_stream_dedup",
+    "q44_stream_stream_join", "q48_stream_outer_join",
+    "q56_stream_static_join", "q69_stream_dedup_watermark",
+    "q70_stream_upsert", "q73_stream_session", "q74_tws_sessions",
+    # corpus ops that are narrow maps or single keyed shuffles
+    "c2_stratified_sample", "c3_token_packing", "c4_doc_chunking",
+    "c5_corpus_mixing", "c6_source_upsampling",
+    "d1_dedup_exact", "d2_minhash_signatures", "d5_simhash",
+    "d10_decontaminate", "d11_boilerplate_strip", "d12_embed_decontaminate",
     "d16_incremental_dedup",  # keyed (band,bucket) join; batch ∝ corpus here
+    "m1_binary_meta", "m2_frame_sample", "m3_resize", "m4_image_decode",
+    "t1_token_counts", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
+    "t5_min_shingle_fp", "t6_pii_redact", "t7_corpus_stats", "t8_repetition",
+    "t9_boilerplate_ratio", "t10_vocab_topk", "t11_keywords",
+    "t12_kmv_sketch", "t13_lm_score", "t14_outlier_zscore",
+    "t15_readability", "t16_bm25", "t17_bpe_pairs",
+    "u1_zipwithindex", "v1_data_validator", "z1_zorder_locality",
+    # sketch aggregates: one pass + fixed-size state per group; k1/k2 pay
+    # an extra exact/rank-verify pass that is itself single-shuffle
+    "k1_hll_distinct", "k2_kll_quantiles",
 ]
-# Round-dominated / iterative / stateful / quadratic-by-construction:
-# expected flat-to-linear (or, for the kNN family whose query set is a
-# fixed FRACTION of the corpus, O(Q*N) with Q ~ N/50 — brute force is
-# quadratic BY DESIGN as the labeled exact baseline; s2/s6 are the scale
-# path). Each has a cost model documented in PLANS.md.
-MODELED_SET = ["d9_connected_components", "c1_kmeans", "g1_pagerank",
-               "q45_recursive_cte", "q69_stream_dedup_watermark",
-               "s1_knn_bruteforce", "s2_knn_lsh", "s6_knn_ivfpq",
-               "d14_semdedup",   # kmeans passes + per-cluster pair join
-               "s7_ann_recall",  # embeds s1: O(Q*N) by design
-               "d15_dedup_eval"] # O(LSH-bounded candidates x shingles/doc)
+# Non-linear by documented construction (cost model in PLANS.md):
+# round-dominated iterative algorithms, candidate-pair-bounded dedup,
+# and the kNN family whose query set is a fixed FRACTION of the corpus
+# (O(Q*N) with Q ~ N/50 — brute force is quadratic BY DESIGN as the
+# labeled exact baseline; the ANN variants bound the candidate set).
+MODELED = {
+    "c1_kmeans":              "fixed Lloyd passes over the corpus",
+    "d3_lsh_pairs":           "pair count ~ near-dup structure (bucket-bounded)",
+    "d4_ngram_jaccard":       "per-pair shingle join over d3's candidate pairs",
+    "d6_embed_neardup":       "label-blocked pair join: sum(|block|^2)",
+    "d7_dedup_resolution":    "LSH pairs + O(log d) CC rounds",
+    "d8_training_pipeline":   "composite: embeds kmeans/s3 stages",
+    "d9_connected_components": "O(log d) doubling rounds, scheduling-bound",
+    "d13_edit_distance":      "levenshtein over LSH-bounded candidates",
+    "d14_semdedup":           "kmeans passes + per-cluster pair join",
+    "d15_dedup_eval":         "jaccard-verify ~ LSH-bounded candidates",
+    "g1_pagerank":            "fixed iteration rounds, linear per round",
+    "g2_triangle_count":      "edge-wedge join: cost ~ sum(deg^2)",
+    "q45_recursive_cte":      "iteration(recursion-depth)-dominated",
+    "s1_knn_bruteforce":      "O(Q*N), Q ~ N/50: quadratic BY DESIGN (exact baseline)",
+    "s2_knn_lsh":             "O(Q*candidates), bucket-bounded",
+    "s3_knn_ivf":             "O(Q*nprobe*cell)",
+    "s4_knn_quantized":       "labeled quantized exact baseline: O(Q*N)",
+    "s5_knn_pq":              "full-ADC scan: O(Q*N) compressed",
+    "s6_knn_ivfpq":           "O(Q*nprobe*cell)",
+    "s7_ann_recall":          "embeds s1: O(Q*N) ground truth by design",
+    "s8_knn_lsh_multiprobe":  "O(Q*probed buckets)",
+}
 
 
 def build_sf1():
@@ -117,7 +177,10 @@ def main():
     build_sf1()
     if "--build-only" in sys.argv:
         return
-    queries = LINEAR_SET + MODELED_SET
+    queries = sorted(LINEAR_SET + list(MODELED))
+    dup = set(LINEAR_SET) & set(MODELED)
+    if dup:
+        sys.exit(f"classified twice: {sorted(dup)}")
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a.startswith("--queries"):
@@ -128,13 +191,18 @@ def main():
             queries = [q for q in val.split(",") if q]
     t01 = bench(SRC, queries)
     t1 = bench(DST, queries)
-    # a requested query with no measurement (typo, renamed catalog entry)
-    # must fail the gate, not silently vanish from it
+    # a classified query with no measurement (typo, renamed catalog entry)
+    # must fail the gate, not silently vanish from it — and a catalog
+    # query the bench ran but this file doesn't classify is equally fatal
     unmeasured = [q for q in queries if t01.get(q) is None or t1.get(q) is None]
     if unmeasured:
         sys.exit(f"no measurement for {unmeasured} — unknown query name(s)?")
+    unclassified = sorted(set(t01) - set(LINEAR_SET) - set(MODELED))
+    if unclassified and "--queries" not in " ".join(argv):
+        sys.exit(f"catalog queries with no scale class: {unclassified} — "
+                 "add them to LINEAR_SET or MODELED in this file")
     rows, bad = [], []
-    for q in queries:
+    for q in sorted(queries):
         a, b = t01.get(q), t1.get(q)
         ratio = b / a if a > 0 else float("inf")
         linear = q in LINEAR_SET
@@ -144,13 +212,16 @@ def main():
                    "OK" if unit <= LINEAR_CAP else "SUPERLINEAR")
         if verdict == "SUPERLINEAR":
             bad.append(q)
-        rows.append((q, a, b, ratio, unit,
-                     ("linear-set " + verdict) if linear else "modeled"))
+        cls = (f"linear {verdict}" if linear else f"modeled: {MODELED[q]}")
+        rows.append((q, a, b, ratio, unit, cls))
     print("| query | sf0.1 s | sf1 s | x | x/10 (1.0=linear) | class |")
     print("|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r[0]} | {r[1]:.2f} | {r[2]:.2f} | {r[3]:.1f} | "
               f"{r[4]:.2f} | {r[5]} |")
+    t01sum, t1sum = sum(t01[q] for q in queries), sum(t1[q] for q in queries)
+    print(f"\n{len(queries)} queries: sf0.1 total {t01sum:.1f} s, "
+          f"sf1 total {t1sum:.1f} s ({t1sum / t01sum:.1f}x for 10x data)")
     if bad:
         print(f"\nSUPERLINEAR in linear set: {bad}", file=sys.stderr)
         sys.exit(1)
