@@ -26,25 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => VectorExpressions.ArrayL2Norm(es.head)))
     e.injectFunction((FunctionIdentifier("zorder_key"),
       new ExpressionInfo(classOf[graft.functions.ZOrderExpression.ZOrderKey].getName, "zorder_key"),
-      (es: Seq[Expression]) => {
-        // zorder_key(a, b[, bits]) — bits must be a foldable integer
-        if (es.length < 2 || es.length > 3) throw new IllegalArgumentException(
-          s"zorder_key expects 2 or 3 arguments (a, b[, bits]), got ${es.length}")
-        val bits = if (es.length == 3) {
-          if (!es(2).foldable) throw new IllegalArgumentException(
-            "zorder_key bits must be an integer literal, got a non-constant expression")
-          es(2).eval(null) match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"zorder_key bits must be an integer literal, got $other")
-          }
-        } else 16
-        // no implicit Cast: ZOrderKey accepts any integral type itself, and
-        // anything else must reach checkInputDataTypes as an analysis error
-        // (an unconditional Cast to LONG would mask bad input as NULL keys)
-        graft.functions.ZOrderExpression.ZOrderKey(es(0), es(1), bits)
-      }))
+      (es: Seq[Expression]) => graft.functions.ZOrderExpression.sqlBuilder(es)))
     e.injectFunction((FunctionIdentifier("graft_hll"),
       new ExpressionInfo(classOf[graft.functions.SketchAggregates.HllDistinct].getName, "graft_hll"),
       (es: Seq[Expression]) => graft.functions.SketchAggregates.hllBuilder(es)))

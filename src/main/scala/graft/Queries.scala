@@ -2714,6 +2714,42 @@ object Queries {
          |FROM z GROUP BY 1""".stripMargin
     }),
 
+    // Three-dimensional Z-order key (N-ary ZOrderKey codegen): the same
+    // locality-bucket profile as z1 over THREE normalized dimensions —
+    // 10 bits each, 30-bit key, top 6 bits (two interleave groups) as the
+    // bucket. The oracle runs the structurally-identical unrolled 3-dim
+    // bit-OR, so cross-engine parity proves the N-ary interleave layout,
+    // not just the 2-dim special case. ZOrderSpec separately proves the
+    // layout SKIPS files on both non-leading dimensions.
+    Spec("z2_zorder3", (spark, dir) => {
+      val abc = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").cast("long").as("a"),
+          col("l_suppkey").cast("long").as("b"),
+          col("l_orderkey").cast("long").as("c"))
+      val mx = abc.agg(max(col("a")), max(col("b")), max(col("c"))).head()
+      val (am, bm, cm) = (mx.getLong(0), mx.getLong(1), mx.getLong(2))
+      abc.withColumn("zkey", graft.functions.ZOrderExpression.zkeyN(10,
+          expr(s"a * 1023L div $am"), expr(s"b * 1023L div $bm"),
+          expr(s"c * 1023L div $cm")))
+        .groupBy(shiftright(col("zkey"), 24).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("a_min"), max(col("a")).as("a_max"),
+          min(col("b")).as("b_min"), max(col("b")).as("b_max"),
+          min(col("c")).as("c_min"), max(col("c")).as("c_max"))
+    }, Some {
+      s"""WITH abc AS (SELECT CAST(l_partkey AS BIGINT) AS a,
+         |  CAST(l_suppkey AS BIGINT) AS b, CAST(l_orderkey AS BIGINT) AS c FROM lineitem),
+         |mx AS (SELECT max(a) AS am, max(b) AS bm, max(c) AS cm FROM abc),
+         |s AS (SELECT a, b, c, (a * 1023) // am AS an, (b * 1023) // bm AS bn,
+         |  (c * 1023) // cm AS cn FROM abc, mx),
+         |z AS (SELECT a, b, c,
+         |  ${graft.functions.ZOrderExpression.duckdbSqlN(Seq("an", "bn", "cn"), 10)} AS zkey FROM s)
+         |SELECT zkey >> 24 AS bucket, count(*) AS n,
+         |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max,
+         |  min(c) AS c_min, max(c) AS c_max
+         |FROM z GROUP BY 1""".stripMargin
+    }),
+
     // HyperLogLog distinct estimate (graft.functions.SketchAggregates.
     // HllDistinct, a native TypedImperativeAggregate): per-group sketch
     // vs exact count-distinct, emitting a within-3σ verdict flag. The

@@ -110,6 +110,9 @@ object UdfRegistry {
       SketchAggregates.hllBuilder)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_kll",
       SketchAggregates.kllBuilder)
+    // N-ary Z-order key (trailing integer literal = per-dim bits)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "zorder_key",
+      ZOrderExpression.sqlBuilder)
     // HOF-vector-math -> native-expression optimizer rewrite (idempotent add)
     if (!spark.experimental.extraOptimizations.contains(VectorRewriteRule))
       spark.experimental.extraOptimizations =

@@ -3,8 +3,8 @@ package graft.streaming
 import graft.transform.ArbitraryStatefulProcessor
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import scala.collection.mutable.ArrayBuffer
 
 /**
@@ -102,16 +102,37 @@ private[streaming] object SessionMerge {
  * store, timers). Registered through the same [[ArbitraryStatefulProcessor]]
  * actor contract, proving the contract is API-agnostic: swap the processor
  * class name in the pipeline definition, nothing else changes.
+ *
+ * Two emission contracts, chosen by the `timers` property:
+ *  - default (`timers` unset / `none`): every session seen is emitted each
+ *    batch, open sessions re-emitted when extended — the update-sink
+ *    contract shared with [[SessionizeProcessor]] (q74's oracle shape).
+ *  - `timers: event`: EVENT-TIME TIMERS close sessions. Only CLOSED
+ *    sessions are emitted — either because a later event opened a gap, or
+ *    because the watermark passed `last + gap` and the session's armed
+ *    timer fired (`handleExpiredTimer`), WITHOUT needing a subsequent
+ *    event for that key. Exactly-one emission per session; a session the
+ *    watermark never passes (the stream's tail) is deliberately not
+ *    emitted, because it is not provably closed. Requires a watermark on
+ *    the input view (`withWatermark` upstream) — event-time timers fire
+ *    against it.
  */
 class SessionizeTwsProcessor extends ArbitraryStatefulProcessor {
   private var keyField = "user_id"
   private var tsField = "ts"
   private var gapSec = 1800L
+  private var eventTimers = false
 
   override def init(properties: Map[String, String]): Unit = {
     properties.get("keyField").foreach(keyField = _)
     properties.get("tsField").foreach(tsField = _)
     properties.get("gapSeconds").foreach(g => gapSec = g.toLong)
+    properties.get("timers").foreach {
+      case "event" => eventTimers = true
+      case "none" | "" => eventTimers = false
+      case other => throw new IllegalArgumentException(
+        s"SessionizeTwsProcessor: timers must be 'event' or 'none', got '$other'")
+    }
   }
 
   override def transformState(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
@@ -129,15 +150,22 @@ class SessionizeTwsProcessor extends ArbitraryStatefulProcessor {
     val typed = df
       .select(col(keyField).cast("long"), unix_micros(col(tsField).cast("timestamp")))
       .as[(Long, Long)]
+    val mode = if (eventTimers) TimeMode.EventTime() else TimeMode.None()
     typed.groupByKey(_._1)
-      .transformWithState(new SessionStateMachine(gapSec * 1000000L),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new SessionStateMachine(gapSec * 1000000L, eventTimers),
+        mode, OutputMode.Append())
       .toDF(keyField, "session_start", "cnt")
   }
 }
 
-/** Per-key session state machine (open session as a typed ValueState). */
-class SessionStateMachine(gapUs: Long)
+/** Per-key session state machine (open session as a typed ValueState).
+ *  With `eventTimers`, the open session's close is ARMED as an event-time
+ *  timer at `last + gap`: each batch re-arms it (delete + register), and
+ *  when the watermark passes it without a newer event,
+ *  [[handleExpiredTimer]] emits the closed session and clears state — the
+ *  mechanism that closes an idle user's session without waiting for their
+ *  next event. */
+class SessionStateMachine(gapUs: Long, eventTimers: Boolean = false)
   extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
 
   @transient private var sess: ValueState[(Long, Long, Long)] = _
@@ -151,6 +179,26 @@ class SessionStateMachine(gapUs: Long)
     val prior = if (sess.exists()) Some(sess.get()) else None
     val (out, open) = SessionMerge.merge(key, prior, rows.map(_._2).toArray.sorted, gapUs)
     open.foreach(sess.update)
-    out.iterator
+    if (!eventTimers) out.iterator
+    else {
+      // re-arm the close timer at the (possibly extended) session end
+      open.foreach { case (_, last, _) =>
+        val it = getHandle.listTimers()
+        while (it.hasNext) getHandle.deleteTimer(it.next())
+        getHandle.registerTimer(Math.floorDiv(last + gapUs, 1000L))
+      }
+      // closed sessions only — merge's LAST emission is the open one,
+      // which the timer (or a later gap) will close exactly once
+      out.dropRight(1).iterator
+    }
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long)] = {
+    if (sess.exists()) {
+      val (start, _, cnt) = sess.get()
+      sess.clear()
+      Iterator.single((key, Math.floorDiv(start, 1000000L), cnt))
+    } else Iterator.empty
   }
 }

@@ -119,7 +119,7 @@ class GuardRailSpec extends SparkSpec {
     import org.apache.spark.sql.GraftSqlBridge
     val df = Seq(("x", 1L, 1.5)).toDF("s", "b", "f")
     val raw = ZOrderExpression.ZOrderKey(
-      GraftSqlBridge.expression($"s"), GraftSqlBridge.expression($"b"), 4)
+      Seq(GraftSqlBridge.expression($"s"), GraftSqlBridge.expression($"b")), 4)
     intercept[org.apache.spark.sql.AnalysisException] {
       df.select(GraftSqlBridge.column(raw)).collect()
     }.getMessage.toLowerCase should include("zorder_key expects")

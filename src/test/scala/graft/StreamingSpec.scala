@@ -185,6 +185,64 @@ class StreamingSpec extends SparkSpec {
     tws should not be empty
   }
 
+  test("event-time timers close an idle session WITHOUT a subsequent event for its key") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    // file 1: user 1 (two events, t0 and t0+60s) and user 2 (one event, t0)
+    // file 2 (later batch): ONLY user 2, two hours later. The watermark
+    // advance from file 2 must fire user 1's armed timer — their session
+    // closes with no further user-1 event anywhere in the stream. User 2's
+    // t0 session closes by the in-batch gap; user 2's t0+2h session stays
+    // open (watermark never passes it) and must NOT be emitted.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0.getTime + offsetSec * 1000)
+    val dir = tmpDir("tws_timer")
+    def writeOne(df: DataFrame, name: String, mtimeOffsetMs: Long): Unit = {
+      val stage = tmpDir(s"stage_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).head
+      val target = Paths.get(dir, name)
+      Files.copy(Paths.get(part), target, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target,
+        FileTime.fromMillis(System.currentTimeMillis() + mtimeOffsetMs))
+    }
+    writeOne(Seq((1L, ts(0)), (1L, ts(60)), (2L, ts(0))).toDF("user_id", "ts"),
+      "f1.parquet", -60000L)
+    writeOne(Seq((2L, ts(7200)), (2L, ts(7260))).toDF("user_id", "ts"),
+      "f2.parquet", 0L)
+
+    val schema = spark.read.parquet(s"$dir/f1.parquet").schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .withWatermark("ts", "10 seconds")
+      .createOrReplaceTempView("tws_timer_in")
+    val ctx = new JobContext(PipelineContext())
+    val actor = new StreamStatefulTransformer()
+    actor.init(Map("view" -> "tws_timer_in",
+      "processor.type" -> "graft.streaming.SessionizeTwsProcessor",
+      "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
+      "processor.gapSeconds" -> "1800", "processor.timers" -> "event"))
+    val qn = s"tws_timer_${System.nanoTime}"
+    val sq = actor.run(ctx).get.writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val rows = spark.table(qn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val t0Sec = t0.getTime / 1000
+    // user 1: closed BY TIMER (no user-1 event after t0+60 exists)
+    rows should contain((1L, t0Sec, 2L))
+    // user 2's first session: closed by the 2h gap inside batch 2
+    rows should contain((2L, t0Sec, 1L))
+    // user 2's trailing session is not provably closed -> not emitted
+    rows.map(_._2).contains(t0Sec + 7200) shouldBe false
+    rows should have size 2
+  }
+
   test("Trigger.Continuous actually executes: rate source -> ForeachWriter, epochs commit") {
     // The one streaming mode the catalog plumbs but never ran: start a real
     // continuous-trigger query (epoch-based, no micro-batches) and observe

@@ -65,6 +65,7 @@ LINEAR_SET = [
     "t12_kmv_sketch", "t13_lm_score", "t14_outlier_zscore",
     "t15_readability", "t16_bm25", "t17_bpe_pairs",
     "u1_zipwithindex", "v1_data_validator", "z1_zorder_locality",
+    "z2_zorder3",
     # sketch aggregates: one pass + fixed-size state per group; k1/k2 pay
     # an extra exact/rank-verify pass that is itself single-shuffle
     "k1_hll_distinct", "k2_kll_quantiles",
