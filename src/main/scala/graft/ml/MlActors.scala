@@ -24,7 +24,14 @@ import org.apache.spark.sql.functions._
  *  iteration count here, `clusters`/`dim`/`cosineThreshold` apply;
  *  incremental: one-sided match of `view` (the new batch) against
  *  `indexView` (the prebuilt corpus) — emits (new_id, index_id,
- *  est_jaccard), never an index×index pair. */
+ *  est_jaccard), never an index×index pair;
+ *  index-build: emits the MinHash signature frame (id, mh0..mh{k-1}) of
+ *  `view` — the persistable dedup index. Write it once (parquet, or a
+ *  catalog table bucketed by id so large-batch signature re-attach joins
+ *  co-locate), then feed it back to `incremental` in ANY later session
+ *  via `indexView` + `indexIsSignatures: true`: the corpus is never
+ *  re-shingled/re-hashed, which is the entire economics of continuous
+ *  ingestion (per-batch cost against an already-paid index). */
 class DedupActor extends Actor {
   protected var view: String = ""
   protected var method: String = "exact"
@@ -40,15 +47,18 @@ class DedupActor extends Actor {
   protected var clusters: Int = 8
   protected var cosineThreshold: Double = 0.9
   protected var indexView: String = ""
+  protected var indexIsSignatures: Boolean = false
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("exact", "minhash-lsh", "simhash", "resolve", "semdedup", "incremental").contains(m),
+      require(Seq("exact", "minhash-lsh", "simhash", "resolve", "semdedup",
+        "incremental", "index-build").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
     properties.get("indexView").foreach(indexView = _)
+    properties.get("indexIsSignatures").foreach(v => indexIsSignatures = v.toBoolean)
     require(method != "incremental" || indexView.nonEmpty,
       "DedupActor: incremental requires indexView")
     properties.get("textField").foreach(textCol = _)
@@ -92,11 +102,25 @@ class DedupActor extends Actor {
         val vdf = df.select(col(idCol),
           transform(col(vecCol), _.cast("double")).as(vecCol))
         Dedup.semDedup(vdf, idCol, vecCol, dim, clusters, iterations, cosineThreshold)
+      case "index-build" =>
+        Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
       case "incremental" =>
+        val idx = ctx.getView(indexView)
+        val idxSigs =
+          if (indexIsSignatures) {
+            // a loaded signature frame must carry the width this matcher
+            // is configured for — a mismatched index yields silent
+            // zero-candidate output, so fail loudly instead
+            val expected = ("id" +: (0 until numHashes).map(j => s"mh$j")).toSet
+            require(expected.subsetOf(idx.columns.toSet),
+              s"DedupActor(incremental): indexView '$indexView' is not a " +
+                s"signature frame with numHashes=$numHashes — has " +
+                s"${idx.columns.mkString(", ")}")
+            idx
+          } else Dedup.minHashSignatures(idx, textCol, idCol, numHashes, shingleLen)
         Dedup.lshMatches(
           Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
-          Dedup.minHashSignatures(ctx.getView(indexView), textCol, idCol, numHashes, shingleLen),
-          numHashes, bands, minEstJaccard)
+          idxSigs, numHashes, bands, minEstJaccard)
     })
   }
 }

@@ -57,6 +57,41 @@ class ExamplesSpec extends SparkSpec {
     baseHits shouldBe planted
   }
 
+  test("index_lifecycle.yaml: build->persist->load->match equals the in-session path") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_lifecycle")
+    runExample("index_lifecycle.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    // the persisted index is a signature frame, not documents
+    val idx = spark.read.parquet(s"$out/dedup_index")
+    idx.columns.toSet shouldBe ("id" +: (0 until 8).map(i => s"mh$i")).toSet
+    val viaIndex = spark.read.parquet(s"$out/ingest_matches").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // in-session reference: same batch matched against the RAW corpus
+    // (signatures recomputed) — results must be identical, proving the
+    // persisted index carries everything matching needs
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .createOrReplaceTempView("lc_corpus")
+    spark.table("lc_corpus").filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" ingest copy")).as("text"))
+      .createOrReplaceTempView("lc_batch")
+    val da = new graft.ml.DedupActor()
+    da.init(Map("view" -> "lc_batch", "method" -> "incremental",
+      "indexView" -> "lc_corpus", "minEstJaccard" -> "0.5"))
+    val inSession = da.run(ctx).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    viaIndex shouldBe inSession
+    viaIndex.nonEmpty shouldBe true
+    // loading a NON-signature frame as an index is a clear error
+    val bad = new graft.ml.DedupActor()
+    bad.init(Map("view" -> "lc_batch", "method" -> "incremental",
+      "indexView" -> "lc_corpus", "indexIsSignatures" -> "true"))
+    val ex = intercept[IllegalArgumentException] { bad.run(ctx) }
+    ex.getMessage should include("signature frame")
+  }
+
   test("curate_corpus.yaml runs semdedup and bm25 through the actor surface") {
     val out = tmpDir("ex_curate")
     runExample("curate_corpus.yaml",
