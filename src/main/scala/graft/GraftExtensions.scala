@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_kll"),
       new ExpressionInfo(classOf[graft.functions.SketchAggregates.KllQuantiles].getName, "graft_kll"),
       (es: Seq[Expression]) => graft.functions.SketchAggregates.kllBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_hll_state"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.HllState].getName, "graft_hll_state"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.hllStateBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.HllMergeEstimate].getName, "graft_hll_merge"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.hllMergeBuilder(es)))
     e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }
 }

@@ -2807,6 +2807,35 @@ object Queries {
     }, Some("""SELECT 'p' || phi AS phi, 1 AS within FROM (VALUES
               |  ('0.25'), ('0.5'), ('0.9'), ('0.99')) t(phi)""".stripMargin)),
 
+    // Persistable-sketch lifecycle (SketchAggregates.HllState /
+    // HllMergeEstimate): shard the fact table, take one BINARY register
+    // state per shard, fold the states with graft_hll_merge, and verify
+    // (a) the merged estimate EQUALS the single-pass whole-table
+    // estimate — max-merge is associative/commutative/idempotent, so
+    // sharding must be invisible — and (b) both sit within the 3σ bound
+    // of the exact distinct. This is the incremental-ingest contract:
+    // yesterday's corpus state + today's shard state = today's corpus
+    // estimate, no re-scan. The oracle hashes the two verdict flags plus
+    // the exact count (the estimates themselves are engine-internal).
+    Spec("k3_hll_merge_states", (spark, dir) => {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val states = li.groupBy((col("l_orderkey") % 4).as("shard"))
+        .agg(graft.functions.SketchAggregates.hllState(col("l_partkey")).as("st"))
+      val merged = states.agg(
+        graft.functions.SketchAggregates.hllMerge(col("st")).as("est_m"))
+      val whole = li.agg(
+        graft.functions.SketchAggregates.hllDistinct(col("l_partkey")).as("est_w"),
+        countDistinct(col("l_partkey")).as("exact_distinct"))
+      whole.crossJoin(broadcast(merged))
+        .select(col("exact_distinct"),
+          (col("est_m") === col("est_w")).cast("int").as("merged_equals_whole"),
+          (abs(col("est_m") - col("exact_distinct")) <=
+            greatest(lit(2L), ceil(col("exact_distinct") * 0.04875).cast("long")))
+            .cast("int").as("within"))
+    }, Some("""SELECT count(DISTINCT l_partkey) AS exact_distinct,
+              |  1 AS merged_equals_whole, 1 AS within
+              |FROM lineitem""".stripMargin)),
+
     // Bigram language-model scoring — the classic cheap "perplexity-ish"
     // quality signal: train corpus bigram counts in one pass, score each
     // doc by the sum of its bigrams' conditional-probability quanta

@@ -110,6 +110,10 @@ object UdfRegistry {
       SketchAggregates.hllBuilder)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_kll",
       SketchAggregates.kllBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_hll_state",
+      SketchAggregates.hllStateBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_hll_merge",
+      SketchAggregates.hllMergeBuilder)
     // N-ary Z-order key (trailing integer literal = per-dim bits)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "zorder_key",
       ZOrderExpression.sqlBuilder)

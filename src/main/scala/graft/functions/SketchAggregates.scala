@@ -34,6 +34,46 @@ object SketchAggregates {
 
   // ---------------------------------------------------------------- HLL
 
+  /** Register-update shared by every HLL variant: hash the value, index by
+   *  the top `precision` bits, rank-of-first-one over the rest. */
+  private def hllUpdate(buf: Array[Byte], v: Any, dt: DataType, precision: Int): Unit = {
+    val h = XxHash64Function.hash(v, dt, 42L)
+    val idx = (h >>> (64 - precision)).toInt
+    val rest = h << precision
+    val rank = if (rest == 0L) (64 - precision + 1)
+      else java.lang.Long.numberOfLeadingZeros(rest) + 1
+    if (rank > buf(idx)) buf(idx) = rank.toByte
+  }
+
+  /** Estimate from a register array (standard HLL with linear-counting
+   *  small-range correction; 64-bit hashes need no large-range term). */
+  private def hllEstimate(buf: Array[Byte]): Long = {
+    val m = buf.length
+    if (m == 0) return 0L
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += java.lang.Math.scalb(1.0, -buf(i)) // 2^-register, exact
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    var est = alpha * m.toDouble * m.toDouble / sum
+    if (est <= 2.5 * m && zeros > 0) est = m * math.log(m.toDouble / zeros)
+    math.rint(est).toLong
+  }
+
+  private def hllMergeInto(b1: Array[Byte], b2: Array[Byte]): Unit = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+  }
+
   /**
    * HyperLogLog distinct-count estimate. State: 2^precision one-byte
    * registers (4 KB at the default precision 12; standard error
@@ -59,46 +99,15 @@ object SketchAggregates {
 
     override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
       val v = child.eval(input)
-      if (v != null) {
-        val h = XxHash64Function.hash(v, child.dataType, 42L)
-        val idx = (h >>> (64 - precision)).toInt
-        val rest = h << precision
-        // rank of the first 1-bit in the non-index remainder, 1-based;
-        // all-zero remainder gets the max rank (64 - p + 1)
-        val rank = if (rest == 0L) (64 - precision + 1)
-          else java.lang.Long.numberOfLeadingZeros(rest) + 1
-        if (rank > buf(idx)) buf(idx) = rank.toByte
-      }
+      if (v != null) hllUpdate(buf, v, child.dataType, precision)
       buf
     }
 
     override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < m) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
-      b1
+      hllMergeInto(b1, b2); b1
     }
 
-    override def eval(buf: Array[Byte]): Any = {
-      val alpha = m match {
-        case 16 => 0.673
-        case 32 => 0.697
-        case 64 => 0.709
-        case _ => 0.7213 / (1.0 + 1.079 / m)
-      }
-      var sum = 0.0
-      var zeros = 0
-      var i = 0
-      while (i < m) {
-        sum += java.lang.Math.scalb(1.0, -buf(i)) // 2^-register, exact
-        if (buf(i) == 0) zeros += 1
-        i += 1
-      }
-      var est = alpha * m.toDouble * m.toDouble / sum
-      // small-range correction (linear counting); the 64-bit hash space
-      // needs no large-range correction at realistic cardinalities
-      if (est <= 2.5 * m && zeros > 0) est = m * math.log(m.toDouble / zeros)
-      math.rint(est).toLong
-    }
+    override def eval(buf: Array[Byte]): Any = hllEstimate(buf)
 
     override def serialize(buf: Array[Byte]): Array[Byte] = buf
     override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -110,6 +119,96 @@ object SketchAggregates {
     override protected def withNewChildInternal(newChild: Expression): HllDistinct =
       copy(child = newChild)
     override def prettyName: String = "graft_hll"
+  }
+
+  /**
+   * graft_hll_state: the same aggregation, returning the raw REGISTER
+   * ARRAY (binary) instead of the estimate — the persistable sketch
+   * state. Store one state per shard/ingest (a 2^p-byte column value),
+   * then fold any subset with [[HllMergeEstimate]] in any later session:
+   * distinct counts compose across ingests without re-seeing rows, the
+   * same economics as the dedup signature index. Max-merge is
+   * associative, commutative and idempotent, so merged estimates are
+   * EXACTLY the estimate of the union's sketch, regardless of how the
+   * data was sharded.
+   */
+  case class HllState(
+      child: Expression,
+      precision: Int = 12,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+    require(precision >= 4 && precision <= 18,
+      s"graft_hll_state precision must be in [4,18], got $precision")
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << precision)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) hllUpdate(buf, v, child.dataType, precision)
+      buf
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      hllMergeInto(b1, b2); b1
+    }
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def withNewMutableAggBufferOffset(o: Int): HllState =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllState =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): HllState =
+      copy(child = newChild)
+    override def prettyName: String = "graft_hll_state"
+  }
+
+  /**
+   * graft_hll_merge: fold a column of persisted HLL states (binary
+   * register arrays from [[HllState]]) into one estimate. States must
+   * share one precision (register length) — a mixed-precision merge is
+   * a loud error, not a silently-wrong count. An empty input (no
+   * states) estimates 0.
+   */
+  case class HllMergeEstimate(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    // empty until the first state arrives (which fixes the precision)
+    override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+    private def fold(buf: Array[Byte], state: Array[Byte]): Array[Byte] =
+      if (state.length == 0) buf
+      else if (buf.length == 0) state.clone()
+      else {
+        require(buf.length == state.length,
+          s"graft_hll_merge: mixed register sizes ${buf.length} vs ${state.length} " +
+            "— all states must come from the same graft_hll_state precision")
+        hllMergeInto(buf, state); buf
+      }
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v == null) buf else fold(buf, v.asInstanceOf[Array[Byte]])
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = fold(b1, b2)
+    override def eval(buf: Array[Byte]): Any = hllEstimate(buf)
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def withNewMutableAggBufferOffset(o: Int): HllMergeEstimate =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllMergeEstimate =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): HllMergeEstimate =
+      copy(child = newChild)
+    override def prettyName: String = "graft_hll_merge"
   }
 
   // ---------------------------------------------------------------- KLL
@@ -278,12 +377,37 @@ object SketchAggregates {
     GraftSqlBridge.column(
       KllQuantiles(GraftSqlBridge.expression(c), phis, k).toAggregateExpression())
 
+  /** Persistable HLL register state of `c` (binary, 2^precision bytes). */
+  def hllState(c: Column, precision: Int = 12): Column =
+    GraftSqlBridge.column(
+      HllState(GraftSqlBridge.expression(c), precision).toAggregateExpression())
+
+  /** Fold persisted HLL states (binary) into one distinct estimate. */
+  def hllMerge(c: Column): Column =
+    GraftSqlBridge.column(
+      HllMergeEstimate(GraftSqlBridge.expression(c)).toAggregateExpression())
+
   /** SQL builder for graft_hll(col[, precision]) — precision must fold. */
   private[graft] def hllBuilder(es: Seq[Expression]): Expression = {
     if (es.isEmpty || es.length > 2) throw new IllegalArgumentException(
       s"graft_hll expects (col[, precision]), got ${es.length} arguments")
     val p = if (es.length == 2) foldedInt(es(1), "graft_hll precision") else 12
     HllDistinct(es.head, p).toAggregateExpression()
+  }
+
+  /** SQL builder for graft_hll_state(col[, precision]). */
+  private[graft] def hllStateBuilder(es: Seq[Expression]): Expression = {
+    if (es.isEmpty || es.length > 2) throw new IllegalArgumentException(
+      s"graft_hll_state expects (col[, precision]), got ${es.length} arguments")
+    val p = if (es.length == 2) foldedInt(es(1), "graft_hll_state precision") else 12
+    HllState(es.head, p).toAggregateExpression()
+  }
+
+  /** SQL builder for graft_hll_merge(stateCol). */
+  private[graft] def hllMergeBuilder(es: Seq[Expression]): Expression = {
+    if (es.length != 1) throw new IllegalArgumentException(
+      s"graft_hll_merge expects (stateCol), got ${es.length} arguments")
+    HllMergeEstimate(es.head).toAggregateExpression()
   }
 
   /** SQL builder for graft_kll(col, array(ranks...)[, k]) — ranks fold. */

@@ -65,6 +65,38 @@ class SketchSpec extends SparkSpec {
     ex.getMessage should include("literal")
   }
 
+  test("hll states persist to parquet, reload, and merge to the exact same estimate") {
+    import graft.functions.SketchAggregates
+    // per-shard states written as a binary column, read back in a fresh
+    // frame, folded — must equal the single-pass estimate of the union,
+    // exactly (max-merge is associative/commutative/idempotent)
+    val df = spark.range(0, 60000).selectExpr("id % 37000 AS k", "id % 5 AS shard")
+    val direct = df.agg(SketchAggregates.hllDistinct(col("k"))).head().getLong(0)
+    val dir = tmpDir("hll_states")
+    df.groupBy(col("shard")).agg(SketchAggregates.hllState(col("k")).as("st"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .agg(SketchAggregates.hllMerge(col("st"))).head().getLong(0)
+    merged shouldBe direct
+    // overlapping re-merge (idempotence): folding the states TWICE over
+    // (union of both frames) changes nothing
+    val twice = spark.read.parquet(dir).unionAll(spark.read.parquet(dir))
+      .agg(SketchAggregates.hllMerge(col("st"))).head().getLong(0)
+    twice shouldBe direct
+    // SQL surface
+    graft.functions.UdfRegistry.registerSystemUdfs(spark)
+    spark.read.parquet(dir).createOrReplaceTempView("hll_states")
+    spark.sql("SELECT graft_hll_merge(st) AS d FROM hll_states")
+      .head().getLong(0) shouldBe direct
+    // mixed precisions fail loudly
+    val mixed = df.agg(SketchAggregates.hllState(col("k"), 10).as("st"))
+      .unionAll(df.agg(SketchAggregates.hllState(col("k"), 12).as("st")))
+    val ex = intercept[Exception] {
+      mixed.agg(SketchAggregates.hllMerge(col("st"))).head()
+    }
+    ex.getMessage should include("mixed register sizes")
+  }
+
   test("kll state survives serialize/deserialize round-trip exactly") {
     val agg = graft.functions.SketchAggregates.KllQuantiles(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0), Seq(0.5), 64)

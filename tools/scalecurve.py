@@ -68,7 +68,7 @@ LINEAR_SET = [
     "z2_zorder3",
     # sketch aggregates: one pass + fixed-size state per group; k1/k2 pay
     # an extra exact/rank-verify pass that is itself single-shuffle
-    "k1_hll_distinct", "k2_kll_quantiles",
+    "k1_hll_distinct", "k2_kll_quantiles", "k3_hll_merge_states",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
