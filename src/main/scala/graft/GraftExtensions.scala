@@ -39,6 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_hll_merge"),
       new ExpressionInfo(classOf[graft.functions.SketchAggregates.HllMergeEstimate].getName, "graft_hll_merge"),
       (es: Seq[Expression]) => graft.functions.SketchAggregates.hllMergeBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_kll_state"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.KllState].getName, "graft_kll_state"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.kllStateBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.KllMergeQuantiles].getName, "graft_kll_merge"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.kllMergeBuilder(es)))
     e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }
 }

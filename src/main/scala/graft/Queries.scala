@@ -2836,6 +2836,37 @@ object Queries {
               |  1 AS merged_equals_whole, 1 AS within
               |FROM lineitem""".stripMargin)),
 
+    // KLL state lifecycle (SketchAggregates.KllState/KllMergeQuantiles):
+    // shard the events table, persistable sketch state per shard, fold
+    // the states into quantile estimates, and RANK-verify each merged
+    // estimate against the exact ranks (count of rows ≤ estimate) — the
+    // k2 contract applied to re-merged state. Unlike HLL, KLL merge is
+    // not fold-order-free, so the check is the rank-error budget, not
+    // estimate equality; the budget already covers merge-order wobble.
+    Spec("k4_kll_merge_states", (spark, dir) => {
+      val phis = Seq(0.25, 0.5, 0.9)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("value").cast("double").as("v"),
+          (col("event_id") % 4).as("shard"))
+        .filter(col("v").isNotNull)
+      val states = ev.groupBy(col("shard"))
+        .agg(graft.functions.SketchAggregates.kllState(col("v")).as("st"))
+      val est = states.agg(
+        graft.functions.SketchAggregates.kllMerge(col("st"), phis).as("qs"))
+      val rankAggs = count(lit(1)).cast("double").as("n") +:
+        phis.indices.map(i => sum(when(col("v") <=
+          element_at(col("qs"), i + 1), 1L).otherwise(0L)).cast("double").as(s"r$i"))
+      val ranks = ev.crossJoin(broadcast(est))
+        .agg(rankAggs.head, rankAggs.tail: _*)
+      val checks = phis.zipWithIndex.map { case (phi, i) =>
+        struct(lit(s"p$phi").as("phi"),
+          (abs(col(s"r$i") / col("n") - phi) <= 0.025).cast("int").as("within"))
+      }
+      ranks.select(explode(array(checks: _*)).as("c"))
+        .select(col("c.phi").as("phi"), col("c.within").as("within"))
+    }, Some("""SELECT 'p' || phi AS phi, 1 AS within FROM (VALUES
+              |  ('0.25'), ('0.5'), ('0.9')) t(phi)""".stripMargin)),
+
     // Bigram language-model scoring — the classic cheap "perplexity-ish"
     // quality signal: train corpus bigram counts in one pass, score each
     // doc by the sum of its bigrams' conditional-probability quanta

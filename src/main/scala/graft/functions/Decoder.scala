@@ -114,6 +114,10 @@ object UdfRegistry {
       SketchAggregates.hllStateBuilder)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_hll_merge",
       SketchAggregates.hllMergeBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_kll_state",
+      SketchAggregates.kllStateBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_kll_merge",
+      SketchAggregates.kllMergeBuilder)
     // N-ary Z-order key (trailing integer literal = per-dim bits)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "zorder_key",
       ZOrderExpression.sqlBuilder)

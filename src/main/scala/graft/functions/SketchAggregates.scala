@@ -253,6 +253,9 @@ object SketchAggregates {
       }
     }
 
+    /** True when no item was ever inserted (merge identity element). */
+    def isEmptySketch: Boolean = compactions == 0L && levels.forall(_.isEmpty)
+
     /** Weighted items: (value, weight = 2^level). */
     def weighted(): Array[(Double, Long)] = {
       val out = ArrayBuffer.empty[(Double, Long)]
@@ -284,6 +287,41 @@ object SketchAggregates {
         res
       }.toArray
     }
+  }
+
+  /** Wire form shared by the in-flight aggregation buffer and the
+   *  persistable state column: k, compaction count, then per-level
+   *  lengths + doubles. */
+  private[graft] def kllSerialize(buf: KllBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeLong(buf.compactions)
+    out.writeInt(buf.levels.length)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.length)
+      lvl.foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[graft] def kllDeserialize(bytes: Array[Byte]): KllBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KllBuffer(in.readInt())
+    buf.compactions = in.readLong()
+    val nLevels = in.readInt()
+    buf.levels.clear()
+    var h = 0
+    while (h < nLevels) {
+      val n = in.readInt()
+      val lvl = new ArrayBuffer[Double](n)
+      var i = 0
+      while (i < n) { lvl += in.readDouble(); i += 1 }
+      buf.levels += lvl
+      h += 1
+    }
+    buf
   }
 
   /**
@@ -324,37 +362,8 @@ object SketchAggregates {
     override def eval(buf: KllBuffer): Any =
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf.quantiles(phis))
 
-    override def serialize(buf: KllBuffer): Array[Byte] = {
-      val bos = new ByteArrayOutputStream()
-      val out = new DataOutputStream(bos)
-      out.writeInt(buf.k)
-      out.writeLong(buf.compactions)
-      out.writeInt(buf.levels.length)
-      buf.levels.foreach { lvl =>
-        out.writeInt(lvl.length)
-        lvl.foreach(out.writeDouble)
-      }
-      out.flush()
-      bos.toByteArray
-    }
-
-    override def deserialize(bytes: Array[Byte]): KllBuffer = {
-      val in = new DataInputStream(new ByteArrayInputStream(bytes))
-      val buf = new KllBuffer(in.readInt())
-      buf.compactions = in.readLong()
-      val nLevels = in.readInt()
-      buf.levels.clear()
-      var h = 0
-      while (h < nLevels) {
-        val n = in.readInt()
-        val lvl = new ArrayBuffer[Double](n)
-        var i = 0
-        while (i < n) { lvl += in.readDouble(); i += 1 }
-        buf.levels += lvl
-        h += 1
-      }
-      buf
-    }
+    override def serialize(buf: KllBuffer): Array[Byte] = kllSerialize(buf)
+    override def deserialize(bytes: Array[Byte]): KllBuffer = kllDeserialize(bytes)
 
     override def withNewMutableAggBufferOffset(o: Int): KllQuantiles =
       copy(mutableAggBufferOffset = o)
@@ -363,6 +372,91 @@ object SketchAggregates {
     override protected def withNewChildInternal(newChild: Expression): KllQuantiles =
       copy(child = newChild)
     override def prettyName: String = "graft_kll"
+  }
+
+  /**
+   * graft_kll_state: the same KLL aggregation, returning the serialized
+   * sketch (binary) instead of quantiles — the persistable state. Unlike
+   * HLL's registers, KLL merge is not bit-order-free (compaction depends
+   * on fold order), so re-merged estimates can differ from a single-pass
+   * sketch by up to the RANK ERROR — exact downstream checks must verify
+   * ranks against the error budget, as catalog query k4 does.
+   */
+  case class KllState(
+      child: Expression,
+      k: Int = 200,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllBuffer] with UnaryLike[Expression] {
+
+    require(k >= 8, s"graft_kll_state k must be >= 8, got $k")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+    override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+      val v = child.eval(input)
+      if (v != null) buf.insert(v.asInstanceOf[Number].doubleValue)
+      buf
+    }
+    override def merge(b1: KllBuffer, b2: KllBuffer): KllBuffer = { b1.mergeIn(b2); b1 }
+    override def eval(buf: KllBuffer): Any = kllSerialize(buf)
+    override def serialize(buf: KllBuffer): Array[Byte] = kllSerialize(buf)
+    override def deserialize(bytes: Array[Byte]): KllBuffer = kllDeserialize(bytes)
+    override def withNewMutableAggBufferOffset(o: Int): KllState =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KllState =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): KllState =
+      copy(child = newChild)
+    override def prettyName: String = "graft_kll_state"
+  }
+
+  /**
+   * graft_kll_merge: fold a column of persisted KLL states (binary, from
+   * [[KllState]]) into quantile estimates at the requested ranks. States
+   * must share one `k`; an empty input yields NaNs (no data, no ranks).
+   */
+  case class KllMergeQuantiles(
+      child: Expression,
+      phis: Seq[Double],
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllBuffer] with UnaryLike[Expression] {
+
+    require(phis.nonEmpty && phis.forall(p => p >= 0.0 && p <= 1.0),
+      s"graft_kll_merge ranks must be in [0,1], got $phis")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = false
+    // empty identity sketch; the first folded state fixes k
+    override def createAggregationBuffer(): KllBuffer = new KllBuffer(Int.MaxValue)
+
+    private def fold(b: KllBuffer, s: KllBuffer): KllBuffer =
+      if (s.isEmptySketch) b
+      else if (b.isEmptySketch) s // states arrive deserialized-fresh: safe to adopt
+      else {
+        require(b.k == s.k,
+          s"graft_kll_merge: mixed k ${b.k} vs ${s.k} — all states must " +
+            "come from the same graft_kll_state parameter")
+        b.mergeIn(s); b
+      }
+
+    override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+      val v = child.eval(input)
+      if (v == null) buf
+      else fold(buf, kllDeserialize(v.asInstanceOf[Array[Byte]]))
+    }
+    override def merge(b1: KllBuffer, b2: KllBuffer): KllBuffer = fold(b1, b2)
+    override def eval(buf: KllBuffer): Any =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf.quantiles(phis))
+    override def serialize(buf: KllBuffer): Array[Byte] = kllSerialize(buf)
+    override def deserialize(bytes: Array[Byte]): KllBuffer = kllDeserialize(bytes)
+    override def withNewMutableAggBufferOffset(o: Int): KllMergeQuantiles =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KllMergeQuantiles =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): KllMergeQuantiles =
+      copy(child = newChild)
+    override def prettyName: String = "graft_kll_merge"
   }
 
   // ------------------------------------------------------------ Column API
@@ -376,6 +470,16 @@ object SketchAggregates {
   def kllQuantiles(c: Column, phis: Seq[Double], k: Int = 200): Column =
     GraftSqlBridge.column(
       KllQuantiles(GraftSqlBridge.expression(c), phis, k).toAggregateExpression())
+
+  /** Persistable KLL sketch state of `c` (binary). */
+  def kllState(c: Column, k: Int = 200): Column =
+    GraftSqlBridge.column(
+      KllState(GraftSqlBridge.expression(c), k).toAggregateExpression())
+
+  /** Fold persisted KLL states into quantile estimates at `phis`. */
+  def kllMerge(c: Column, phis: Seq[Double]): Column =
+    GraftSqlBridge.column(
+      KllMergeQuantiles(GraftSqlBridge.expression(c), phis).toAggregateExpression())
 
   /** Persistable HLL register state of `c` (binary, 2^precision bytes). */
   def hllState(c: Column, precision: Int = 12): Column =
@@ -408,6 +512,28 @@ object SketchAggregates {
     if (es.length != 1) throw new IllegalArgumentException(
       s"graft_hll_merge expects (stateCol), got ${es.length} arguments")
     HllMergeEstimate(es.head).toAggregateExpression()
+  }
+
+  /** SQL builder for graft_kll_state(col[, k]). */
+  private[graft] def kllStateBuilder(es: Seq[Expression]): Expression = {
+    if (es.isEmpty || es.length > 2) throw new IllegalArgumentException(
+      s"graft_kll_state expects (col[, k]), got ${es.length} arguments")
+    val k = if (es.length == 2) foldedInt(es(1), "graft_kll_state k") else 200
+    KllState(es.head, k).toAggregateExpression()
+  }
+
+  /** SQL builder for graft_kll_merge(stateCol, array(ranks...)). */
+  private[graft] def kllMergeBuilder(es: Seq[Expression]): Expression = {
+    if (es.length != 2) throw new IllegalArgumentException(
+      s"graft_kll_merge expects (stateCol, ranks), got ${es.length} arguments")
+    if (!es(1).foldable) throw new IllegalArgumentException(
+      "graft_kll_merge ranks must be a literal array of doubles")
+    val phis = es(1).eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray().toSeq
+      case other => throw new IllegalArgumentException(
+        s"graft_kll_merge ranks must be array<double>, got $other")
+    }
+    KllMergeQuantiles(es.head, phis).toAggregateExpression()
   }
 
   /** SQL builder for graft_kll(col, array(ranks...)[, k]) — ranks fold. */

@@ -152,6 +152,8 @@ class PlanSpec extends SparkSpec {
                            // 1-row sketch-estimate frame (t16's shape)
       "k3_hll_merge_states", // verdict assembly: 1-row x 1-row crossJoin
                            // of the whole-table and merged-state aggregates
+      "k4_kll_merge_states", // rank-verify pass: crossJoin vs broadcast
+                           // 1-row merged-estimate frame (k2's shape)
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
       "g2_triangle_count", // 1-row x 1-row join of two global aggregates

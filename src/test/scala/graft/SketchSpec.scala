@@ -97,6 +97,37 @@ class SketchSpec extends SparkSpec {
     ex.getMessage should include("mixed register sizes")
   }
 
+  test("kll states persist to parquet, reload, and merge within the rank budget") {
+    import graft.functions.SketchAggregates
+    val n = 120000
+    val df = spark.range(0, n)
+      .selectExpr(s"CAST((id * 48271) % $n AS DOUBLE) AS v", "id % 6 AS shard")
+    val dir = tmpDir("kll_states")
+    df.groupBy(col("shard")).agg(SketchAggregates.kllState(col("v")).as("st"))
+      .write.mode("overwrite").parquet(dir)
+    val qs = spark.read.parquet(dir)
+      .agg(SketchAggregates.kllMerge(col("st"), Seq(0.25, 0.5, 0.9)))
+      .head().getSeq[Double](0)
+    // values are the permuted 0..n-1, so value ~ rank
+    math.abs(qs(0) / n - 0.25) should be < 0.025
+    math.abs(qs(1) / n - 0.5) should be < 0.025
+    math.abs(qs(2) / n - 0.9) should be < 0.025
+    // SQL surface
+    graft.functions.UdfRegistry.registerSystemUdfs(spark)
+    spark.read.parquet(dir).createOrReplaceTempView("kll_states")
+    val viaSql = spark.sql(
+      "SELECT graft_kll_merge(st, array(CAST(0.5 AS DOUBLE))) AS qs FROM kll_states")
+      .head().getSeq[Double](0)
+    math.abs(viaSql.head / n - 0.5) should be < 0.025
+    // mixed k fails loudly
+    val mixed = df.agg(SketchAggregates.kllState(col("v"), 64).as("st"))
+      .unionAll(df.agg(SketchAggregates.kllState(col("v"), 128).as("st")))
+    val ex = intercept[Exception] {
+      mixed.agg(SketchAggregates.kllMerge(col("st"), Seq(0.5))).head()
+    }
+    ex.getMessage should include("mixed k")
+  }
+
   test("kll state survives serialize/deserialize round-trip exactly") {
     val agg = graft.functions.SketchAggregates.KllQuantiles(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0), Seq(0.5), 64)

@@ -69,6 +69,7 @@ LINEAR_SET = [
     # sketch aggregates: one pass + fixed-size state per group; k1/k2 pay
     # an extra exact/rank-verify pass that is itself single-shuffle
     "k1_hll_distinct", "k2_kll_quantiles", "k3_hll_merge_states",
+    "k4_kll_merge_states",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
