@@ -1,5 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Scale probe for the sketch verdict-flag queries: runs every k-family
+ *  catalog query at sf0.1 and the synthesized sf1 (if present) and
+ *  requires every `within` / `merged_equals_whole` flag to be 1 — the
+ *  documented error bounds must hold at BENCH scale and 10x it, not
+ *  just at the sf0.01 oracle gate.
+ *  `sbt "Test/runMain graft.CheckK [query,names]"` */
 object CheckK {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -7,13 +14,22 @@ object CheckK {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/graft_scale/sf1");
-         name <- Seq("k1_hll_distinct", "k2_kll_quantiles")) {
-      val rows = Queries.all.find(_.name == name).get.run(spark, dir).collect()
-      val bad = rows.filter(r => r.getAs[Int]("within") != 1)
-      println(s"[checkk] $dir $name rows=${rows.length} bad=${bad.length} " +
-        (if (bad.nonEmpty) bad.mkString("; ") else "all-within"))
+    val names = args.headOption.map(_.split(",").toSeq).getOrElse(
+      Queries.all.map(_.name).filter(_.startsWith("k")).sorted)
+    val flagCols = Set("within", "merged_equals_whole")
+    val dirs = Seq("/root/testdata/sf0.1", "/tmp/graft_scale/sf1")
+      .filter(d => new java.io.File(d).isDirectory)
+    var failed = false
+    for (dir <- dirs; name <- names) {
+      val rows = Queries.all.find(_.name == name)
+        .getOrElse(sys.error(s"unknown query $name")).run(spark, dir).collect()
+      val flags = rows.headOption.map(_.schema.fieldNames.filter(flagCols)).getOrElse(Array.empty)
+      val bad = rows.filter(r => flags.exists(f => r.getAs[Int](f) != 1))
+      println(s"[checkk] $dir $name rows=${rows.length} flags=${flags.mkString(",")} " +
+        s"bad=${bad.length} " + (if (bad.nonEmpty) bad.mkString("; ") else "all-within"))
+      if (bad.nonEmpty || rows.isEmpty) failed = true
     }
     spark.stop()
+    if (failed) sys.exit(1)
   }
 }

@@ -92,6 +92,29 @@ class ExamplesSpec extends SparkSpec {
     ex.getMessage should include("signature frame")
   }
 
+  test("corpus_profile.yaml folds sketch states and merges them in a later job") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_profile")
+    runExample("corpus_profile.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    // intermediate states: one row per event_type, binary sketch columns
+    val states = spark.read.parquet(s"$out/profile_states")
+    states.columns.toSet shouldBe
+      Set("event_type", "rows_seen", "users_state", "value_state")
+    val profile = spark.read.parquet(s"$out/profile").head()
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    profile.getAs[Long]("total_rows") shouldBe ev.count()
+    // merged HLL estimate vs exact distinct users: within the 3-sigma band
+    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    val est = profile.getAs[Long]("distinct_users")
+    math.abs(est - exact).toDouble should be <= math.max(3.0, exact * 0.05)
+    // merged KLL median: exact rank within the error budget
+    val med = profile.getAs[Double]("value_median")
+    val n = ev.filter(col("value").isNotNull).count().toDouble
+    val rank = ev.filter(col("value").cast("double") <= med).count() / n
+    math.abs(rank - 0.5) should be < 0.03
+  }
+
   test("curate_corpus.yaml runs semdedup and bm25 through the actor surface") {
     val out = tmpDir("ex_curate")
     runExample("curate_corpus.yaml",

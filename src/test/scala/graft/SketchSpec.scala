@@ -128,6 +128,69 @@ class SketchSpec extends SparkSpec {
     ex.getMessage should include("mixed k")
   }
 
+  test("property: hll sharding is invisible — merged shard sketches equal the single pass") {
+    import graft.functions.SketchAggregates.HllDistinct
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    import org.scalacheck.Gen
+    // driver-side: exercise the aggregate object directly on many random
+    // multisets and random shardings — no Spark jobs, hundreds of cases
+    val agg = HllDistinct(BoundReference(0, LongType, nullable = true), 12)
+    def sketch(vals: Seq[Long]): Array[Byte] =
+      vals.foldLeft(agg.createAggregationBuffer()) { (b, v) => agg.update(b, InternalRow(v)) }
+    val gen = for {
+      n <- Gen.choose(1, 5000)
+      dom <- Gen.choose(1, 3000)
+      shards <- Gen.choose(1, 7)
+      seed <- Gen.choose(1, Int.MaxValue)
+    } yield (n, dom, shards, seed)
+    Iterator.continually(gen.sample).flatten.take(60).foreach { case (n, dom, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Seq.fill(n)(rnd.nextInt(dom).toLong)
+      val whole = agg.eval(sketch(vals)).asInstanceOf[Long]
+      val parts = vals.grouped(math.max(1, n / shards)).map(sketch).toSeq
+      val merged = agg.eval(
+        parts.reduce((a, b) => agg.merge(a, b))).asInstanceOf[Long]
+      withClue(s"n=$n dom=$dom shards=$shards seed=$seed") {
+        merged shouldBe whole // order-free max-merge: EXACT
+        val truth = vals.distinct.size.toLong
+        math.abs(whole - truth).toDouble should be <= math.max(3.0, truth * 0.05)
+      }
+    }
+  }
+
+  test("property: kll rank error stays within budget across random multisets and shardings") {
+    import graft.functions.SketchAggregates.KllBuffer
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(10, 20000)
+      dom <- Gen.choose(5, 10000)
+      shards <- Gen.choose(1, 6)
+      seed <- Gen.choose(1, Int.MaxValue)
+    } yield (n, dom, shards, seed)
+    Iterator.continually(gen.sample).flatten.take(40).foreach { case (n, dom, shards, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val vals = Array.fill(n)(rnd.nextInt(dom).toDouble)
+      val parts = vals.grouped(math.max(1, n / shards)).map { chunk =>
+        val b = new KllBuffer(200)
+        chunk.foreach(b.insert)
+        b
+      }.toSeq
+      val merged = parts.reduce { (a, b) => a.mergeIn(b); a }
+      val sorted = vals.sorted
+      for (phi <- Seq(0.1, 0.5, 0.9)) {
+        val est = merged.quantiles(Seq(phi)).head
+        // exact rank of the estimate (duplicates: most permissive range)
+        val lo = sorted.count(_ < est).toDouble / n
+        val hi = sorted.count(_ <= est).toDouble / n
+        withClue(s"n=$n dom=$dom shards=$shards seed=$seed phi=$phi est=$est") {
+          (phi >= lo - 0.035 && phi <= hi + 0.035) shouldBe true
+        }
+      }
+    }
+  }
+
   test("kll state survives serialize/deserialize round-trip exactly") {
     val agg = graft.functions.SketchAggregates.KllQuantiles(
       org.apache.spark.sql.catalyst.expressions.Literal(1.0), Seq(0.5), 64)
