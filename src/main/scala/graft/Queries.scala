@@ -3334,6 +3334,49 @@ object Queries {
         |SELECT user_id, floor(epoch(min(ts)))::BIGINT AS session_start, count(*) AS cnt
         |FROM g GROUP BY user_id, sid""".stripMargin)),
 
+    // Timer-mode sessionization (SessionizeTwsProcessor `timers: event`):
+    // only provably-CLOSED sessions are emitted — closed by a later event
+    // opening a gap, or by an event-time timer firing when the watermark
+    // passes session_end + gap. The oracle derives exactly that set:
+    // every non-final session per user (a later event closed it) plus
+    // each user's final session IFF its timer expiry precedes the final
+    // watermark (max event time - the 1h delay). This makes the timer
+    // path itself oracle-checked, not just unit-tested: a wrong expiry
+    // bound or a dropped no-data batch shifts which tail sessions emit
+    // and hash-mismatches.
+    Spec("q84_tws_timer_sessions", (spark, dir) => {
+      val s2 = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      eventsStream(s2, dir).withWatermark("ts", "1 hour")
+        .createOrReplaceTempView("q84_in")
+      val ctx = new JobContext(PipelineContext())(s2)
+      val actor = new graft.transform.StreamStatefulTransformer()
+      actor.init(Map(
+        "view" -> "q84_in",
+        "processor.type" -> "graft.streaming.SessionizeTwsProcessor",
+        "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
+        "processor.gapSeconds" -> "1800", "processor.timers" -> "event"))(s2)
+      val out = actor.run(ctx)(s2).get
+      org.apache.spark.sql.GraftSqlBridge.onSession(spark,
+        drainToMemory(s2, out, "q84_sessions", "append"))
+    }, Some(s"""WITH $eventsUsCte,
+        |s AS (SELECT user_id, ts,
+        |  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS brk
+        |  FROM events_us),
+        |g AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sess AS (SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1, count(*) AS cnt
+        |  FROM g GROUP BY user_id, sid),
+        |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events_us),
+        |fin AS (SELECT user_id, max(t1) AS lt FROM sess GROUP BY user_id)
+        |SELECT s.user_id, floor(epoch(s.t0))::BIGINT AS session_start, s.cnt
+        |FROM sess s JOIN fin f ON s.user_id = f.user_id, wm
+        |WHERE s.t1 < f.lt OR s.t1 + INTERVAL 30 MINUTE < wm.w""".stripMargin)),
+
     // Pearson correlation per group from DECIMAL-exact moments (the t14
     // device extended to second cross-moments): built-in corr() aggregates
     // doubles in partition order and cannot hash-match across engines; the

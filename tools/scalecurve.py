@@ -52,6 +52,7 @@ LINEAR_SET = [
     "q44_stream_stream_join", "q48_stream_outer_join",
     "q56_stream_static_join", "q69_stream_dedup_watermark",
     "q70_stream_upsert", "q73_stream_session", "q74_tws_sessions",
+    "q84_tws_timer_sessions",
     # corpus ops that are narrow maps or single keyed shuffles
     "c2_stratified_sample", "c3_token_packing", "c4_doc_chunking",
     "c5_corpus_mixing", "c6_source_upsampling",
