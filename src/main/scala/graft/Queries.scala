@@ -36,13 +36,30 @@ object Queries {
       case n => spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
     }
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-   *  rejects; read nanos as long and convert to a microsecond timestamp
-   *  (truncation — mirrored in the oracles via date_trunc). */
+  /** Normalize the events `ts` column to a session-timezone TimestampType
+   *  in microseconds, whatever the file encodes:
+   *  - int64 (TIMESTAMP(NANOS) read under nanosAsLong, or a raw
+   *    epoch-nanos BIGINT like the scalecurve sf1 replicas): truncate
+   *    nanos→micros (mirrored in the oracles via date_trunc, a no-op on
+   *    already-micro data);
+   *  - TIMESTAMP_NTZ (timestamp[us] parquet, the driver's current
+   *    encoding): cast — value-preserving under the UTC session timezone
+   *    every entrypoint pins;
+   *  - TimestampType: already what we want.
+   *  One conversion site shared by batch and streaming so the whole
+   *  catalog agrees with the DuckDB oracle byte-for-byte. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   private def eventsView(spark: SparkSession, dir: String): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .createOrReplaceTempView("events")
   }
 
@@ -59,12 +76,11 @@ object Queries {
     spark.readStream.schema(schema).option("pathGlobFilter", file).parquet(dir)
   }
 
-  /** Streaming twin of [[eventsView]] — identical nanos→micros truncation,
-   *  so every streaming query shares one conversion site with the batch
+  /** Streaming twin of [[eventsView]] — identical ts normalization, so
+   *  every streaming query shares one conversion site with the batch
    *  oracles. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    streamTable(spark, dir, "events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(streamTable(spark, dir, "events.parquet"))
 
   /** Drain a streaming frame through a memory sink (AvailableNow) and
    *  return the result. Shared epilogue for every streaming gate query:

@@ -58,4 +58,36 @@ class QueryEdgeSpec extends SparkSpec {
     SparkEntry.queries("q74_tws_sessions")(spark, sfDir).collect().length should be > 0
     spark.conf.getOption(key) shouldBe before
   }
+
+  test("normalizeEventTs: long-nanos, ntz, and timestamp encodings all land on the same micros") {
+    // The driver has shipped events.ts as TIMESTAMP(NANOS) (read as LONG
+    // under nanosAsLong) and as timestamp[us] (read as TIMESTAMP_NTZ);
+    // scalecurve replicas write raw epoch-nanos BIGINT. All three must
+    // normalize to the same session-timezone TimestampType micros or the
+    // whole events catalog silently diverges from the DuckDB oracle.
+    import spark.implicits._
+    val dir = tmpDir("ts_norm")
+    val micros = Seq(0L, 1700000000123456L, 1700000000999999L)
+    // sub-micro nanos remainder must truncate away, matching the oracle's
+    // date_trunc('microseconds', ...)
+    micros.zipWithIndex.map { case (us, i) => us * 1000 + i }.toDF("ts")
+      .write.parquet(s"$dir/longs")
+    micros.toDF("us")
+      .selectExpr("CAST(timestamp_micros(us) AS TIMESTAMP_NTZ) AS ts")
+      .write.parquet(s"$dir/ntz")
+    micros.toDF("us").selectExpr("timestamp_micros(us) AS ts")
+      .write.parquet(s"$dir/tsz")
+    def normed(p: String): (DataType, Seq[Long]) = {
+      val df = Queries.normalizeEventTs(spark.read.parquet(p))
+      (df.schema("ts").dataType,
+        df.selectExpr("unix_micros(ts)").as[Long].collect().toSeq.sorted)
+    }
+    for (enc <- Seq("longs", "ntz", "tsz")) {
+      val (dt, got) = normed(s"$dir/$enc")
+      withClue(enc) {
+        dt shouldBe TimestampType
+        got shouldBe micros.sorted
+      }
+    }
+  }
 }

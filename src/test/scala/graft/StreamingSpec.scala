@@ -162,9 +162,9 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def sessions(processorCls: String): Set[(Long, Long, Long)] = {
       import org.apache.spark.sql.functions._
-      spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      Queries.normalizeEventTs(
+          spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+            .parquet(dir))
         .createOrReplaceTempView("tws_in")
       val ctx = new JobContext(PipelineContext())
       val actor = new StreamStatefulTransformer()

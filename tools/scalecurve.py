@@ -142,10 +142,11 @@ def build_sf1():
         "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
         "l_returnflag, l_linestatus, l_shipdate")
     # events: replicate USERS (user_id offset) so per-user session/window
-    # cardinality stays constant and total state grows linearly. ts must
-    # stay an int64-nanos column (the source is TIMESTAMP(NANOS), which
-    # Spark reads as LONG under nanosAsLong and the catalog divides to
-    # micros) — a plain duckdb COPY would rewrite it as timestamp[us].
+    # cardinality stays constant and total state grows linearly. epoch_ns
+    # writes ts as an int64-nanos column regardless of the source encoding
+    # (TIMESTAMP(NANOS) historically, timestamp[us] since 2026-08-13);
+    # the catalog's normalizeEventTs accepts either, so replicas and
+    # driver data stay interchangeable.
     rep("events", f"event_id + i * {mx['event_id']} AS event_id, "
         "epoch_ns(ts) AS ts, "
         f"user_id + i * {mx['user_id']} AS user_id, event_type, value, props")
