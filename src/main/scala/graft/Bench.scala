@@ -60,7 +60,14 @@ object Bench {
       }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Drop storage blocks the query left behind (persist/localCheckpoint
+      // in iterative ops). Leftovers otherwise accumulate across 140+
+      // queries until a later query's checkpoint materialization stalls
+      // on eviction/GC — observed as a one-off 16.8 s on a 2.5 s query.
+      // Non-blocking: eviction proceeds while the next warmup runs.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

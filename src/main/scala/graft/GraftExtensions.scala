@@ -45,6 +45,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_kll_merge"),
       new ExpressionInfo(classOf[graft.functions.SketchAggregates.KllMergeQuantiles].getName, "graft_kll_merge"),
       (es: Seq[Expression]) => graft.functions.SketchAggregates.kllMergeBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_bloom_state"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.BloomState].getName, "graft_bloom_state"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.bloomStateBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_bloom_merge"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.BloomMergeState].getName, "graft_bloom_merge"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.bloomMergeBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.BloomContains].getName, "graft_bloom_contains"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.bloomContainsBuilder(es)))
     e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }
 }

@@ -2894,6 +2894,96 @@ object Queries {
     }, Some("""SELECT 'p' || phi AS phi, 1 AS within FROM (VALUES
               |  ('0.25'), ('0.5'), ('0.9')) t(phi)""".stripMargin)),
 
+    // Bloom-filter decontamination (SketchAggregates.BloomState /
+    // BloomContains): d10's shape with the broadcast eval-shingle SET
+    // replaced by a broadcast fixed-size BIT ARRAY. At 100 TB this is the
+    // difference between broadcasting every distinct eval n-gram (set
+    // join: payload grows with the eval corpus) and broadcasting
+    // numBits/8 bytes no matter how big the eval set gets; the corpus
+    // side probes with k=5 hash lookups per shingle inside whole-stage
+    // codegen — no join machinery at all on the contamination test. Bloom
+    // guarantees NO false negatives (exact hit ⇒ bloom hit, pinned
+    // per-doc by no_false_neg), so the filter is safe for removal
+    // decisions; false positives only over-remove, bounded in b2. The
+    // per-doc exact flags hash-match the oracle; bloom output itself is
+    // engine-internal (XxHash64) and is checked via its guarantees, the
+    // same contract style as k1/k2.
+    Spec("b1_bloom_decontaminate", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sh = Dedup.shingles(docs, "text", "doc_id", 3, distinct = false)
+      val evalSh = sh.filter(col("id") % 50 === 0)
+      // one fixed-size state regardless of eval rows; insert is idempotent
+      // so the non-distinct shingle stream needs no pre-dedup shuffle
+      val state = evalSh.agg(
+        graft.functions.SketchAggregates.bloomState(col("shingle")).as("bf"))
+      val train = sh.filter(col("id") % 50 =!= 0)
+      val bloomHits = train.crossJoin(broadcast(state))
+        .groupBy(col("id"))
+        .agg(max(graft.functions.SketchAggregates
+          .bloomContains(col("bf"), col("shingle")).cast("int")).as("bloom_hit"))
+      // exact flags: d10's broadcast-set join as an existence flag
+      val exactIds = train
+        .join(broadcast(evalSh.select(col("shingle")).distinct()), "shingle")
+        .select(col("id")).distinct().withColumn("exact_hit", lit(1))
+      bloomHits.join(exactIds, Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("exact_hit"), lit(0)).as("exact_hit"),
+          (col("bloom_hit") >= coalesce(col("exact_hit"), lit(0)))
+            .cast("int").as("no_false_neg"))
+    }, Some {
+      s"""WITH ${shingleCte("documents")},
+         |ev AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, shingle FROM shing WHERE doc_id % 50 <> 0),
+         |cont AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (shingle))
+         |SELECT t.doc_id,
+         |  CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS exact_hit,
+         |  1 AS no_false_neg
+         |FROM (SELECT DISTINCT doc_id FROM tr) t LEFT JOIN cont c USING (doc_id)""".stripMargin
+    }),
+
+    // Sharded-build lifecycle + false-positive budget for the Bloom
+    // family: 4 per-shard graft_bloom_state registers OR-fold through
+    // graft_bloom_merge into the union's EXACT state (OR is associative,
+    // commutative, idempotent — SketchSpec proves byte equality), and the
+    // merged filter's behavior is graded corpus-wide: zero false
+    // negatives, false positives within 2% of clean docs (2^22 bits / k=5
+    // keeps the expected rate orders of magnitude below that at every
+    // catalog scale).
+    Spec("b2_bloom_merge_fp", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sh = Dedup.shingles(docs, "text", "doc_id", 3, distinct = false)
+      val evalSh = sh.filter(col("id") % 50 === 0)
+      val states = evalSh.groupBy((col("id") % 4).as("shard"))
+        .agg(graft.functions.SketchAggregates.bloomState(col("shingle")).as("st"))
+      val merged = states.agg(
+        graft.functions.SketchAggregates.bloomMerge(col("st")).as("bf"))
+      val train = sh.filter(col("id") % 50 =!= 0)
+      val perDoc = train.crossJoin(broadcast(merged))
+        .join(broadcast(evalSh.select(col("shingle")).distinct()
+          .withColumn("ex", lit(true))), Seq("shingle"), "left")
+        .groupBy(col("id"))
+        .agg(max(graft.functions.SketchAggregates
+            .bloomContains(col("bf"), col("shingle")).cast("int")).as("b"),
+          max(coalesce(col("ex"), lit(false)).cast("int")).as("e"))
+      perDoc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("e")).cast("long").as("n_contaminated"),
+        sum(when(col("e") === 1 && col("b") === 0, 1).otherwise(0))
+          .cast("long").as("n_false_neg"),
+        (sum(when(col("b") === 1 && col("e") === 0, 1).otherwise(0)) <=
+          greatest(lit(1L), ceil(
+            sum(when(col("e") === 0, 1).otherwise(0)) * 0.02).cast("long")))
+          .cast("int").as("fp_within"))
+    }, Some {
+      s"""WITH ${shingleCte("documents")},
+         |ev AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, shingle FROM shing WHERE doc_id % 50 <> 0),
+         |cont AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (shingle))
+         |SELECT (SELECT count(DISTINCT doc_id) FROM tr) AS n_docs,
+         |  (SELECT count(*) FROM cont) AS n_contaminated,
+         |  0::BIGINT AS n_false_neg, 1 AS fp_within""".stripMargin
+    }),
+
     // Bigram language-model scoring — the classic cheap "perplexity-ish"
     // quality signal: train corpus bigram counts in one pass, score each
     // doc by the sum of its bigrams' conditional-probability quanta

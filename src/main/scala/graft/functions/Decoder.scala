@@ -118,6 +118,12 @@ object UdfRegistry {
       SketchAggregates.kllStateBuilder)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_kll_merge",
       SketchAggregates.kllMergeBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_bloom_state",
+      SketchAggregates.bloomStateBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_bloom_merge",
+      SketchAggregates.bloomMergeBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_bloom_contains",
+      SketchAggregates.bloomContainsBuilder)
     // N-ary Z-order key (trailing integer literal = per-dim bits)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "zorder_key",
       ZOrderExpression.sqlBuilder)

@@ -7,7 +7,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -459,6 +460,187 @@ object SketchAggregates {
     override def prettyName: String = "graft_kll_merge"
   }
 
+  // -------------------------------------------------------------- Bloom
+
+  /** Bloom-filter state layout: [int numHashes][bit bytes]. Bit count is
+   *  implied by the array length. Kept as raw bytes end-to-end — update,
+   *  merge (bitwise OR) and probe all index into the same layout, and the
+   *  aggregation buffer doubles as the persistable state column value. */
+  private val BloomHeaderBytes = 4
+
+  private def bloomNewState(numBits: Int, numHashes: Int): Array[Byte] = {
+    val st = new Array[Byte](BloomHeaderBytes + ((numBits + 7) >>> 3))
+    st(0) = (numHashes >>> 24).toByte; st(1) = (numHashes >>> 16).toByte
+    st(2) = (numHashes >>> 8).toByte; st(3) = numHashes.toByte
+    st
+  }
+
+  private def bloomNumHashes(st: Array[Byte]): Int =
+    ((st(0) & 0xff) << 24) | ((st(1) & 0xff) << 16) | ((st(2) & 0xff) << 8) | (st(3) & 0xff)
+
+  /** Kirsch–Mitzenmacher double hashing: k bit positions derived from two
+   *  XxHash64 passes (seeds fixed, h2 forced odd) — deterministic across
+   *  runs/partitions, so a dataset's filter is a FIXED byte array. */
+  private def bloomSet(st: Array[Byte], v: Any, dt: DataType): Unit = {
+    val nBits = (st.length - BloomHeaderBytes).toLong << 3
+    val k = bloomNumHashes(st)
+    val h1 = XxHash64Function.hash(v, dt, 41L)
+    val h2 = XxHash64Function.hash(v, dt, 97L) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, nBits)
+      st(BloomHeaderBytes + (pos >>> 3).toInt) =
+        (st(BloomHeaderBytes + (pos >>> 3).toInt) | (1 << (pos & 7L).toInt)).toByte
+      i += 1
+    }
+  }
+
+  /** Membership probe against a serialized Bloom state. Public and
+   *  static-shaped: [[BloomContains]]'s generated code calls it per row. */
+  def bloomProbe(st: Array[Byte], v: Any, dt: DataType): Boolean = {
+    val nBits = (st.length - BloomHeaderBytes).toLong << 3
+    val k = bloomNumHashes(st)
+    val h1 = XxHash64Function.hash(v, dt, 41L)
+    val h2 = XxHash64Function.hash(v, dt, 97L) | 1L
+    var i = 0
+    while (i < k) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, nBits)
+      if ((st(BloomHeaderBytes + (pos >>> 3).toInt) & (1 << (pos & 7L).toInt)) == 0)
+        return false
+      i += 1
+    }
+    true
+  }
+
+  private def bloomMergeInto(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    require(b1.length == b2.length && bloomNumHashes(b1) == bloomNumHashes(b2),
+      s"graft_bloom merge: incompatible states (${b1.length}B/k=${bloomNumHashes(b1)} " +
+        s"vs ${b2.length}B/k=${bloomNumHashes(b2)}) — all states must share numBits and numHashes")
+    var i = BloomHeaderBytes
+    while (i < b1.length) { b1(i) = (b1(i) | b2(i)).toByte; i += 1 }
+    b1
+  }
+
+  /**
+   * graft_bloom_state: fold a column into a Bloom filter, returned as the
+   * persistable binary state. The 100 TB decontamination shape: build the
+   * filter over the EVAL side (one fixed-size state regardless of eval
+   * rows), broadcast that single row, and probe the corpus with
+   * [[BloomContains]] — the corpus side never joins, never shuffles for
+   * the membership test, and the broadcast payload is `numBits/8` bytes
+   * where a set-join would broadcast every distinct eval value. No false
+   * negatives ever; false-positive rate ~ (1-e^(-k·n/m))^k, so size
+   * `numBits` ≥ ~10× expected distinct insertions for < 1%. OR-merge is
+   * associative, commutative and idempotent — sharded builds fold to
+   * byte-identical states in any order ([[BloomMergeState]]).
+   */
+  case class BloomState(
+      child: Expression,
+      numBits: Int = 1 << 22,
+      numHashes: Int = 5,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+    require(numBits >= 64 && (numBits & 7) == 0,
+      s"graft_bloom_state numBits must be >= 64 and a multiple of 8, got $numBits")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"graft_bloom_state numHashes must be in [1,16], got $numHashes")
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Array[Byte] = bloomNewState(numBits, numHashes)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) bloomSet(buf, v, child.dataType)
+      buf
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = bloomMergeInto(b1, b2)
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def withNewMutableAggBufferOffset(o: Int): BloomState =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomState =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): BloomState =
+      copy(child = newChild)
+    override def prettyName: String = "graft_bloom_state"
+  }
+
+  /**
+   * graft_bloom_merge: OR-fold a column of persisted Bloom states into one
+   * state (binary). Mixed sizes/hash counts are a loud error. An empty
+   * input yields an empty byte array (the identity — probes return false).
+   */
+  case class BloomMergeState(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+    private def fold(b: Array[Byte], s: Array[Byte]): Array[Byte] =
+      if (s.length == 0) b
+      else if (b.length == 0) s.clone()
+      else bloomMergeInto(b, s)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v == null) buf else fold(buf, v.asInstanceOf[Array[Byte]])
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = fold(b1, b2)
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def withNewMutableAggBufferOffset(o: Int): BloomMergeState =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomMergeState =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): BloomMergeState =
+      copy(child = newChild)
+    override def prettyName: String = "graft_bloom_merge"
+  }
+
+  /**
+   * graft_bloom_contains(state, value): scalar membership probe — the
+   * corpus-side half of the decontamination shape. Stays inside
+   * whole-stage codegen (generated code calls [[SketchAggregates.bloomProbe]]
+   * directly); the state argument is typically a broadcast-crossJoined
+   * 1-row column, so the per-row cost is k hash probes into an in-memory
+   * byte array, no join machinery. An empty state (merge identity, no
+   * insertions) contains nothing.
+   */
+  case class BloomContains(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (left.dataType != BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bloom_contains state argument must be binary, got ${left.dataType.sql}")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+
+    override protected def nullSafeEval(state: Any, v: Any): Any = {
+      val st = state.asInstanceOf[Array[Byte]]
+      st.length > BloomHeaderBytes && bloomProbe(st, v, right.dataType)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (st, v) => {
+        val dtRef = ctx.addReferenceObj("bloomValDt", right.dataType)
+        s"""${ev.value} = $st.length > $BloomHeaderBytes &&
+           |  graft.functions.SketchAggregates.bloomProbe($st, $v, $dtRef);""".stripMargin
+      })
+    override def prettyName: String = "graft_bloom_contains"
+  }
+
   // ------------------------------------------------------------ Column API
 
   /** Distinct-count estimate of `c` (HyperLogLog, 2^precision registers). */
@@ -490,6 +672,44 @@ object SketchAggregates {
   def hllMerge(c: Column): Column =
     GraftSqlBridge.column(
       HllMergeEstimate(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** Persistable Bloom-filter state of `c` (binary; numBits/8 + 4 bytes). */
+  def bloomState(c: Column, numBits: Int = 1 << 22, numHashes: Int = 5): Column =
+    GraftSqlBridge.column(
+      BloomState(GraftSqlBridge.expression(c), numBits, numHashes).toAggregateExpression())
+
+  /** OR-fold persisted Bloom states (binary) into one state. */
+  def bloomMerge(c: Column): Column =
+    GraftSqlBridge.column(
+      BloomMergeState(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** Membership probe of `v` against Bloom state `state`. */
+  def bloomContains(state: Column, v: Column): Column =
+    GraftSqlBridge.column(
+      BloomContains(GraftSqlBridge.expression(state), GraftSqlBridge.expression(v)))
+
+  /** SQL builder for graft_bloom_state(col[, numBits[, numHashes]]). */
+  private[graft] def bloomStateBuilder(es: Seq[Expression]): Expression = {
+    if (es.isEmpty || es.length > 3) throw new IllegalArgumentException(
+      s"graft_bloom_state expects (col[, numBits[, numHashes]]), got ${es.length} arguments")
+    val bits = if (es.length >= 2) foldedInt(es(1), "graft_bloom_state numBits") else 1 << 22
+    val k = if (es.length == 3) foldedInt(es(2), "graft_bloom_state numHashes") else 5
+    BloomState(es.head, bits, k).toAggregateExpression()
+  }
+
+  /** SQL builder for graft_bloom_merge(stateCol). */
+  private[graft] def bloomMergeBuilder(es: Seq[Expression]): Expression = {
+    if (es.length != 1) throw new IllegalArgumentException(
+      s"graft_bloom_merge expects (stateCol), got ${es.length} arguments")
+    BloomMergeState(es.head).toAggregateExpression()
+  }
+
+  /** SQL builder for graft_bloom_contains(stateCol, value). */
+  private[graft] def bloomContainsBuilder(es: Seq[Expression]): Expression = {
+    if (es.length != 2) throw new IllegalArgumentException(
+      s"graft_bloom_contains expects (stateCol, value), got ${es.length} arguments")
+    BloomContains(es(0), es(1))
+  }
 
   /** SQL builder for graft_hll(col[, precision]) — precision must fold. */
   private[graft] def hllBuilder(es: Seq[Expression]): Expression = {

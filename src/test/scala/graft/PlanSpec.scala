@@ -154,6 +154,10 @@ class PlanSpec extends SparkSpec {
                            // of the whole-table and merged-state aggregates
       "k4_kll_merge_states", // rank-verify pass: crossJoin vs broadcast
                            // 1-row merged-estimate frame (k2's shape)
+      "b1_bloom_decontaminate", // probe pass: crossJoin vs broadcast 1-row
+                           // bloom-state frame (t16's shape)
+      "b2_bloom_merge_fp", // probe pass: crossJoin vs broadcast 1-row
+                           // merged bloom-state frame
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
       "g2_triangle_count", // 1-row x 1-row join of two global aggregates
@@ -258,7 +262,9 @@ class PlanSpec extends SparkSpec {
     for ((name, agg) <- Seq(
       "graft_hll" -> graft.functions.SketchAggregates.hllDistinct(col("l_partkey")),
       "graft_kll" -> graft.functions.SketchAggregates.kllQuantiles(
-        col("l_partkey").cast("double"), Seq(0.5)))) {
+        col("l_partkey").cast("double"), Seq(0.5)),
+      "graft_bloom_state" -> graft.functions.SketchAggregates.bloomState(
+        col("l_partkey").cast("string"), 1 << 16, 4))) {
       val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).agg(agg.as("sk"))
       val tree = plan(df).linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")
@@ -273,6 +279,16 @@ class PlanSpec extends SparkSpec {
   test("d10: decontamination broadcasts the eval-set shingles, corpus side unshuffled") {
     val p = plan(q("d10_decontaminate"))
     p should include("BroadcastHashJoin")
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("b1: bloom decontamination broadcasts one state row, probe side join-free") {
+    val p = plan(q("b1_bloom_decontaminate"))
+    // the 1-row state frame reaches the corpus as a broadcast nested-loop
+    // cross join (no key, no shuffle); the only SortMergeJoin-free plan
+    // shape that could regress here is the probe side picking up an
+    // exchange before its partial agg — pinned by the sketch-partial test
+    p should include("BroadcastNestedLoopJoin")
     (p should not).include("SortMergeJoin")
   }
 

@@ -200,4 +200,62 @@ class SketchSpec extends SparkSpec {
     back.quantiles(Seq(0.1, 0.5, 0.9)).toSeq shouldBe buf.quantiles(Seq(0.1, 0.5, 0.9)).toSeq
     back.compactions shouldBe buf.compactions
   }
+
+  test("bloom: no false negatives ever, false positives rare, deterministic") {
+    import graft.functions.SketchAggregates._
+    val members = spark.range(0, 20000).selectExpr("CONCAT('m', id) AS s")
+    val state = members.agg(bloomState(col("s"), 1 << 20, 5).as("bf"))
+    // every inserted value probes true — partition layout must not matter
+    members.repartition(11).crossJoin(broadcast(state))
+      .filter(!bloomContains(col("bf"), col("s")))
+      .count() shouldBe 0L
+    // disjoint probe set: fp rate well under 1% at 20k/1M-bit load
+    val strangers = spark.range(0, 20000).selectExpr("CONCAT('x', id) AS s")
+    val fp = strangers.crossJoin(broadcast(state))
+      .filter(bloomContains(col("bf"), col("s"))).count()
+    fp.toDouble / 20000 should be < 0.01
+    // deterministic: the state is a fixed byte array for a given dataset
+    val b1 = state.head().getAs[Array[Byte]](0)
+    val b2 = members.repartition(7)
+      .agg(bloomState(col("s"), 1 << 20, 5).as("bf")).head().getAs[Array[Byte]](0)
+    b1 should contain theSameElementsInOrderAs b2
+  }
+
+  test("bloom: sharded states OR-merge to the byte-identical single-pass state, via parquet") {
+    import graft.functions.SketchAggregates._
+    val df = spark.range(0, 10000).selectExpr("id % 7 AS shard", "CONCAT('v', id) AS s")
+    val single = df.agg(bloomState(col("s"), 1 << 17, 4).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val dir = tmpDir("bloom_states")
+    df.groupBy(col("shard")).agg(bloomState(col("s"), 1 << 17, 4).as("st"))
+      .write.parquet(s"$dir/states")
+    // new frame, new session lineage: reload and fold in one aggregate
+    val merged = spark.read.parquet(s"$dir/states")
+      .agg(bloomMerge(col("st")).as("bf")).head().getAs[Array[Byte]](0)
+    merged should contain theSameElementsInOrderAs single
+    // mixed parameters fail loudly, not silently
+    val bad = spark.range(0, 10).selectExpr("CONCAT('v', id) AS s")
+      .agg(bloomState(col("s"), 1 << 16, 4).as("st"))
+      .unionAll(spark.read.parquet(s"$dir/states").select(col("st")))
+    val ex = intercept[Exception] { bad.agg(bloomMerge(col("st"))).collect() }
+    ex.getMessage should include("incompatible")
+  }
+
+  test("bloom: SQL surface (graft_bloom_state / _merge / _contains) and empty-state probe") {
+    graft.functions.UdfRegistry.registerSystemUdfs(spark)
+    spark.range(0, 1000).selectExpr("CONCAT('k', id) AS s")
+      .createOrReplaceTempView("bl_in")
+    val hit = spark.sql(
+      """SELECT graft_bloom_contains(
+        |  (SELECT graft_bloom_state(s, 65536, 4) FROM bl_in), 'k42') AS c""".stripMargin)
+      .head().getBoolean(0)
+    hit shouldBe true
+    // merge identity (no states) probes false for everything
+    val empty = spark.sql(
+      """SELECT graft_bloom_contains(
+        |  (SELECT graft_bloom_merge(st) FROM
+        |    (SELECT graft_bloom_state(s) AS st FROM bl_in WHERE 1 = 0) t), 'k42') AS c""".stripMargin)
+      .head().getBoolean(0)
+    empty shouldBe false
+  }
 }

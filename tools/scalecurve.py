@@ -71,6 +71,9 @@ LINEAR_SET = [
     # an extra exact/rank-verify pass that is itself single-shuffle
     "k1_hll_distinct", "k2_kll_quantiles", "k3_hll_merge_states",
     "k4_kll_merge_states",
+    # bloom decontamination: shingle scan + fixed-size state build +
+    # codegen probe; the only shuffles are the per-doc flag aggs
+    "b1_bloom_decontaminate", "b2_bloom_merge_fp",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
