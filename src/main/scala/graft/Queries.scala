@@ -3483,6 +3483,41 @@ object Queries {
         |FROM sess s JOIN fin f ON s.user_id = f.user_id, wm
         |WHERE s.t1 < f.lt OR s.t1 + INTERVAL 30 MINUTE < wm.w""".stripMargin)),
 
+    // Streaming sketch aggregation: graft_hll as the STREAMING aggregate.
+    // The state store keeps one serialized register array per (window,
+    // event_type) group — the TypedImperativeAggregate's buffer IS the
+    // streaming state, so per-group state is 2^p bytes no matter how many
+    // distinct users arrive. That is the streaming cardinality shape at
+    // 100 TB: exact streaming countDistinct state grows with the distinct
+    // set; sketch state does not. Complete-mode drain through the q27
+    // memory-sink path; the estimate is then verdict-graded against the
+    // batch-exact distinct per group (HLL max-merge is order-free and the
+    // hash seed fixed, so micro-batch slicing cannot move the estimate —
+    // stream/batch sketch parity, graded within the 3-sigma band).
+    Spec("q85_stream_hll_window", (spark, dir) => {
+      val agg = eventsStream(spark, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(graft.functions.SketchAggregates.hllDistinct(col("user_id")).as("hll"),
+          count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n_events"), col("hll"))
+      val est = drainToMemory(spark, agg, "q85_hll", "complete")
+      val exact = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("exact_distinct"))
+      est.join(exact, Seq("win_start", "event_type"))
+        .select(col("win_start"), col("event_type"), col("n_events"),
+          col("exact_distinct"),
+          (abs(col("hll") - col("exact_distinct")) <=
+            greatest(lit(2L), ceil(col("exact_distinct") * 0.04875).cast("long")))
+            .cast("int").as("within"))
+    }, Some(s"""WITH $eventsUsCte
+        |SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS win_start, event_type,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS exact_distinct, 1 AS within
+        |FROM events_us GROUP BY 1, 2""".stripMargin)),
+
     // Pearson correlation per group from DECIMAL-exact moments (the t14
     // device extended to second cross-moments): built-in corr() aggregates
     // doubles in partition order and cannot hash-match across engines; the

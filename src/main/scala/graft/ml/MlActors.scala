@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
  */
 
 /** Deduplication actor. `method`: exact | minhash-lsh | simhash | resolve
- *  | semdedup | incremental.
+ *  | semdedup | incremental | index-build | bloom-build | decontaminate.
  *  exact: emits (content_hash, keep_id, dup_count);
  *  minhash-lsh: emits candidate near-dup pairs (id_a, id_b, est_jaccard);
  *  simhash: emits (id, simhash);
@@ -31,7 +31,15 @@ import org.apache.spark.sql.functions._
  *  co-locate), then feed it back to `incremental` in ANY later session
  *  via `indexView` + `indexIsSignatures: true`: the corpus is never
  *  re-shingled/re-hashed, which is the entire economics of continuous
- *  ingestion (per-batch cost against an already-paid index). */
+ *  ingestion (per-batch cost against an already-paid index);
+ *  bloom-build: emits the one-row Bloom state frame (bf binary) of
+ *  `view`'s shingles — the persistable decontamination filter
+ *  (`bloomBits`/`bloomHashes` size it);
+ *  decontaminate: flags each `view` doc contaminated against `evalView`
+ *  (eval documents, or a prebuilt bloom-build frame via
+ *  `evalIsState: true`), emits (id, contaminated 0/1); the state
+ *  broadcasts as ONE row and corpus shingles probe it in place — no
+ *  membership join, no false negatives. */
 class DedupActor extends Actor {
   protected var view: String = ""
   protected var method: String = "exact"
@@ -48,12 +56,16 @@ class DedupActor extends Actor {
   protected var cosineThreshold: Double = 0.9
   protected var indexView: String = ""
   protected var indexIsSignatures: Boolean = false
+  protected var evalView: String = ""
+  protected var evalIsState: Boolean = false
+  protected var bloomBits: Int = 1 << 22
+  protected var bloomHashes: Int = 5
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("exact", "minhash-lsh", "simhash", "resolve", "semdedup",
-        "incremental", "index-build").contains(m),
+        "incremental", "index-build", "bloom-build", "decontaminate").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
@@ -61,6 +73,12 @@ class DedupActor extends Actor {
     properties.get("indexIsSignatures").foreach(v => indexIsSignatures = v.toBoolean)
     require(method != "incremental" || indexView.nonEmpty,
       "DedupActor: incremental requires indexView")
+    properties.get("evalView").foreach(evalView = _)
+    properties.get("evalIsState").foreach(v => evalIsState = v.toBoolean)
+    properties.get("bloomBits").foreach(v => bloomBits = v.toInt)
+    properties.get("bloomHashes").foreach(v => bloomHashes = v.toInt)
+    require(method != "decontaminate" || evalView.nonEmpty,
+      "DedupActor: decontaminate requires evalView")
     properties.get("textField").foreach(textCol = _)
     properties.get("idField").foreach(idCol = _)
     properties.get("numHashes").foreach(v => numHashes = v.toInt)
@@ -80,7 +98,8 @@ class DedupActor extends Actor {
 
   override def inputViews: Seq[String] =
     (if (view.nonEmpty) Seq(view) else Seq.empty) ++
-      (if (indexView.nonEmpty) Seq(indexView) else Seq.empty)
+      (if (indexView.nonEmpty) Seq(indexView) else Seq.empty) ++
+      (if (evalView.nonEmpty) Seq(evalView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
@@ -104,6 +123,35 @@ class DedupActor extends Actor {
         Dedup.semDedup(vdf, idCol, vecCol, dim, clusters, iterations, cosineThreshold)
       case "index-build" =>
         Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
+      case "bloom-build" =>
+        // one-row persistable decontamination state: the Bloom filter of
+        // `view`'s shingle set (numBits/8+4 bytes however many docs).
+        // Write it once, feed it back via evalView + evalIsState in any
+        // later session — the eval corpus is never re-shingled.
+        Dedup.shingles(df, textCol, idCol, shingleLen, distinct = false)
+          .agg(graft.functions.SketchAggregates
+            .bloomState(col("shingle"), bloomBits, bloomHashes).as("bf"))
+      case "decontaminate" =>
+        // per-doc contamination flag of `view` against `evalView` — the
+        // b1 shape: broadcast ONE fixed-size state row, probe corpus
+        // shingles in place (no join for the membership test). Bloom
+        // guarantees no false negatives; false positives over-flag at the
+        // documented rate, safe for removal decisions.
+        val ev = ctx.getView(evalView)
+        val state =
+          if (evalIsState) {
+            require(ev.columns.contains("bf"),
+              s"DedupActor(decontaminate): evalView '$evalView' is not a " +
+                s"bloom state frame (expected column bf) — has ${ev.columns.mkString(", ")}")
+            ev.select(col("bf"))
+          } else Dedup.shingles(ev, textCol, idCol, shingleLen, distinct = false)
+            .agg(graft.functions.SketchAggregates
+              .bloomState(col("shingle"), bloomBits, bloomHashes).as("bf"))
+        Dedup.shingles(df, textCol, idCol, shingleLen, distinct = false)
+          .crossJoin(broadcast(state))
+          .groupBy(col("id"))
+          .agg(max(graft.functions.SketchAggregates
+            .bloomContains(col("bf"), col("shingle")).cast("int")).as("contaminated"))
       case "incremental" =>
         val idx = ctx.getView(indexView)
         val idxSigs =

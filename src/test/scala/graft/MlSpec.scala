@@ -442,6 +442,49 @@ class MlSpec extends SparkSpec {
     all(m.map(_._2)) should be < 100L             // never index x index or new x new
   }
 
+  test("decontaminate actor: bloom flags match the exact join, via a persisted state") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    // eval doc shares a 3-gram run with docs 1 and 3 only
+    Seq((100L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text").createOrReplaceTempView("dec_eval")
+    Seq((1L, "a tale of the quick brown fox indeed"),
+        (2L, "entirely unrelated content with no overlap"),
+        (3L, "jumps over lazy dogs every single day"),
+        (4L, "more innocent text nothing shared here"))
+      .toDF("doc_id", "text").createOrReplaceTempView("dec_corpus")
+    val da = new graft.ml.DedupActor()
+    da.init(Map("view" -> "dec_corpus", "method" -> "decontaminate",
+      "evalView" -> "dec_eval"))
+    val flags = da.run(ctx).get.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("contaminated")).toMap
+    // no false negatives (1 and 3 share shingles); 2^22 bits over a
+    // handful of shingles makes a false positive on 2/4 essentially
+    // impossible AND deterministic (fixed hash seeds) — pin exact equality
+    flags shouldBe Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0)
+
+    // lifecycle: persist the bloom-build state, reload, decontaminate
+    // against the loaded frame — identical flags, eval never re-shingled
+    val build = new graft.ml.DedupActor()
+    build.init(Map("view" -> "dec_eval", "method" -> "bloom-build"))
+    val dir = tmpDir("bloom_actor")
+    build.run(ctx).get.write.parquet(s"$dir/state")
+    spark.read.parquet(s"$dir/state").createOrReplaceTempView("dec_state")
+    val da2 = new graft.ml.DedupActor()
+    da2.init(Map("view" -> "dec_corpus", "method" -> "decontaminate",
+      "evalView" -> "dec_state", "evalIsState" -> "true"))
+    da2.run(ctx).get.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("contaminated"))
+      .toMap shouldBe flags
+    // a non-state evalView under evalIsState fails loudly
+    val bad = new graft.ml.DedupActor()
+    bad.init(Map("view" -> "dec_corpus", "method" -> "decontaminate",
+      "evalView" -> "dec_corpus", "evalIsState" -> "true"))
+    intercept[IllegalArgumentException] { bad.run(ctx) }
+      .getMessage should include("bloom state frame")
+  }
+
   test("semdedup and bm25 are reachable through the actor surface") {
     implicit val s = spark
     import spark.implicits._

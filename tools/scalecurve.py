@@ -74,6 +74,9 @@ LINEAR_SET = [
     # bloom decontamination: shingle scan + fixed-size state build +
     # codegen probe; the only shuffles are the per-doc flag aggs
     "b1_bloom_decontaminate", "b2_bloom_merge_fp",
+    # streaming windowed HLL: micro-batch scan + fixed-size sketch state
+    # per (window, event_type) group; grading join is group-bounded
+    "q85_stream_hll_window",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
@@ -106,8 +109,18 @@ MODELED = {
 
 
 def build_sf1():
-    if os.path.exists(f"{DST}/_DONE"):
-        return
+    done = f"{DST}/_DONE"
+    if os.path.exists(done):
+        # replicas derive from SRC: a driver testdata regeneration (it
+        # rewrites in place) silently invalidates them, so compare mtimes
+        src_mtime = max(os.path.getmtime(os.path.join(SRC, f))
+                        for f in os.listdir(SRC) if f.endswith(".parquet"))
+        if os.path.getmtime(done) >= src_mtime:
+            return
+        print(f"rebuilding {DST}: source {SRC} is newer than the replicas",
+              file=sys.stderr)
+        import shutil
+        shutil.rmtree(DST)
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
