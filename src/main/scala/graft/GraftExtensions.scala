@@ -54,6 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[graft.functions.SketchAggregates.BloomContains].getName, "graft_bloom_contains"),
       (es: Seq[Expression]) => graft.functions.SketchAggregates.bloomContainsBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_cms_state"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.CmsState].getName, "graft_cms_state"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.cmsStateBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_cms_merge"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.CmsMergeState].getName, "graft_cms_merge"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.cmsMergeBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_cms_count"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.CmsCount].getName, "graft_cms_count"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.cmsCountBuilder(es)))
     e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }
 }

@@ -2984,6 +2984,40 @@ object Queries {
          |  0::BIGINT AS n_false_neg, 1 AS fp_within""".stripMargin
     }),
 
+    // Count-Min frequency sketch (SketchAggregates.CmsState / CmsCount):
+    // heavy-hitter token counts from FIXED memory. t10's exact vocabulary
+    // pass shuffles every distinct token; the sketch folds each partition
+    // into depth*width counters, sum-merged across one exchange, and the
+    // estimate probes in place (codegen min-over-cells). One-sided error
+    // is the graded contract: the estimate NEVER undercounts (a true
+    // heavy hitter can't be missed by thresholding the sketch), and
+    // overcounts by <= e*N/width with prob 1-2^-depth. Graded on the
+    // exact top-10 tokens: exact counts hash-match the oracle, both
+    // bound flags must be 1.
+    Spec("k5_cms_heavy_hitters", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(
+          explode(split(Dedup.normText(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val state = toks.agg(
+        graft.functions.SketchAggregates.cmsState(col("tok")).as("cms"),
+        count(lit(1)).as("n_total"))
+      val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(10)
+      val est = graft.functions.SketchAggregates.cmsCount(col("cms"), col("tok"))
+      top.crossJoin(broadcast(state))
+        .select(col("tok"), col("exact_cnt"),
+          (est >= col("exact_cnt")).cast("int").as("never_under"),
+          (est <= col("exact_cnt") +
+            ceil(col("n_total") * lit(2.7182818) / lit(2048)).cast("long"))
+            .cast("int").as("within_eps"))
+    }, Some("""WITH toks AS (SELECT
+        |  unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS exact_cnt, 1 AS never_under, 1 AS within_eps
+        |FROM toks WHERE length(tok) > 0
+        |GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 10""".stripMargin)),
+
     // Bigram language-model scoring — the classic cheap "perplexity-ish"
     // quality signal: train corpus bigram counts in one pass, score each
     // doc by the sum of its bigrams' conditional-probability quanta

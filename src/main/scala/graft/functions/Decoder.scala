@@ -124,6 +124,12 @@ object UdfRegistry {
       SketchAggregates.bloomMergeBuilder)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_bloom_contains",
       SketchAggregates.bloomContainsBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_cms_state",
+      SketchAggregates.cmsStateBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_cms_merge",
+      SketchAggregates.cmsMergeBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_cms_count",
+      SketchAggregates.cmsCountBuilder)
     // N-ary Z-order key (trailing integer literal = per-dim bits)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "zorder_key",
       ZOrderExpression.sqlBuilder)

@@ -606,6 +606,204 @@ object SketchAggregates {
     override def prettyName: String = "graft_bloom_merge"
   }
 
+  // ---------------------------------------------------------- Count-Min
+
+  /** Count-Min state layout: [int depth][int width][depth*width long
+   *  counters, row-major]. Update adds 1 at one hashed column per row;
+   *  estimate is the min over rows — counts are OVERestimates only
+   *  (collisions add, never subtract): est >= true, and
+   *  est <= true + eps*N with eps = e/width at the standard depth-vs-
+   *  confidence tradeoff (Cormode & Muthukrishnan 2005). */
+  private val CmsHeaderBytes = 8
+
+  private def cmsNewState(depth: Int, width: Int): Array[Byte] = {
+    val st = new Array[Byte](CmsHeaderBytes + depth * width * 8)
+    writeIntBE(st, 0, depth); writeIntBE(st, 4, width)
+    st
+  }
+
+  private def writeIntBE(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+    b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+  }
+
+  private def readIntBE(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def cmsCell(st: Array[Byte], row: Int, col0: Int): Long = {
+    val off = CmsHeaderBytes + (row * readIntBE(st, 4) + col0) * 8
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (st(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def cmsCellAdd(st: Array[Byte], row: Int, col0: Int, delta: Long): Unit = {
+    val off = CmsHeaderBytes + (row * readIntBE(st, 4) + col0) * 8
+    var v = cmsCell(st, row, col0) + delta
+    var i = 7
+    while (i >= 0) { st(off + i) = v.toByte; v >>>= 8; i -= 1 }
+  }
+
+  /** Per-row column index: double hashing like Bloom, one position per
+   *  sketch row — deterministic across runs and partitions. */
+  private def cmsUpdate(st: Array[Byte], v: Any, dt: DataType): Unit = {
+    val depth = readIntBE(st, 0); val width = readIntBE(st, 4)
+    val h1 = XxHash64Function.hash(v, dt, 131L)
+    val h2 = XxHash64Function.hash(v, dt, 271L) | 1L
+    var r = 0
+    while (r < depth) {
+      cmsCellAdd(st, r, java.lang.Long.remainderUnsigned(h1 + r * h2, width).toInt, 1L)
+      r += 1
+    }
+  }
+
+  /** Point estimate: min over the value's cells. Public and static-shaped
+   *  for [[CmsCount]]'s generated code. */
+  def cmsEstimate(st: Array[Byte], v: Any, dt: DataType): Long = {
+    if (st.length <= CmsHeaderBytes) return 0L
+    val depth = readIntBE(st, 0); val width = readIntBE(st, 4)
+    val h1 = XxHash64Function.hash(v, dt, 131L)
+    val h2 = XxHash64Function.hash(v, dt, 271L) | 1L
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = cmsCell(st, r, java.lang.Long.remainderUnsigned(h1 + r * h2, width).toInt)
+      if (c < est) est = c
+      r += 1
+    }
+    est
+  }
+
+  private def cmsMergeInto(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    require(b1.length == b2.length && readIntBE(b1, 0) == readIntBE(b2, 0) &&
+      readIntBE(b1, 4) == readIntBE(b2, 4),
+      s"graft_cms merge: incompatible states (depth/width " +
+        s"${readIntBE(b1, 0)}x${readIntBE(b1, 4)} vs ${readIntBE(b2, 0)}x${readIntBE(b2, 4)}) " +
+        "— all states must share depth and width")
+    val depth = readIntBE(b1, 0); val width = readIntBE(b1, 4)
+    var r = 0
+    while (r < depth) {
+      var c = 0
+      while (c < width) { cmsCellAdd(b1, r, c, cmsCell(b2, r, c)); c += 1 }
+      r += 1
+    }
+    b1
+  }
+
+  /**
+   * graft_cms_state: fold a column into a Count-Min frequency sketch,
+   * returned as the persistable binary state. The fixed-memory frequency
+   * shape at 100 TB: exact per-value counts need a value-cardinality
+   * shuffle; the sketch folds each partition into depth*width counters
+   * and SUM-merges across the exchange. One-sided error — the estimate
+   * never undercounts, and overcounts by at most eps*N (eps ~ e/width)
+   * with probability 1 - (1/2)^depth — so "estimated count >= threshold"
+   * never misses a true heavy hitter. SUM-merge is associative and
+   * commutative but NOT idempotent: never fold the same state twice
+   * (unlike HLL/Bloom max/OR-merges, a double-merge double-counts).
+   */
+  case class CmsState(
+      child: Expression,
+      depth: Int = 5,
+      width: Int = 2048,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+    require(depth >= 1 && depth <= 16,
+      s"graft_cms_state depth must be in [1,16], got $depth")
+    require(width >= 16,
+      s"graft_cms_state width must be >= 16, got $width")
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Array[Byte] = cmsNewState(depth, width)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) cmsUpdate(buf, v, child.dataType)
+      buf
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = cmsMergeInto(b1, b2)
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def withNewMutableAggBufferOffset(o: Int): CmsState =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CmsState =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): CmsState =
+      copy(child = newChild)
+    override def prettyName: String = "graft_cms_state"
+  }
+
+  /**
+   * graft_cms_merge: SUM-fold a column of persisted Count-Min states into
+   * one state (binary). Mixed depth/width is a loud error; an empty input
+   * yields the empty byte array (estimates 0 for everything). Each input
+   * state must be folded exactly once — sum-merge is not idempotent.
+   */
+  case class CmsMergeState(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Array[Byte] = Array.emptyByteArray
+
+    private def fold(b: Array[Byte], s: Array[Byte]): Array[Byte] =
+      if (s.length == 0) b
+      else if (b.length == 0) s.clone()
+      else cmsMergeInto(b, s)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v == null) buf else fold(buf, v.asInstanceOf[Array[Byte]])
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = fold(b1, b2)
+    override def eval(buf: Array[Byte]): Any = buf
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def withNewMutableAggBufferOffset(o: Int): CmsMergeState =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CmsMergeState =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): CmsMergeState =
+      copy(child = newChild)
+    override def prettyName: String = "graft_cms_merge"
+  }
+
+  /**
+   * graft_cms_count(state, value): scalar point-frequency estimate — min
+   * over the value's hashed cells, inside whole-stage codegen. An empty
+   * state (merge identity) estimates 0.
+   */
+  case class CmsCount(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      if (left.dataType != BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cms_count state argument must be binary, got ${left.dataType.sql}")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+
+    override protected def nullSafeEval(state: Any, v: Any): Any =
+      cmsEstimate(state.asInstanceOf[Array[Byte]], v, right.dataType)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (st, v) => {
+        val dtRef = ctx.addReferenceObj("cmsValDt", right.dataType)
+        s"${ev.value} = graft.functions.SketchAggregates.cmsEstimate($st, $v, $dtRef);"
+      })
+    override def prettyName: String = "graft_cms_count"
+  }
+
   /**
    * graft_bloom_contains(state, value): scalar membership probe — the
    * corpus-side half of the decontamination shape. Stays inside
@@ -687,6 +885,44 @@ object SketchAggregates {
   def bloomContains(state: Column, v: Column): Column =
     GraftSqlBridge.column(
       BloomContains(GraftSqlBridge.expression(state), GraftSqlBridge.expression(v)))
+
+  /** Persistable Count-Min frequency state of `c` (binary; depth*width longs). */
+  def cmsState(c: Column, depth: Int = 5, width: Int = 2048): Column =
+    GraftSqlBridge.column(
+      CmsState(GraftSqlBridge.expression(c), depth, width).toAggregateExpression())
+
+  /** SUM-fold persisted Count-Min states (binary) into one state. */
+  def cmsMerge(c: Column): Column =
+    GraftSqlBridge.column(
+      CmsMergeState(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** Point-frequency estimate of `v` against Count-Min state `state`. */
+  def cmsCount(state: Column, v: Column): Column =
+    GraftSqlBridge.column(
+      CmsCount(GraftSqlBridge.expression(state), GraftSqlBridge.expression(v)))
+
+  /** SQL builder for graft_cms_state(col[, depth[, width]]). */
+  private[graft] def cmsStateBuilder(es: Seq[Expression]): Expression = {
+    if (es.isEmpty || es.length > 3) throw new IllegalArgumentException(
+      s"graft_cms_state expects (col[, depth[, width]]), got ${es.length} arguments")
+    val d = if (es.length >= 2) foldedInt(es(1), "graft_cms_state depth") else 5
+    val w = if (es.length == 3) foldedInt(es(2), "graft_cms_state width") else 2048
+    CmsState(es.head, d, w).toAggregateExpression()
+  }
+
+  /** SQL builder for graft_cms_merge(stateCol). */
+  private[graft] def cmsMergeBuilder(es: Seq[Expression]): Expression = {
+    if (es.length != 1) throw new IllegalArgumentException(
+      s"graft_cms_merge expects (stateCol), got ${es.length} arguments")
+    CmsMergeState(es.head).toAggregateExpression()
+  }
+
+  /** SQL builder for graft_cms_count(stateCol, value). */
+  private[graft] def cmsCountBuilder(es: Seq[Expression]): Expression = {
+    if (es.length != 2) throw new IllegalArgumentException(
+      s"graft_cms_count expects (stateCol, value), got ${es.length} arguments")
+    CmsCount(es(0), es(1))
+  }
 
   /** SQL builder for graft_bloom_state(col[, numBits[, numHashes]]). */
   private[graft] def bloomStateBuilder(es: Seq[Expression]): Expression = {

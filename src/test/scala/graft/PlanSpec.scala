@@ -158,6 +158,8 @@ class PlanSpec extends SparkSpec {
                            // bloom-state frame (t16's shape)
       "b2_bloom_merge_fp", // probe pass: crossJoin vs broadcast 1-row
                            // merged bloom-state frame
+      "k5_cms_heavy_hitters", // grading pass: crossJoin vs broadcast 1-row
+                           // cms-state frame (t16's shape)
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
       "g2_triangle_count", // 1-row x 1-row join of two global aggregates
@@ -264,7 +266,9 @@ class PlanSpec extends SparkSpec {
       "graft_kll" -> graft.functions.SketchAggregates.kllQuantiles(
         col("l_partkey").cast("double"), Seq(0.5)),
       "graft_bloom_state" -> graft.functions.SketchAggregates.bloomState(
-        col("l_partkey").cast("string"), 1 << 16, 4))) {
+        col("l_partkey").cast("string"), 1 << 16, 4),
+      "graft_cms_state" -> graft.functions.SketchAggregates.cmsState(
+        col("l_partkey").cast("string"), 4, 256))) {
       val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).agg(agg.as("sk"))
       val tree = plan(df).linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")

@@ -241,6 +241,65 @@ class SketchSpec extends SparkSpec {
     ex.getMessage should include("incompatible")
   }
 
+  test("cms: never undercounts, overcount within eps*N, deterministic across partitioning") {
+    import graft.functions.SketchAggregates._
+    // zipfish multiset: value v appears ~20000/v times
+    val df = spark.range(0, 20000).selectExpr("CAST(1 + id % 40 AS STRING) AS v")
+      .unionAll(spark.range(0, 5000).selectExpr("'1' AS v"))
+    val exact = df.groupBy(col("v")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = df.count()
+    val state = df.agg(cmsState(col("v"), 5, 256).as("cms"))
+    val ests = df.select(col("v")).distinct().crossJoin(broadcast(state))
+      .select(col("v"), cmsCount(col("cms"), col("v")).as("est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = math.ceil(2.72 * n / 256).toLong
+    for ((v, ex) <- exact) withClue(v) {
+      ests(v) should be >= ex
+      ests(v) should be <= ex + bound
+    }
+    // deterministic: fixed seeds + commutative sum-merge
+    val again = df.repartition(17).agg(cmsState(col("v"), 5, 256).as("cms"))
+      .head().getAs[Array[Byte]](0)
+    state.head().getAs[Array[Byte]](0) should contain theSameElementsInOrderAs again
+  }
+
+  test("cms: sharded states sum-merge to the byte-identical single-pass state, via parquet") {
+    import graft.functions.SketchAggregates._
+    val df = spark.range(0, 8000).selectExpr("id % 5 AS shard", "CAST(id % 300 AS STRING) AS v")
+    val single = df.agg(cmsState(col("v"), 4, 128).as("cms")).head().getAs[Array[Byte]](0)
+    val dir = tmpDir("cms_states")
+    df.groupBy(col("shard")).agg(cmsState(col("v"), 4, 128).as("st"))
+      .write.parquet(s"$dir/states")
+    val merged = spark.read.parquet(s"$dir/states")
+      .agg(cmsMerge(col("st")).as("cms")).head().getAs[Array[Byte]](0)
+    merged should contain theSameElementsInOrderAs single
+    // mixed depth/width fails loudly
+    val bad = spark.range(0, 10).selectExpr("CAST(id AS STRING) AS v")
+      .agg(cmsState(col("v"), 4, 256).as("st"))
+      .unionAll(spark.read.parquet(s"$dir/states").select(col("st")))
+    val ex = intercept[Exception] { bad.agg(cmsMerge(col("st"))).collect() }
+    ex.getMessage should include("incompatible")
+  }
+
+  test("cms: SQL surface and empty-state estimate") {
+    graft.functions.UdfRegistry.registerSystemUdfs(spark)
+    spark.range(0, 3000).selectExpr("CAST(id % 10 AS STRING) AS v")
+      .createOrReplaceTempView("cms_in")
+    val est = spark.sql(
+      """SELECT graft_cms_count(
+        |  (SELECT graft_cms_state(v, 5, 512) FROM cms_in), '3') AS c""".stripMargin)
+      .head().getLong(0)
+    est should be >= 300L
+    est should be <= 300L + math.ceil(2.72 * 3000 / 512).toLong
+    val empty = spark.sql(
+      """SELECT graft_cms_count(
+        |  (SELECT graft_cms_merge(st) FROM
+        |    (SELECT graft_cms_state(v) AS st FROM cms_in WHERE 1 = 0) t), '3') AS c""".stripMargin)
+      .head().getLong(0)
+    empty shouldBe 0L
+  }
+
   test("bloom: SQL surface (graft_bloom_state / _merge / _contains) and empty-state probe") {
     graft.functions.UdfRegistry.registerSystemUdfs(spark)
     spark.range(0, 1000).selectExpr("CONCAT('k', id) AS s")

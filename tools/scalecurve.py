@@ -77,6 +77,9 @@ LINEAR_SET = [
     # streaming windowed HLL: micro-batch scan + fixed-size sketch state
     # per (window, event_type) group; grading join is group-bounded
     "q85_stream_hll_window",
+    # count-min heavy hitters: token scan into depth*width counters; the
+    # exact top-10 GRADING side is t10's vocab shuffle (also linear)
+    "k5_cms_heavy_hitters",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
