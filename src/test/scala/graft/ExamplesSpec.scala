@@ -92,6 +92,36 @@ class ExamplesSpec extends SparkSpec {
     ex.getMessage should include("signature frame")
   }
 
+  test("decontamination_lifecycle.yaml: bloom build->persist->load->flag equals the in-session path") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_decon")
+    runExample("decontamination_lifecycle.yaml",
+      Map("data_dir" -> sfDir, "out_dir" -> out))
+    // the persisted filter is ONE state row, not the eval shingle set
+    val st = spark.read.parquet(s"$out/eval_bloom")
+    st.columns.toSeq shouldBe Seq("bf")
+    st.count() shouldBe 1L
+    val viaState = spark.read.parquet(s"$out/contamination_flags").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // in-session reference: same corpus flagged against the raw eval docs
+    // (filter rebuilt) — flags must be identical, proving the persisted
+    // state carries everything decontamination needs
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.filter(col("doc_id") % 50 === 0).createOrReplaceTempView("dl_eval")
+    docs.filter(col("doc_id") % 50 =!= 0).createOrReplaceTempView("dl_train")
+    val da = new graft.ml.DedupActor()
+    da.init(Map("view" -> "dl_train", "method" -> "decontaminate",
+      "evalView" -> "dl_eval"))
+    val inSession = da.run(ctx).get.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    viaState shouldBe inSession
+    // the fixture plants real contamination (d10's eval rule), so the
+    // flags must be non-vacuous in both directions
+    viaState.values.toSet shouldBe Set(0, 1)
+  }
+
   test("corpus_profile.yaml folds sketch states and merges them in a later job") {
     implicit val s = spark
     import org.apache.spark.sql.functions._
