@@ -3558,6 +3558,43 @@ object Queries {
         |  count(*) AS n_events, count(DISTINCT user_id) AS exact_distinct, 1 AS within
         |FROM events_us GROUP BY 1, 2""".stripMargin)),
 
+    // Streaming Count-Min: graft_cms_state as the streaming aggregate —
+    // one depth*width counter block per event_type in the state store,
+    // however many distinct users arrive. The drained per-type states
+    // then grade point estimates for each type's exact top-5 users:
+    // never_under must hold (sum-merge across micro-batches only ADDS,
+    // so slicing can't lose counts) and the eps*N overcount bound must
+    // hold per type. Complete-mode drain through the q27 path; exact
+    // counts hash-match the oracle.
+    Spec("q86_stream_cms_heavy_users", (spark, dir) => {
+      val states = eventsStream(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.SketchAggregates.cmsState(col("user_id")).as("cms"),
+          count(lit(1)).as("n_events"))
+      val st = drainToMemory(spark, states, "q86_cms", "complete")
+      val ev = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      val top = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+            .orderBy(col("exact_cnt").desc, col("user_id"))))
+        .filter(col("rk") <= 5).drop("rk")
+      val est = graft.functions.SketchAggregates.cmsCount(col("cms"), col("user_id"))
+      top.join(st, "event_type")
+        .select(col("event_type"), col("user_id"), col("exact_cnt"),
+          (est >= col("exact_cnt")).cast("int").as("never_under"),
+          (est <= col("exact_cnt") +
+            ceil(col("n_events") * lit(2.7182818) / lit(2048)).cast("long"))
+            .cast("int").as("within_eps"))
+    }, Some(s"""WITH $eventsUsCte,
+        |c AS (SELECT event_type, user_id, count(*) AS exact_cnt
+        |      FROM events_us GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY exact_cnt DESC, user_id) AS rk FROM c)
+        |SELECT event_type, user_id, exact_cnt,
+        |  1 AS never_under, 1 AS within_eps
+        |FROM r WHERE rk <= 5""".stripMargin)),
+
     // Pearson correlation per group from DECIMAL-exact moments (the t14
     // device extended to second cross-moments): built-in corr() aggregates
     // doubles in partition order and cannot hash-match across engines; the

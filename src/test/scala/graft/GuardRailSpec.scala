@@ -150,4 +150,27 @@ class GuardRailSpec extends SparkSpec {
       graft.functions.AvroDecoder.sparkTypeFor(new org.apache.avro.Schema.Parser().parse(bad))
     }.getMessage should include("encode as a record")
   }
+
+  test("every catalog query is classified in the scale gate (tools/scalecurve.py)") {
+    // The 100 TB evidence rests on the full-catalog scaling probe, which
+    // only measures queries in its LINEAR_SET/MODELED tables. A query
+    // added without a classification silently escapes the gate until the
+    // next manual cross-check — fail the SUITE instead, at add time.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/scalecurve.py")), "UTF-8")
+    val listsRegion = src.substring(
+      src.indexOf("LINEAR_SET"), src.indexOf("def build_sf1"))
+    val classified = "\"([a-z0-9_]+)\"".r.findAllMatchIn(listsRegion)
+      .map(_.group(1)).toSet
+    val catalog = Queries.all.map(_.name).toSet
+    withClue("add these to LINEAR_SET or MODELED in tools/scalecurve.py: ") {
+      (catalog -- classified) shouldBe empty
+    }
+    // stale entries: only names that LOOK like catalog queries
+    // (letter(s) + digit + underscore) — the lists also contain plain
+    // python strings like table names
+    withClue("classified but not in the catalog (stale entries): ") {
+      (classified -- catalog).filter(_.matches("[a-z]+\\d+[a-z]?_.*")) shouldBe empty
+    }
+  }
 }

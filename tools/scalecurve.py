@@ -80,6 +80,9 @@ LINEAR_SET = [
     # count-min heavy hitters: token scan into depth*width counters; the
     # exact top-10 GRADING side is t10's vocab shuffle (also linear)
     "k5_cms_heavy_hitters",
+    # streaming per-type CMS: fixed counter block per event_type in the
+    # state store; grading side is a keyed agg + WindowGroupLimit top-5
+    "q86_stream_cms_heavy_users",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
