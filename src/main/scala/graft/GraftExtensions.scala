@@ -63,6 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_cms_count"),
       new ExpressionInfo(classOf[graft.functions.SketchAggregates.CmsCount].getName, "graft_cms_count"),
       (es: Seq[Expression]) => graft.functions.SketchAggregates.cmsCountBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.BottomKSample].getName, "graft_bottomk"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.bottomKBuilder(es)))
     e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }
 }

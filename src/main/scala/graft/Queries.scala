@@ -1905,6 +1905,32 @@ object Queries {
         |  CAST(unnest(range(1, 2 + (CAST(substr(source, 4) AS BIGINT) % 3))) AS BIGINT) AS epoch
         |FROM documents""".stripMargin)),
 
+    // Per-group deterministic sampling (SketchAggregates.BottomKSample):
+    // k docs per source, chosen as the k smallest oracle-hashes of the
+    // id — a fixed function of each group's distinct id set, stable
+    // across partitioning/re-runs/engines. As an AGGREGATE, each task
+    // ships <= k entries per group through the exchange; the window
+    // row_number-over-hash alternative ranks (shuffles) every row. The
+    // md5-derived hash family is mirrored in the oracle, so the ENTIRE
+    // sample hash-matches — the strongest oracle form, unlike the
+    // verdict-bounded estimators.
+    Spec("c7_per_source_sample", (spark, dir) => {
+      spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy(col("source"))
+        .agg(graft.functions.SketchAggregates.bottomK(col("doc_id"), 5).as("sample_ids"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }, Some(s"""WITH h AS (
+        |  SELECT source, doc_id,
+        |    ${Hashing.duckdbHashSql("CAST(doc_id AS VARCHAR)")} AS hv
+        |  FROM (SELECT DISTINCT source, doc_id FROM documents)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+        |      FROM h)
+        |SELECT source,
+        |  (SELECT list(CAST(doc_id AS VARCHAR) ORDER BY hv)
+        |     FROM r WHERE r.source = h2.source AND rk <= 5) AS sample_ids,
+        |  count(*) AS n_docs
+        |FROM h h2 GROUP BY source""".stripMargin)),
+
     // PIVOT: status columns per priority bucket — Spark's native PIVOT
     // syntax; the oracle spells it as FILTER aggregates so the two
     // engines' pivot implementations are checked against each other.

@@ -130,6 +130,8 @@ object UdfRegistry {
       SketchAggregates.cmsMergeBuilder)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_cms_count",
       SketchAggregates.cmsCountBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_bottomk",
+      SketchAggregates.bottomKBuilder)
     // N-ary Z-order key (trailing integer literal = per-dim bits)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "zorder_key",
       ZOrderExpression.sqlBuilder)

@@ -460,6 +460,123 @@ object SketchAggregates {
     override def prettyName: String = "graft_kll_merge"
   }
 
+  // ----------------------------------------------------- bottom-k sample
+
+  /** JVM mirror of the SQL oracle hash `Hashing.oracleHash`:
+   *  conv(substring(md5(s),1,15),16,10) — first 60 bits of the MD5 of the
+   *  value's string form, bit-identical in any engine with standard MD5.
+   *  Chosen over xxhash so per-group samples are EXACTLY reproducible in
+   *  the DuckDB correctness oracle, not just verdict-bounded. */
+  private[graft] def oracleHash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex digits = first 7 bytes + high nibble of the 8th
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** Bottom-k state: distinct (hash -> value-string) pairs, k smallest
+   *  hashes kept. Union-then-trim merge is associative, commutative and
+   *  idempotent, so sharding/micro-batching cannot change the sample. */
+  final class BottomKBuffer(val k: Int) {
+    val entries = new java.util.TreeMap[Long, String]()
+    def insert(s: String): Unit = {
+      val h = oracleHash60(s)
+      if (!entries.containsKey(h)) {
+        if (entries.size < k) entries.put(h, s)
+        else if (h < entries.lastKey()) { entries.put(h, s); entries.remove(entries.lastKey()) }
+      }
+    }
+    def mergeIn(o: BottomKBuffer): Unit = {
+      val it = o.entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (!entries.containsKey(e.getKey)) entries.put(e.getKey, e.getValue)
+      }
+      while (entries.size > k) entries.remove(entries.lastKey())
+    }
+  }
+
+  private def bottomKSerialize(b: BottomKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.k)
+    out.writeInt(b.entries.size)
+    val it = b.entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e.getKey); out.writeUTF(e.getValue)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  private def bottomKDeserialize(bytes: Array[Byte]): BottomKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new BottomKBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { b.entries.put(in.readLong(), in.readUTF()); i += 1 }
+    b
+  }
+
+  /**
+   * graft_bottomk(col, k): deterministic distinct sample — the k values
+   * with the smallest oracle-hash, returned hash-ordered as
+   * array<string>. The per-GROUP sampling shape at 100 TB: as an
+   * aggregate, each task folds its partition into <= k entries per group
+   * and only those cross the exchange — where the window
+   * row_number-over-hash alternative shuffles EVERY row to rank it.
+   * Union-then-trim merge is order-free and idempotent, so the sample is
+   * a fixed function of the group's distinct value set: stable across
+   * partitioning, re-runs, micro-batch slicing, and engines (the hash is
+   * md5-derived, mirrorable in the DuckDB oracle — c7 hash-matches the
+   * whole sample, not a verdict bound). Doubles as KMV state: the k-th
+   * smallest hash estimates distinct counts (t12's estimator).
+   */
+  case class BottomKSample(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BottomKBuffer] with UnaryLike[Expression] {
+
+    require(k >= 1 && k <= 100000, s"graft_bottomk k must be in [1,100000], got $k")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): BottomKBuffer = new BottomKBuffer(k)
+
+    override def update(buf: BottomKBuffer, input: InternalRow): BottomKBuffer = {
+      val v = child.eval(input)
+      if (v != null) buf.insert(v.toString)
+      buf
+    }
+    override def merge(b1: BottomKBuffer, b2: BottomKBuffer): BottomKBuffer = {
+      b1.mergeIn(b2); b1
+    }
+    override def eval(buf: BottomKBuffer): Any = {
+      val vals = new Array[org.apache.spark.unsafe.types.UTF8String](buf.entries.size)
+      val it = buf.entries.entrySet().iterator()
+      var i = 0
+      while (it.hasNext) {
+        vals(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next().getValue)
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(vals)
+    }
+    override def serialize(buf: BottomKBuffer): Array[Byte] = bottomKSerialize(buf)
+    override def deserialize(bytes: Array[Byte]): BottomKBuffer = bottomKDeserialize(bytes)
+    override def withNewMutableAggBufferOffset(o: Int): BottomKSample =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BottomKSample =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): BottomKSample =
+      copy(child = newChild)
+    override def prettyName: String = "graft_bottomk"
+  }
+
   // -------------------------------------------------------------- Bloom
 
   /** Bloom-filter state layout: [int numHashes][bit bytes]. Bit count is
@@ -885,6 +1002,19 @@ object SketchAggregates {
   def bloomContains(state: Column, v: Column): Column =
     GraftSqlBridge.column(
       BloomContains(GraftSqlBridge.expression(state), GraftSqlBridge.expression(v)))
+
+  /** Deterministic distinct sample of `c`: k smallest-oracle-hash values,
+   *  hash-ordered array<string>. */
+  def bottomK(c: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      BottomKSample(GraftSqlBridge.expression(c), k).toAggregateExpression())
+
+  /** SQL builder for graft_bottomk(col, k). */
+  private[graft] def bottomKBuilder(es: Seq[Expression]): Expression = {
+    if (es.length != 2) throw new IllegalArgumentException(
+      s"graft_bottomk expects (col, k), got ${es.length} arguments")
+    BottomKSample(es.head, foldedInt(es(1), "graft_bottomk k")).toAggregateExpression()
+  }
 
   /** Persistable Count-Min frequency state of `c` (binary; depth*width longs). */
   def cmsState(c: Column, depth: Int = 5, width: Int = 2048): Column =

@@ -268,7 +268,9 @@ class PlanSpec extends SparkSpec {
       "graft_bloom_state" -> graft.functions.SketchAggregates.bloomState(
         col("l_partkey").cast("string"), 1 << 16, 4),
       "graft_cms_state" -> graft.functions.SketchAggregates.cmsState(
-        col("l_partkey").cast("string"), 4, 256))) {
+        col("l_partkey").cast("string"), 4, 256),
+      "graft_bottomk" -> graft.functions.SketchAggregates.bottomK(
+        col("l_partkey").cast("string"), 8))) {
       val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).agg(agg.as("sk"))
       val tree = plan(df).linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")

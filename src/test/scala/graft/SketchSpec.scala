@@ -241,6 +241,46 @@ class SketchSpec extends SparkSpec {
     ex.getMessage should include("incompatible")
   }
 
+  test("bottomk: per-group sample equals the window reference, stable across partitioning") {
+    import graft.functions.SketchAggregates._
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 5000).selectExpr("id % 7 AS grp", "id AS v")
+    def sampleOf(d: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      d.groupBy(col("grp")).agg(bottomK(col("v"), 4).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val agg = sampleOf(df)
+    // reference: rank every row by the same oracle hash, keep 4 per group
+    val ref = df.withColumn("h", graft.ml.Hashing.oracleHash(col("v").cast("string")))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
+      .filter(col("rk") <= 4).orderBy(col("grp"), col("h")).collect()
+      .groupBy(_.getLong(0)).map { case (g, rows) => g -> rows.map(_.getLong(1).toString).toSeq }
+    agg shouldBe ref
+    // partitioning-invariant (union-then-trim merge is order-free)
+    sampleOf(df.repartition(23)) shouldBe agg
+    // duplicates don't perturb the sample (distinct-set semantics)
+    sampleOf(df.unionAll(df)) shouldBe agg
+  }
+
+  test("bottomk: SQL surface and state serde round-trip") {
+    graft.functions.UdfRegistry.registerSystemUdfs(spark)
+    spark.range(0, 1000).selectExpr("CAST(id AS STRING) AS v")
+      .createOrReplaceTempView("bk_in")
+    val viaSql = spark.sql("SELECT graft_bottomk(v, 3) AS s FROM bk_in")
+      .head().getSeq[String](0)
+    viaSql.length shouldBe 3
+    val viaApi = spark.table("bk_in")
+      .agg(graft.functions.SketchAggregates.bottomK(col("v"), 3)).head().getSeq[String](0)
+    viaSql shouldBe viaApi
+    // serde round-trip preserves the buffer exactly
+    val agg = graft.functions.SketchAggregates.BottomKSample(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    val buf = agg.createAggregationBuffer()
+    (1 to 100).foreach(i => buf.insert(s"v$i"))
+    val back = agg.deserialize(agg.serialize(buf))
+    back.entries shouldBe buf.entries
+    back.k shouldBe buf.k
+  }
+
   test("cms: never undercounts, overcount within eps*N, deterministic across partitioning") {
     import graft.functions.SketchAggregates._
     // zipfish multiset: value v appears ~20000/v times

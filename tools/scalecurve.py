@@ -83,6 +83,9 @@ LINEAR_SET = [
     # streaming per-type CMS: fixed counter block per event_type in the
     # state store; grading side is a keyed agg + WindowGroupLimit top-5
     "q86_stream_cms_heavy_users",
+    # per-group bottom-k sample: one agg pass, <= k entries per group per
+    # partition cross the exchange (plus an md5 per distinct id)
+    "c7_per_source_sample",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
