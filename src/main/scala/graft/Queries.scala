@@ -3044,6 +3044,55 @@ object Queries {
         |FROM toks WHERE length(tok) > 0
         |GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 10""".stripMargin)),
 
+    // KMV set resemblance from bottom-k signatures: Jaccard of the
+    // view-users and click-users sets estimated as
+    // |B_k(A∪B) ∩ B_k(A) ∩ B_k(B)| / min(k, |B_k(A∪B)|) — the classic
+    // min-hash resemblance estimator over the SAME deterministic
+    // signatures c7 samples with. At 100 TB the three signatures fold in
+    // ONE pass over the filtered scan (k entries each across the
+    // exchange); the exact overlap needs a distinct-user shuffle. Exact
+    // counts + integer-quanta Jaccard hash-match the oracle; the
+    // estimate is verdict-graded (k=128: 3-sigma ~ 0.13 at the worst
+    // J=0.5, bound 0.15; deterministic signatures make the check
+    // stable, not a coin flip).
+    Spec("k6_kmv_jaccard", (spark, dir) => {
+      val k = 128
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"), col("user_id"))
+        .filter(col("event_type").isin("view", "click"))
+      val sk = ev.agg(
+        graft.functions.SketchAggregates.bottomK(
+          when(col("event_type") === "view", col("user_id")), k).as("sa"),
+        graft.functions.SketchAggregates.bottomK(
+          when(col("event_type") === "click", col("user_id")), k).as("sb"),
+        graft.functions.SketchAggregates.bottomK(col("user_id"), k).as("su"))
+      val perUser = ev.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("in_a"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("in_b"))
+      val exact = perUser.agg(
+        sum(col("in_a")).cast("long").as("n_view_users"),
+        sum(col("in_b")).cast("long").as("n_click_users"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1).otherwise(0))
+          .cast("long").as("n_both"),
+        count(lit(1)).as("n_union"))
+      val est = size(array_intersect(array_intersect(col("su"), col("sa")), col("sb")))
+        .cast("double") / least(lit(k), size(col("su"))).cast("double")
+      exact.crossJoin(sk)
+        .select(col("n_view_users"), col("n_click_users"), col("n_both"),
+          expr("1000000L * n_both div n_union").as("jaccard_ppm"),
+          (abs(est - col("jaccard_ppm").cast("double") / 1e6) <= 0.15)
+            .cast("int").as("within"))
+    }, Some("""WITH pu AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS in_a,
+        |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_b
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY user_id)
+        |SELECT sum(in_a)::BIGINT AS n_view_users, sum(in_b)::BIGINT AS n_click_users,
+        |  sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+        |  (1000000 * sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |     // count(*))::BIGINT AS jaccard_ppm,
+        |  1 AS within
+        |FROM pu""".stripMargin)),
+
     // Bigram language-model scoring — the classic cheap "perplexity-ish"
     // quality signal: train corpus bigram counts in one pass, score each
     // doc by the sum of its bigrams' conditional-probability quanta

@@ -173,4 +173,16 @@ class GuardRailSpec extends SparkSpec {
       (classified -- catalog).filter(_.matches("[a-z]+\\d+[a-z]?_.*")) shouldBe empty
     }
   }
+
+  test("every catalog query carries an oracle (no rows-only weak checks)") {
+    // The driver records a weaker rows-only check for queries missing
+    // from oracleSql — 152/152 strong checks is a property worth pinning,
+    // not an accident of discipline.
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    withClue("queries without an oracle: ") { (q -- o) shouldBe empty }
+    withClue("oracles without a query: ") { (o -- q) shouldBe empty }
+    // and the flagship entry is a catalog member, not a divergent copy
+    SparkEntry.queries.keySet should contain("q1_pricing_summary")
+  }
 }

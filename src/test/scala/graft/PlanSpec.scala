@@ -160,6 +160,8 @@ class PlanSpec extends SparkSpec {
                            // merged bloom-state frame
       "k5_cms_heavy_hitters", // grading pass: crossJoin vs broadcast 1-row
                            // cms-state frame (t16's shape)
+      "k6_kmv_jaccard",    // verdict assembly: 1-row x 1-row crossJoin of
+                           // the exact-counts and signature aggregates
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
       "g2_triangle_count", // 1-row x 1-row join of two global aggregates

@@ -86,6 +86,9 @@ LINEAR_SET = [
     # per-group bottom-k sample: one agg pass, <= k entries per group per
     # partition cross the exchange (plus an md5 per distinct id)
     "c7_per_source_sample",
+    # KMV resemblance: three bottom-k signatures in one filtered pass +
+    # a distinct-user grading shuffle — both linear
+    "k6_kmv_jaccard",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
