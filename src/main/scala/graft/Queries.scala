@@ -1931,6 +1931,33 @@ object Queries {
         |  count(*) AS n_docs
         |FROM h h2 GROUP BY source""".stripMargin)),
 
+    // c7's per-group sample maintained as STREAMING state: the bottom-k
+    // buffer is the state-store value per source, and because the
+    // union-then-trim merge is idempotent and order-free, micro-batch
+    // slicing is INVISIBLE — the drained sample hash-matches the batch
+    // oracle exactly (the stream/batch-parity contract of q27/q41,
+    // extended to sketch state). countDistinct is not available in
+    // streaming aggregations; doc_id is unique in the table, so
+    // count(*) IS the distinct count here (and the oracle counts the
+    // same distinct pairs).
+    Spec("q87_stream_sample", (spark, dir) => {
+      val agg = streamTable(spark, dir, "documents.parquet")
+        .groupBy(col("source"))
+        .agg(graft.functions.SketchAggregates.bottomK(col("doc_id"), 5).as("sample_ids"),
+          count(lit(1)).as("n_docs"))
+      drainToMemory(spark, agg, "q87_sample", "complete")
+    }, Some(s"""WITH h AS (
+        |  SELECT source, doc_id,
+        |    ${Hashing.duckdbHashSql("CAST(doc_id AS VARCHAR)")} AS hv
+        |  FROM (SELECT DISTINCT source, doc_id FROM documents)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+        |      FROM h)
+        |SELECT source,
+        |  (SELECT list(CAST(doc_id AS VARCHAR) ORDER BY hv)
+        |     FROM r WHERE r.source = h2.source AND rk <= 5) AS sample_ids,
+        |  count(*) AS n_docs
+        |FROM h h2 GROUP BY source""".stripMargin)),
+
     // PIVOT: status columns per priority bucket — Spark's native PIVOT
     // syntax; the oracle spells it as FILTER aggregates so the two
     // engines' pivot implementations are checked against each other.

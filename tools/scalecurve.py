@@ -89,6 +89,9 @@ LINEAR_SET = [
     # KMV resemblance: three bottom-k signatures in one filtered pass +
     # a distinct-user grading shuffle — both linear
     "k6_kmv_jaccard",
+    # streaming per-source sample: bottom-k buffer per source in the
+    # state store; micro-batch scan, k entries per group per batch
+    "q87_stream_sample",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
