@@ -897,6 +897,13 @@ object SketchAggregates {
    * graft_cms_count(state, value): scalar point-frequency estimate — min
    * over the value's hashed cells, inside whole-stage codegen. An empty
    * state (merge identity) estimates 0.
+   *
+   * The probe value's TYPE must match the build column's type: the hash
+   * is computed over the internal representation, so probing a
+   * long-built sketch with the string '1' (or vice versa) silently
+   * estimates a different key. The binary state cannot carry the build
+   * type, so this is a caller contract — CAST the probe to the build
+   * column's type.
    */
   case class CmsCount(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
@@ -929,6 +936,10 @@ object SketchAggregates {
    * 1-row column, so the per-row cost is k hash probes into an in-memory
    * byte array, no join machinery. An empty state (merge identity, no
    * insertions) contains nothing.
+   *
+   * As with [[CmsCount]], the probe value's TYPE must match the build
+   * column's type (the hash is computed over the internal
+   * representation) — a mismatched probe silently never matches.
    */
   case class BloomContains(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = BooleanType

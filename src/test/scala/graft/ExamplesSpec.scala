@@ -129,8 +129,8 @@ class ExamplesSpec extends SparkSpec {
     runExample("corpus_profile.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
     // intermediate states: one row per event_type, binary sketch columns
     val states = spark.read.parquet(s"$out/profile_states")
-    states.columns.toSet shouldBe
-      Set("event_type", "rows_seen", "users_state", "value_state")
+    states.columns.toSet shouldBe Set("event_type", "rows_seen",
+      "users_state", "value_state", "freq_state", "sample_users")
     val profile = spark.read.parquet(s"$out/profile").head()
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
     profile.getAs[Long]("total_rows") shouldBe ev.count()
@@ -143,6 +143,11 @@ class ExamplesSpec extends SparkSpec {
     val n = ev.filter(col("value").isNotNull).count().toDouble
     val rank = ev.filter(col("value").cast("double") <= med).count() / n
     math.abs(rank - 0.5) should be < 0.03
+    // merged CMS point estimate for user 1: one-sided error vs exact
+    val ex1 = ev.filter(col("user_id") === 1L).count()
+    val cms1 = profile.getAs[Long]("user1_events")
+    cms1 should be >= ex1
+    cms1 should be <= ex1 + math.ceil(2.72 * ev.count() / 2048).toLong
   }
 
   test("curate_corpus.yaml runs semdedup and bm25 through the actor surface") {
