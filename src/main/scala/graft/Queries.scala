@@ -1551,6 +1551,54 @@ object Queries {
         |  md5(array_to_string(bs, ',')) AS band_md5
         |FROM b""".stripMargin)),
 
+    // Perceptual-hash image dedup: corpus → real PNGs (identical copies
+    // planted at %5+100000, one-character-perturbed copies at %7+200000)
+    // → ImageIO decode → 8×8 average-hash → LSH banding over the hash
+    // bits → exact Hamming grade on the bucket-bounded candidates. The
+    // oracle recomputes the bit pattern from the pixel generator and
+    // replays the same banding relationally, so the gate proves decode +
+    // hash + blocking end-to-end (sf0.001: 186 pairs, every planted copy
+    // recovered, zero chance collisions). Candidate pairs stay
+    // bucket-bounded — never corpus-quadratic — exactly like MinHash-LSH
+    // for text.
+    Spec("m5_image_phash", (spark, dir) => {
+      implicit val s: SparkSession = spark
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val icorpus = docs
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("z"), expr("substring(text, 2)")).as("text")))
+      val imgs = graft.ml.Multimodal.textToGrayPng(icorpus, "doc_id", "text", 16, 16)
+      val hashes = graft.ml.Multimodal.averageHash(imgs)
+      graft.ml.Multimodal.phashNearDupPairs(hashes, bands = 4, maxHamming = 6)
+    }, Some("""WITH icorpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'z' || substr(text, 2) FROM documents WHERE doc_id % 7 = 0),
+        |px AS (SELECT doc_id, list_transform(range(0, 256), i ->
+        |    ascii(substr(text, CAST((i * 7) % length(text) AS BIGINT) + 1, 1))) AS g FROM icorpus),
+        |bt AS (SELECT doc_id, list_sum(g) AS total,
+        |  list_transform(range(0, 64), p -> list_sum(list_transform(range(0, 4), j ->
+        |    g[CAST(((p // 8) * 2 + j // 2) * 16 + (p % 8) * 2 + (j % 2) AS BIGINT) + 1]))) AS bs
+        |  FROM px),
+        |ph AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), p ->
+        |    CASE WHEN bs[CAST(p AS BIGINT) + 1] * 64 > total THEN '1' ELSE '0' END), '') AS bits
+        |  FROM bt),
+        |bexp AS (SELECT doc_id, band, substr(bits, CAST(band * 16 AS BIGINT) + 1, 16) AS bstr
+        |  FROM (SELECT doc_id, unnest(range(0, 4)) AS band, bits FROM ph)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bexp a JOIN bexp b ON a.band = b.band AND a.bstr = b.bstr AND a.doc_id < b.doc_id),
+        |wb AS (SELECT c.id_a, c.id_b,
+        |    CAST(len(list_filter(range(1, 65), i ->
+        |      substr(pa.bits, CAST(i AS BIGINT), 1) <> substr(pb.bits, CAST(i AS BIGINT), 1))) AS BIGINT) AS hamming
+        |  FROM cand c JOIN ph pa ON c.id_a = pa.doc_id JOIN ph pb ON c.id_b = pb.doc_id)
+        |SELECT id_a, id_b, hamming FROM wb WHERE hamming <= 6""".stripMargin)),
+
     // ------------------------------------------- training-data pipeline ops
 
     Spec("d1_dedup_exact", (spark, dir) => {
@@ -1700,6 +1748,42 @@ object Queries {
          |SELECT doc_id, min(doc_id) OVER (PARTITION BY lang_pred) AS cluster_id FROM l""".stripMargin
     }),
 
+    // Canonical-representative selection — the "which copy survives"
+    // decision every dedup pipeline ends with: within each duplicate
+    // cluster keep the highest-quality doc (tie: smallest id). Clusters
+    // come from the same lang-chain edges as d9 (so the oracle can
+    // reproduce them relationally); quality is t2's score. The rank
+    // window shuffles once on cluster_id; everything upstream is d9's
+    // round-bound star-contraction.
+    Spec("d18_canonical_rep", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"),
+          TextAnalysis.qualityScore(regexp_replace(col("text"), " the ", " . ")).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+      val edges = docs
+        .withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      val labels = Dedup.clusterLabelsStars(edges)
+      val labeled = docs.join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"), col("quality"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("quality").desc, col("doc_id"))
+      labeled.withColumn("is_rep", (row_number().over(rw) === 1).cast("int"))
+    }, Some {
+      s"""WITH l AS ($t3Oracle),
+         |q AS (SELECT doc_id, $qQualitySql AS quality
+         |  FROM (SELECT doc_id, regexp_replace(text, ' the ', ' . ', 'g') AS text FROM documents) t),
+         |c AS (SELECT l.doc_id, min(l.doc_id) OVER (PARTITION BY lang_pred) AS cluster_id, q.quality
+         |  FROM l JOIN q ON l.doc_id = q.doc_id)
+         |SELECT doc_id, cluster_id, quality,
+         |  CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1
+         |    THEN 1 ELSE 0 END AS INT) AS is_rep
+         |FROM c""".stripMargin
+    }),
+
     // Benchmark decontamination: drop/flag training docs sharing any word
     // n-gram with a held-out eval set — standard before LLM training. The
     // eval set is tiny relative to the corpus, so its distinct shingles are
@@ -1782,6 +1866,35 @@ object Queries {
     Spec("d14_semdedup", d14, Some(d14Oracle)),
     Spec("d15_dedup_eval", d15, Some(d15Oracle)),
     Spec("d16_incremental_dedup", d16, Some(d16Oracle)),
+
+    // C4/CCNet-style paragraph dedup, run over the planted-copy corpus:
+    // every 10-token span whose normalized content appeared earlier
+    // (smaller doc id, then earlier position) is dropped; docs are
+    // reassembled from the surviving spans. The %5-shifted copies share
+    // every full span with their original except the tail (the appended
+    // ' dup dup dup' merges into it), so the gate exercises full keeps,
+    // partial strips, and all-dropped docs in one run (sf0.001 split:
+    // 447 / 141 / 12). First-occurrence ranking shuffles on md5(span) —
+    // constant-width key however long the spans get.
+    Spec("d17_paragraph_dedup", (spark, dir) => {
+      Dedup.chunkDedup(docCorpus(spark, dir), "text", "doc_id", 10)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"), col("dedup_text"))
+    }, Some(s"""WITH $corpusCte,
+        |n AS (SELECT doc_id, list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+        |  x -> length(x) > 0) AS ws FROM corpus),
+        |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+        |  i -> {'pos': i, 'tok': ws[i]})) AS u FROM n),
+        |ch AS (SELECT doc_id, (u.pos - 1) // 10 AS chunk, string_agg(u.tok, ' ' ORDER BY u.pos) AS ctext
+        |  FROM tk GROUP BY doc_id, (u.pos - 1) // 10),
+        |r AS (SELECT doc_id, chunk, ctext,
+        |  row_number() OVER (PARTITION BY md5(ctext) ORDER BY doc_id, chunk) AS rn FROM ch),
+        |cnt AS (SELECT doc_id, count(*) AS n_chunks,
+        |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept FROM r GROUP BY doc_id),
+        |kt AS (SELECT doc_id, string_agg(ctext, ' ' ORDER BY chunk) AS dedup_text
+        |  FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(c.n_chunks AS BIGINT) AS n_chunks, CAST(c.n_kept AS BIGINT) AS n_kept,
+        |  coalesce(kt.dedup_text, '') AS dedup_text
+        |FROM cnt c LEFT JOIN kt ON c.doc_id = kt.doc_id""".stripMargin)),
 
     // Deterministic stratified sampling: N docs per language stratum,
     // selected by content-independent hash order — the balancing step of a
@@ -1940,6 +2053,34 @@ object Queries {
     // streaming aggregations; doc_id is unique in the table, so
     // count(*) IS the distinct count here (and the oracle counts the
     // same distinct pairs).
+    // Priority sampling (Duffield-Lund-Thorup '05): weighted without-
+    // replacement sample — per-item priority w/u with u uniform in (0,1],
+    // top-k by priority is an unbiased subset-sum sample. u is a
+    // deterministic LCG draw per id, and the priority is ONE IEEE multiply
+    // + divide (both correctly rounded, hence bit-identical across
+    // engines — no pow/ln, unlike the u^(1/w) exponential-keys
+    // formulation, whose transcendentals are only 1-ulp-close). The top-k
+    // runs as TakeOrderedAndProject (per-partition heaps + driver merge of
+    // k-rows each, never a global sort); the rank window orders only the
+    // k survivors.
+    Spec("c8_weighted_sample", (spark, dir) => {
+      val k = 100
+      val pri = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("n_chars").cast("long").as("w"),
+          pmod(col("doc_id") * 48271 + 11, lit(1000003L)).as("r"))
+        .withColumn("priority",
+          col("w").cast("double") * lit(1000004.0) / (col("r").cast("double") + lit(1.0)))
+      pri.orderBy(col("priority").desc, col("doc_id")).limit(k)
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("priority").desc, col("doc_id"))).cast("int"))
+    }, Some("""WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |  (doc_id * 48271 + 11) % 1000003 AS r FROM documents),
+        |k AS (SELECT doc_id, w, r,
+        |  CAST(w AS DOUBLE) * 1000004.0 / (CAST(r AS DOUBLE) + 1.0) AS priority FROM p),
+        |rk AS (SELECT doc_id, w, r, priority,
+        |  row_number() OVER (ORDER BY priority DESC, doc_id) AS rank FROM k)
+        |SELECT doc_id, w, r, priority, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 100""".stripMargin)),
+
     Spec("q87_stream_sample", (spark, dir) => {
       val agg = streamTable(spark, dir, "documents.parquet")
         .groupBy(col("source"))
@@ -1957,6 +2098,35 @@ object Queries {
         |     FROM r WHERE r.source = h2.source AND rk <= 5) AS sample_ids,
         |  count(*) AS n_docs
         |FROM h h2 GROUP BY source""".stripMargin)),
+
+    // Map higher-order functions end-to-end: per-customer maps built with
+    // map_from_entries (sorted entry arrays — deterministic map layout),
+    // combined with map_zip_with (integer per-status average), pruned with
+    // map_filter, key-normalized with transform_keys, and exploded back to
+    // rows. The oracle is the equivalent RELATIONAL query — proving the
+    // whole map pipeline against plain GROUP BY algebra. All map work is
+    // post-aggregation (per-customer rows), so the only shuffles are the
+    // two keyed aggregations.
+    Spec("q88_map_hof", sqlQuery(Seq("orders"),
+      """WITH g AS (SELECT o_custkey, o_orderstatus AS st, count(*) AS cnt,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey, o_orderstatus),
+        |m AS (SELECT o_custkey,
+        |    map_from_entries(array_sort(collect_list(struct(st, cnt)))) AS mc,
+        |    map_from_entries(array_sort(collect_list(struct(st, cents)))) AS ms
+        |  FROM g GROUP BY o_custkey),
+        |z AS (SELECT o_custkey,
+        |    transform_keys(
+        |      map_filter(map_zip_with(mc, ms, (k, c, s) -> s div c), (k, v) -> v > 15000000),
+        |      (k, v) -> lower(k)) AS mz
+        |  FROM m)
+        |SELECT o_custkey, key AS st, value AS avg_cents
+        |FROM z LATERAL VIEW explode(mz) t AS key, value""".stripMargin),
+      Some("""WITH g AS (SELECT o_custkey, o_orderstatus AS st, count(*) AS cnt,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey, o_orderstatus)
+        |SELECT o_custkey, lower(st) AS st, cents // cnt AS avg_cents
+        |FROM g WHERE cents // cnt > 15000000""".stripMargin)),
 
     // PIVOT: status columns per priority bucket — Spark's native PIVOT
     // syntax; the oracle spells it as FILTER aggregates so the two
@@ -3668,6 +3838,53 @@ object Queries {
     // so slicing can't lose counts) and the eps*N overcount bound must
     // hold per type. Complete-mode drain through the q27 path; exact
     // counts hash-match the oracle.
+    // Streaming windowed quantiles: graft_kll as the streaming aggregate —
+    // one k=200 KLL sketch per hour window in the state store, merged
+    // across micro-batches, regardless of how many events the window saw.
+    // The drained per-window sketches are graded like k2: the estimate's
+    // true rank within the window must sit inside the 2.5% band (KLL's
+    // ~1.7/k rank error plus small-n exactness keeps this comfortable).
+    // The oracle pins window membership + counts exactly and the verdict
+    // flags as constants.
+    Spec("q89_stream_kll_window", (spark, dir) => {
+      val phis = Seq(0.25, 0.5, 0.9)
+      val agg = eventsStream(spark, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.SketchAggregates.kllQuantiles(
+            col("value").cast("double"), phis).as("qs"),
+          count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("long").as("win_start"), col("qs"), col("n_events"))
+      val est = drainToMemory(spark, agg, "q89_kll", "complete")
+      val ev = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+        .filter(col("value").isNotNull)
+        .select(window(col("ts"), "1 hour").getField("start").cast("long").as("win_start"),
+          col("value").cast("double").as("v"))
+      val rankAggs = phis.indices.map(i =>
+        sum(when(col("v") <= element_at(col("qs"), i + 1), 1L).otherwise(0L))
+          .cast("double").as(s"r$i"))
+      val graded = ev.join(broadcast(est), Seq("win_start"))
+        .groupBy(col("win_start"), col("n_events"))
+        .agg(rankAggs.head, rankAggs.tail: _*)
+      // rank-space tolerance with an absolute 2-rank floor: tiny windows
+      // (n=1 at sf0.001) make ANY estimate's relative rank |r/n - phi|
+      // large — same failure mode q85's floor-8 handles for HLL, but in
+      // rank units: |r - phi·n| ≤ max(2, 0.025·n)
+      val checks = phis.zipWithIndex.map { case (phi, i) =>
+        struct(lit(s"p$phi").as("phi"),
+          (abs(col(s"r$i") - lit(phi) * col("n_events").cast("double")) <=
+            greatest(lit(2.0), lit(0.025) * col("n_events").cast("double")))
+            .cast("int").as("within"))
+      }
+      graded.select(col("win_start"), col("n_events"), explode(array(checks: _*)).as("c"))
+        .select(col("win_start"), col("n_events"), col("c.phi").as("phi"), col("c.within").as("within"))
+    }, Some(s"""WITH $eventsUsCte
+        |SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS win_start, count(*) AS n_events,
+        |  'p' || phi AS phi, 1 AS within
+        |FROM events_us, (VALUES ('0.25'), ('0.5'), ('0.9')) t(phi)
+        |WHERE value IS NOT NULL
+        |GROUP BY 1, 3""".stripMargin)),
+
     Spec("q86_stream_cms_heavy_users", (spark, dir) => {
       val states = eventsStream(spark, dir)
         .groupBy(col("event_type"))

@@ -243,6 +243,62 @@ object Dedup {
   }
 
   /**
+   * Chunk-level exact dedup (the C4/CCNet paragraph-removal shape): split
+   * each document into fixed `chunkTokens`-token spans, drop every span
+   * whose normalized content was already seen earlier in the corpus
+   * (order: smallest doc id, then span position), and reassemble what
+   * remains. The corpus in this sandbox carries no real paragraph marks,
+   * so the span boundary is positional; swap the chunker for a
+   * newline/sentence splitter without touching the dedup core.
+   *
+   * Output: (id, n_chunks, n_kept, dedup_text) — one row per input doc,
+   * `dedup_text` = surviving spans in original order ('' when every span
+   * was a repeat).
+   *
+   * Scale shape: tokenize is a narrow typed flatMap (one pass per doc, no
+   * regex re-evaluation); span assembly groups on (id, chunk); global
+   * first-occurrence ranks over md5(span) — the shuffle key is a fixed
+   * 32-char digest, NOT the span text, so exchange width is constant
+   * however long the spans are (same digest-key trade as [[exact]]).
+   * Reassembly groups on id. Three keyed shuffles total, each on a
+   * bounded key; nothing is corpus-quadratic.
+   */
+  def chunkDedup(df: DataFrame, textCol: String, idCol: String,
+                 chunkTokens: Int = 10): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    // one typed pass per doc: emit (id, chunkIdx, chunkText) directly —
+    // building spans executor-side skips the posexplode + re-group shuffle
+    // a pure-SQL chunker would pay on the token stream
+    val chunks = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), normText(col(textCol)))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = t.split(" ", -1).iterator.filter(_.nonEmpty)
+        ws.grouped(chunkTokens).zipWithIndex.map { case (g, i) =>
+          (id, i.toLong, g.mkString(" "))
+        }
+      }.toDF("id", "chunk", "ctext")
+      // two consumers below (ranked window + per-doc totals): persist one
+      // tokenize instead of two corpus passes
+      .persist()
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("ctext"))).orderBy(col("id"), col("chunk"))
+    val ranked = chunks.withColumn("rn", row_number().over(firstSeen))
+    val kept = ranked.filter(col("rn") === 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("chunk"), col("ctext")))),
+          x => x.getField("ctext"))).as("dedup_text"))
+    val totals = chunks.groupBy(col("id")).agg(count(lit(1)).as("n_chunks"))
+    totals.join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for given candidate pairs:
    * |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)|.
    * Joins the (distinct) shingle lists of both sides — shuffles on doc id

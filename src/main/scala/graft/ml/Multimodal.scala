@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.awt.image.BufferedImage
@@ -248,6 +248,96 @@ object Multimodal {
           Row(id, w, h, pooled)
         }
       }(enc)
+  }
+
+  /** Perceptual average-hash (aHash) of a decodable image payload: decode
+   *  to gray, pool to an 8×8 grid, set bit p when its block's pixel SUM
+   *  scaled by 64 exceeds the whole-image sum (integer-exact form of
+   *  "block mean above global mean" — no division, so the bit pattern is
+   *  reproducible by any engine from the raw pixels). Returned as a 64-char
+   *  '0'/'1' string, bit 0 = top-left, row-major: a string survives any
+   *  sign/overflow trap a 64-bit integer hash would hit on bit 63, and
+   *  substrings of it ARE the LSH band keys. Requires width and height
+   *  divisible by 8 (true for any sane thumbnail pipeline; reject loudly
+   *  otherwise — a silently padded edge block biases the mean).
+   *  Output: (id, phash). Narrow per-partition map, no shuffle. */
+  def averageHash(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("phash", StringType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col("id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val decoded = decodeGray(r.getAs[Array[Byte]](1))
+          require(decoded.isDefined, s"payload for id $id is not a decodable image")
+          val (gray, w, h) = decoded.get
+          require(w % 8 == 0 && h % 8 == 0,
+            s"averageHash needs dims divisible by 8, got ${w}x$h for id $id")
+          val (bw, bh) = (w / 8, h / 8)
+          var total = 0L
+          var i = 0
+          while (i < gray.length) { total += gray(i); i += 1 }
+          val bits = new Array[Char](64)
+          var p = 0
+          while (p < 64) {
+            val (px, py) = (p % 8, p / 8)
+            var sum = 0L
+            var dy = 0
+            while (dy < bh) {
+              var dx = 0
+              while (dx < bw) { sum += gray((py * bh + dy) * w + (px * bw + dx)); dx += 1 }
+              dy += 1
+            }
+            bits(p) = if (sum * 64 > total) '1' else '0'
+            p += 1
+          }
+          Row(id, new String(bits))
+        }
+      }(enc)
+  }
+
+  /**
+   * Near-duplicate image pairs from a (id, phash) frame: LSH banding over
+   * the 64-bit hash — `bands` equal substrings; ids sharing any band become
+   * candidates; candidates are graded by exact Hamming distance and kept
+   * at `maxHamming` or below. Same blocking idea as MinHash-LSH for text
+   * ([[Dedup.lshCandidatePairs]]): the self-join runs only within
+   * (band, substring) groups, so pair work is bucket-bounded, never
+   * corpus-quadratic. Recall: a pair differing in fewer than `bands` bits
+   * is GUARANTEED some intact band (pigeonhole); above that it's
+   * probabilistic, the standard LSH trade — while unrelated hashes agree
+   * on a random 16-bit band with probability 2^-16. Candidate pairs are
+   * distinct'd
+   * ids-only BEFORE the two hash re-attach joins, mirroring the text-LSH
+   * shuffle-width discipline. Output: (id_a < id_b, hamming).
+   */
+  def phashNearDupPairs(hashes: DataFrame, bands: Int = 4,
+                        maxHamming: Int = 6): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bw = 64 / bands
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), substring(col("phash"), b * bw + 1, bw).as("bstr")))
+    val banded = hashes
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bstr").as("bstr"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bstr") === col("b.bstr") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact Hamming via two 32-bit halves: binary-string → long is
+    // overflow-safe per half, and bit_count(xor) is codegen'd — no
+    // per-character lambda in the hot loop
+    def half(c: Column, from: Int): Column =
+      conv(substring(c, from, 32), 2, 10).cast("long")
+    val withBits = cand
+      .join(hashes.as("ha"), col("id_a") === col("ha.id"))
+      .join(hashes.as("hb"), col("id_b") === col("hb.id"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(half(col("ha.phash"), 1).bitwiseXOR(half(col("hb.phash"), 1))) +
+          bit_count(half(col("ha.phash"), 33).bitwiseXOR(half(col("hb.phash"), 33))))
+          .cast("long").as("hamming"))
+    withBits.filter(col("hamming") <= maxHamming)
   }
 
   /** Frame sampling for video payloads: every nth chunk of `frameBytes` as

@@ -624,6 +624,70 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("chunk dedup drops repeated spans, keeps first occurrence, reassembles") {
+    implicit val s = spark
+    import spark.implicits._
+    val in = Seq(
+      (Some(1L), "a b c d e f"),   // both spans first-seen
+      (Some(2L), "A B C x y z"),   // span 1 repeats doc 1's (normalized); span 2 fresh
+      (Some(3L), "a b c d e f"),   // every span a repeat -> all dropped
+      (Some(4L), "a b"),           // short doc: single sub-width span, fresh
+      (None,     "a b c d e f")    // null id contributes nothing
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(in, "text", "doc_id", chunkTokens = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 4L)
+    out(1L) shouldBe ((2L, 2L, "a b c d e f"))
+    out(2L) shouldBe ((2L, 1L, "x y z"))
+    out(3L) shouldBe ((2L, 0L, ""))
+    out(4L) shouldBe ((1L, 1L, "a b"))
+  }
+
+  test("average hash thresholds blocks against the global mean; banding recovers near-dups") {
+    implicit val s = spark
+    import spark.implicits._
+    // 16x16: bright left half, dark right half -> per block-row "11110000"
+    val bright = Array.tabulate(256)(i => if (i % 16 < 8) 200 else 10)
+    val tweaked = bright.clone(); tweaked(0) = 190 // one-pixel change, same bits
+    val inverted = bright.map(v => if (v == 200) 10 else 200)
+    val df = Seq(
+      (1L, Multimodal.grayPng(bright, 16, 16)),
+      (2L, Multimodal.grayPng(tweaked, 16, 16)),
+      (3L, Multimodal.grayPng(inverted, 16, 16))).toDF("id", "payload")
+    val hashes = Multimodal.averageHash(df)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    hs(1L) shouldBe "11110000" * 8
+    hs(2L) shouldBe hs(1L)
+    hs(3L) shouldBe "00001111" * 8
+    val pairs = Multimodal.phashNearDupPairs(hashes, bands = 4, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (1,2) identical bits -> hamming 0; the inverted image shares no band
+    // with either, so it never even becomes a candidate
+    pairs.toSeq shouldBe Seq((1L, 2L, 0L))
+    // dims not divisible by 8 fail loudly (a padded edge block biases the mean)
+    intercept[Exception] {
+      Multimodal.averageHash(Seq((9L, Multimodal.grayPng(Array.fill(16)(5), 4, 4)))
+        .toDF("id", "payload")).collect()
+    }
+  }
+
+  test("priority sampling: deterministic subset-sum estimator lands near the true total") {
+    // same LCG + priority arithmetic as c8_weighted_sample, checked against
+    // the Duffield-Lund-Thorup estimator: tau = (k+1)-th priority,
+    // est = sum over top-k of max(w, tau) ~ total weight
+    val items = (0L until 1000L).map(id => (id, (id % 97) + 1))
+    val pri = items.map { case (id, w) =>
+      val r = (id * 48271 + 11) % 1000003
+      (w.toDouble, w * 1000004.0 / (r + 1.0))
+    }.sortBy(-_._2)
+    val k = 100
+    val tau = pri(k)._2
+    val est = pri.take(k).map { case (w, _) => math.max(w, tau) }.sum
+    val total = items.map(_._2).sum.toDouble
+    math.abs(est - total) / total should be < 0.25
+  }
+
   test("frame sampling explodes payload chunks with stable numbering") {
     implicit val s = spark
     import spark.implicits._

@@ -120,7 +120,9 @@ class PlanSpec extends SparkSpec {
       "s6_knn_ivfpq",    // shared seed rank: window AFTER limit(16)
       "s7_ann_recall",   // embeds s3's post-limit seed rank for the IVF side
       "d8_training_pipeline", // composite pipeline embedding the s3 stage
-      "u1_zipwithindex"  // offsets frame: one row per input PARTITION
+      "u1_zipwithindex", // offsets frame: one row per input PARTITION
+      "c8_weighted_sample" // rank window AFTER limit(k): orders the k=100
+                           // survivors of the TakeOrdered top-k, not data
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -321,6 +323,33 @@ class PlanSpec extends SparkSpec {
         .takeWhile(_.trim.nonEmpty).mkString("\n")
       withClue(name) { (tree should not).include("Exchange") }
     }
+  }
+
+  test("c8: weighted-sample top-k is TakeOrdered, never a global sort of the corpus") {
+    val p = plan(q("c8_weighted_sample"))
+    p should include("TakeOrderedAndProject")
+    // the only Sort allowed is the one ordering the k survivors inside the
+    // single post-limit window partition — a corpus-wide Sort node above
+    // the scan would be a global sort in disguise
+    (p should not).include("SortMergeJoin")
+  }
+
+  test("m5: phash band join is keyed (hash-partitioned equi-join), pairs distinct'd ids-only") {
+    val p = plan(q("m5_image_phash"))
+    (p should not).include("CartesianProduct")
+    (p should not).include("BroadcastNestedLoopJoin")
+    // band+bstr equi-join keys reach a real join, and the candidate
+    // distinct aggregates BEFORE the hash re-attach joins
+    p should include("band")
+    p.sliding("HashAggregate".length).count(_ == "HashAggregate") should be >= 2
+  }
+
+  test("d17: chunk dedup ranks over the md5 digest, not the raw span text") {
+    val p = plan(q("d17_paragraph_dedup"))
+    // the window's partition expression is the digest — the exchange key
+    // stays 32 chars however long spans get
+    p should include("md5")
+    (p should not).include("CartesianProduct")
   }
 
   test("q6: rank filter pushes down as WindowGroupLimit (top-3 per key pre-shuffle)") {

@@ -92,6 +92,20 @@ LINEAR_SET = [
     # streaming per-source sample: bottom-k buffer per source in the
     # state store; micro-batch scan, k entries per group per batch
     "q87_stream_sample",
+    # chunk dedup: typed-flatMap tokenize + three keyed shuffles (md5
+    # span digest, doc id x2) — all single-pass
+    "d17_paragraph_dedup",
+    # priority sample: one scan + TakeOrdered top-k (per-partition heaps)
+    "c8_weighted_sample",
+    # map HOFs: two keyed aggs; map algebra is per-customer-row work
+    "q88_map_hof",
+    # streaming windowed KLL: fixed k=200 sketch per window in the state
+    # store; grading join is window-bounded (q85's shape)
+    "q89_stream_kll_window",
+    # phash dedup: per-doc PNG encode+decode dominates (constant per
+    # doc); band join pair count tracks planted-dup structure (~linear
+    # here; bucket-bounded in general, like d3)
+    "m5_image_phash",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
@@ -107,6 +121,7 @@ MODELED = {
     "d8_training_pipeline":   "composite: embeds kmeans/s3 stages",
     "d9_connected_components": "O(log d) doubling rounds, scheduling-bound",
     "d13_edit_distance":      "levenshtein over LSH-bounded candidates",
+    "d18_canonical_rep":      "d9's O(log d) CC rounds + one rank window",
     "d14_semdedup":           "kmeans passes + per-cluster pair join",
     "d15_dedup_eval":         "jaccard-verify ~ LSH-bounded candidates",
     "g1_pagerank":            "fixed iteration rounds, linear per round",
