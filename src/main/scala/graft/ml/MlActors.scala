@@ -60,15 +60,18 @@ class DedupActor extends Actor {
   protected var evalIsState: Boolean = false
   protected var bloomBits: Int = 1 << 22
   protected var bloomHashes: Int = 5
+  protected var chunkTokens: Int = 10
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("exact", "minhash-lsh", "simhash", "resolve", "semdedup",
-        "incremental", "index-build", "bloom-build", "decontaminate").contains(m),
+        "incremental", "index-build", "bloom-build", "decontaminate",
+        "chunk").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
+    properties.get("chunkTokens").foreach(v => chunkTokens = v.toInt)
     properties.get("indexView").foreach(indexView = _)
     properties.get("indexIsSignatures").foreach(v => indexIsSignatures = v.toBoolean)
     require(method != "incremental" || indexView.nonEmpty,
@@ -121,6 +124,10 @@ class DedupActor extends Actor {
         val vdf = df.select(col(idCol),
           transform(col(vecCol), _.cast("double")).as(vecCol))
         Dedup.semDedup(vdf, idCol, vecCol, dim, clusters, iterations, cosineThreshold)
+      case "chunk" =>
+        // C4-style paragraph dedup: drop spans seen earlier in the corpus,
+        // reassemble each doc from its surviving spans
+        Dedup.chunkDedup(df, textCol, idCol, chunkTokens)
       case "index-build" =>
         Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
       case "bloom-build" =>
@@ -302,4 +309,42 @@ class MultimodalDecodeActor extends Actor {
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] =
     Some(Multimodal.decode(ctx.getView(view)))
+}
+
+/** Image dedup actor: (id, payload binary) view -> either the per-image
+ *  perceptual hash (`output = hashes`) or the near-duplicate pairs
+ *  (`output = pairs`, the default): aHash bits from REAL decoded pixels,
+ *  LSH banding over hash substrings, exact Hamming grade at `maxHamming`
+ *  or below. Pairs stay bucket-bounded — the image twin of DedupActor's
+ *  minhash-lsh method. */
+class ImageDedupActor extends Actor {
+  protected var view: String = ""
+  protected var output: String = "pairs"
+  protected var bands: Int = 4
+  protected var maxHamming: Int = 6
+  protected var bandsPerKey: Int = 1
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    view = require_(properties, "view")
+    properties.get("output").foreach { o =>
+      require(Seq("pairs", "hashes").contains(o), s"ImageDedupActor: bad output $o")
+      output = o
+    }
+    properties.get("bands").foreach(v => bands = v.toInt)
+    properties.get("maxHamming").foreach(v => maxHamming = v.toInt)
+    properties.get("bandsPerKey").foreach(v => bandsPerKey = v.toInt)
+    require(64 % bands == 0, s"ImageDedupActor: bands must divide 64, got $bands")
+    require(bandsPerKey >= 1 && bandsPerKey < bands,
+      s"ImageDedupActor: bandsPerKey must be in [1, bands), got $bandsPerKey")
+  }
+
+  def sourceView(v: String): this.type = { view = v; this }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val hashes = Multimodal.averageHash(ctx.getView(view))
+    Some(if (output == "hashes") hashes
+    else Multimodal.phashNearDupPairs(hashes, bands, maxHamming, bandsPerKey))
+  }
 }

@@ -297,26 +297,47 @@ object Multimodal {
   }
 
   /**
-   * Near-duplicate image pairs from a (id, phash) frame: LSH banding over
-   * the 64-bit hash — `bands` equal substrings; ids sharing any band become
-   * candidates; candidates are graded by exact Hamming distance and kept
-   * at `maxHamming` or below. Same blocking idea as MinHash-LSH for text
-   * ([[Dedup.lshCandidatePairs]]): the self-join runs only within
-   * (band, substring) groups, so pair work is bucket-bounded, never
-   * corpus-quadratic. Recall: a pair differing in fewer than `bands` bits
-   * is GUARANTEED some intact band (pigeonhole); above that it's
-   * probabilistic, the standard LSH trade — while unrelated hashes agree
-   * on a random 16-bit band with probability 2^-16. Candidate pairs are
-   * distinct'd
-   * ids-only BEFORE the two hash re-attach joins, mirroring the text-LSH
-   * shuffle-width discipline. Output: (id_a < id_b, hamming).
+   * Near-duplicate image pairs from a (id, phash) frame: block-combination
+   * LSH over the 64-bit hash (Manku et al., WWW'07 — the simhash-dedup
+   * blocking). The hash splits into `bands` equal blocks; each banding key
+   * is the concatenation of a sorted `bandsPerKey`-subset of blocks, so a
+   * doc emits C(bands, bandsPerKey) keys of width bandsPerKey·(64/bands)
+   * bits. Ids sharing any key become candidates; candidates are graded by
+   * exact Hamming distance and kept at `maxHamming` or below.
+   *
+   * Recall: h damaged bits damage at most h blocks, so any pair with
+   * h ≤ bands − bandsPerKey has some all-intact key combination —
+   * GUARANTEED candidacy (pigeonhole); beyond that it's the standard LSH
+   * probabilistic trade.
+   *
+   * Density — the 100 TB lever, with a measured trade: chance candidates
+   * per table scale as n²/2^keyBits, so wider keys — (8, 3) =
+   * fifty-six 24-bit tables — cut chance collisions 256× per table and
+   * RAISE the guarantee (h ≤ 5 vs h ≤ 3). But every REAL near-dup pair
+   * also lands in up to C(bands, bandsPerKey) tables before the
+   * distinct, multiplying band-join volume by its table multiplicity.
+   * Measured at the 67k-image scale probe (dup-heavy: 464k real pairs,
+   * 168k chance candidates): (4,1) 2.5 s, (8,3) 21 s with +2470
+   * guarantee-recovered pairs — on a dup-heavy corpus the default wins;
+   * (8, 3) is for the chance-dominated regime (mostly-distinct corpora
+   * at n >> 2^16, where chance candidates dwarf real pairs). Same
+   * blocking idea as text MinHash-LSH ([[Dedup.lshCandidatePairs]]):
+   * the self-join runs only within key groups. Candidate pairs are
+   * distinct'd ids-only BEFORE the two hash re-attach joins, mirroring
+   * the text-LSH shuffle-width discipline.
+   * Output: (id_a < id_b, hamming).
    */
   def phashNearDupPairs(hashes: DataFrame, bands: Int = 4,
-                        maxHamming: Int = 6): DataFrame = {
+                        maxHamming: Int = 6, bandsPerKey: Int = 1): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(bandsPerKey >= 1 && bandsPerKey < bands,
+      s"bandsPerKey must be in [1, bands), got $bandsPerKey of $bands")
     val bw = 64 / bands
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"), substring(col("phash"), b * bw + 1, bw).as("bstr")))
+    val bandCols = (0 until bands).combinations(bandsPerKey).zipWithIndex.map {
+      case (combo, ci) =>
+        val key = concat(combo.map(b => substring(col("phash"), b * bw + 1, bw)): _*)
+        struct(lit(ci).as("band"), key.as("bstr"))
+    }.toSeq
     val banded = hashes
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bstr").as("bstr"))

@@ -82,7 +82,8 @@ object PipelineBuilder {
     "dedup" -> "graft.ml.DedupActor",
     "similarity-search" -> "graft.ml.SimilaritySearchActor",
     "text-analysis" -> "graft.ml.TextAnalysisActor",
-    "multimodal-decode" -> "graft.ml.MultimodalDecodeActor")
+    "multimodal-decode" -> "graft.ml.MultimodalDecodeActor",
+    "image-dedup" -> "graft.ml.ImageDedupActor")
 
   def fromFile(path: String, submitVars: Map[String, String] = Map.empty,
                appConfig: Map[String, String] = Map.empty)

@@ -665,6 +665,16 @@ class MlSpec extends SparkSpec {
     // (1,2) identical bits -> hamming 0; the inverted image shares no band
     // with either, so it never even becomes a candidate
     pairs.toSeq shouldBe Seq((1L, 2L, 0L))
+    // Manku-style block combinations (8 blocks, 3 per key = 56 tables of
+    // 24-bit keys): same verdict on this corpus, with a GUARANTEE up to
+    // hamming 5 and 256x sparser buckets per table — the setting for
+    // chance-dominated (mostly-distinct) corpora at n >> 2^16
+    val pairs83 = Multimodal.phashNearDupPairs(hashes, bands = 8, maxHamming = 6,
+      bandsPerKey = 3).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    pairs83.toSeq shouldBe pairs.toSeq
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDupPairs(hashes, bands = 4, maxHamming = 6, bandsPerKey = 4)
+    }
     // dims not divisible by 8 fail loudly (a padded edge block biases the mean)
     intercept[Exception] {
       Multimodal.averageHash(Seq((9L, Multimodal.grayPng(Array.fill(16)(5), 4, 4)))
@@ -686,6 +696,37 @@ class MlSpec extends SparkSpec {
     val est = pri.take(k).map { case (w, _) => math.max(w, tau) }.sum
     val total = items.map(_._2).sum.toDouble
     math.abs(est - total) / total should be < 0.25
+  }
+
+  test("chunk dedup and phash dedup are reachable through the actor surface") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+
+    Seq((1L, "a b c d e f"), (2L, "a b c x y z"))
+      .toDF("doc_id", "text").createOrReplaceTempView("cd_in")
+    val da = new graft.ml.DedupActor()
+    da.init(Map("view" -> "cd_in", "method" -> "chunk", "chunkTokens" -> "3"))
+    val cd = da.run(ctx).get
+    cd.columns shouldBe Array("id", "n_chunks", "n_kept", "dedup_text")
+    cd.collect().map(r => r.getLong(0) -> r.getString(3)).toMap shouldBe
+      Map(1L -> "a b c d e f", 2L -> "x y z")
+
+    val bright = Array.tabulate(256)(i => if (i % 16 < 8) 200 else 10)
+    Seq((1L, Multimodal.grayPng(bright, 16, 16)),
+        (2L, Multimodal.grayPng(bright, 16, 16)))
+      .toDF("id", "payload").createOrReplaceTempView("img_in")
+    val ia = new graft.ml.ImageDedupActor()
+    ia.init(Map("view" -> "img_in", "bands" -> "4", "maxHamming" -> "6"))
+    val pairs = ia.run(ctx).get.collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe Seq((1L, 2L, 0L))
+    val ih = new graft.ml.ImageDedupActor()
+    ih.init(Map("view" -> "img_in", "output" -> "hashes"))
+    ih.run(ctx).get.columns shouldBe Array("id", "phash")
+    // bands that don't divide 64 fail at init, not mid-job
+    intercept[IllegalArgumentException] {
+      new graft.ml.ImageDedupActor().init(Map("view" -> "img_in", "bands" -> "5"))
+    }
   }
 
   test("frame sampling explodes payload chunks with stable numbering") {

