@@ -360,14 +360,20 @@ object Queries {
    *  symmetric edges → 4 rounds of min-label propagation (l4 = final
    *  labels). MATERIALIZED stops DuckDB from inlining each level into the
    *  next (each lN references l(N-1) twice — inlining is exponential). */
-  private val resolveGraphCtes: String = {
-    val propagation = (1 to 4).map { i =>
+  /** Unrolled min-label propagation rounds l1..l{rounds} over `edges`
+   *  (src,dst) starting from l0 (id,label) — the SQL mirror of
+   *  [[Dedup.clusterLabels]]'s fixed-iteration loop, shared by every
+   *  pair-graph resolution oracle (d7 text pairs, m6 image pairs). */
+  private def minPropagationCtes(rounds: Int = 4): String =
+    (1 to rounds).map { i =>
       s"""l$i AS MATERIALIZED (SELECT l.id, least(l.label, m.nbr) AS label
          |  FROM l${i - 1} l JOIN (
          |    SELECT e.src, min(l2.label) AS nbr
          |    FROM edges e JOIN l${i - 1} l2 ON e.dst = l2.id GROUP BY e.src) m
          |  ON l.id = m.src)""".stripMargin
     }.mkString(",\n")
+
+  private val resolveGraphCtes: String =
     s"""dpairs AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b
        |  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
@@ -375,8 +381,51 @@ object Queries {
        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dpairs
        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM dpairs),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
-       |$propagation""".stripMargin
+       |${minPropagationCtes(4)}""".stripMargin
+
+  /** Image-dedup fixture: the corpus as real 16×16 gray PNGs with planted
+   *  identical (%5 → +100000) and one-char-perturbed (%7 → +200000)
+   *  copies, hashed to 64-bit aHash strings. Shared by m5/m6. */
+  private def imagePhashes(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val icorpus = docs
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(lit("z"), expr("substring(text, 2)")).as("text")))
+    graft.ml.Multimodal.averageHash(
+      graft.ml.Multimodal.textToGrayPng(icorpus, "doc_id", "text", 16, 16))
   }
+
+  /** DuckDB mirror of [[imagePhashes]] + the (4,1) banding and Hamming
+   *  grade — ends at `wb` (id_a, id_b, hamming). Shared by m5/m6. */
+  private val phashPairCtes: String =
+    """icorpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, 'z' || substr(text, 2) FROM documents WHERE doc_id % 7 = 0),
+      |px AS (SELECT doc_id, list_transform(range(0, 256), i ->
+      |    ascii(substr(text, CAST((i * 7) % length(text) AS BIGINT) + 1, 1))) AS g FROM icorpus),
+      |bt AS (SELECT doc_id, list_sum(g) AS total,
+      |  list_transform(range(0, 64), p -> list_sum(list_transform(range(0, 4), j ->
+      |    g[CAST(((p // 8) * 2 + j // 2) * 16 + (p % 8) * 2 + (j % 2) AS BIGINT) + 1]))) AS bs
+      |  FROM px),
+      |ph AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), p ->
+      |    CASE WHEN bs[CAST(p AS BIGINT) + 1] * 64 > total THEN '1' ELSE '0' END), '') AS bits
+      |  FROM bt),
+      |bexp AS (SELECT doc_id, band, substr(bits, CAST(band * 16 AS BIGINT) + 1, 16) AS bstr
+      |  FROM (SELECT doc_id, unnest(range(0, 4)) AS band, bits FROM ph)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bexp a JOIN bexp b ON a.band = b.band AND a.bstr = b.bstr AND a.doc_id < b.doc_id),
+      |wb AS (SELECT c.id_a, c.id_b,
+      |    CAST(len(list_filter(range(1, 65), i ->
+      |      substr(pa.bits, CAST(i AS BIGINT), 1) <> substr(pb.bits, CAST(i AS BIGINT), 1))) AS BIGINT) AS hamming
+      |  FROM cand c JOIN ph pa ON c.id_a = pa.doc_id JOIN ph pb ON c.id_b = pb.doc_id)""".stripMargin
 
   private def d2(spark: SparkSession, dir: String): DataFrame =
     Dedup.minHashSignatures(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id")
@@ -1562,42 +1611,28 @@ object Queries {
     // bucket-bounded — never corpus-quadratic — exactly like MinHash-LSH
     // for text.
     Spec("m5_image_phash", (spark, dir) => {
-      implicit val s: SparkSession = spark
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), col("text"))
-      val icorpus = docs
-        .unionAll(docs.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-        .unionAll(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
-            concat(lit("z"), expr("substring(text, 2)")).as("text")))
-      val imgs = graft.ml.Multimodal.textToGrayPng(icorpus, "doc_id", "text", 16, 16)
-      val hashes = graft.ml.Multimodal.averageHash(imgs)
-      graft.ml.Multimodal.phashNearDupPairs(hashes, bands = 4, maxHamming = 6)
-    }, Some("""WITH icorpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 200000, 'z' || substr(text, 2) FROM documents WHERE doc_id % 7 = 0),
-        |px AS (SELECT doc_id, list_transform(range(0, 256), i ->
-        |    ascii(substr(text, CAST((i * 7) % length(text) AS BIGINT) + 1, 1))) AS g FROM icorpus),
-        |bt AS (SELECT doc_id, list_sum(g) AS total,
-        |  list_transform(range(0, 64), p -> list_sum(list_transform(range(0, 4), j ->
-        |    g[CAST(((p // 8) * 2 + j // 2) * 16 + (p % 8) * 2 + (j % 2) AS BIGINT) + 1]))) AS bs
-        |  FROM px),
-        |ph AS (SELECT doc_id, array_to_string(list_transform(range(0, 64), p ->
-        |    CASE WHEN bs[CAST(p AS BIGINT) + 1] * 64 > total THEN '1' ELSE '0' END), '') AS bits
-        |  FROM bt),
-        |bexp AS (SELECT doc_id, band, substr(bits, CAST(band * 16 AS BIGINT) + 1, 16) AS bstr
-        |  FROM (SELECT doc_id, unnest(range(0, 4)) AS band, bits FROM ph)),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bexp a JOIN bexp b ON a.band = b.band AND a.bstr = b.bstr AND a.doc_id < b.doc_id),
-        |wb AS (SELECT c.id_a, c.id_b,
-        |    CAST(len(list_filter(range(1, 65), i ->
-        |      substr(pa.bits, CAST(i AS BIGINT), 1) <> substr(pb.bits, CAST(i AS BIGINT), 1))) AS BIGINT) AS hamming
-        |  FROM cand c JOIN ph pa ON c.id_a = pa.doc_id JOIN ph pb ON c.id_b = pb.doc_id)
+      graft.ml.Multimodal.phashNearDupPairs(imagePhashes(spark, dir),
+        bands = 4, maxHamming = 6)
+    }, Some(s"""WITH $phashPairCtes
         |SELECT id_a, id_b, hamming FROM wb WHERE hamming <= 6""".stripMargin)),
+
+    // Image dedup resolution: the m5 near-dup pairs resolved to clusters
+    // with the SAME fixed-4-round min-label propagation as text pairs
+    // (d7) — keep_id = cluster min, losers flagged. The oracle replays
+    // the pair chain and the unrolled propagation relationally, so the
+    // whole image pipeline (decode → hash → block → grade → resolve) is
+    // end-to-end verified.
+    Spec("m6_image_dup_resolve", (spark, dir) => {
+      Dedup.resolveDuplicates(
+        graft.ml.Multimodal.phashNearDupPairs(imagePhashes(spark, dir),
+          bands = 4, maxHamming = 6))
+    }, Some(s"""WITH $phashPairCtes,
+        |dpairs AS (SELECT id_a, id_b FROM wb WHERE hamming <= 6),
+        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dpairs
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM dpairs),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
+        |${minPropagationCtes(4)}
+        |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l4""".stripMargin)),
 
     // ------------------------------------------- training-data pipeline ops
 

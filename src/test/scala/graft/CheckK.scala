@@ -17,7 +17,8 @@ object CheckK {
     val names = args.headOption.map(_.split(",").toSeq).getOrElse(
       Queries.all.map(_.name).sorted.filter(n =>
         n.startsWith("k") || n.startsWith("b") ||
-          n == "q85_stream_hll_window" || n == "q86_stream_cms_heavy_users"))
+          n == "q85_stream_hll_window" || n == "q86_stream_cms_heavy_users" ||
+          n == "q89_stream_kll_window"))
     // boolean verdicts must be 1; counted-violation columns must be 0
     val flagCols = Set("within", "merged_equals_whole", "no_false_neg",
       "fp_within", "never_under", "within_eps")

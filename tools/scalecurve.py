@@ -119,6 +119,7 @@ MODELED = {
     "d13_edit_distance":      "levenshtein over LSH-bounded candidates",
     "d18_canonical_rep":      "d9's O(log d) CC rounds + one rank window",
     "m5_image_phash":         "pair volume ~ sum(|hash-bucket|^2): the synthetic corpus's aHash space is dense (similar word-distribution images), so near-dup pairs grow ~n^2/2^16 per band (measured 3.5k->632k candidates at 10x docs) — decode+hash side is linear; blocking stays bucket-bounded",
+    "m6_image_dup_resolve":   "embeds m5's pair volume + 4 fixed min-label propagation rounds over the pair graph",
     "d14_semdedup":           "kmeans passes + per-cluster pair join",
     "d15_dedup_eval":         "jaccard-verify ~ LSH-bounded candidates",
     "g1_pagerank":            "fixed iteration rounds, linear per round",
