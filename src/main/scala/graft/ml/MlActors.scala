@@ -65,8 +65,8 @@ class DedupActor extends Actor {
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("exact", "minhash-lsh", "simhash", "resolve", "semdedup",
-        "incremental", "index-build", "bloom-build", "decontaminate",
+      require(Seq("exact", "minhash-lsh", "simhash", "resolve", "resolve-pairs",
+        "semdedup", "incremental", "index-build", "bloom-build", "decontaminate",
         "chunk").contains(m),
         s"DedupActor: bad method $m")
       method = m
@@ -118,6 +118,14 @@ class DedupActor extends Actor {
           Dedup.lshCandidatePairs(
             Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
             numHashes, bands, minEstJaccard), iterations)
+      case "resolve-pairs" =>
+        // resolution over an EXISTING pair view (id_a, id_b) — chain
+        // behind any pair producer (minhash-lsh output, image-dedup,
+        // an edge list from elsewhere) without re-deriving pairs
+        require(Seq("id_a", "id_b").forall(df.columns.contains),
+          s"DedupActor(resolve-pairs): view '$view' needs id_a/id_b columns, " +
+            s"has ${df.columns.mkString(", ")}")
+        Dedup.resolveDuplicates(df, iterations)
       case "semdedup" =>
         // float embeddings cast to double once, so the kmeans/cosine
         // arithmetic matches the bit-reproducible oracle form

@@ -161,4 +161,28 @@ class ExamplesSpec extends SparkSpec {
     scored.columns should contain allOf ("quality", "n_terms", "bm25_q")
     scored.count() shouldBe spark.read.parquet(s"$sfDir/documents.parquet").count()
   }
+
+  test("image_dedup.yaml: decode -> hash -> pair -> resolve keeps cluster minima") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_imgdedup")
+    // image fixture: 20 distinct doc images + exact copies of every 4th
+    // (ids shifted +1000), real PNGs on disk like a thumbnail table
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(20)
+    val withCopies = docs.unionAll(
+      docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    graft.ml.Multimodal.textToGrayPng(withCopies, "doc_id", "text", 16, 16)
+      .write.mode("overwrite").parquet(s"$out/images")
+    runExample("image_dedup.yaml",
+      Map("images_dir" -> s"$out/images", "out_dir" -> out))
+    val keep = spark.read.parquet(s"$out/image_keep_list")
+    keep.columns shouldBe Array("id", "keep_id", "is_duplicate")
+    // every planted copy resolves to its base image as the cluster min
+    val copies = keep.filter(col("id") >= 1000)
+    copies.count() should be >= 1L
+    copies.filter(col("keep_id") =!= col("id") - 1000).count() shouldBe 0L
+    copies.filter(!col("is_duplicate")).count() shouldBe 0L
+  }
 }
