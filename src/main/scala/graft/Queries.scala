@@ -3920,6 +3920,55 @@ object Queries {
         |WHERE value IS NOT NULL
         |GROUP BY 1, 3""".stripMargin)),
 
+    // Streaming incremental dedup — d16's ingest batch arriving as a
+    // STREAM. The design point: MinHash signatures are computed
+    // STATELESSLY per row (Dedup.minHashSignaturesInline — no shingle
+    // explode, no groupBy state), banded in place with the row, and
+    // matched against the static corpus index by a per-micro-batch keyed
+    // (band,bucket) join, so the single streaming aggregation the engine
+    // allows is spent on the per-doc best-match max. Duplicate candidate
+    // pairs across bands are harmless under max(), which is what lets the
+    // pair-distinct step drop out of the streaming plan entirely.
+    // Unmatched batch docs are re-attached after the drain (q85's
+    // grade-after-drain shape). Stream/batch parity: d16's oracle holds
+    // VERBATIM on the full drain.
+    Spec("q90_stream_incremental_dedup", (spark, dir) => {
+      val index = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val idxSigs = Dedup.minHashSignatures(index, "text", "doc_id")
+      val idxBanded = Dedup.bandedFrame(idxSigs, 8, 4)
+        .withColumnRenamed("id", "index_id")
+      val ixSigs = idxSigs.select(col("id").as("index_id") +:
+        (0 until 8).map(j => col(s"mh$j").as(s"ix$j")): _*)
+      val b0 = streamTable(spark, dir, "documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 === 0)
+      val batch = b0.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" dup dup dup")).as("text"))
+        .unionAll(b0.select((col("doc_id") + 300000L).as("doc_id"),
+          reverse(col("text")).as("text")))
+      val sigsS = Dedup.minHashSignaturesInline(batch, "text", "doc_id")
+      val sBanded = sigsS
+        .select(col("id").as("new_id") +: explode(Dedup.bandStructs(8, 4)).as("bb") +:
+          (0 until 8).map(j => col(s"mh$j")): _*)
+        .select(col("new_id") +: col("bb.band").as("band") +:
+          col("bb.bucket").as("bucket") +: (0 until 8).map(j => col(s"mh$j")): _*)
+      val m = (0 until 8).map(j =>
+        when(col(s"mh$j") === col(s"ix$j"), 1L).otherwise(0L)).reduce(_ + _)
+      val bestStream = sBanded.join(idxBanded, Seq("band", "bucket"))
+        .join(ixSigs, Seq("index_id"))
+        .withColumn("m", m).filter(col("m") >= 4)
+        .groupBy(col("new_id")).agg(max(col("m")).as("best_matches"))
+      val best = drainToMemory(spark, bestStream, "q90_inc", "complete")
+      val db = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+      val allBatch = db.select((col("doc_id") + 200000L).as("new_id"))
+        .unionAll(db.select((col("doc_id") + 300000L).as("new_id")))
+      allBatch.join(broadcast(best), Seq("new_id"), "left")
+        .select(col("new_id"),
+          when(col("best_matches").isNotNull, 1).otherwise(0).cast("int").as("matched"),
+          coalesce(col("best_matches"), lit(0L)).as("best_matches"))
+    }, Some(d16Oracle)),
+
     Spec("q86_stream_cms_heavy_users", (spark, dir) => {
       val states = eventsStream(spark, dir)
         .groupBy(col("event_type"))

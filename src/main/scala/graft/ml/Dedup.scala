@@ -80,6 +80,75 @@ object Dedup {
   }
 
   /**
+   * Per-row (STATELESS) MinHash signatures: identical values to
+   * [[minHashSignatures]] with oracle hashing, computed inside one typed
+   * map — no shingle explode, no groupBy. Two uses: (a) STREAMING — a
+   * signature becomes a stateless projection, so incremental dedup
+   * pipelines spend their one allowed streaming aggregation on the match
+   * step instead of signature assembly; (b) batch pipelines that only
+   * need signatures skip the corpus-wide shingle shuffle entirely.
+   * The md5/derived arithmetic mirrors [[Hashing.oracleHash]] /
+   * [[Hashing.derivedHash]] bit-for-bit (MlSpec pins equality with the
+   * aggregate form).
+   */
+  def minHashSignaturesInline(df: DataFrame, textCol: String, idCol: String,
+                              numHashes: Int = 8, shingleLen: Int = 3): DataFrame = {
+    require(numHashes <= Hashing.maxDerivedHashes,
+      s"numHashes must be <= ${Hashing.maxDerivedHashes}, got $numHashes")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val coeffs = (0 until numHashes).map(Hashing.derivedCoeffs).toArray
+    val a = coeffs.map(_._1)
+    val c = coeffs.map(_._2)
+    val n = shingleLen
+    val out = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), normText(col(textCol))).as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h60(s: String): Long = {
+          md.reset()
+          val d = md.digest(s.getBytes("UTF-8"))
+          // first 15 hex chars = high 60 bits of the digest
+          var v = 0L
+          var i = 0
+          while (i < 8) {
+            val b = d(i) & 0xff
+            v = if (i < 7) (v << 8) | b else (v << 4) | (b >> 4)
+            i += 1
+          }
+          v
+        }
+        rows.map { case (id, t) =>
+          val ws = t.split(" ", -1)
+          val mins = Array.fill(numHashes)(Long.MaxValue)
+          def update(sh: String): Unit = {
+            val base = h60(sh) & 1073741823L
+            var j = 0
+            while (j < numHashes) {
+              val hj = (a(j) * base + c(j)) % 2147483647L
+              if (hj < mins(j)) mins(j) = hj
+              j += 1
+            }
+          }
+          if (ws.length >= n) {
+            var i = 0
+            val sb = new StringBuilder
+            while (i + n <= ws.length) {
+              sb.setLength(0)
+              var k = 0
+              while (k < n) { if (k > 0) sb.append(' '); sb.append(ws(i + k)); k += 1 }
+              update(sb.toString)
+              i += 1
+            }
+          } else update(t)
+          (id, mins.toSeq)
+        }
+      }.toDF("id", "mh")
+    out.select(col("id") +: (0 until numHashes).map(j =>
+      element_at(col("mh"), j + 1).as(s"mh$j")): _*)
+  }
+
+  /**
    * LSH banding over a MinHash signature frame: signature split into `bands`
    * bands of `rowsPerBand` hashes; docs sharing any band-bucket become
    * candidate pairs. Self-join happens only within (band, bucket) groups —
@@ -89,16 +158,21 @@ object Dedup {
   /** (id, band, bucket) expansion of a signature frame — ids-only, so the
    *  band join exchange stays narrow. Shared by the self-join
    *  (lshCandidatePairs) and the incremental one-sided join (lshMatches). */
-  private def bandedFrame(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  /** The (band, bucket) struct array for one signature row — explode-ready;
+   *  shared by [[bandedFrame]] and callers that must band while KEEPING
+   *  other columns (e.g. a streaming row carrying its own signature). */
+  private[graft] def bandStructs(numHashes: Int, bands: Int): Column = {
     val rowsPerBand = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
+    array((0 until bands).map { b =>
       val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j").cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bucket"))
-    }
-    signatures
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    }: _*)
   }
+
+  private[graft] def bandedFrame(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    signatures
+      .select(col("id"), explode(bandStructs(numHashes, bands)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
   def lshCandidatePairs(signatures: DataFrame, numHashes: Int = 8,
                         bands: Int = 4, minEstJaccard: Double = 0.5): DataFrame = {

@@ -42,6 +42,10 @@ object Hashing {
   /** Largest supported derived-hash family (the constant tables above). */
   val maxDerivedHashes: Int = 16
 
+  /** Raw coefficient access for executor-side Scala mirrors of the derived
+   *  family (e.g. [[Dedup.minHashSignaturesInline]]'s typed map). */
+  private[ml] def derivedCoeffs(j: Int): (Long, Long) = (derivedA(j), derivedC(j))
+
   def derivedHash(base: Column, j: Int): Column = {
     require(j >= 0 && j < maxDerivedHashes,
       s"derivedHash family has $maxDerivedHashes members, got index $j " +

@@ -35,6 +35,20 @@ class MlSpec extends SparkSpec {
     matches13 should be <= 2    // unrelated
   }
 
+  test("inline (stateless) minhash signatures equal the aggregate form bit-for-bit") {
+    val agg = Dedup.minHashSignatures(docs, "text", "doc_id", numHashes = 8, shingleLen = 3)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    val inl = Dedup.minHashSignaturesInline(docs, "text", "doc_id", numHashes = 8, shingleLen = 3)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    inl shouldBe agg
+    // short-doc path (fewer words than the shingle width -> whole text)
+    implicit val s = spark
+    import spark.implicits._
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    Dedup.minHashSignaturesInline(short, "text", "doc_id").collect().head.toSeq shouldBe
+      Dedup.minHashSignatures(short, "text", "doc_id").collect().head.toSeq
+  }
+
   test("LSH candidate pairs find the near-dup cluster") {
     val sig = Dedup.minHashSignatures(docs, "text", "doc_id")
     val pairs = Dedup.lshCandidatePairs(sig).collect()

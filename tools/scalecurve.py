@@ -95,6 +95,9 @@ LINEAR_SET = [
     # chunk dedup: typed-flatMap tokenize + three keyed shuffles (md5
     # span digest, doc id x2) — all single-pass
     "d17_paragraph_dedup",
+    # streaming incremental dedup: stateless per-row signatures, keyed
+    # (band,bucket) stream-static join, ONE streaming agg (best-match max)
+    "q90_stream_incremental_dedup",
     # priority sample: one scan + TakeOrdered top-k (per-partition heaps)
     "c8_weighted_sample",
     # map HOFs: two keyed aggs; map algebra is per-customer-row work
