@@ -6,7 +6,7 @@ import graft.pipeline.{Action, Job, Pipeline, View}
 import graft.source.FileReader
 import graft.sql.{SqlBase, SqlTransformer}
 import graft.utils.DataframeHelper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -1819,6 +1819,46 @@ object Queries {
          |FROM c""".stripMargin
     }),
 
+    // URL-canonicalization dedup — the CCNet/CommonCrawl pre-step before
+    // any content hashing: scheme/host case-folded (path case preserved),
+    // fragments and utm_* tracking queries dropped, trailing slash
+    // stripped, then an exact group-by on the canonical form. The URL
+    // fixture derives from doc_id with mixed case, tracking params,
+    // fragments, and trailing slashes planted on modular rules so every
+    // canonicalization step changes real rows. One content-hash-style
+    // shuffle on the canonical string.
+    Spec("d19_url_dedup", (spark, dir) => {
+      val urls = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          when(col("doc_id") % 2 === 0, "HTTPS").otherwise("https"), lit("://"),
+          when(col("doc_id") % 3 === 0, "WWW.CDN").otherwise("www.cdn"),
+          (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+          lit("/Docs/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 6 === 0, "/").otherwise(""),
+          when(col("doc_id") % 4 === 0, "?utm_source=feed").otherwise(""),
+          when(col("doc_id") % 5 === 0, "#top").otherwise("")).as("url"))
+      urls.select(col("doc_id"), TextAnalysis.canonicalizeUrl(col("url")).as("curl"))
+        .groupBy(col("curl"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+    }, Some("""WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.CDN' ELSE 'www.cdn' END) ||
+        |  CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' || '/Docs/' ||
+        |  CAST(doc_id % 50 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) ||
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1),
+        |    '#.*$', ''), '\?utm_[^#]*$', ''), '/$', '') AS curl
+        |  FROM u)
+        |SELECT curl, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
+        |FROM c GROUP BY curl""".stripMargin)),
+
     // Benchmark decontamination: drop/flag training docs sharing any word
     // n-gram with a held-out eval set — standard before LLM training. The
     // eval set is tiny relative to the corpus, so its distinct shingles are
@@ -3437,6 +3477,67 @@ object Queries {
         |pr AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair FROM p)
         |SELECT pair, count(*) AS cnt FROM pr GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+    }),
+
+    // BPE merge APPLICATION — the encode half of the tokenizer loop t17
+    // trains: take the top-2 learned character merges and re-segment the
+    // vocabulary with them, reporting the corpus-weighted symbol counts
+    // after each merge (the compression a tokenizer trainer monitors per
+    // round). Tokens are wrapped per-symbol ('<h><e>…') so plain
+    // left-to-right string replacement applies a merge with NO boundary
+    // sharing between adjacent matches — byte-identical semantics in any
+    // engine. Scale shape: merges live in a 1-row broadcast frame crossed
+    // against the VOCABULARY (Zipf: vocab ≪ corpus), never the token
+    // stream; the corpus is scanned once for the weighted dictionary.
+    Spec("t18_bpe_apply", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val tokCounts = docs.select(explode(
+          filter(split(Dedup.normText(col("text")), " "), x => length(x) > 0)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+      val top2 = tokCounts.filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"),
+          col("tc"))
+        .groupBy(col("pair")).agg(sum(col("tc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(2)
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("pair"))))
+      val merges = top2.groupBy().agg(
+        max(when(col("rk") === 1, col("pair"))).as("m1"),
+        max(when(col("rk") === 2, col("pair"))).as("m2"))
+      val wrapped = tokCounts.crossJoin(broadcast(merges))
+        .withColumn("ws", regexp_replace(col("tok"), "(.)", "<$1>"))
+        .withColumn("s1", expr(
+          "replace(ws, '<' || substring(m1, 1, 1) || '><' || substring(m1, 2, 1) || '>', '<' || m1 || '>')"))
+        .withColumn("s2", expr(
+          "replace(s1, '<' || substring(m2, 1, 1) || '><' || substring(m2, 2, 1) || '>', '<' || m2 || '>')"))
+      def nsym(c: Column): Column = length(c) - length(regexp_replace(c, "<", ""))
+      wrapped.groupBy(col("m1"), col("m2"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(nsym(col("ws")) * col("tc")).as("symbols_before"),
+          sum(nsym(col("s1")) * col("tc")).as("symbols_after_m1"),
+          sum(nsym(col("s2")) * col("tc")).as("symbols_after_m2"))
+    }, Some {
+      """WITH n AS (SELECT list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |tok AS (SELECT unnest(ts) AS tok FROM n),
+        |tc AS (SELECT tok, count(*) AS tc FROM tok GROUP BY tok),
+        |p AS (SELECT tok, tc, unnest(range(1, length(tok))) AS i FROM tc WHERE length(tok) >= 2),
+        |pc AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair, sum(tc) AS cnt FROM p GROUP BY 1),
+        |top2 AS (SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM pc
+        |  ORDER BY cnt DESC, pair LIMIT 2),
+        |m AS (SELECT max(CASE WHEN rk = 1 THEN pair END) AS m1,
+        |  max(CASE WHEN rk = 2 THEN pair END) AS m2 FROM top2),
+        |w AS (SELECT tok, tc, m1, m2, regexp_replace(tok, '(.)', '<\1>', 'g') AS ws FROM tc, m),
+        |a AS (SELECT *, replace(ws, '<' || substr(m1, 1, 1) || '><' || substr(m1, 2, 1) || '>',
+        |  '<' || m1 || '>') AS s1 FROM w),
+        |b AS (SELECT *, replace(s1, '<' || substr(m2, 1, 1) || '><' || substr(m2, 2, 1) || '>',
+        |  '<' || m2 || '>') AS s2 FROM a)
+        |SELECT m1, m2, count(*) AS vocab,
+        |  CAST(sum((length(ws) - length(replace(ws, '<', ''))) * tc) AS BIGINT) AS symbols_before,
+        |  CAST(sum((length(s1) - length(replace(s1, '<', ''))) * tc) AS BIGINT) AS symbols_after_m1,
+        |  CAST(sum((length(s2) - length(replace(s2, '<', ''))) * tc) AS BIGINT) AS symbols_after_m2
+        |FROM b GROUP BY m1, m2""".stripMargin
     }),
 
     // PageRank (3 fixed power iterations, damping 0.85) over the bipartite

@@ -114,6 +114,23 @@ object TextAnalysis {
    *  whitespace/case variation. */
   def fingerprint(text: Column): Column = md5(Dedup.normText(text))
 
+  /** URL canonicalization for web-corpus dedup (the CCNet/CommonCrawl
+   *  pre-step): lowercase the scheme and host (NEVER the path — paths are
+   *  case-significant), drop the fragment, drop pure-tracking `utm_*`
+   *  query strings, and strip one trailing slash. Every step is a plain
+   *  regex both Spark (Java regex) and any SQL oracle (RE2) agree on —
+   *  no lookarounds, no backrefs. Compose with [[Dedup.exact]]-style
+   *  grouping for the actual dedup. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val noFragment = regexp_replace(rest, "#.*$", "")
+    val noUtm = regexp_replace(noFragment, "\\?utm_[^#]*$", "")
+    val noTrailing = regexp_replace(noUtm, "/$", "")
+    concat(scheme, lit("://"), host, noTrailing)
+  }
+
   /**
    * Winnowing-style rolling fingerprint: minimum shingle hash per document
    * — a compact similarity-preserving sketch (the k=1 MinHash special case;

@@ -367,6 +367,27 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("url canonicalization folds scheme/host, strips fragments/utm/trailing slash") {
+    implicit val s = spark
+    import spark.implicits._
+    val in = Seq(
+      "HTTPS://WWW.Example.COM/Docs/A/",
+      "https://www.example.com/Docs/A?utm_source=feed",
+      "https://www.example.com/Docs/A#top",
+      "https://www.example.com/Docs/A",
+      "https://www.example.com/docs/a",           // path case differs: NOT merged
+      "http://www.example.com/Docs/A"             // scheme differs: NOT merged
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val out = in.select(col("id"), TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(0L) shouldBe "https://www.example.com/Docs/A"
+    out(1L) shouldBe out(0L)
+    out(2L) shouldBe out(0L)
+    out(3L) shouldBe out(0L)
+    (out(4L) should not).equal(out(0L))
+    (out(5L) should not).equal(out(0L))
+  }
+
   test("language id picks stopword-heavy language deterministically") {
     implicit val s = spark
     import spark.implicits._

@@ -121,8 +121,9 @@ class PlanSpec extends SparkSpec {
       "s7_ann_recall",   // embeds s3's post-limit seed rank for the IVF side
       "d8_training_pipeline", // composite pipeline embedding the s3 stage
       "u1_zipwithindex", // offsets frame: one row per input PARTITION
-      "c8_weighted_sample" // rank window AFTER limit(k): orders the k=100
+      "c8_weighted_sample", // rank window AFTER limit(k): orders the k=100
                            // survivors of the TakeOrdered top-k, not data
+      "t18_bpe_apply"      // merge-rank window AFTER limit(2): 2 rows
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -150,6 +151,7 @@ class PlanSpec extends SparkSpec {
       "s7_ann_recall",     // composes s1 (labeled exact ground truth) and
                            // s3 (broadcast centroid frame) for the eval
       "t16_bm25",          // crossJoin vs broadcast 1-row corpus stats
+      "t18_bpe_apply",     // crossJoin vs broadcast 1-row merge frame
       "k2_kll_quantiles",  // rank-verify pass: crossJoin vs broadcast
                            // 1-row sketch-estimate frame (t16's shape)
       "k3_hll_merge_states", // verdict assembly: 1-row x 1-row crossJoin

@@ -98,6 +98,12 @@ LINEAR_SET = [
     # streaming incremental dedup: stateless per-row signatures, keyed
     # (band,bucket) stream-static join, ONE streaming agg (best-match max)
     "q90_stream_incremental_dedup",
+    # URL canonicalization dedup: narrow regex chain + one content-hash
+    # style shuffle on the canonical string
+    "d19_url_dedup",
+    # BPE merge application: one corpus scan to the weighted vocab, then
+    # all merge work over vocab-sized data vs a 1-row broadcast frame
+    "t18_bpe_apply",
     # priority sample: one scan + TakeOrdered top-k (per-partition heaps)
     "c8_weighted_sample",
     # map HOFs: two keyed aggs; map algebra is per-customer-row work
