@@ -1032,6 +1032,29 @@ object Queries {
         |WHERE c_mktsegment = 'BUILDING'
         |  AND c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6)) FROM customer)""".stripMargin)),
 
+    // ANSI SQL session variables (Spark 4 DECLARE / SET VARIABLE /
+    // VARIABLE references) — the engine-level counterpart of graft's own
+    // set/setrun macros (q9). The variable is populated by an eager
+    // scalar subquery and referenced twice in the final statement; the
+    // oracle inlines the same scalar as plain subqueries. Variables are
+    // session-scoped metadata — zero plan-shape cost, the final query
+    // plans exactly like its inlined form.
+    Spec("q91_sql_session_vars", (spark, dir) => {
+      t(spark, dir, "customer", "orders")
+      spark.sql("DECLARE OR REPLACE VARIABLE graft_bal_cut DECIMAL(18,6)")
+      spark.sql("""SET VARIABLE graft_bal_cut =
+        (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6)) FROM customer)""")
+      spark.sql("""SELECT c_mktsegment,
+        |  count(*) AS n_above,
+        |  CAST(min(c_acctbal - graft_bal_cut) AS DOUBLE) AS min_margin
+        |FROM customer WHERE c_acctbal > graft_bal_cut
+        |GROUP BY c_mktsegment""".stripMargin)
+    }, Some("""WITH cut AS (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS v FROM customer)
+        |SELECT c_mktsegment, count(*) AS n_above,
+        |  CAST(min(c_acctbal - (SELECT v FROM cut)) AS DOUBLE) AS min_margin
+        |FROM customer WHERE c_acctbal > (SELECT v FROM cut)
+        |GROUP BY c_mktsegment""".stripMargin)),
+
     Spec("q10_tumbling_window", sqlQuery(Seq("events"),
       """SELECT CAST(window.start AS LONG) AS bucket_start, event_type, count(*) AS cnt,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

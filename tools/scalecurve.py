@@ -104,6 +104,9 @@ LINEAR_SET = [
     # BPE merge application: one corpus scan to the weighted vocab, then
     # all merge work over vocab-sized data vs a 1-row broadcast frame
     "t18_bpe_apply",
+    # SQL session variables: one scalar agg + one filtered agg — the
+    # variable itself is session metadata, zero plan cost
+    "q91_sql_session_vars",
     # priority sample: one scan + TakeOrdered top-k (per-partition heaps)
     "c8_weighted_sample",
     # map HOFs: two keyed aggs; map algebra is per-customer-row work
