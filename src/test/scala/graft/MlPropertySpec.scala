@@ -86,6 +86,38 @@ class MlPropertySpec extends SparkSpec {
     BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  // --- chunk dedup --------------------------------------------------------
+
+  private val chunkCorpusGen: Gen[Seq[(Long, String)]] = for {
+    nDocs <- Gen.choose(1, 8)
+    docs <- Gen.listOfN(nDocs, Gen.choose(1, 25).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  /** Plain-Scala mirror of chunkDedup's first-occurrence rule. */
+  private def refChunkDedup(docs: Seq[(Long, String)], w: Int): Map[Long, (Long, Long, String)] = {
+    val chunks = docs.sortBy(_._1).flatMap { case (id, t) =>
+      t.toLowerCase.replaceAll("\\s+", " ").split(" ").filter(_.nonEmpty)
+        .grouped(w).zipWithIndex.map { case (g, i) => (id, i.toLong, g.mkString(" ")) }
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val kept = chunks.filter { case (_, _, c) => seen.add(c) }.groupBy(_._1)
+    chunks.groupBy(_._1).map { case (id, cs) =>
+      val k = kept.getOrElse(id, Seq.empty).sortBy(_._2)
+      id -> ((cs.length.toLong, k.length.toLong, k.map(_._3).mkString(" ")))
+    }
+  }
+
+  test("chunkDedup matches the first-occurrence reference on random corpora") {
+    implicit val s = spark
+    import spark.implicits._
+    for (w <- Seq(1, 3, 10); corpus <- samples(chunkCorpusGen, 4)) {
+      val out = Dedup.chunkDedup(corpus.toDF("doc_id", "text"), "text", "doc_id", w)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      withClue(s"w=$w corpus=$corpus") { out shouldBe refChunkDedup(corpus, w) }
+    }
+  }
+
   test("semDedup's dup rule: flagged iff a same-cluster lower-id witness has cos >= threshold") {
     implicit val s = spark
     import spark.implicits._
