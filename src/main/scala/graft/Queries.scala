@@ -3610,6 +3610,50 @@ object Queries {
          |SELECT id, CAST(r AS BIGINT) AS pr FROM r3""".stripMargin
     }),
 
+    // k-core peeling (3 fixed rounds at k=3) over the same co-supply
+    // projection as g2 — the graph-density filter a web-corpus pipeline
+    // uses to find link farms / tightly-knit boilerplate clusters. Each
+    // round: one degree aggregation + two semi-joins keeping edges whose
+    // BOTH endpoints survive — keyed shuffles only, no windows, no driver
+    // reads; fixed rounds make the result a pure function of the input
+    // (the converged variant would loop the same shape to a fixpoint).
+    // Output: surviving nodes with their final-round degree.
+    Spec("g3_kcore", (spark, dir) => {
+      val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_partkey") % 11 === 0)
+        .select(col("l_partkey").cast("long").as("p"),
+          col("l_suppkey").cast("long").as("s")).distinct()
+      val e0 = pairs.select((col("p") * 2L).as("src"), (col("s") * 2L + 1L).as("dst"))
+        .unionAll(pairs.select((col("s") * 2L + 1L).as("src"), (col("p") * 2L).as("dst")))
+      // per-round LAZY checkpoint, same rationale as Dedup.clusterLabels:
+      // each round reads e twice (degree agg + join input), so without a
+      // plan cut round N recomputes every earlier round ~2^N times
+      var e = e0.localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 3).select(col("src").as("k"))
+        e = e.join(keep.withColumnRenamed("k", "src"), Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint(false)
+      }
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+    }, Some {
+      def round(prev: String, cur: String): String =
+        s"""k$cur AS (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 3),
+           |$cur AS (SELECT e.src, e.dst FROM $prev e
+           |  JOIN k$cur a ON e.src = a.src JOIN k$cur b ON e.dst = b.src)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS p, CAST(l_suppkey AS BIGINT) AS s
+         |  FROM lineitem WHERE l_partkey % 11 = 0),
+         |e1_0 AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e0
+         |      UNION ALL SELECT s * 2 + 1 AS src, p * 2 AS dst FROM e0),
+         |${round("e1_0", "e1")},
+         |${round("e1", "e2")},
+         |${round("e2", "e3")}
+         |SELECT src AS node, count(*) AS deg FROM e3 GROUP BY src""".stripMargin
+    }),
+
     // IVF-PQ: cell routing bounds candidates (nprobe/16 of the corpus per
     // query), PQ codes bound memory (8 codes vs 64 floats per scanned
     // vector) — the composition s3 and s5 each prove half of. One

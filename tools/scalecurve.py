@@ -135,6 +135,7 @@ MODELED = {
     "d14_semdedup":           "kmeans passes + per-cluster pair join",
     "d15_dedup_eval":         "jaccard-verify ~ LSH-bounded candidates",
     "g1_pagerank":            "fixed iteration rounds, linear per round",
+    "g3_kcore":               "fixed peeling rounds; per-round degree agg + two semi-joins, edge-linear per round",
     "g2_triangle_count":      "edge-wedge join: cost ~ sum(deg^2)",
     "q45_recursive_cte":      "iteration(recursion-depth)-dominated",
     "s1_knn_bruteforce":      "O(Q*N), Q ~ N/50: quadratic BY DESIGN (exact baseline)",
