@@ -3125,6 +3125,34 @@ object Queries {
               |  1 AS within
               |FROM lineitem GROUP BY 1""".stripMargin)),
 
+    // Spark's NATIVE DataSketches HLL (hll_sketch_agg / hll_union_agg /
+    // hll_sketch_estimate, lgConfigK=12) — the built-in counterpart of
+    // graft_hll (k1/k3). Contract difference worth knowing (measured
+    // here): DataSketches union is NOT merge-invisible — a sharded
+    // union's estimate can differ slightly from the single-pass sketch
+    // (sparse→dense promotion happens at different points), where
+    // graft_hll's raw max-register fold IS exactly invisible (k3 pins
+    // est_m == est_w). So the native contract graded here is the one it
+    // actually offers: BOTH the sharded-union estimate and the
+    // single-pass estimate sit within the 3σ band of the exact distinct.
+    Spec("q92_native_hll_sketch", (spark, dir) => {
+      t(spark, dir, "lineitem")
+      spark.sql("""WITH shards AS (SELECT l_orderkey % 4 AS shard,
+        |    hll_sketch_agg(l_partkey, 12) AS st
+        |  FROM lineitem GROUP BY l_orderkey % 4),
+        |merged AS (SELECT hll_sketch_estimate(hll_union_agg(st)) AS est_m FROM shards),
+        |whole AS (SELECT hll_sketch_estimate(hll_sketch_agg(l_partkey, 12)) AS est_w,
+        |    count(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+        |SELECT exact_distinct,
+        |  CAST(CASE WHEN abs(est_m - exact_distinct) <=
+        |    greatest(2, CAST(ceil(exact_distinct * 0.04875) AS BIGINT)) THEN 1 ELSE 0 END AS INT) AS merged_within,
+        |  CAST(CASE WHEN abs(est_w - exact_distinct) <=
+        |    greatest(2, CAST(ceil(exact_distinct * 0.04875) AS BIGINT)) THEN 1 ELSE 0 END AS INT) AS within
+        |FROM whole CROSS JOIN merged""".stripMargin)
+    }, Some("""SELECT count(DISTINCT l_partkey) AS exact_distinct,
+        |  1 AS merged_within, 1 AS within
+        |FROM lineitem""".stripMargin)),
+
     // KLL quantile sketch (SketchAggregates.KllQuantiles): one pass folds
     // the corpus into O(k log n) state, partial-merged across the
     // exchange; estimates are then RANK-verified in a second pass — count

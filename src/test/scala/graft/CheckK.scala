@@ -18,10 +18,10 @@ object CheckK {
       Queries.all.map(_.name).sorted.filter(n =>
         n.startsWith("k") || n.startsWith("b") ||
           n == "q85_stream_hll_window" || n == "q86_stream_cms_heavy_users" ||
-          n == "q89_stream_kll_window"))
+          n == "q89_stream_kll_window" || n == "q92_native_hll_sketch"))
     // boolean verdicts must be 1; counted-violation columns must be 0
-    val flagCols = Set("within", "merged_equals_whole", "no_false_neg",
-      "fp_within", "never_under", "within_eps")
+    val flagCols = Set("within", "merged_equals_whole", "merged_within",
+      "no_false_neg", "fp_within", "never_under", "within_eps")
     val zeroCols = Set("n_false_neg")
     val dirs = Seq("/root/testdata/sf0.1", "/tmp/graft_scale/sf1")
       .filter(d => new java.io.File(d).isDirectory)

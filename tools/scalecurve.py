@@ -107,6 +107,9 @@ LINEAR_SET = [
     # SQL session variables: one scalar agg + one filtered agg — the
     # variable itself is session metadata, zero plan cost
     "q91_sql_session_vars",
+    # native DataSketches HLL: two sketch passes + one exact distinct,
+    # all single-shuffle aggregations
+    "q92_native_hll_sketch",
     # priority sample: one scan + TakeOrdered top-k (per-partition heaps)
     "c8_weighted_sample",
     # map HOFs: two keyed aggs; map algebra is per-customer-row work
