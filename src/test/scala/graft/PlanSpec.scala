@@ -156,6 +156,8 @@ class PlanSpec extends SparkSpec {
                            // 1-row sketch-estimate frame (t16's shape)
       "k3_hll_merge_states", // verdict assembly: 1-row x 1-row crossJoin
                            // of the whole-table and merged-state aggregates
+      "q92_native_hll_sketch", // verdict assembly: 1-row x 1-row crossJoin
+                           // (k3's shape, native DataSketches side)
       "k4_kll_merge_states", // rank-verify pass: crossJoin vs broadcast
                            // 1-row merged-estimate frame (k2's shape)
       "b1_bloom_decontaminate", // probe pass: crossJoin vs broadcast 1-row
