@@ -2179,6 +2179,50 @@ object Queries {
         |  row_number() OVER (ORDER BY priority DESC, doc_id) AS rank FROM k)
         |SELECT doc_id, w, r, priority, CAST(rank AS INT) AS rank FROM rk WHERE rank <= 100""".stripMargin)),
 
+    // Temperature-scaled source mixing — the multilingual-LLM data-mix
+    // step: resample sources with probability ∝ n_s^α (α = 1/2), so
+    // small sources are up-weighted relative to their raw share. Stage 1
+    // thins the uniform synthetic sources through c5's hash gate to get
+    // non-uniform sizes; stage 2 computes the per-source inclusion
+    // probability p_s = T·q_s / (Σq·n_s) with integer weights
+    // q_s = floor(sqrt(n_s)) and target T = Σn div 4. The only floating
+    // ops are one correctly-rounded divide and one EXACT power-of-two
+    // multiply (2^60), so the per-doc hash gate is bit-identical
+    // cross-engine and the oracle checks the EXACT kept set. Shapes: one
+    // corpus scan + filter, a 20-row per-source count agg broadcast back,
+    // one more filter — the only corpus-scale shuffle is the count agg's
+    // partial-aggregated exchange.
+    Spec("c9_temperature_mix", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val srcnum = col("source").substr(lit(4), length(col("source"))).cast("long")
+      val h5 = Hashing.oracleHash(concat(lit("mix:"), col("doc_id").cast("string")))
+      val sub = docs.select(col("doc_id"), col("source"))
+        .filter(h5 * lit(5L) < (lit(1L) + pmod(srcnum, lit(5L))) * lit(1152921504606846976L))
+      val cnt = sub.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("q", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+      val tot = cnt.agg(sum(col("n_docs")).as("n_total"), sum(col("q")).as("q_total"))
+      val h2 = Hashing.oracleHash(concat(lit("temp:"), col("doc_id").cast("string")))
+      sub.join(broadcast(cnt), "source").crossJoin(broadcast(tot))
+        .withColumn("p_keep",
+          (expr("n_total div 4") * col("q")).cast("double") /
+            (col("q_total") * col("n_docs")).cast("double"))
+        .filter(h2.cast("double") < col("p_keep") * lit(1.152921504606846976e18))
+        .select(col("doc_id"), col("source"))
+    }, Some {
+      s"""WITH sub AS (SELECT doc_id, source FROM documents
+         |  WHERE ${Hashing.duckdbHashSql("'mix:' || doc_id::varchar")} * 5
+         |        < (1 + (CAST(substr(source, 4) AS BIGINT) % 5)) * 1152921504606846976),
+         |cnt AS (SELECT source, count(*) AS n_docs,
+         |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS q
+         |  FROM sub GROUP BY source),
+         |tot AS (SELECT SUM(n_docs) AS n_total, SUM(q) AS q_total FROM cnt)
+         |SELECT s.doc_id, s.source
+         |FROM sub s JOIN cnt USING (source) CROSS JOIN tot
+         |WHERE CAST(${Hashing.duckdbHashSql("'temp:' || s.doc_id::varchar")} AS DOUBLE)
+         |      < (CAST((n_total // 4) * q AS DOUBLE) / CAST(q_total * n_docs AS DOUBLE))
+         |        * 1152921504606846976.0""".stripMargin
+    }),
+
     Spec("q87_stream_sample", (spark, dir) => {
       val agg = streamTable(spark, dir, "documents.parquet")
         .groupBy(col("source"))
@@ -3416,6 +3460,53 @@ object Queries {
         |  1 AS within
         |FROM pu""".stripMargin)),
 
+    // Sketch-algebra set INTERSECTION via inclusion–exclusion:
+    // |A∩B| ≈ est(A) + est(B) − est(A∪B), where est(A∪B) folds the two
+    // persisted HLL register states with graft_hll_merge — no re-scan of
+    // either side (the k3 lifecycle contract applied to a set operation
+    // unions alone can't answer). A and B are the urgent- and
+    // high-priority customer sets of the orders table. The error band
+    // compounds: each of the three estimates carries its own 3σ bound,
+    // so the verdict budget is 4.875% of (|A|+|B|+|A∪B|) with an
+    // absolute floor — conservative, and deterministic on fixed data
+    // (fixed input → fixed registers → fixed estimate). Shapes: one
+    // keyed state agg over the filtered scan, a 2-row state fold, and
+    // the exact-side per-customer flag agg; nothing corpus-scale joins.
+    Spec("k7_hll_intersection", (spark, dir) => {
+      val od = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select((col("o_orderpriority") === "1-URGENT").as("is_a"),
+          col("o_custkey").cast("long").as("c"))
+      val states = od.groupBy(col("is_a"))
+        .agg(graft.functions.SketchAggregates.hllState(col("c")).as("st"))
+      val ests = states.agg(
+        graft.functions.SketchAggregates.hllMerge(when(col("is_a"), col("st"))).as("est_a"),
+        graft.functions.SketchAggregates.hllMerge(when(!col("is_a"), col("st"))).as("est_b"),
+        graft.functions.SketchAggregates.hllMerge(col("st")).as("est_u"))
+      val per = od.groupBy(col("c")).agg(
+        max(when(col("is_a"), 1).otherwise(0)).as("ia"),
+        max(when(!col("is_a"), 1).otherwise(0)).as("ib"))
+      val exact = per.agg(
+        sum(col("ia")).cast("long").as("n_a"),
+        sum(col("ib")).cast("long").as("n_b"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1).otherwise(0))
+          .cast("long").as("n_inter"),
+        count(lit(1)).as("n_union"))
+      exact.crossJoin(broadcast(ests))
+        .select(col("n_a"), col("n_b"), col("n_inter"),
+          (abs(col("est_a") + col("est_b") - col("est_u") - col("n_inter")) <=
+            greatest(lit(8L),
+              ceil((col("n_a") + col("n_b") + col("n_union")).cast("double") * 0.04875)
+                .cast("long"))).cast("int").as("within"))
+    }, Some("""WITH per AS (SELECT o_custkey,
+        |  max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+        |  max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS ib
+        |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY o_custkey)
+        |SELECT sum(ia)::BIGINT AS n_a, sum(ib)::BIGINT AS n_b,
+        |  sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)::BIGINT AS n_inter,
+        |  1 AS within
+        |FROM per""".stripMargin)),
+
     // Bigram language-model scoring — the classic cheap "perplexity-ish"
     // quality signal: train corpus bigram counts in one pass, score each
     // doc by the sum of its bigrams' conditional-probability quanta
@@ -3591,6 +3682,55 @@ object Queries {
         |FROM b GROUP BY m1, m2""".stripMargin
     }),
 
+    // fastText-shaped hashed linear quality classifier (Joulin et al.
+    // '16 architecture, deterministic fixture weights): features are
+    // unigrams + word bigrams, each hashed straight to a weight
+    // w(f) = (h(f) mod 2001) − 1000 ∈ [−1000, 1000]; a doc's score is
+    // Σw over its features and keep = score > 0 — the curation-gate
+    // shape (quality classifier → threshold). The model lookup is FUSED
+    // into the hash (no weight-table join; a trained model would
+    // broadcast-join its vocab-bounded weight table at the same spot).
+    // All-integer arithmetic → the oracle hash-checks every doc's score
+    // bit-exactly. Shapes: one tokenize pass, one explode (features ∝
+    // corpus tokens), one keyed partial-agg shuffle on doc_id — no
+    // windows, no corpus-scale join.
+    Spec("t19_quality_classifier", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"),
+        filter(split(Dedup.normText(col("text")), " "), x => length(x) > 0).as("ts"))
+      val uni = toks.select(col("doc_id"), explode(col("ts")).as("t"))
+        .select(col("doc_id"), concat(lit("u:"), col("t")).as("f"))
+      val bi = toks.filter(size(col("ts")) >= 2).selectExpr("doc_id",
+        """explode(transform(sequence(1, size(ts) - 1),
+          |  i -> concat('b:', element_at(ts, i), ' ', element_at(ts, i + 1)))) AS f""".stripMargin)
+      val w = pmod(Hashing.oracleHash(col("f")), lit(2001L)) - lit(1000L)
+      val scored = uni.unionAll(bi).select(col("doc_id"), w.as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+          coalesce(col("score"), lit(0L)).as("score"),
+          (coalesce(col("score"), lit(0L)) > 0L).cast("int").as("keep"))
+    }, Some {
+      val h = Hashing.duckdbHashSql("f")
+      s"""WITH n AS (SELECT doc_id,
+         |  list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+         |  FROM documents),
+         |toks AS (SELECT doc_id, generate_subscripts(ts, 1) AS pos, unnest(ts) AS tok FROM n),
+         |uni AS (SELECT doc_id, 'u:' || tok AS f FROM toks),
+         |bi AS (SELECT doc_id, 'b:' || tok || ' ' || w2 AS f FROM (
+         |  SELECT doc_id, tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM toks)
+         |  WHERE w2 IS NOT NULL),
+         |feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+         |scored AS (SELECT doc_id, count(*) AS n_feats,
+         |  SUM(($h % 2001) - 1000) AS score FROM feats GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+         |  CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+         |  CAST(CASE WHEN coalesce(s.score, 0) > 0 THEN 1 ELSE 0 END AS INT) AS keep
+         |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin
+    }),
+
     // PageRank (3 fixed power iterations, damping 0.85) over the bipartite
     // part<->supplier co-occurrence graph — the link-quality weighting pass
     // a web-scale corpus pipeline runs before sampling. All arithmetic is
@@ -3680,6 +3820,77 @@ object Queries {
          |${round("e1", "e2")},
          |${round("e2", "e3")}
          |SELECT src AS node, count(*) AS deg FROM e3 GROUP BY src""".stripMargin
+    }),
+
+    // Label-propagation communities (Raghavan et al. '07): 3 SYNCHRONOUS
+    // rounds, each node adopting its neighbors' most frequent label with
+    // deterministic ties (max count, then min label), over the
+    // nation-local customer↔supplier bipartite graph. The supplier side
+    // is capped at the 8 smallest suppkeys per nation, so edge volume is
+    // customer-LINEAR at any SF (not |C|×|S| quadratic). Fixed rounds +
+    // deterministic ties make the result a pure input function (g3's
+    // fixed-round contract); nodes with no neighbors — customers of a
+    // nation with no supplier at small SF — keep their own label via the
+    // left-join fallback, the classic LPA isolated-node semantics. Known
+    // LPA behavior exercised deliberately: a bipartite clique OSCILLATES
+    // under synchronous updates (sides swap labels each round), so after
+    // 3 rounds customers carry their nation's min supplier label and
+    // suppliers the min customer label — still one community per nation,
+    // read off per side. Per round: one keyed join (neighbor labels) +
+    // two keyed aggs (label counts, then struct-max argmax — no window);
+    // per-round localCheckpoint cuts the exponential lineage re-read,
+    // exactly like g3 / Dedup.clusterLabels.
+    Spec("g4_label_propagation", (spark, dir) => {
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"))
+      val s8 = spark.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").cast("long").as("sk"),
+          col("s_nationkey").cast("long").as("nk"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("nk")).orderBy(col("sk"))))
+        .filter(col("rk") <= 8).select(col("sk"), col("nk"))
+      val e0 = cust.join(s8, "nk")
+        .select((col("ck") * 2L).as("src"), (col("sk") * 2L + 1L).as("dst"))
+      val e = e0.unionAll(e0.select((col("dst")).as("src"), (col("src")).as("dst")))
+        .localCheckpoint(false)
+      val nodes = cust.select((col("ck") * 2L).as("node"))
+        .unionAll(s8.select((col("sk") * 2L + 1L).as("node")))
+      var lab = nodes.withColumn("lab", col("node")).localCheckpoint(false)
+      for (_ <- 1 to 3) {
+        val best = e.join(lab.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("src").as("node"), (-col("m.nl")).as("best"))
+        lab = lab.join(best, Seq("node"), "left")
+          .select(col("node"), coalesce(col("best"), col("lab")).as("lab"))
+          .localCheckpoint(false)
+      }
+      lab.select(col("node"), col("lab").as("community"))
+    }, Some {
+      def round(prev: String, cur: String): String =
+        s"""c$cur AS (SELECT e.src AS node, l.lab, count(*) AS c
+           |  FROM e JOIN $prev l ON l.node = e.dst GROUP BY 1, 2),
+           |b$cur AS (SELECT node, lab AS best FROM (
+           |  SELECT node, lab, row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rk
+           |  FROM c$cur) WHERE rk = 1),
+           |$cur AS (SELECT p.node, coalesce(b.best, p.lab) AS lab
+           |  FROM $prev p LEFT JOIN b$cur b USING (node))""".stripMargin
+      s"""WITH s8 AS (SELECT sk, nk FROM (
+         |  SELECT CAST(s_suppkey AS BIGINT) AS sk, CAST(s_nationkey AS BIGINT) AS nk,
+         |    row_number() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) AS rk
+         |  FROM supplier) WHERE rk <= 8),
+         |e0 AS (SELECT CAST(c_custkey AS BIGINT) * 2 AS src, s.sk * 2 + 1 AS dst
+         |  FROM customer c JOIN s8 s ON CAST(c_nationkey AS BIGINT) = s.nk),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT CAST(c_custkey AS BIGINT) * 2 AS node FROM customer
+         |  UNION ALL SELECT sk * 2 + 1 AS node FROM s8),
+         |l0 AS (SELECT node, node AS lab FROM nodes),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT node, CAST(lab AS BIGINT) AS community FROM l3""".stripMargin
     }),
 
     // IVF-PQ: cell routing bounds candidates (nprobe/16 of the corpus per

@@ -171,8 +171,13 @@ class PlanSpec extends SparkSpec {
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
       "g2_triangle_count", // 1-row x 1-row join of two global aggregates
-      "d15_dedup_eval"     // crossJoin vs broadcast 1-row injected-total
+      "d15_dedup_eval",    // crossJoin vs broadcast 1-row injected-total
                            // aggregate (detection tiers are keyed joins)
+      "c9_temperature_mix", // crossJoin vs broadcast 1-row ΣN/Σq totals
+                           // frame (t16's stats shape; source counts are
+                           // a broadcast HASH join on source)
+      "k7_hll_intersection" // verdict assembly: 1-row x 1-row crossJoin
+                           // of the exact-counts and state-fold aggregates
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val p = plan(spec.run(spark, sfDir))

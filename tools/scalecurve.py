@@ -117,6 +117,15 @@ LINEAR_SET = [
     # streaming windowed KLL: fixed k=200 sketch per window in the state
     # store; grading join is window-bounded (q85's shape)
     "q89_stream_kll_window",
+    # temperature mixing: corpus scan + hash gate, 20-row source-count
+    # agg broadcast back, second hash gate — one partial-agg shuffle
+    "c9_temperature_mix",
+    # hashed linear classifier: tokenize + feature explode (~ token
+    # count) + one keyed doc_id partial-agg shuffle
+    "t19_quality_classifier",
+    # HLL intersection: one filtered keyed state agg + 2-row state fold
+    # + per-customer flag agg — all single-pass shuffles
+    "k7_hll_intersection",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
@@ -139,6 +148,7 @@ MODELED = {
     "d15_dedup_eval":         "jaccard-verify ~ LSH-bounded candidates",
     "g1_pagerank":            "fixed iteration rounds, linear per round",
     "g3_kcore":               "fixed peeling rounds; per-round degree agg + two semi-joins, edge-linear per round",
+    "g4_label_propagation":   "3 fixed synchronous LPA rounds; edges capped customer-linear (<= 8 suppliers/nation), per round one keyed join + two keyed aggs",
     "g2_triangle_count":      "edge-wedge join: cost ~ sum(deg^2)",
     "q45_recursive_cte":      "iteration(recursion-depth)-dominated",
     "s1_knn_bruteforce":      "O(Q*N), Q ~ N/50: quadratic BY DESIGN (exact baseline)",
