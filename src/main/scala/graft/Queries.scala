@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{JobContext, PipelineContext, PipelineRunner}
-import graft.ml.{Dedup, Hashing, Similarity, TextAnalysis}
+import graft.ml.{Dedup, Graphs, Hashing, Similarity, TextAnalysis}
 import graft.pipeline.{Action, Job, Pipeline, View}
 import graft.source.FileReader
 import graft.sql.{SqlBase, SqlTransformer}
@@ -1882,6 +1882,45 @@ object Queries {
         |SELECT curl, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
         |FROM c GROUP BY curl""".stripMargin)),
 
+    // Inter-source duplication matrix — the curation report that decides
+    // which source pairs share content (mirror sites, scrapes of scrapes)
+    // before mixing weights are set: d3's LSH candidate pairs, each
+    // endpoint mapped back to its source, counted per unordered source
+    // pair. Pairs stay ids-only through the two (doc_id, source) lookup
+    // joins (the skinny frame broadcasts); least/greatest normalizes the
+    // pair so (A,B) and (B,A) collapse. Planted dup ids (+100000) fold
+    // back to their origin doc's source via mod — the planted copies ARE
+    // same-source duplicates by construction, visible on the diagonal.
+    Spec("d20_source_overlap", (spark, dir) => {
+      val src = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      // planted copies (+100000) fold back to the origin id before lookup
+      val pairs = d3(spark, dir)
+        .select(pmod(col("id_a"), lit(100000L)).as("id_a"),
+          pmod(col("id_b"), lit(100000L)).as("id_b"))
+      val sa = src.select(col("doc_id").as("id_a"), col("source").as("sa"))
+      val sb = src.select(col("doc_id").as("id_b"), col("source").as("sb"))
+      pairs.join(broadcast(sa), "id_a").join(broadcast(sb), "id_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }, Some {
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |p AS (SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
+         |  WHERE ($estExpr) / 8.0 >= 0.5),
+         |ps AS (SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b
+         |  FROM p JOIN documents da ON p.id_a % 100000 = da.doc_id
+         |         JOIN documents db ON p.id_b % 100000 = db.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs
+         |FROM ps GROUP BY 1, 2""".stripMargin
+    }),
+
     // Benchmark decontamination: drop/flag training docs sharing any word
     // n-gram with a held-out eval set — standard before LLM training. The
     // eval set is tiny relative to the corpus, so its distinct shingles are
@@ -3743,23 +3782,12 @@ object Queries {
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("s")).distinct()
       // parity encoding keeps the two node families disjoint at ANY key
-      // range (a fixed offset collides once partkey grows past it)
+      // range (a fixed offset collides once partkey grows past it);
+      // symmetrize puts every node on the src side, so the library's
+      // no-dangling-mass contract holds
       val e = pairs.select((col("p") * 2L).as("src"), (col("s") * 2L + 1L).as("dst"))
-        .unionAll(pairs.select((col("s") * 2L + 1L).as("src"), (col("p") * 2L).as("dst")))
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val ed = e.join(deg, "src")
-      // both directions are present, so every node appears as a src (no
-      // dangling-mass term needed)
-      val nodes = e.select(col("src").as("id")).distinct()
-      var r = nodes.withColumn("pr", lit(1000000L))
-      for (_ <- 1 to 3) {
-        val contrib = ed.join(r, ed("src") === r("id"))
-          .select(col("dst").as("id"), expr("pr div deg").as("c"))
-          .groupBy(col("id")).agg(sum(col("c")).as("sm"))
-        r = nodes.join(contrib, Seq("id"), "left")
-          .select(col("id"), expr("150000L + (85 * coalesce(sm, 0L)) div 100").as("pr"))
-      }
-      r
+      Graphs.pageRankQuantized(Graphs.symmetrize(e), 3)
+        .select(col("id"), col("pr"))
     }, Some {
       def iter(prev: String, cur: String): String =
         s"""c$cur AS (SELECT e.dst AS id, SUM($prev.r // d.deg) AS sm
@@ -3792,21 +3820,7 @@ object Queries {
         .select(col("l_partkey").cast("long").as("p"),
           col("l_suppkey").cast("long").as("s")).distinct()
       val e0 = pairs.select((col("p") * 2L).as("src"), (col("s") * 2L + 1L).as("dst"))
-        .unionAll(pairs.select((col("s") * 2L + 1L).as("src"), (col("p") * 2L).as("dst")))
-      // per-round LAZY checkpoint, same rationale as Dedup.clusterLabels:
-      // each round reads e twice (degree agg + join input), so without a
-      // plan cut round N recomputes every earlier round ~2^N times
-      var e = e0.localCheckpoint(false)
-      for (_ <- 1 to 3) {
-        val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= 3).select(col("src").as("k"))
-        e = e.join(keep.withColumnRenamed("k", "src"), Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("k", "dst"), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst"))
-          .localCheckpoint(false)
-      }
-      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .select(col("src").as("node"), col("deg"))
+      Graphs.kCore(Graphs.symmetrize(e0), k = 3, rounds = 3)
     }, Some {
       def round(prev: String, cur: String): String =
         s"""k$cur AS (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 3),
@@ -3852,22 +3866,9 @@ object Queries {
         .filter(col("rk") <= 8).select(col("sk"), col("nk"))
       val e0 = cust.join(s8, "nk")
         .select((col("ck") * 2L).as("src"), (col("sk") * 2L + 1L).as("dst"))
-      val e = e0.unionAll(e0.select((col("dst")).as("src"), (col("src")).as("dst")))
-        .localCheckpoint(false)
       val nodes = cust.select((col("ck") * 2L).as("node"))
         .unionAll(s8.select((col("sk") * 2L + 1L).as("node")))
-      var lab = nodes.withColumn("lab", col("node")).localCheckpoint(false)
-      for (_ <- 1 to 3) {
-        val best = e.join(lab.withColumnRenamed("node", "dst"), "dst")
-          .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
-          .groupBy(col("src"))
-          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("src").as("node"), (-col("m.nl")).as("best"))
-        lab = lab.join(best, Seq("node"), "left")
-          .select(col("node"), coalesce(col("best"), col("lab")).as("lab"))
-          .localCheckpoint(false)
-      }
-      lab.select(col("node"), col("lab").as("community"))
+      Graphs.labelPropagation(Graphs.symmetrize(e0), nodes, rounds = 3)
     }, Some {
       def round(prev: String, cur: String): String =
         s"""c$cur AS (SELECT e.src AS node, l.lab, count(*) AS c

@@ -1,0 +1,121 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixed-round distributed graph algorithms over plain (src, dst) edge
+ * frames — the graph passes a corpus-curation pipeline runs over link /
+ * co-occurrence structure (link-quality weighting, density filtering,
+ * community grouping). Library form of the g1/g3/g4 catalog queries so
+ * pipelines reach them through [[GraphActor]].
+ *
+ * Shared contracts:
+ *  - Edges are BIGINT (src, dst). Algorithms treat the list as DIRECTED;
+ *    undirected callers pass both directions ([[symmetrize]]).
+ *  - All arithmetic is integer-quantized (no libm, no doubles), so a
+ *    fixed round count makes every result a pure function of the input —
+ *    bit-identical across engines, partitionings, and re-runs.
+ *  - Each round is keyed joins + keyed aggregations only (no windows over
+ *    unbounded partitions, no driver collects); a per-round LAZY
+ *    `localCheckpoint` cuts the lineage so round N never re-computes
+ *    rounds 1..N-1 (same rationale as [[Dedup.clusterLabels]]).
+ *
+ * No counterpart in the reference (its actor set stops at relational
+ * transforms); the iteration shape follows the public Pregel/power-
+ * iteration literature re-expressed as DataFrame rounds.
+ */
+object Graphs {
+
+  /** Both directions of an edge list (the undirected-input adapter). */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /**
+   * Quantized PageRank: `iterations` power-iteration rounds, damping
+   * 0.85, ranks scaled by 1e6 with floor division (`pr div deg`
+   * contributions, `150000 + 85%·Σ div 100` update).
+   *
+   * Contract: every node must appear as a src — true for any
+   * symmetrized edge list — so no dangling-mass term is needed; a
+   * directed graph with sinks needs its own dangling handling before
+   * this pass. Per round: one keyed join (contributions) + one keyed
+   * groupBy; the node frame re-joins left so rank-less nodes keep the
+   * teleport floor.
+   *
+   * Checkpointing differs from [[kCore]] deliberately: PageRank's
+   * per-round frames are FULL-size (edge×deg join, whole node set), so
+   * a per-round materialization costs more than the lineage it saves —
+   * measured 3.5x slower on the 3-round catalog query vs the fused
+   * plan. The rank frame's lineage doubles per round, so a lazy cut
+   * every 4th round bounds plan depth for deep iteration counts while
+   * small counts keep the single fused plan.
+   */
+  def pageRankQuantized(edges: DataFrame, iterations: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, "src")
+    val nodes = edges.select(col("src").as("id")).distinct()
+    var r = nodes.withColumn("pr", lit(1000000L))
+    for (i <- 1 to iterations) {
+      val contrib = ed.join(r, ed("src") === r("id"))
+        .select(col("dst").as("id"), expr("pr div deg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("sm"))
+      r = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"), expr("150000L + (85 * coalesce(sm, 0L)) div 100").as("pr"))
+      if (i % 4 == 0 && i < iterations) r = r.localCheckpoint(false)
+    }
+    r
+  }
+
+  /**
+   * k-core peeling, `rounds` fixed rounds: each round drops every edge
+   * with an endpoint of out-degree < k (on a symmetric list, out-degree
+   * IS degree). Output: surviving nodes with their final-round degree.
+   * The converged variant loops this same shape to a fixpoint; fixed
+   * rounds keep the result input-pure. Per round: one degree agg + two
+   * semi-joins.
+   */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kn"))
+      e = e.join(keep.withColumnRenamed("kn", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("kn", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(false)
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
+  /**
+   * Synchronous label propagation (Raghavan et al. '07), `rounds` fixed
+   * rounds: every node simultaneously adopts its neighbors' most
+   * frequent label, ties broken deterministically (max count, then min
+   * label). `nodes` (one `node` column) seeds labels — nodes without
+   * neighbors keep their own label through the left-join fallback.
+   * Known synchronous-LPA behavior, deliberately preserved: bipartite
+   * cliques oscillate (sides swap labels each round) — callers read
+   * communities per side or run an odd/even round count knowingly.
+   * Per round: one keyed join + two keyed aggs (label counts, then a
+   * struct-max argmax — no window).
+   */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint(false)
+    var lab = nodes.select(col("node")).withColumn("lab", col("node"))
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val best = e.join(lab.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("best"))
+      lab = lab.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("best"), col("lab")).as("lab"))
+        .localCheckpoint(false)
+    }
+    lab.select(col("node"), col("lab").as("community"))
+  }
+}

@@ -356,3 +356,57 @@ class ImageDedupActor extends Actor {
     else Multimodal.phashNearDupPairs(hashes, bands, maxHamming, bandsPerKey))
   }
 }
+
+/** Graph actor: fixed-round graph algorithms ([[Graphs]]) over an edge
+ *  view. `method`: pagerank | kcore | label-propagation. Properties:
+ *  `view` (edges), `srcField`/`dstField` (default src/dst), `rounds`
+ *  (default 3), `k` (kcore threshold, default 3), `symmetrize`
+ *  (default true — add reverse edges; pass false when the view already
+ *  carries both directions), `nodesView` (label-propagation only:
+ *  optional seed node set with a `node` column; default = the edge
+ *  endpoints). */
+class GraphActor extends Actor {
+  protected var view: String = ""
+  protected var method: String = "pagerank"
+  protected var srcCol: String = "src"
+  protected var dstCol: String = "dst"
+  protected var rounds: Int = 3
+  protected var k: Int = 3
+  protected var symmetrizeEdges: Boolean = true
+  protected var nodesView: Option[String] = None
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    view = require_(properties, "view")
+    properties.get("method").foreach { m =>
+      require(Seq("pagerank", "kcore", "label-propagation").contains(m),
+        s"GraphActor: bad method $m")
+      method = m
+    }
+    properties.get("srcField").foreach(srcCol = _)
+    properties.get("dstField").foreach(dstCol = _)
+    properties.get("rounds").foreach(v => rounds = v.toInt)
+    properties.get("k").foreach(v => k = v.toInt)
+    properties.get("symmetrize").foreach(v => symmetrizeEdges = v.toBoolean)
+    nodesView = properties.get("nodesView")
+    require(rounds >= 1, s"GraphActor: rounds must be >= 1, got $rounds")
+    require(nodesView.isEmpty || method == "label-propagation",
+      "GraphActor: nodesView only applies to method label-propagation")
+  }
+
+  override def inputViews: Seq[String] =
+    (if (view.nonEmpty) Seq(view) else Seq.empty) ++ nodesView.toSeq
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val raw = ctx.getView(view)
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val edges = if (symmetrizeEdges) Graphs.symmetrize(raw) else raw
+    Some(method match {
+      case "pagerank" => Graphs.pageRankQuantized(edges, rounds)
+      case "kcore" => Graphs.kCore(edges, k, rounds)
+      case "label-propagation" =>
+        val nodes = nodesView.map(v => ctx.getView(v).select(col("node").cast("long").as("node")))
+          .getOrElse(edges.select(col("src").as("node")).distinct())
+        Graphs.labelPropagation(edges, nodes, rounds)
+    })
+  }
+}

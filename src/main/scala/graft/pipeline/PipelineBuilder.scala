@@ -83,7 +83,8 @@ object PipelineBuilder {
     "similarity-search" -> "graft.ml.SimilaritySearchActor",
     "text-analysis" -> "graft.ml.TextAnalysisActor",
     "multimodal-decode" -> "graft.ml.MultimodalDecodeActor",
-    "image-dedup" -> "graft.ml.ImageDedupActor")
+    "image-dedup" -> "graft.ml.ImageDedupActor",
+    "graph" -> "graft.ml.GraphActor")
 
   def fromFile(path: String, submitVars: Map[String, String] = Map.empty,
                appConfig: Map[String, String] = Map.empty)

@@ -135,6 +135,7 @@ LINEAR_SET = [
 MODELED = {
     "c1_kmeans":              "fixed Lloyd passes over the corpus",
     "d3_lsh_pairs":           "pair count ~ near-dup structure (bucket-bounded)",
+    "d20_source_overlap":     "embeds d3's bucket-bounded pair volume; source lookups are broadcast joins on ids-only pairs",
     "d4_ngram_jaccard":       "per-pair shingle join over d3's candidate pairs",
     "d6_embed_neardup":       "label-blocked pair join: sum(|block|^2)",
     "d7_dedup_resolution":    "LSH pairs + O(log d) CC rounds",
