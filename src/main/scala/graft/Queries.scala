@@ -3236,6 +3236,59 @@ object Queries {
         |  1 AS merged_within, 1 AS within
         |FROM lineitem""".stripMargin)),
 
+    // SQL pipe syntax (Spark 4, SPARK-49555): the |> operator chain —
+    // FROM |> WHERE |> AGGREGATE..GROUP BY |> WHERE (post-agg, HAVING's
+    // role) |> SELECT — graded against the equivalent classic query.
+    // Same plan as the classic form (pipe is pure syntax), so this pins
+    // the DIALECT feature, not a new execution shape.
+    Spec("q93_sql_pipe", sqlQuery(Seq("lineitem"),
+      """FROM lineitem
+        ||> WHERE l_quantity >= 10
+        ||> AGGREGATE count(*) AS cnt,
+        |     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> WHERE cnt >= 5
+        ||> SELECT l_returnflag, l_linestatus, cnt, qty""".stripMargin),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem WHERE l_quantity >= 10
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) >= 5""".stripMargin)),
+
+    // VARIANT semi-structured type (Spark 4): parse_json into the binary
+    // variant encoding, typed variant_get extraction, and
+    // schema_of_variant introspection — the engine path for shredding
+    // semi-structured event payloads without a fixed schema (vs q21's
+    // string-walking get_json_object). The oracle extracts the same
+    // fields relationally and pins the discovered schema string.
+    Spec("q94_variant_json", sqlQuery(Seq("events"),
+      """SELECT event_type,
+        |  CAST(SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS BIGINT) AS sum_k,
+        |  max(schema_of_variant(parse_json(props))) AS vschema,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin),
+      Some("""SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  'OBJECT<k: BIGINT>' AS vschema,
+        |  count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // String collations (Spark 4): GROUP BY under UTF8_LCASE merges case
+    // variants into one group while the projected min() stays binary —
+    // the mixed-case source labels a real crawl carries (Host headers,
+    // hand-typed tags) collapse without a lower() rewrite at every use
+    // site. Case variation is synthesized deterministically from doc_id
+    // parity; the oracle reproduces the grouping with lower().
+    Spec("q95_collation", sqlQuery(Seq("documents"),
+      """WITH c AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
+        |    ELSE source END AS msrc FROM documents)
+        |SELECT min(msrc) AS src_rep, count(*) AS cnt
+        |FROM c GROUP BY msrc COLLATE UTF8_LCASE""".stripMargin),
+      Some("""WITH c AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
+        |    ELSE source END AS msrc FROM documents)
+        |SELECT min(msrc) AS src_rep, count(*) AS cnt
+        |FROM c GROUP BY lower(msrc)""".stripMargin)),
+
     // KLL quantile sketch (SketchAggregates.KllQuantiles): one pass folds
     // the corpus into O(k log n) state, partial-merged across the
     // exchange; estimates are then RANK-verified in a second pass — count

@@ -126,6 +126,13 @@ LINEAR_SET = [
     # HLL intersection: one filtered keyed state agg + 2-row state fold
     # + per-customer flag agg — all single-pass shuffles
     "k7_hll_intersection",
+    # pipe syntax: pure dialect — identical plan to the classic
+    # filter+agg+having form
+    "q93_sql_pipe",
+    # variant: per-row parse/extract map + one keyed agg
+    "q94_variant_json",
+    # collation: one keyed agg under a non-binary collation
+    "q95_collation",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
