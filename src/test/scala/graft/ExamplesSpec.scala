@@ -185,4 +185,23 @@ class ExamplesSpec extends SparkSpec {
     copies.filter(col("keep_id") =!= col("id") - 1000).count() shouldBe 0L
     copies.filter(!col("is_duplicate")).count() shouldBe 0L
   }
+
+  test("link_analysis.yaml ranks and density-filters one co-occurrence projection") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_links")
+    runExample("link_analysis.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val rank = spark.read.parquet(s"$out/link_rank")
+    rank.columns shouldBe Array("id", "pr")
+    rank.count() should be >= 1L
+    // ranks respect the quantized floor (teleport term)
+    rank.filter(col("pr") < 150000L).count() shouldBe 0L
+    val core = spark.read.parquet(s"$out/dense_core")
+    core.columns shouldBe Array("node", "deg")
+    // survivors of the k=3 peeling prefix kept degree >= 3 in the last
+    // peel they passed; the final recount can only shrink via later rounds
+    core.filter(col("deg") < 1L).count() shouldBe 0L
+    // the core is a subset of the ranked node set
+    core.join(rank, core("node") === rank("id"), "left_anti").count() shouldBe 0L
+  }
 }
