@@ -4019,6 +4019,69 @@ object Queries {
          |FROM h""".stripMargin
     }),
 
+    // MMR diversified retrieval (Carbonell–Goldstein '98): greedily pick
+    // 3 of each query's 8 nearest neighbors maximizing λ·relevance −
+    // (1−λ)·redundancy-vs-picked — the post-ANN diversity pass that
+    // stops k results being k copies of one near-dup cluster. λ is the
+    // RATIONAL 7/10 and the greedy scores are all-integer micro-units
+    // (7·rel_µ − 3·red_µ, units 1e-7): the float form 0.7·a − 0.3·b of
+    // round-6 cosines has 7 decimal digits, so a round-6 output lands on
+    // exact decimal midpoints where Spark's HALF_UP and DuckDB's
+    // binary-exact rounding disagree (measured: query 400's step-2
+    // winner scored exactly 0.2551225). The oracle unrolls the 3 greedy
+    // steps as CTEs over the same integer quanta. Scale: pool-bounded —
+    // pairwise sims ≤ 8² per query, every step keyed on query_id.
+    Spec("s9_knn_mmr", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      Similarity.mmrTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v",
+        k = 3, poolSize = 8)
+    }, Some {
+      val cosQC = s"(${dotSql("q.v", "c.v")}) / (${normSql("q.v")} * ${normSql("c.v")})"
+      val cosAB = s"(${dotSql("ca.v", "cb.v")}) / (${normSql("ca.v")} * ${normSql("cb.v")})"
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |q AS (SELECT * FROM c WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round($cosQC, 6) AS cos_r
+         |  FROM q JOIN c ON q.vec_id <> c.vec_id),
+         |p8 AS (SELECT query_id, neighbor_id, cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 8),
+         |ps AS (SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+         |    CAST(round(round($cosAB, 6) * 1000000) AS BIGINT) AS sim_u
+         |  FROM p8 a JOIN p8 b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+         |  JOIN c ca ON ca.vec_id = a.neighbor_id JOIN c cb ON cb.vec_id = b.neighbor_id),
+         |pu AS (SELECT query_id, neighbor_id,
+         |    CAST(round(cos_r * 1000000) AS BIGINT) AS rel_u FROM p8),
+         |sel1 AS (SELECT query_id, neighbor_id, 1 AS pick_rank,
+         |    CAST(round(cos_r * 1000000) AS BIGINT) * 10 AS score_u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank = 1),
+         |st2 AS (SELECT d.query_id, d.neighbor_id,
+         |    7 * d.rel_u - 3 * ps.sim_u AS score_u
+         |  FROM pu d JOIN sel1 s ON d.query_id = s.query_id AND d.neighbor_id <> s.neighbor_id
+         |  JOIN ps ON ps.query_id = d.query_id AND ps.ida = d.neighbor_id AND ps.idb = s.neighbor_id),
+         |sel2 AS (SELECT query_id, neighbor_id, 2 AS pick_rank, score_u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, neighbor_id) AS rk
+         |  FROM st2) WHERE rk = 1),
+         |sel12 AS (SELECT query_id, neighbor_id FROM sel1
+         |  UNION ALL SELECT query_id, neighbor_id FROM sel2),
+         |red3 AS (SELECT d.query_id, d.neighbor_id, d.rel_u, max(ps.sim_u) AS red_u
+         |  FROM pu d
+         |  JOIN sel12 s ON d.query_id = s.query_id
+         |  JOIN ps ON ps.query_id = d.query_id AND ps.ida = d.neighbor_id AND ps.idb = s.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+         |    WHERE x.query_id = d.query_id AND x.neighbor_id = d.neighbor_id)
+         |  GROUP BY d.query_id, d.neighbor_id, d.rel_u),
+         |st3 AS (SELECT query_id, neighbor_id,
+         |    7 * rel_u - 3 * red_u AS score_u FROM red3),
+         |sel3 AS (SELECT query_id, neighbor_id, 3 AS pick_rank, score_u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, neighbor_id) AS rk
+         |  FROM st3) WHERE rk = 1)
+         |SELECT query_id, CAST(pick_rank AS INT) AS pick_rank, neighbor_id,
+         |  CAST(score_u AS BIGINT) AS score_u
+         |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3)""".stripMargin
+    }),
+
     // SCD Type-2 dimension maintenance through real row-level DML on the
     // v2 catalog: close the changed current rows (MERGE ... UPDATE), then
     // append the new versions — the canonical warehouse pattern for

@@ -94,6 +94,84 @@ object Similarity {
   }
 
   /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+   * SIGIR'98): greedily pick `k` of each query's `poolSize` nearest
+   * neighbors, each step taking the candidate maximizing
+   * `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` — relevance minus
+   * redundancy against the already-picked set S. The diversity pass a
+   * retrieval pipeline runs after ANN so the k results aren't k copies
+   * of one near-dup cluster.
+   *
+   * Determinism: relevance and redundancy are the round-6 cosines
+   * (bruteForceTopK's contract) requantized to integer micro-units, λ is
+   * the RATIONAL lambdaNum/lambdaDen, and the score is the all-integer
+   * `lambdaNum·rel_µ − (lambdaDen−lambdaNum)·red_µ` (units of
+   * 1e-6/lambdaDen) — float λ weights were measured to land scores on
+   * exact decimal midpoints (0.7·a − 0.3·b of 6-decimal inputs has 7
+   * decimal digits, so round-6 hits x.xxxxxx5 routinely, where Spark's
+   * HALF_UP and an oracle engine's binary-exact rounding disagree).
+   * Ties break on min neighbor id, so the greedy trace is a pure input
+   * function.
+   *
+   * Scale shape: the pool bounds per-query work — pairwise sims are
+   * ≤ poolSize² rows per query and every join afterwards is keyed on
+   * query_id; each greedy step is one keyed max-agg + one struct-max
+   * argmax (no windows beyond the pool ranking itself).
+   */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int = 3, poolSize: Int = 8,
+              lambdaNum: Int = 7, lambdaDen: Int = 10,
+              dim: Option[Int] = None): DataFrame = {
+    require(k >= 1 && k <= poolSize, s"mmrTopK: need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
+      s"mmrTopK: need 0 <= lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
+    val pool = bruteForceTopK(queries, corpus, idCol, vecCol, poolSize, dim)
+      .localCheckpoint(false)
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn", dim)
+    val pv = pool.select(col("query_id"), col("neighbor_id")).join(c, "neighbor_id")
+    val a = pv.select(col("query_id"), col("neighbor_id").as("ida"),
+      col("cv").as("va"), col("cn").as("na"))
+    val b = pv.select(col("query_id"), col("neighbor_id").as("idb"),
+      col("cv").as("vb"), col("cn").as("nb"))
+    // integer micro-units: the round-6 cosine times 1e6 is integer-valued;
+    // the outer round() only strips float representation error
+    def micro(c: Column): Column = round(c * lit(1000000.0)).cast("long")
+    val psim = a.join(b, Seq("query_id")).filter(col("ida") =!= col("idb"))
+      .select(col("query_id"), col("ida"), col("idb"),
+        micro(round(dotD(col("va"), col("vb"), dim) / (col("na") * col("nb")), 6)).as("sim_u"))
+      .localCheckpoint(false)
+    val rel = pool.select(col("query_id"), col("neighbor_id"),
+      micro(col("cos_sim")).as("rel_u"))
+    var sel = pool.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("pick_rank"),
+        (micro(col("cos_sim")) * lit(lambdaDen.toLong)).as("score_u"))
+    for (step <- 2 to k) {
+      val selIds = sel.select(col("query_id"), col("neighbor_id").as("sid"))
+      val remaining = rel.join(
+        selIds.withColumnRenamed("sid", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val red = remaining
+        .join(psim.withColumnRenamed("ida", "neighbor_id"), Seq("query_id", "neighbor_id"))
+        .join(selIds.withColumnRenamed("sid", "idb"), Seq("query_id", "idb"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("sim_u")).as("red_u"))
+      val scored = remaining.join(red, Seq("query_id", "neighbor_id"))
+        .withColumn("score_u",
+          lit(lambdaNum.toLong) * col("rel_u") -
+            lit((lambdaDen - lambdaNum).toLong) * col("red_u"))
+      val pick = scored.groupBy(col("query_id"))
+        .agg(max(struct(col("score_u"), (-col("neighbor_id")).as("nid"))).as("m"))
+        .select(col("query_id"), (-col("m.nid")).as("neighbor_id"),
+          lit(step).as("pick_rank"), col("m.score_u").as("score_u"))
+      sel = sel.unionByName(pick).localCheckpoint(false)
+    }
+    // score_u is in units of 1e-6/lambdaDen (step 1 pre-scales by
+    // lambdaDen so every step shares one unit)
+    sel.select(col("query_id"), col("pick_rank").cast("int").as("pick_rank"),
+      col("neighbor_id"), col("score_u"))
+  }
+
+  /**
    * Random-hyperplane LSH bucket id: sign bits of `numPlanes` deterministic
    * hyperplanes. Plane weights are md5-derived doubles in [-0.5, 0.5),
    * computed on the driver (same value the in-plan md5 expression would

@@ -176,8 +176,12 @@ class PlanSpec extends SparkSpec {
       "c9_temperature_mix", // crossJoin vs broadcast 1-row ΣN/Σq totals
                            // frame (t16's stats shape; source counts are
                            // a broadcast HASH join on source)
-      "k7_hll_intersection" // verdict assembly: 1-row x 1-row crossJoin
+      "k7_hll_intersection", // verdict assembly: 1-row x 1-row crossJoin
                            // of the exact-counts and state-fold aggregates
+      "s9_knn_mmr"         // embeds s1's labeled exact pool build (the
+                           // checkpoint cut hides it from this plan grep
+                           // today; listed so removing the cut is not a
+                           // surprise guard failure)
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val p = plan(spec.run(spark, sfDir))

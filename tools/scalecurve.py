@@ -167,6 +167,7 @@ MODELED = {
     "s6_knn_ivfpq":           "O(Q*nprobe*cell)",
     "s7_ann_recall":          "embeds s1: O(Q*N) ground truth by design",
     "s8_knn_lsh_multiprobe":  "O(Q*probed buckets)",
+    "s9_knn_mmr":             "embeds s1's O(Q*N) exact pool build by design; the MMR re-rank itself is pool-bounded (<= 8^2 sims per query)",
 }
 
 
