@@ -4348,6 +4348,44 @@ object Queries {
         |FROM sess s JOIN fin f ON s.user_id = f.user_id, wm
         |WHERE s.t1 < f.lt OR s.t1 + INTERVAL 30 MINUTE < wm.w""".stripMargin)),
 
+    // transformWithState's FULL typed-state surface in one processor:
+    // ListState (k earliest events, bottom-k union-trim), MapState
+    // (per-type counters), ValueState (total) — the per-user profile
+    // accumulator of a clickstream pipeline. Every state merge is
+    // order-free, so micro-batch slicing cannot change the final
+    // emission (StreamingSpec forces a 2-batch replay to prove it); the
+    // oracle computes the same profile relationally. Canonical string
+    // encodings (event order / sorted types) make the row hash-exact.
+    Spec("q96_tws_profile", (spark, dir) => {
+      val s2 = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      eventsStream(s2, dir).createOrReplaceTempView("q96_in")
+      val ctx = new JobContext(PipelineContext())(s2)
+      val actor = new graft.transform.StreamStatefulTransformer()
+      actor.init(Map(
+        "view" -> "q96_in",
+        "processor.type" -> "graft.streaming.UserProfileProcessor",
+        "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
+        "processor.idField" -> "event_id", "processor.typeField" -> "event_type",
+        "processor.k" -> "3"))(s2)
+      val out = actor.run(ctx)(s2).get
+      org.apache.spark.sql.GraftSqlBridge.onSession(spark,
+        drainToMemory(s2, out, "q96_profiles", "append"))
+    }, Some(s"""WITH $eventsUsCte,
+        |r AS (SELECT user_id, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |  FROM events_us),
+        |f AS (SELECT user_id, string_agg(event_type, ',' ORDER BY rk) AS first_types
+        |  FROM r WHERE rk <= 3 GROUP BY user_id),
+        |tc AS (SELECT user_id,
+        |    string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS type_counts
+        |  FROM (SELECT user_id, event_type, count(*) AS cnt FROM events_us GROUP BY 1, 2)
+        |  GROUP BY user_id),
+        |n AS (SELECT user_id, count(*) AS n_seen FROM events_us GROUP BY user_id)
+        |SELECT user_id, first_types, type_counts, n_seen
+        |FROM f JOIN tc USING (user_id) JOIN n USING (user_id)""".stripMargin)),
+
     // Streaming sketch aggregation: graft_hll as the STREAMING aggregate.
     // The state store keeps one serialized register array per (window,
     // event_type) group — the TypedImperativeAggregate's buffer IS the

@@ -137,16 +137,7 @@ class SessionizeTwsProcessor extends ArbitraryStatefulProcessor {
 
   override def transformState(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    // transformWithState requires the RocksDB state store provider. Only
-    // default it when the session hasn't configured a provider — and note
-    // the session-level effect: later streaming queries in this session
-    // inherit it (a per-query provider is not settable; checkpoints
-    // created under a different provider must not be resumed after this).
-    val confKey = "spark.sql.streaming.stateStore.providerClass"
-    if (spark.conf.getOption(confKey).forall(_.trim.isEmpty)
-        || spark.conf.getOption(confKey).exists(_.endsWith("HDFSBackedStateStoreProvider")))
-      spark.conf.set(confKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    TwsSupport.ensureRocksDb(spark)
     val typed = df
       .select(col(keyField).cast("long"), unix_micros(col(tsField).cast("timestamp")))
       .as[(Long, Long)]

@@ -243,6 +243,60 @@ class StreamingSpec extends SparkSpec {
     rows should have size 2
   }
 
+  test("profile processor: 2-batch replay equals the single-batch profile (order-free state)") {
+    implicit val s = spark
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0.getTime + offsetSec * 1000)
+    // events deliberately OUT OF TIME ORDER across the two files: user 1's
+    // earliest event arrives in batch 2, so a merge that trusted arrival
+    // order would get first_types wrong
+    val all = Seq(
+      (1L, ts(100), 10L, "view"), (1L, ts(300), 11L, "click"), (2L, ts(50), 12L, "view"),
+      (1L, ts(10), 13L, "buy"), (1L, ts(200), 14L, "view"), (2L, ts(40), 15L, "click"))
+    def runProfiles(files: Seq[Seq[(Long, java.sql.Timestamp, Long, String)]]): Map[Long, (String, String, Long)] = {
+      val dir = tmpDir(s"tws_prof_${files.size}_${System.nanoTime}")
+      files.zipWithIndex.foreach { case (rows, i) =>
+        val stage = tmpDir(s"stage_prof_$i${System.nanoTime}")
+        rows.toDF("user_id", "ts", "event_id", "event_type")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = Files.list(Paths.get(stage)).toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).head
+        val target = Paths.get(dir, s"f$i.parquet")
+        Files.copy(Paths.get(part), target, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(target,
+          FileTime.fromMillis(System.currentTimeMillis() + i * 60000L))
+      }
+      val schema = spark.read.parquet(s"$dir/f0.parquet").schema
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(dir)
+        .createOrReplaceTempView("tws_prof_in")
+      val ctx = new JobContext(PipelineContext())
+      val actor = new StreamStatefulTransformer()
+      actor.init(Map("view" -> "tws_prof_in",
+        "processor.type" -> "graft.streaming.UserProfileProcessor",
+        "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
+        "processor.idField" -> "event_id", "processor.typeField" -> "event_type",
+        "processor.k" -> "3"))
+      val qn = s"tws_prof_${System.nanoTime}"
+      val sq = actor.run(ctx).get.writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      // last emission per key = the one with the highest n_seen
+      spark.table(qn).collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3))))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).maxBy(_._3) }
+    }
+    val sliced = runProfiles(Seq(all.take(3), all.drop(3)))
+    val whole = runProfiles(Seq(all))
+    sliced shouldBe whole
+    // and the content is the time-ordered truth, not arrival order
+    whole(1L) shouldBe (("buy,view,view", "buy:1,click:1,view:2", 4L))
+    whole(2L) shouldBe (("click,view", "click:1,view:1", 2L))
+  }
+
   test("Trigger.Continuous actually executes: rate source -> ForeachWriter, epochs commit") {
     // The one streaming mode the catalog plumbs but never ran: start a real
     // continuous-trigger query (epoch-based, no micro-batches) and observe

@@ -133,6 +133,9 @@ LINEAR_SET = [
     "q94_variant_json",
     # collation: one keyed agg under a non-binary collation
     "q95_collation",
+    # tws profile: micro-batch scan; per-key state is k entries + a
+    # type-counter map + one counter, all fixed-size per key
+    "q96_tws_profile",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
