@@ -2033,6 +2033,37 @@ object Queries {
         |  coalesce(kt.dedup_text, '') AS dedup_text
         |FROM cnt c LEFT JOIN kt ON c.doc_id = kt.doc_id""".stripMargin)),
 
+    // Cross-document duplicated spans (Lee et al. ACL'22's exact substring
+    // dedup, as fixed 40-char windows at stride 20): planted partial
+    // copies — each %11 doc re-appears as its normalized text minus the
+    // first 20 chars, i.e. a stride-aligned SUFFIX quote under a new id —
+    // must surface as shared fingerprints while the documents as wholes
+    // stay distinct. The oracle replays windowing, md5 grouping, and the
+    // packed (doc·1e6+off) first-occurrence arg-min relationally.
+    Spec("d21_substring_dedup", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.unionAll(
+        docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            substring(Dedup.normText(col("text")), 21, Int.MaxValue).as("text")))
+      Dedup.duplicateSpans(planted, "text", "doc_id", window = 40, stride = 20)
+    }, Some("""WITH nd AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |corp AS (SELECT doc_id, t FROM nd
+        |  UNION ALL
+        |  SELECT doc_id + 300000 AS doc_id, substr(t, 21) AS t FROM nd WHERE doc_id % 11 = 0),
+        |w AS (SELECT doc_id, unnest(list_transform(range(0, (length(t) - 40) // 20 + 1),
+        |    i -> {'off': i * 20 + 1, 's': substr(t, CAST(i * 20 + 1 AS BIGINT), 40)})) AS u
+        |  FROM corp WHERE length(t) >= 40),
+        |g AS (SELECT md5(u.s) AS span_md5, count(*) AS n_spans,
+        |    count(DISTINCT doc_id) AS n_docs,
+        |    min(doc_id * 1000000 + u.off) AS keep_key
+        |  FROM w GROUP BY 1)
+        |SELECT span_md5, CAST(n_spans AS BIGINT) AS n_spans,
+        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(keep_key AS BIGINT) AS keep_key
+        |FROM g WHERE n_docs >= 2""".stripMargin)),
+
     // Deterministic stratified sampling: N docs per language stratum,
     // selected by content-independent hash order — the balancing step of a
     // curation pipeline, reproducible across engines and runs.
@@ -4080,6 +4111,60 @@ object Queries {
          |SELECT query_id, CAST(pick_rank AS INT) AS pick_rank, neighbor_id,
          |  CAST(score_u AS BIGINT) AS score_u
          |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3)""".stripMargin
+    }),
+
+    // Hybrid retrieval: lexical (distinct-token overlap via inverted-index
+    // join — the sparse/BM25 join shape) and semantic (cosine top-10, s1's
+    // contract) rank lists fused per query with Reciprocal Rank Fusion in
+    // integer micro-units (Σ 1e6 div (60 + rank)) — what Elastic/Vespa
+    // hybrid search computes. Queries are the same vec_id % 50 probes as
+    // the s-series; doc_id and vec_id share the id space, so the two
+    // modalities rank the same candidates. The oracle replays both rank
+    // lists and the integer fusion relationally.
+    Spec("s10_hybrid_rrf", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      Similarity.hybridRrfTopK(
+        docs.filter(col("doc_id") % 50 === 0), docs, "doc_id", "text",
+        emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v")
+    }, Some {
+      val cos = s"(${dotSql("q.v", "c.v")}) / (${normSql("q.v")} * ${normSql("c.v")})"
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter(
+         |    string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+         |    x -> length(x) > 0))) AS tok FROM documents),
+         |qt AS (SELECT * FROM toks WHERE doc_id % 50 = 0),
+         |lex AS (SELECT qt.doc_id AS query_id, c.doc_id AS neighbor_id, count(*) AS lex_u
+         |  FROM qt JOIN toks c ON qt.tok = c.tok AND qt.doc_id <> c.doc_id
+         |  GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, neighbor_id, lrank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY lex_u DESC, neighbor_id) AS INT) AS lrank FROM lex)
+         |  WHERE lrank <= 10),
+         |cv AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |qv AS (SELECT * FROM cv WHERE vec_id % 50 = 0),
+         |sem0 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, round($cos, 6) AS cos_r
+         |  FROM qv q JOIN cv c ON q.vec_id <> c.vec_id),
+         |semr AS (SELECT query_id, neighbor_id, srank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_r DESC, neighbor_id) AS INT) AS srank FROM sem0)
+         |  WHERE srank <= 10),
+         |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+         |    l.lrank, s.srank
+         |  FROM lexr l FULL OUTER JOIN semr s
+         |    ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id),
+         |g AS (SELECT query_id, neighbor_id,
+         |    CAST(coalesce(1000000 // (60 + lrank), 0)
+         |       + coalesce(1000000 // (60 + srank), 0) AS BIGINT) AS rrf_u,
+         |    CAST(coalesce(lrank, 0) AS INT) AS lex_r,
+         |    CAST(coalesce(srank, 0) AS INT) AS sem_r
+         |  FROM f)
+         |SELECT query_id, neighbor_id, lex_r AS lex_rank, sem_r AS sem_rank, rrf_u,
+         |  CAST(rank AS INT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_u DESC, neighbor_id) AS rank FROM g)
+         |WHERE rank <= 5""".stripMargin
     }),
 
     // SCD Type-2 dimension maintenance through real row-level DML on the

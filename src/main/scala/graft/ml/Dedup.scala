@@ -373,6 +373,51 @@ object Dedup {
   }
 
   /**
+   * Cross-document duplicated SPANS: slide a `window`-char fingerprint
+   * window with `stride` over the normalized text and group on the
+   * window's md5 — the fixed-k-gram formulation of exact substring dedup
+   * (Lee et al., "Deduplicating Training Data Makes Language Models
+   * Better", ACL'22, use suffix arrays for the all-lengths guarantee;
+   * fixed windows are the join-friendly variant production filters run).
+   * A span duplicated across ≥2 documents surfaces even when the
+   * documents as wholes are distinct — the case doc-level exact/MinHash
+   * dedup misses by construction.
+   *
+   * `stride` trades cost for alignment sensitivity: matches require the
+   * copy offset to be congruent mod `stride` (stride 1 = full guarantee
+   * at window-length granularity, stride `window` = disjoint blocks).
+   *
+   * Output: one row per cross-document duplicated fingerprint —
+   * `span_md5`, `n_spans` (total occurrences), `n_docs` (distinct docs),
+   * `keep_key` = min(doc_id·1e6 + offset), the first occurrence in
+   * (doc, offset) order, packed as one BIGINT so the arg-min is a plain
+   * integer `min` in any engine.
+   *
+   * Scale shape: one corpus scan, explode to ~len/stride rows per doc,
+   * then a single exchange keyed on the constant-width 128-bit md5 (the
+   * same key shape as [[exact]]/d17 — never the raw span text); map-side
+   * partial aggregation applies to the counts. The distinct-doc count
+   * rides the same exchange via the (fp, doc) pre-distinct.
+   */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     window: Int = 40, stride: Int = 20): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1, got $window/$stride")
+    val spans = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), normText(col(textCol)).as("t"))
+      .filter(length(col("t")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (length(t) - $window) div $stride),
+           |  i -> struct(cast(i * $stride + 1 AS BIGINT) AS off,
+           |              substring(t, i * $stride + 1, $window) AS s))""".stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.off").as("off"), md5(col("w.s")).as("span_md5"))
+    spans.groupBy(col("span_md5"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * 1000000L + col("off")).as("keep_key"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for given candidate pairs:
    * |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)|.
    * Joins the (distinct) shingle lists of both sides — shuffles on doc id

@@ -172,6 +172,70 @@ object Similarity {
   }
 
   /**
+   * Hybrid retrieval with Reciprocal Rank Fusion (Cormack, Clarke &
+   * Buettcher, SIGIR'09): fuse a LEXICAL rank list and a SEMANTIC rank
+   * list per query as `Σ 1_000_000 div (rrfK + rank)` — the standard
+   * hybrid-search combiner (Elasticsearch/Vespa ship exactly this), in
+   * integer micro-units so fused scores are exact across engines.
+   *
+   * Lexical side: distinct-token overlap computed as an INVERTED-INDEX
+   * join — explode distinct tokens on both sides and join on the token,
+   * so the exchange is keyed on the token and candidate pairs are
+   * bounded by postings, never query×corpus. This is the sparse/BM25
+   * family's join shape; a production system swaps the overlap count
+   * for BM25 weights ([[TextAnalysis.bm25Scores]]) without changing the
+   * plan. Semantic side: cosine top-`pool` under [[bruteForceTopK]]'s
+   * contract (swap in [[ivfTopK]]/[[lshTopK]] at scale — the fusion
+   * only consumes (query, neighbor, rank)).
+   *
+   * Ranks are dense per query (row_number, ties → min neighbor id); a
+   * candidate absent from one list contributes nothing for it (the
+   * coalesce is on the CONTRIBUTION, not the rank, so a missing rank is
+   * never scored as rank 0). Output ranks report 0 for "absent from
+   * that list".
+   *
+   * Scale shape: both sides end in per-query top-`pool` (window over
+   * query-keyed exchanges), the fusion joins two pool-bounded frames on
+   * (query, neighbor), and the final top-k is another query-keyed
+   * window — every post-index stage is bounded by pool × #queries.
+   */
+  def hybridRrfTopK(qDocs: DataFrame, cDocs: DataFrame,
+                    idCol: String, textCol: String,
+                    qVecs: DataFrame, cVecs: DataFrame,
+                    vecIdCol: String, vecCol: String,
+                    pool: Int = 10, k: Int = 5, rrfK: Int = 60,
+                    dim: Option[Int] = None): DataFrame = {
+    def toks(df: DataFrame, idAs: String) = df.select(
+      col(idCol).cast("long").as(idAs),
+      explode(array_distinct(filter(split(Dedup.normText(col(textCol)), " "),
+        x => length(x) > 0))).as("tok"))
+    val lex = toks(qDocs, "query_id").join(toks(cDocs, "neighbor_id"), "tok")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("lex_u"))
+    val lexR = lex
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("lex_u").desc, col("neighbor_id"))))
+      .filter(col("lex_rank") <= pool)
+      .select(col("query_id"), col("neighbor_id"), col("lex_rank"))
+    val semR = bruteForceTopK(qVecs, cVecs, vecIdCol, vecCol, pool, dim)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("sem_rank"))
+    lexR.join(semR, Seq("query_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr(s"1000000 div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + sem_rank)"), lit(0L)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_u").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("sem_rank"), lit(0)).cast("int").as("sem_rank"),
+        col("rrf_u").cast("long").as("rrf_u"), col("rank"))
+  }
+
+  /**
    * Random-hyperplane LSH bucket id: sign bits of `numPlanes` deterministic
    * hyperplanes. Plane weights are md5-derived doubles in [-0.5, 0.5),
    * computed on the driver (same value the in-plan md5 expression would

@@ -772,4 +772,61 @@ class MlSpec extends SparkSpec {
     frames.length shouldBe 5 // 10 chunks, every 2nd
     frames.map(_.getInt(1)).sorted.toSeq shouldBe Seq(0, 2, 4, 6, 8)
   }
+
+  test("hybrid RRF: fuses disagreeing lexical and semantic lists; absent rank scores nothing") {
+    import spark.implicits._
+    // corpus of 3 candidates for query 0:
+    //   1 — lexically identical, semantically opposed
+    //   2 — semantically identical, zero shared tokens
+    //   3 — middling on both
+    val texts = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "zeta eta theta iota"),
+      (3L, "alpha beta kappa lambda")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(-1.0, 0.001)),
+      (2L, Seq(1.0, 0.0)),
+      (3L, Seq(1.0, 1.0))).toDF("vec_id", "v")
+    val out = Similarity.hybridRrfTopK(
+      texts.filter($"doc_id" === 0L), texts, "doc_id", "text",
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "v",
+      pool = 3, k = 3).collect()
+      .map(r => r.getAs[Long]("neighbor_id") ->
+        ((r.getAs[Int]("lex_rank"), r.getAs[Int]("sem_rank"),
+          r.getAs[Long]("rrf_u"), r.getAs[Int]("rank")))).toMap
+    // lexical list: 1 (4 shared) > 3 (2 shared); 2 absent (0 shared).
+    // semantic list: 2 (cos 1) > 3 > 1 (cos ~ -1).
+    out(1L)._1 shouldBe 1; out(1L)._2 shouldBe 3
+    out(3L)._1 shouldBe 2; out(3L)._2 shouldBe 2
+    out(2L)._1 shouldBe 0; out(2L)._2 shouldBe 1 // absent from lexical -> reported 0
+    // contributions are 1e6 div (60 + rank); absence contributes NOTHING
+    // (a coalesced rank-0 would wrongly add 1e6 div 60 = 16666)
+    out(2L)._3 shouldBe 1000000L / 61
+    out(1L)._3 shouldBe 1000000L / 61 + 1000000L / 63
+    out(3L)._3 shouldBe 1000000L / 62 + 1000000L / 62
+    // fused order: 1 (16393+15873=32266) > 3 (2×16129=32258) > 2 (16393)
+    out(1L)._4 shouldBe 1; out(3L)._4 shouldBe 2; out(2L)._4 shouldBe 3
+  }
+
+  test("duplicate spans: aligned partial copies surface, short and unique docs don't") {
+    import spark.implicits._
+    val base = "0123456789" * 8 // 80 chars: spans at off 1,21,41 (w=40, s=20)
+    val df = Seq(
+      (1L, base),                    // original
+      (2L, base.substring(20)),      // 60-char suffix copy, stride-aligned
+      (3L, "x" * 39),                // shorter than the window -> no spans
+      (4L, "zyxwvutsrq" * 8)         // unique 80-char doc -> no shared spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "text", "doc_id", window = 40, stride = 20)
+      .collect()
+    // doc1 windows: [1,41), [21,61), [41,81); doc2: [1,41), [21,61) — the
+    // repeating base makes all five windows THE SAME 40-char string, so
+    // one fingerprint: 5 spans, 2 docs, first occurrence doc1 off1
+    out.length shouldBe 1
+    out(0).getAs[Long]("n_spans") shouldBe 5L
+    out(0).getAs[Long]("n_docs") shouldBe 2L
+    out(0).getAs[Long]("keep_key") shouldBe 1L * 1000000L + 1L
+  }
 }
