@@ -1657,6 +1657,39 @@ object Queries {
         |${minPropagationCtes(4)}
         |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l4""".stripMargin)),
 
+    // REAL audio round-trip: corpus → 16-bit mono PCM WAV bytes via the JDK
+    // codec (AudioSystem.write), decoded back through javax.sound.sampled,
+    // then frame features over the exact integer samples — per-frame energy
+    // (sum of squares, association-free), total energy, and the peak frame
+    // (argmax, first-occurrence tie-break). WAV PCM is lossless, so the
+    // oracle reproduces the samples from the text generator and replays
+    // the framing relationally — the decode path is verified end-to-end
+    // the same way m4 verifies PNG. 400 samples, 8 frames of 50.
+    Spec("m7_audio_energy", (spark, dir) => {
+      implicit val s: SparkSession = spark
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val wavs = graft.ml.Multimodal.textToWav(docs, "doc_id", "text", 8000, 400)
+      graft.ml.Multimodal.decodeAudio(wavs)
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+          expr("transform(sequence(0, 7), k -> aggregate(slice(samples, k * 50 + 1, 50), 0L, (a, x) -> a + x * x))").as("fe"))
+        .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+          expr("aggregate(fe, 0L, (a, x) -> a + x)").as("total_energy"),
+          expr("cast(array_position(fe, array_max(fe)) AS BIGINT)").as("peak_frame"),
+          expr("array_max(fe)").as("peak_energy"))
+    }, Some("""WITH s AS (SELECT doc_id, list_transform(range(0, 400), i ->
+        |    CAST(ascii(substr(text, CAST((i * 3) % length(text) AS BIGINT) + 1, 1)) - 96 AS BIGINT) * 256) AS smp
+        |  FROM documents),
+        |f AS (SELECT doc_id, list_transform(range(0, 8), k ->
+        |    list_sum(list_transform(smp[CAST(k * 50 + 1 AS BIGINT):CAST(k * 50 + 50 AS BIGINT)], x -> x * x))) AS fe
+        |  FROM s)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(list_sum(fe) AS BIGINT) AS total_energy,
+        |  CAST(list_position(fe, list_max(fe)) AS BIGINT) AS peak_frame,
+        |  CAST(list_max(fe) AS BIGINT) AS peak_energy
+        |FROM f""".stripMargin)),
+
     // ------------------------------------------- training-data pipeline ops
 
     Spec("d1_dedup_exact", (spark, dir) => {

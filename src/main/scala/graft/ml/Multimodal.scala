@@ -15,10 +15,11 @@ import javax.imageio.ImageIO
  * The IMAGE codec is REAL: PNG/BMP encode + decode through the JDK's
  * `javax.imageio` (no external libraries needed) — [[decodeImage]] sniffs
  * the magic bytes, decodes actual pixels, and [[averagePool]] is a true
- * pixel downsample in exact integer arithmetic. Audio/video payloads keep
- * the deterministic synthetic-header fake ([[decodeStub]] — the JDK ships
- * no audio/video codecs); swap it for ffmpeg/JNI without touching the plan
- * shape.
+ * pixel downsample in exact integer arithmetic. The AUDIO codec is REAL
+ * too: RIFF/WAVE PCM encode + decode through the JDK's
+ * `javax.sound.sampled` ([[pcmWav]]/[[decodePcm]]). Video payloads keep
+ * the deterministic chunker fake (the JDK ships no video demuxer); swap
+ * it for ffmpeg/JNI without touching the plan shape.
  */
 object Multimodal {
 
@@ -48,6 +49,8 @@ object Multimodal {
   def sniffFormat(p: Array[Byte]): String =
     if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
     else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "wav"
     else "unknown"
 
   /** Encode 8-bit gray pixels (row-major, values 0-255) as a real PNG via
@@ -359,6 +362,107 @@ object Multimodal {
           bit_count(half(col("ha.phash"), 33).bitwiseXOR(half(col("hb.phash"), 33))))
           .cast("long").as("hamming"))
     withBits.filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- real audio codec (JDK javax.sound.sampled) --------------------------
+
+  /** Encode signed 16-bit mono PCM samples as a real RIFF/WAVE file via the
+   *  JDK codec (`AudioSystem.write`). WAV PCM is lossless: decode(encode(s))
+   *  == s exactly, so an external oracle can verify the decode path by
+   *  recomputing sample arithmetic without ever parsing RIFF chunks —
+   *  the same contract [[grayPng]] gives images. */
+  def pcmWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false) // little-endian
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a real WAV payload via the JDK codec and return the 16-bit PCM
+   *  samples of channel 0 plus (sampleRate, channels, bitsPerSample).
+   *  Returns None when the bytes are not a decodable PCM WAV — same
+   *  bad-record contract as [[decodeGray]]: the caller picks the policy. */
+  def decodePcm(payload: Array[Byte]): Option[(Array[Int], Int, Int, Int)] = {
+    val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return None
+    val fmt = ais.getFormat
+    if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+      fmt.getSampleSizeInBits != 16) return None
+    val raw = ais.readAllBytes()
+    val ch = fmt.getChannels
+    val stride = 2 * ch // channel 0 of each frame
+    val n = raw.length / stride
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val b0 = raw(i * stride) // .toInt sign-extends the HIGH byte below
+      val b1 = raw(i * stride + 1)
+      out(i) = if (fmt.isBigEndian) (b0.toInt << 8) | (b1 & 0xff)
+               else (b1.toInt << 8) | (b0 & 0xff)
+      i += 1
+    }
+    Some((out, fmt.getSampleRate.toInt, ch, fmt.getSampleSizeInBits))
+  }
+
+  /** Deterministic text→audio fixture: each document as a REAL 16-bit mono
+   *  PCM WAV whose sample (i) is `(charcode(text[(i*3) mod len]) - 96) *
+   *  256` — the audio analogue of [[textToGrayPng]]'s generator, SQL-
+   *  recomputable by an external oracle while the Spark side round-trips
+   *  genuine RIFF/WAVE bytes through the JDK codec. */
+  def textToWav(df: DataFrame, idCol: String, textCol: String,
+                sampleRate: Int, nSamples: Int)
+               (implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(StructField("id", LongType), StructField("payload", BinaryType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val t = r.getString(1)
+          require(t.nonEmpty, s"empty text for id ${r.getLong(0)}")
+          require(t.forall(_ < 128), s"non-ASCII text for id ${r.getLong(0)}: " +
+            "textToWav's generator is only oracle-mirrorable for ASCII corpora")
+          val samples = Array.tabulate(nSamples)(i =>
+            ((t.charAt((i * 3) % t.length).toInt - 96) * 256).toShort)
+          Row(r.getLong(0), pcmWav(samples, sampleRate))
+        }
+      }(enc)
+  }
+
+  /** REAL audio decode: WAV payloads → (id, sample_rate, channels, bits,
+   *  samples as exact longs). Downstream feature math (frame energies,
+   *  peak detection) stays in the SQL layer over the samples array, where
+   *  integer sums are engine-exact. Non-WAV payloads fail loudly — same
+   *  policy as [[averagePool]]. */
+  def decodeAudio(df: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType), StructField("bits", IntegerType),
+      StructField("samples", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col("id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val decoded = decodePcm(r.getAs[Array[Byte]](1))
+          require(decoded.isDefined, s"payload for id $id is not a decodable PCM WAV")
+          val (samples, rate, ch, bits) = decoded.get
+          Row(id, rate, ch, bits, samples.map(_.toLong))
+        }
+      }(enc)
   }
 
   /** Frame sampling for video payloads: every nth chunk of `frameBytes` as

@@ -773,6 +773,17 @@ class MlSpec extends SparkSpec {
     frames.map(_.getInt(1)).sorted.toSeq shouldBe Seq(0, 2, 4, 6, 8)
   }
 
+  test("WAV codec: PCM16 encode/decode round-trips exactly, rejects non-audio bytes") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 256, -257, 12345)
+    val wav = Multimodal.pcmWav(samples, 8000)
+    Multimodal.sniffFormat(wav) shouldBe "wav"
+    val (decoded, rate, ch, bits) = Multimodal.decodePcm(wav).get
+    decoded.toSeq shouldBe samples.map(_.toInt).toSeq // lossless incl. extremes
+    (rate, ch, bits) shouldBe ((8000, 1, 16))
+    Multimodal.decodePcm("RIFFnotawave".getBytes("UTF-8")) shouldBe None
+    Multimodal.decodePcm(Array[Byte](1, 2, 3)) shouldBe None
+  }
+
   test("hybrid RRF: fuses disagreeing lexical and semantic lists; absent rank scores nothing") {
     import spark.implicits._
     // corpus of 3 candidates for query 0:
