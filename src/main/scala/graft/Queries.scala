@@ -4602,6 +4602,31 @@ object Queries {
 
     // Streaming incremental dedup — d16's ingest batch arriving as a
     // STREAM. The design point: MinHash signatures are computed
+    // State data source (Spark 4): a checkpointed streaming aggregation's
+    // STATE STORE read back as a batch DataFrame via format("statestore")
+    // — the engine-level state-inspection surface an on-call debugging a
+    // 100 TB streaming job uses (what keys are in state? is one group's
+    // buffer exploding?). The noop-sink drain exists only to materialize
+    // a committed checkpoint; the graded output is the raw store content:
+    // key struct fields keep their grouping names, value struct fields
+    // carry the AGGREGATION BUFFER's names (count/sum, not the output
+    // aliases). State/batch parity: after a full AvailableNow drain the
+    // store must equal the batch group-by — which is the oracle.
+    Spec("q97_statestore_read", (spark, dir) => {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q97_ckpt").toString
+      val agg = streamTable(spark, dir, "documents.parquet")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+      val sq = agg.writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+      spark.read.format("statestore").load(ckpt)
+        .select(col("key.source").as("source"),
+          col("value.count").as("cnt"), col("value.sum").as("chars"))
+    }, Some("""SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY source""".stripMargin)),
+
     // STATELESSLY per row (Dedup.minHashSignaturesInline — no shingle
     // explode, no groupBy state), banded in place with the row, and
     // matched against the static corpus index by a per-micro-batch keyed

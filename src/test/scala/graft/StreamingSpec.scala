@@ -338,6 +338,30 @@ class StreamingSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     ContinuousProbe.rows.asScala.forall(_ >= 0L) shouldBe true
   }
+
+  test("state data source: statestore rows equal the drain, state-metadata names the operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ckpt = tmpDir("ss_read_ckpt")
+    val in = tmpDir("ss_read_in")
+    Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(in)
+    val src = spark.readStream.schema("k STRING, v BIGINT").parquet(in)
+    val q = src.groupBy($"k").agg(sum($"v").as("total"))
+      .writeStream.format("noop").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val state = spark.read.format("statestore").load(ckpt)
+      .select($"key.k", $"value.sum".as("total"))
+      .as[(String, Long)].collect().sorted.toSeq
+    state shouldBe Seq(("a", 3L), ("b", 5L))
+    // the metadata source describes the operator whose store we just read
+    val meta = spark.read.format("state-metadata").load(ckpt)
+      .select($"operatorId", $"operatorName", $"stateStoreName")
+      .as[(Long, String, String)].collect().toSeq
+    meta shouldBe Seq((0L, "stateStoreSave", "default"))
+  }
 }
 
 /** Driver-side probe for the continuous-trigger test: executor threads (same
