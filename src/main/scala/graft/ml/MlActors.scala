@@ -61,17 +61,21 @@ class DedupActor extends Actor {
   protected var bloomBits: Int = 1 << 22
   protected var bloomHashes: Int = 5
   protected var chunkTokens: Int = 10
+  protected var spanWindow: Int = 40
+  protected var spanStride: Int = 20
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("exact", "minhash-lsh", "simhash", "resolve", "resolve-pairs",
         "semdedup", "incremental", "index-build", "bloom-build", "decontaminate",
-        "chunk").contains(m),
+        "chunk", "spans").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
     properties.get("chunkTokens").foreach(v => chunkTokens = v.toInt)
+    properties.get("spanWindow").foreach(v => spanWindow = v.toInt)
+    properties.get("spanStride").foreach(v => spanStride = v.toInt)
     properties.get("indexView").foreach(indexView = _)
     properties.get("indexIsSignatures").foreach(v => indexIsSignatures = v.toBoolean)
     require(method != "incremental" || indexView.nonEmpty,
@@ -136,6 +140,10 @@ class DedupActor extends Actor {
         // C4-style paragraph dedup: drop spans seen earlier in the corpus,
         // reassemble each doc from its surviving spans
         Dedup.chunkDedup(df, textCol, idCol, chunkTokens)
+      case "spans" =>
+        // cross-document duplicated char windows (Lee et al.-style
+        // substring dedup at fixed window/stride granularity)
+        Dedup.duplicateSpans(df, textCol, idCol, spanWindow, spanStride)
       case "index-build" =>
         Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
       case "bloom-build" =>
@@ -203,11 +211,17 @@ class SimilaritySearchActor extends Actor {
   protected var numCentroids: Int = 16
   protected var nprobe: Int = 2
   protected var subspaces: Int = 8
+  protected var textView: String = ""
+  protected var textCol: String = "text"
+  protected var textIdCol: String = "doc_id"
+  protected var textQueryWhere: Option[String] = None
+  protected var pool: Int = 10
+  protected var rrfK: Int = 60
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq").contains(m),
+      require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid").contains(m),
         s"SimilaritySearchActor: bad method $m")
       method = m
     }
@@ -220,12 +234,23 @@ class SimilaritySearchActor extends Actor {
     properties.get("numCentroids").foreach(v => numCentroids = v.toInt)
     properties.get("nprobe").foreach(v => nprobe = v.toInt)
     properties.get("subspaces").foreach(v => subspaces = v.toInt)
+    properties.get("textView").foreach(textView = _)
+    properties.get("textField").foreach(textCol = _)
+    properties.get("textIdField").foreach(textIdCol = _)
+    textQueryWhere = properties.get("textQueryWhere")
+    properties.get("pool").foreach(v => pool = v.toInt)
+    properties.get("rrfK").foreach(v => rrfK = v.toInt)
     if (method == "lsh") require(dim > 0, "SimilaritySearchActor: lsh requires dim")
     if (method == "pq" || method == "ivfpq")
       require(dim > 0, s"SimilaritySearchActor: $method requires dim")
+    require(method != "hybrid" || textView.nonEmpty,
+      "SimilaritySearchActor: hybrid requires textView (the document view " +
+        "sharing the embedding view's id space)")
   }
 
-  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+  override def inputViews: Seq[String] =
+    (if (view.nonEmpty) Seq(view) else Seq.empty) ++
+      (if (textView.nonEmpty) Seq(textView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val corpus = ctx.getView(view)
@@ -237,6 +262,17 @@ class SimilaritySearchActor extends Actor {
       case "pq" => Similarity.pqTopK(queries, corpus, idCol, vecCol, k, dim, subspaces)
       case "ivfpq" => Similarity.ivfPqTopK(queries, corpus, idCol, vecCol, k,
         numCentroids, nprobe, dim, subspaces)
+      case "hybrid" =>
+        // the probe set must be selected on BOTH modalities:
+        // `queryWhere` filters the embedding view, `textQueryWhere`
+        // (same predicate over the text view's columns; defaults to
+        // queryWhere) filters the document view — the two must pick the
+        // same ids or the fusion starves one side
+        val docs = ctx.getView(textView)
+        val qDocs = textQueryWhere.orElse(queryWhere).fold(docs)(docs.filter)
+        Similarity.hybridRrfTopK(qDocs, docs, textIdCol, textCol,
+          queries, corpus, idCol, vecCol, pool, k, rrfK,
+          if (dim > 0) Some(dim) else None)
     })
   }
 }
@@ -303,20 +339,33 @@ class TextAnalysisActor extends Actor {
 
 /** Multimodal decode actor: (id, payload binary) view -> decoded metadata
  *  + feature vectors, partition-parallel. Images decode for REAL (JDK
- *  ImageIO: PNG/BMP pixels, band-sum features); audio/video fall back to
- *  the synthetic-header codec. */
+ *  ImageIO: PNG/BMP pixels, band-sum features) and so does WAV audio
+ *  (JDK javax.sound.sampled: PCM samples, per-eighth mean-|sample|
+ *  features); other payloads fall back to the synthetic-header codec.
+ *  `mode = samples` switches to the exact-sample audio surface
+ *  ([[Multimodal.decodeAudio]]: sample_rate/channels/bits + the full
+ *  integer sample array) for audio-only views where downstream feature
+ *  math needs engine-exact integers rather than summary features. */
 class MultimodalDecodeActor extends Actor {
   protected var view: String = ""
+  protected var mode: String = "features"
 
-  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit =
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
+    properties.get("mode").foreach { m =>
+      require(Seq("features", "samples").contains(m),
+        s"MultimodalDecodeActor: bad mode $m (features|samples)")
+      mode = m
+    }
+  }
 
   def sourceView(v: String): this.type = { view = v; this }
 
   override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] =
-    Some(Multimodal.decode(ctx.getView(view)))
+    Some(if (mode == "samples") Multimodal.decodeAudio(ctx.getView(view))
+         else Multimodal.decode(ctx.getView(view)))
 }
 
 /** Image dedup actor: (id, payload binary) view -> either the per-image

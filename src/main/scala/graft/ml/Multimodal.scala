@@ -115,6 +115,28 @@ object Multimodal {
    *  fall through to the synthetic-header fake. */
   def decodeImage(id: Long, payload: Array[Byte]): Row = {
     val fmt = sniffFormat(payload)
+    if (fmt == "wav") {
+      // real RIFF/WAVE: route to the JDK audio codec. Features: mean
+      // absolute sample per eighth of the clip (integer floor-division
+      // means stay < 2^24, so the Float features are EXACT)
+      decodePcm(payload) match {
+        case Some((samples, rate, _, _)) if samples.nonEmpty =>
+          val n = samples.length
+          val feats = Array.tabulate(8) { e =>
+            val (from, until) = (e * n / 8, (e + 1) * n / 8)
+            if (until == from) 0f
+            else {
+              var sum = 0L
+              var i = from
+              while (i < until) { sum += math.abs(samples(i).toLong); i += 1 }
+              (sum / (until - from)).toFloat
+            }
+          }
+          return Row(id, Row("audio", "wav", 0, 0, n.toLong * 1000L / rate,
+            payload.length.toLong), feats)
+        case _ => return decodeStub(id, payload)
+      }
+    }
     val decoded = if (fmt == "unknown") None else decodeGray(payload)
     if (decoded.isEmpty) return decodeStub(id, payload)
     val (gray, w, h) = decoded.get

@@ -773,6 +773,58 @@ class MlSpec extends SparkSpec {
     frames.map(_.getInt(1)).sorted.toSeq shouldBe Seq(0, 2, 4, 6, 8)
   }
 
+  test("actor surfaces: spans / hybrid / audio decode modes run end-to-end") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    // spans: shared suffix between two docs (stride-aligned)
+    val base = "0123456789" * 8
+    Seq((1L, base), (2L, base.substring(20))).toDF("doc_id", "text")
+      .createOrReplaceTempView("spans_in")
+    val da = new graft.ml.DedupActor()
+    da.init(Map("view" -> "spans_in", "method" -> "spans",
+      "spanWindow" -> "40", "spanStride" -> "20"))
+    val spanRows = da.run(ctx).get.collect()
+    spanRows.length shouldBe 1
+    spanRows(0).getAs[Long]("n_docs") shouldBe 2L
+    // hybrid: text view + embedding view over a shared id space
+    Seq((0L, "alpha beta"), (1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text").createOrReplaceTempView("hyb_docs")
+    Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.1)))
+      .toDF("vec_id", "v").createOrReplaceTempView("hyb_vecs")
+    val sa = new graft.ml.SimilaritySearchActor()
+    sa.init(Map("view" -> "hyb_vecs", "method" -> "hybrid", "vectorField" -> "v",
+      "textView" -> "hyb_docs", "k" -> "2", "pool" -> "2",
+      "queryWhere" -> "vec_id = 0", "textQueryWhere" -> "doc_id = 0"))
+    val hyb = sa.run(ctx).get.collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Int]("rank")).toMap
+    // 1 wins lexically (2 shared tokens), 2 wins semantically (cos ~1):
+    // both fuse with one rank-1 contribution + nothing -> tie at 16393,
+    // broken by min neighbor id
+    hyb shouldBe Map(1L -> 1, 2L -> 2)
+    // hybrid without textView fails at init, not mid-job
+    intercept[IllegalArgumentException] {
+      new graft.ml.SimilaritySearchActor().init(Map("view" -> "hyb_vecs", "method" -> "hybrid"))
+    }
+    // audio: decode() sniffs real WAV payloads and emits audio meta +
+    // exact per-eighth mean-|sample| features; mode=samples gives the raw ints
+    val wav = Multimodal.pcmWav(Array.tabulate[Short](80)(i => (i * 100).toShort), 8000)
+    Seq((9L, wav)).toDF("id", "payload").createOrReplaceTempView("aud_in")
+    val ma = new graft.ml.MultimodalDecodeActor()
+    ma.init(Map("view" -> "aud_in"))
+    val dec = ma.run(ctx).get.collect()(0)
+    dec.getStruct(1).getString(0) shouldBe "audio"
+    dec.getStruct(1).getString(1) shouldBe "wav"
+    dec.getStruct(1).getLong(4) shouldBe 10L // 80 samples @ 8 kHz = 10 ms
+    // eighth 0 = mean |0,100,...,900| = 450 exactly
+    dec.getAs[Seq[Float]](2).head shouldBe 450f
+    val ms = new graft.ml.MultimodalDecodeActor()
+    ms.init(Map("view" -> "aud_in", "mode" -> "samples"))
+    val samp = ms.run(ctx).get.collect()(0)
+    samp.getAs[Seq[Long]]("samples").take(3) shouldBe Seq(0L, 100L, 200L)
+    samp.getAs[Int]("sample_rate") shouldBe 8000
+  }
+
   test("WAV codec: PCM16 encode/decode round-trips exactly, rejects non-audio bytes") {
     val samples = Array[Short](0, 1, -1, 32767, -32768, 256, -257, 12345)
     val wav = Multimodal.pcmWav(samples, 8000)
