@@ -4147,13 +4147,17 @@ object Queries {
     }),
 
     // Hybrid retrieval: lexical (distinct-token overlap via inverted-index
-    // join — the sparse/BM25 join shape) and semantic (cosine top-10, s1's
-    // contract) rank lists fused per query with Reciprocal Rank Fusion in
-    // integer micro-units (Σ 1e6 div (60 + rank)) — what Elastic/Vespa
-    // hybrid search computes. Queries are the same vec_id % 50 probes as
-    // the s-series; doc_id and vec_id share the id space, so the two
-    // modalities rank the same candidates. The oracle replays both rank
-    // lists and the integer fusion relationally.
+    // join with the standard max-df stopword cut — the sparse/BM25 join
+    // shape) and semantic (cosine top-10, s1's contract) rank lists fused
+    // per query with Reciprocal Rank Fusion in integer micro-units
+    // (Σ 1e6 div (60 + rank)) — what Elastic/Vespa hybrid search
+    // computes. Queries are the same vec_id % 50 probes as the s-series;
+    // doc_id and vec_id share the id space, so the two modalities rank
+    // the same candidates. The oracle replays the df cut, both rank
+    // lists, and the integer fusion relationally. Scale: the sf1 probe
+    // measured the UNPRUNED postings join at 14.6x/unit (stopword
+    // posting lists are the corpus); with df <= nd/10 the lexical side
+    // is rare-token-bounded — see Similarity.hybridRrfTopK.
     Spec("s10_hybrid_rrf", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -4167,8 +4171,12 @@ object Queries {
          |    string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
          |    x -> length(x) > 0))) AS tok FROM documents),
          |qt AS (SELECT * FROM toks WHERE doc_id % 50 = 0),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |dfc AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+         |kept AS (SELECT tok FROM dfc CROSS JOIN nd WHERE df * 10 <= nd),
          |lex AS (SELECT qt.doc_id AS query_id, c.doc_id AS neighbor_id, count(*) AS lex_u
          |  FROM qt JOIN toks c ON qt.tok = c.tok AND qt.doc_id <> c.doc_id
+         |  JOIN kept k ON k.tok = c.tok
          |  GROUP BY 1, 2),
          |lexr AS (SELECT query_id, neighbor_id, lrank FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id

@@ -217,11 +217,15 @@ class SimilaritySearchActor extends Actor {
   protected var textQueryWhere: Option[String] = None
   protected var pool: Int = 10
   protected var rrfK: Int = 60
+  protected var maxDfDenom: Int = 10
+  protected var centroidsView: String = ""
+  protected var assignView: String = ""
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid").contains(m),
+      require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid",
+        "ivf-centroids", "ivf-assign", "ivf-probe").contains(m),
         s"SimilaritySearchActor: bad method $m")
       method = m
     }
@@ -240,6 +244,13 @@ class SimilaritySearchActor extends Actor {
     textQueryWhere = properties.get("textQueryWhere")
     properties.get("pool").foreach(v => pool = v.toInt)
     properties.get("rrfK").foreach(v => rrfK = v.toInt)
+    properties.get("maxDfDenom").foreach(v => maxDfDenom = v.toInt)
+    properties.get("centroidsView").foreach(centroidsView = _)
+    properties.get("assignView").foreach(assignView = _)
+    require(!Seq("ivf-assign", "ivf-probe").contains(method) || centroidsView.nonEmpty,
+      s"SimilaritySearchActor: $method requires centroidsView")
+    require(method != "ivf-probe" || assignView.nonEmpty,
+      "SimilaritySearchActor: ivf-probe requires assignView")
     if (method == "lsh") require(dim > 0, "SimilaritySearchActor: lsh requires dim")
     if (method == "pq" || method == "ivfpq")
       require(dim > 0, s"SimilaritySearchActor: $method requires dim")
@@ -250,7 +261,9 @@ class SimilaritySearchActor extends Actor {
 
   override def inputViews: Seq[String] =
     (if (view.nonEmpty) Seq(view) else Seq.empty) ++
-      (if (textView.nonEmpty) Seq(textView) else Seq.empty)
+      (if (textView.nonEmpty) Seq(textView) else Seq.empty) ++
+      (if (centroidsView.nonEmpty) Seq(centroidsView) else Seq.empty) ++
+      (if (assignView.nonEmpty) Seq(assignView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val corpus = ctx.getView(view)
@@ -262,6 +275,17 @@ class SimilaritySearchActor extends Actor {
       case "pq" => Similarity.pqTopK(queries, corpus, idCol, vecCol, k, dim, subspaces)
       case "ivfpq" => Similarity.ivfPqTopK(queries, corpus, idCol, vecCol, k,
         numCentroids, nprobe, dim, subspaces)
+      // IVF index lifecycle: build ONCE (centroids + cell assignments,
+      // persist the assignments partitioned by crank), probe any time
+      // later against the loaded frames — queries read only their nprobe
+      // cells' files
+      case "ivf-centroids" =>
+        Similarity.ivfCentroids(corpus, idCol, vecCol, numCentroids)
+      case "ivf-assign" =>
+        Similarity.ivfAssignments(corpus, ctx.getView(centroidsView), idCol, vecCol)
+      case "ivf-probe" =>
+        Similarity.ivfProbe(queries, ctx.getView(centroidsView),
+          ctx.getView(assignView), idCol, vecCol, k, nprobe)
       case "hybrid" =>
         // the probe set must be selected on BOTH modalities:
         // `queryWhere` filters the embedding view, `textQueryWhere`
@@ -271,7 +295,7 @@ class SimilaritySearchActor extends Actor {
         val docs = ctx.getView(textView)
         val qDocs = textQueryWhere.orElse(queryWhere).fold(docs)(docs.filter)
         Similarity.hybridRrfTopK(qDocs, docs, textIdCol, textCol,
-          queries, corpus, idCol, vecCol, pool, k, rrfK,
+          queries, corpus, idCol, vecCol, pool, k, rrfK, maxDfDenom,
           if (dim > 0) Some(dim) else None)
     })
   }

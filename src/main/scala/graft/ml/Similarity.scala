@@ -180,13 +180,22 @@ object Similarity {
    *
    * Lexical side: distinct-token overlap computed as an INVERTED-INDEX
    * join — explode distinct tokens on both sides and join on the token,
-   * so the exchange is keyed on the token and candidate pairs are
-   * bounded by postings, never query×corpus. This is the sparse/BM25
-   * family's join shape; a production system swaps the overlap count
-   * for BM25 weights ([[TextAnalysis.bm25Scores]]) without changing the
-   * plan. Semantic side: cosine top-`pool` under [[bruteForceTopK]]'s
-   * contract (swap in [[ivfTopK]]/[[lshTopK]] at scale — the fusion
-   * only consumes (query, neighbor, rank)).
+   * so the exchange is keyed on the token. Postings are pruned by
+   * MAX-DOCUMENT-FREQUENCY first: tokens appearing in more than
+   * nd/`maxDfDenom` of the corpus (stopwords) are dropped before the
+   * pair join, because a stopword's posting list is the corpus — its
+   * pairs are query×corpus and its overlap signal is zero. Measured at
+   * the sf1 probe: unpruned, the whole query was 706 s (14.6×/unit
+   * data — Q·N pairs through "the"); with df ≤ nd/10 it is 22 s, and
+   * the residual 1.6×/unit is the SEMANTIC side's labeled-baseline
+   * brute force (s1's class), not the lexical join. The surviving
+   * overlap counts are the INFORMATIVE ones. This is the sparse/BM25
+   * family's join shape + the standard IR stopword cut; a production
+   * system swaps the overlap count for BM25 weights with WAND-style
+   * upper-bound pruning without changing the plan. Semantic side:
+   * cosine top-`pool` under [[bruteForceTopK]]'s contract (swap in
+   * [[ivfTopK]]/[[lshTopK]] at scale — the fusion only consumes
+   * (query, neighbor, rank)).
    *
    * Ranks are dense per query (row_number, ties → min neighbor id); a
    * candidate absent from one list contributes nothing for it (the
@@ -204,12 +213,26 @@ object Similarity {
                     qVecs: DataFrame, cVecs: DataFrame,
                     vecIdCol: String, vecCol: String,
                     pool: Int = 10, k: Int = 5, rrfK: Int = 60,
+                    maxDfDenom: Int = 10,
                     dim: Option[Int] = None): DataFrame = {
     def toks(df: DataFrame, idAs: String) = df.select(
       col(idCol).cast("long").as(idAs),
       explode(array_distinct(filter(split(Dedup.normText(col(textCol)), " "),
         x => length(x) > 0))).as("tok"))
-    val lex = toks(qDocs, "query_id").join(toks(cDocs, "neighbor_id"), "tok")
+    val cToks = toks(cDocs, "neighbor_id")
+    // stopword cut: df * maxDfDenom <= nd (0 disables — tiny corpora).
+    // The kept-vocab frame is vocab-sized and broadcasts into the
+    // postings scan; nd rides a 1-row broadcast, no driver collect.
+    val cKept =
+      if (maxDfDenom <= 0) cToks
+      else {
+        val dfc = cToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val nd = cDocs.select(col(idCol)).agg(count(lit(1)).as("nd"))
+        val kept = dfc.crossJoin(broadcast(nd))
+          .filter(col("df") * maxDfDenom <= col("nd")).select(col("tok"))
+        cToks.join(broadcast(kept), "tok")
+      }
+    val lex = toks(qDocs, "query_id").join(cKept, "tok")
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(count(lit(1)).as("lex_u"))
@@ -381,25 +404,55 @@ object Similarity {
       .select(col("id"), col("r"), dot(col("r"), col("r")).as("rr"))
   }
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
-    // (id, v, vv = v·v) — vv feeds both the distance and the final norm
-    def withVv(df: DataFrame): DataFrame =
-      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
-        dot(col(vecCol), col(vecCol)).as("vv"))
-    val corp = withVv(corpus)
-    val cents = seedSet(corp, numCentroids)
+  // (id, v, vv = v·v) — vv feeds both the distance and the final norm
+  private def withVv(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+      dot(col(vecCol), col(vecCol)).as("vv"))
+
+  /** IVF index build, part 1: the deterministic centroid frame
+   *  (crank, cv, cc = cv·cv). PERSISTABLE — parquet doubles round-trip
+   *  bit-exactly, so a probe against the loaded frame equals the
+   *  in-session path. On a real cluster swap the seed-set centroids for
+   *  sampled k-means without touching the probe. */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                   numCentroids: Int = 16): DataFrame =
+    seedSet(withVv(corpus, idCol, vecCol), numCentroids)
       .select(col("crank"), col("v").as("cv"), col("vv").as("cc"))
-    def ranked(df: DataFrame): DataFrame = rankCells(df, cents)
-    val corpCells = ranked(corp).filter(col("__arank_") === 1)
+
+  /** IVF index build, part 2: every corpus vector assigned to its nearest
+   *  cell — (crank, id, v, vv), one broadcast rank pass over the corpus.
+   *  PERSIST THIS PARTITIONED BY `crank`: a probe reads only its nprobe
+   *  cells, so the scan prunes to nprobe/numCentroids of the corpus at
+   *  the FILE level — the lever that keeps a 100 TB index queryable
+   *  without a resident serving tier. */
+  def ivfAssignments(corpus: DataFrame, centroids: DataFrame,
+                     idCol: String, vecCol: String): DataFrame =
+    rankCells(withVv(corpus, idCol, vecCol), centroids)
+      .filter(col("__arank_") === 1)
+      .select(col("crank"), col("id"), col("v"), col("vv"))
+
+  /** IVF probe against a prebuilt (possibly loaded-from-parquet) index:
+   *  route each query to its `nprobe` nearest cells, score only those
+   *  cells' vectors. Output contract identical to [[bruteForceTopK]]. */
+  def ivfProbe(queries: DataFrame, centroids: DataFrame, assignments: DataFrame,
+               idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val corpCells = assignments
       .select(col("id").as("neighbor_id"), col("v").as("cv2"), col("vv").as("cvv"), col("crank"))
-    val queryCells = ranked(withVv(queries)).filter(col("__arank_") <= nprobe)
+    val queryCells = rankCells(withVv(queries, idCol, vecCol), centroids)
+      .filter(col("__arank_") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("vv").as("qvv"), col("crank"))
     val scored = queryCells.join(corpCells, Seq("crank"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv2")) / (sqrt(col("qvv")) * sqrt(col("cvv")))).as("cos_sim"))
     rankTopK(scored, k)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids)
+    ivfProbe(queries, cents, ivfAssignments(corpus, cents, idCol, vecCol),
+      idCol, vecCol, k, nprobe)
   }
 
   /**

@@ -57,6 +57,45 @@ class ExamplesSpec extends SparkSpec {
     baseHits shouldBe planted
   }
 
+  test("ann_index_lifecycle.yaml: persisted cell-partitioned IVF index serves probes exactly") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_ann")
+    runExample("ann_index_lifecycle.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    // the assignments landed partitioned by cell — the file-level pruning
+    // surface a probe's nprobe-cell read depends on
+    val cellDirs = new java.io.File(s"$out/ivf_cells").listFiles()
+      .filter(_.getName.startsWith("crank=")).map(_.getName).toSet
+    cellDirs.size should be > 1
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cos_sim"), r.getAs[Int]("rank"))).toSet
+    val viaIndex = key(spark.read.parquet(s"$out/neighbors"))
+    // in-session reference: the one-shot ivfTopK over the same corpus
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val ref = key(graft.ml.Similarity.ivfTopK(
+      emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v",
+      k = 5, numCentroids = 16, nprobe = 2))
+    viaIndex shouldBe ref
+    viaIndex.size should be > 0
+  }
+
+  test("hybrid_retrieval.yaml equals the s10 catalog query exactly") {
+    val out = tmpDir("ex_hybrid")
+    runExample("hybrid_retrieval.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val viaPipeline = spark.read.parquet(s"$out/fused").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("lex_rank"), r.getAs[Int]("sem_rank"),
+        r.getAs[Long]("rrf_u"), r.getAs[Int]("rank"))).toSet
+    val viaCatalog = SparkEntry.queries("s10_hybrid_rrf")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("lex_rank"), r.getAs[Int]("sem_rank"),
+        r.getAs[Long]("rrf_u"), r.getAs[Int]("rank"))).toSet
+    viaPipeline shouldBe viaCatalog
+    viaPipeline.size should be > 0
+  }
+
   test("index_lifecycle.yaml: build->persist->load->match equals the in-session path") {
     implicit val s = spark
     import org.apache.spark.sql.functions._

@@ -794,7 +794,7 @@ class MlSpec extends SparkSpec {
       .toDF("vec_id", "v").createOrReplaceTempView("hyb_vecs")
     val sa = new graft.ml.SimilaritySearchActor()
     sa.init(Map("view" -> "hyb_vecs", "method" -> "hybrid", "vectorField" -> "v",
-      "textView" -> "hyb_docs", "k" -> "2", "pool" -> "2",
+      "textView" -> "hyb_docs", "k" -> "2", "pool" -> "2", "maxDfDenom" -> "0",
       "queryWhere" -> "vec_id = 0", "textQueryWhere" -> "doc_id = 0"))
     val hyb = sa.run(ctx).get.collect()
       .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Int]("rank")).toMap
@@ -852,10 +852,11 @@ class MlSpec extends SparkSpec {
       (1L, Seq(-1.0, 0.001)),
       (2L, Seq(1.0, 0.0)),
       (3L, Seq(1.0, 1.0))).toDF("vec_id", "v")
+    // maxDfDenom = 0: no stopword cut — a 4-doc corpus has no df headroom
     val out = Similarity.hybridRrfTopK(
       texts.filter($"doc_id" === 0L), texts, "doc_id", "text",
       vecs.filter($"vec_id" === 0L), vecs, "vec_id", "v",
-      pool = 3, k = 3).collect()
+      pool = 3, k = 3, maxDfDenom = 0).collect()
       .map(r => r.getAs[Long]("neighbor_id") ->
         ((r.getAs[Int]("lex_rank"), r.getAs[Int]("sem_rank"),
           r.getAs[Long]("rrf_u"), r.getAs[Int]("rank")))).toMap
@@ -871,6 +872,16 @@ class MlSpec extends SparkSpec {
     out(3L)._3 shouldBe 1000000L / 62 + 1000000L / 62
     // fused order: 1 (16393+15873=32266) > 3 (2×16129=32258) > 2 (16393)
     out(1L)._4 shouldBe 1; out(3L)._4 shouldBe 2; out(2L)._4 shouldBe 3
+    // max-df stopword cut: with maxDfDenom=2 (df ≤ 4/2 = 2 kept), alpha/
+    // beta (df 3) are stopwords — candidate 3's only overlap with the
+    // query vanishes while 1 still shares gamma+delta
+    val cut = Similarity.hybridRrfTopK(
+      texts.filter($"doc_id" === 0L), texts, "doc_id", "text",
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "v",
+      pool = 3, k = 3, maxDfDenom = 2).collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Int]("lex_rank")).toMap
+    cut(1L) shouldBe 1 // gamma+delta survive the cut
+    cut(3L) shouldBe 0 // alpha+beta were its whole overlap -> off the lexical list
   }
 
   test("duplicate spans: aligned partial copies surface, short and unique docs don't") {

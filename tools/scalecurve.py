@@ -131,6 +131,14 @@ LINEAR_SET = [
     "q93_sql_pipe",
     # variant: per-row parse/extract map + one keyed agg
     "q94_variant_json",
+    # substring spans: windowed explode (~len/stride rows per doc) +
+    # one md5-keyed partial-agg shuffle — d17's shape at char granularity
+    "d21_substring_dedup",
+    # audio: narrow per-row WAV encode+decode map + array math, no shuffle
+    "m7_audio_energy",
+    # statestore read: AvailableNow drain (state ~ distinct sources) +
+    # a batch read of the store files
+    "q97_statestore_read",
     # collation: one keyed agg under a non-binary collation
     "q95_collation",
     # tws profile: micro-batch scan; per-key state is k entries + a
@@ -171,6 +179,7 @@ MODELED = {
     "s7_ann_recall":          "embeds s1: O(Q*N) ground truth by design",
     "s8_knn_lsh_multiprobe":  "O(Q*probed buckets)",
     "s9_knn_mmr":             "embeds s1's O(Q*N) exact pool build by design; the MMR re-rank itself is pool-bounded (<= 8^2 sims per query)",
+    "s10_hybrid_rrf":         "embeds s1's O(Q*N) semantic pool by design (swap in an ANN family at scale); lexical side rare-token-bounded after the max-df cut (unpruned 706 s at sf1, pruned 22 s — the residual 1.6x/unit IS the semantic baseline)",
 }
 
 
