@@ -96,6 +96,41 @@ final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSe
 
   def promotedViews: Seq[(String, Boolean)] = _promoted.toSeq
 
+  // ---- observations -------------------------------------------------------
+
+  /** Batch `Dataset.observe` handles registered by ObserveActor; metrics
+   *  materialize when a downstream action executes the observed plan. */
+  private val _observations =
+    mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Observation]
+
+  def registerObservation(name: String, obs: org.apache.spark.sql.Observation): Unit = {
+    require(!_observations.contains(name),
+      s"observation '$name' is already registered in this job — observation names are unique per job")
+    _observations(name) = obs
+  }
+
+  def observation(name: String): Option[org.apache.spark.sql.Observation] =
+    _observations.get(name)
+
+  /** Snapshot of observation results; executed observations map to their
+   *  metric rows, unexecuted ones to an empty map. The observation future
+   *  completes on Spark's listener-bus thread shortly AFTER the observed
+   *  action returns, so `awaitMs` bounds a wait for that async hop — an
+   *  observation whose view never reached an action pays the full wait
+   *  and reports nothing (reads the future: Observation.getOrEmpty is
+   *  private[sql]). */
+  def observedMetrics(awaitMs: Long = 0L): Map[String, Map[String, Any]] =
+    _observations.map { case (n, o) =>
+      if (awaitMs > 0 && o.future.value.isEmpty)
+        scala.util.Try(scala.concurrent.Await.ready(o.future,
+          scala.concurrent.duration.Duration(awaitMs, "ms")))
+      n -> (o.future.value match {
+        case Some(scala.util.Success(row)) =>
+          row.schema.fieldNames.zip(row.toSeq).toMap[String, Any]
+        case _ => Map.empty[String, Any]
+      })
+    }.toMap
+
   /** Unpersist everything we cached (job teardown;
    *  reference: PipelineRunner.scala:243-258). */
   def cleanup(): Unit = {

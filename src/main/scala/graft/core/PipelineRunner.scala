@@ -61,10 +61,28 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
       ctx.setVariables(pipeline.variables)
       localizeGlobalViews(ctx)(session)
       try runJob(job, ctx)(session)
-      finally ctx.cleanup()
+      finally {
+        harvestObservations(job.name, ctx)
+        ctx.cleanup()
+      }
     }
     finally writeMetrics(pipeline.name)
   }
+
+  /** ObserveActor metrics → one `observe:<name>` row per observation whose
+   *  plan actually executed this job (getOrEmpty is non-blocking: a
+   *  pending observation — its view never reached a sink — reports
+   *  nothing rather than deadlocking the runner; the bounded await only
+   *  covers the listener-bus hop after an executed action). Values are
+   *  rendered sorted by alias so the row is deterministic. */
+  private def harvestObservations(jobName: String, ctx: JobContext): Unit =
+    ctx.observedMetrics(awaitMs = 5000L).foreach { case (name, vals) =>
+      if (vals.nonEmpty)
+        _metrics += ActionMetrics(jobName, s"observe:$name", rowCount = None,
+          schema = vals.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(", "),
+          estimatedSizeBytes = None, executeTimeMs = 0L, status = "observed")
+    }
 
   /** One metrics JSON document per run when a metrics uri is configured
    *  (reference: PipelineRunner.scala:190-212). */

@@ -59,6 +59,7 @@ object PipelineBuilder {
     "spark-conf" -> "graft.utils.SparkConfActor",
     "variable-setter" -> "graft.utils.VariableSetter",
     "view-partitioner" -> "graft.utils.ViewPartitioner",
+    "observe" -> "graft.utils.ObserveActor",
     "file-writer" -> "graft.sink.FileWriter",
     "file-stream-writer" -> "graft.streaming.FileStreamWriter",
     "jdbc-writer" -> "graft.sink.JdbcWriter",

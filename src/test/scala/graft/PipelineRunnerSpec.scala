@@ -92,6 +92,39 @@ class PipelineRunnerSpec extends SparkSpec {
     m.schema should include("l_orderkey")
   }
 
+  test("observe actor: metrics ride the sink's pass and land in the runner report") {
+    val out = tmpDir("obs_out")
+    val observe = new graft.utils.ObserveActor().sourceView("li_obs").named("quality")
+      .metric("cnt", "count(1)")
+      .metric("null_keys", "count_if(l_orderkey IS NULL)")
+      .metric("max_qty", "max(cast(l_quantity AS DOUBLE))")
+    val sink = new graft.sink.FileWriter().sinkFormat("parquet")
+      .fileUri(s"$out/li").sourceView("li_observed")
+    val runner = new PipelineRunner(PipelineContext(singleSparkSession = true))
+    runner.run(Pipeline("obs", Seq(Job("j", Seq(
+      readerAction("li_obs"),
+      Action("observe_li", observe, Some(View("li_observed"))),
+      Action("write_li", sink, None)))), singleSparkSession = true))(spark)
+    // the sink's single pass computed the metrics — no extra scan ran
+    val row = runner.metrics.find(_.action == "observe:quality").get
+    row.status shouldBe "observed"
+    row.schema should include("cnt=6000")
+    row.schema should include("null_keys=0")
+    spark.read.parquet(s"$out/li").count() shouldBe 6000L
+  }
+
+  test("observe actor rejects a metric-less init; duplicate names rejected per job") {
+    intercept[IllegalArgumentException] {
+      new graft.utils.ObserveActor().init(Map("view" -> "x"))(spark)
+    }
+    val ctx = new JobContext(PipelineContext())(spark)
+    val o1 = org.apache.spark.sql.Observation("dup")
+    ctx.registerObservation("dup", o1)
+    intercept[IllegalArgumentException] {
+      ctx.registerObservation("dup", org.apache.spark.sql.Observation("dup"))
+    }
+  }
+
   test("metrics JSON written per run when a metrics uri is configured") {
     val dir = tmpDir("metrics")
     val runner = new PipelineRunner(PipelineContext(singleSparkSession = true,
