@@ -2295,6 +2295,34 @@ object Queries {
     // corpus scan + filter, a 20-row per-source count agg broadcast back,
     // one more filter — the only corpus-scale shuffle is the count agg's
     // partial-aggregated exchange.
+    // Length-bucketed batch assembly: docs binned by token-count bucket,
+    // then given a dense per-bucket sequence and fixed-size batch ids —
+    // the padding-efficiency step before packing sequences into training
+    // batches (batching same-length docs minimizes pad waste). The
+    // per-bucket sequence uses DataframeHelper.perGroupSequence — the
+    // windowless scale form (8 buckets over 100 TB must NOT become 8
+    // corpus-sized sort tasks); the oracle is the plain window form,
+    // which perGroupSequence must equal bit-for-bit.
+    Spec("c10_length_batching", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("bucket", expr("least(n_tokens div 32, 7L)"))
+      graft.utils.DataframeHelper.perGroupSequence(
+          toks, Seq("bucket"), Seq("doc_id"), "seq")
+        .withColumn("batch_id", expr("(seq - 1) div 16"))
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("seq"), col("batch_id"))
+    }, Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CAST(least(n_tokens // 32, 7) AS BIGINT) AS bucket FROM t),
+        |s AS (SELECT doc_id, n_tokens, bucket,
+        |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS seq
+        |  FROM b)
+        |SELECT doc_id, n_tokens, bucket, seq, (seq - 1) // 16 AS batch_id
+        |FROM s""".stripMargin)),
+
     Spec("c9_temperature_mix", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val srcnum = col("source").substr(lit(4), length(col("source"))).cast("long")
@@ -4634,6 +4662,35 @@ object Queries {
           col("value.count").as("cnt"), col("value.sum").as("chars"))
     }, Some("""SELECT source, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY source""".stripMargin)),
+
+    // Observed metrics as a graded result: the observe actor attaches
+    // Dataset.observe aggregates to the corpus view, a noop batch write
+    // executes the plan ONCE (the metrics ride that single pass — no
+    // second scan), and the query returns the observation row the
+    // context harvested. The oracle computes the same aggregates
+    // relationally — so the whole zero-extra-pass metrics path (actor →
+    // CollectMetrics node → listener → context) is hash-graded.
+    Spec("q98_observe_metrics", (spark, dir) => {
+      val ctx = new JobContext(PipelineContext())(spark)
+      spark.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("q98_docs")
+      val oa = new graft.utils.ObserveActor()
+      oa.init(Map("view" -> "q98_docs", "name" -> "corpus_quality",
+        "metric.cnt" -> "count(1)",
+        "metric.en_docs" -> "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)",
+        "metric.total_chars" -> "sum(length(text))",
+        "metric.max_chars" -> "max(n_chars)"))(spark)
+      oa.run(ctx)(spark).get.write.format("noop").mode("overwrite").save()
+      val m = ctx.observedMetrics(awaitMs = 30000L)("corpus_quality")
+      import spark.implicits._
+      Seq((m("cnt").asInstanceOf[Long], m("en_docs").asInstanceOf[Long],
+        m("total_chars").asInstanceOf[Long], m("max_chars").asInstanceOf[Long]))
+        .toDF("cnt", "en_docs", "total_chars", "max_chars")
+    }, Some("""SELECT count(*) AS cnt,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin)),
 
     // STATELESSLY per row (Dedup.minHashSignaturesInline — no shingle
     // explode, no groupBy state), banded in place with the row, and

@@ -89,6 +89,45 @@ object DataframeHelper {
     l.join(r, keys :+ "__salt_", joinType).drop("__salt_")
   }
 
+  /**
+   * Dense 1-based sequence number within each group, in `orderCols` order,
+   * WITHOUT a per-group window — the scale form of
+   * `row_number() OVER (PARTITION BY group ORDER BY order)` for COARSE
+   * groups. A per-group window puts each whole group in one task; with 8
+   * length buckets over a 100 TB corpus that is 8 corpus-sized sort
+   * tasks. Here the corpus range-sorts on (group, order) across ALL
+   * tasks, local ranks ride a partition-id window (key count = task
+   * count, every task bounded), partition offsets are a task-count-sized
+   * broadcast, and each group's min global index is a groups-sized
+   * broadcast — `seq = global_idx - group_min + 1`. Output is bit-equal
+   * to the window form whenever (groupCols ++ orderCols) is unique per
+   * row (ties make ANY row_number nondeterministic — pass a key tail).
+   * Groups must be broadcastable (one row each); tasks pay one extra
+   * pid-keyed exchange vs the window form — linear, never a giant task.
+   */
+  def perGroupSequence(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                       seqCol: String): DataFrame = {
+    require(groupCols.nonEmpty && orderCols.nonEmpty,
+      "perGroupSequence needs group and order columns")
+    val sortCols = (groupCols ++ orderCols).map(col)
+    val base = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid_", spark_partition_id())
+    val wInPart = Window.partitionBy(col("__pid_")).orderBy(sortCols: _*)
+    val rn = base.withColumn("__rn_", row_number().over(wInPart).cast("long"))
+    val offsets = rn.groupBy(col("__pid_")).agg(count(lit(1)).as("__cnt_"))
+      .withColumn("__offset_",
+        coalesce(sum(col("__cnt_")).over(Window.orderBy(col("__pid_"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid_"), col("__offset_"))
+    val idx = rn.join(broadcast(offsets), "__pid_")
+      .withColumn("__idx_", col("__offset_") + col("__rn_"))
+    val gmin = idx.groupBy(groupCols.map(col): _*).agg(min(col("__idx_")).as("__gmin_"))
+    idx.join(broadcast(gmin), groupCols)
+      .withColumn(seqCol, col("__idx_") - col("__gmin_") + lit(1L))
+      .drop("__pid_", "__rn_", "__offset_", "__idx_", "__gmin_")
+  }
+
   def zipWithIndex(df: DataFrame, indexCol: String, partitionCols: Seq[String] = Seq.empty): DataFrame =
     if (partitionCols.nonEmpty) {
       val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(monotonically_increasing_id())

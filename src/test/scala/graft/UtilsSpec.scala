@@ -18,6 +18,23 @@ class UtilsSpec extends SparkSpec {
     agg.getLong(3) shouldBe 6000L
   }
 
+  test("perGroupSequence equals the per-group window row_number bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 7).as("g"))
+      .repartition(11) // scramble input partitioning before the range sort
+    val fast = DataframeHelper.perGroupSequence(
+        df, Seq("g"), Seq("l_orderkey", "l_linenumber"), "seq")
+      .select("g", "l_orderkey", "l_linenumber", "seq")
+    val window = df.withColumn("seq", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("l_orderkey"), col("l_linenumber"))).cast("long"))
+      .select("g", "l_orderkey", "l_linenumber", "seq")
+    fast.exceptAll(window).count() shouldBe 0L
+    window.exceptAll(fast).count() shouldBe 0L
+    fast.count() shouldBe 6000L
+  }
+
   test("zipWithIndex partitioned: 1..k within each partition key") {
     val df = spark.read.parquet(s"$sfDir/nation.parquet")
     val z = DataframeHelper.zipWithIndex(df, "rn", Seq("n_regionkey"))

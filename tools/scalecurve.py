@@ -139,6 +139,12 @@ LINEAR_SET = [
     # statestore read: AvailableNow drain (state ~ distinct sources) +
     # a batch read of the store files
     "q97_statestore_read",
+    # observed metrics: ONE corpus pass (the noop write) carrying
+    # map-side observe aggregates; result is a single row
+    "q98_observe_metrics",
+    # length batching: range sort + pid-keyed local ranks + two broadcast
+    # joins (task-count and 8-bucket sized) — no per-bucket giant task
+    "c10_length_batching",
     # collation: one keyed agg under a non-binary collation
     "q95_collation",
     # tws profile: micro-batch scan; per-key state is k entries + a
