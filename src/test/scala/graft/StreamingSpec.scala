@@ -362,6 +362,58 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSeq
     meta shouldBe Seq((0L, "stateStoreSave", "default"))
   }
+
+  test("state data source reads BOTH sides of a stream-stream join's buffers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ckpt = tmpDir("ssj_ckpt")
+    val (inL, inR) = (tmpDir("ssj_l"), tmpDir("ssj_r"))
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(inL)
+    Seq((1L, "x")).toDF("k", "w").write.mode("overwrite").parquet(inR)
+    val l = spark.readStream.schema("k BIGINT, v STRING").parquet(inL)
+    val r = spark.readStream.schema("k BIGINT, w STRING").parquet(inR)
+    val q = l.join(r, Seq("k"))
+      .writeStream.format("noop").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // joinSide reconstructs the BUFFERED INPUT rows: both left rows are
+    // retained (an inner join with no watermark keeps all state), the
+    // right buffer holds its one row — exactly what an on-call needs to
+    // see when join state balloons
+    def side(s: String) = spark.read.format("statestore")
+      .option("joinSide", s).load(ckpt)
+    side("left").select($"value.k", $"value.v").as[(Long, String)]
+      .collect().sorted.toSeq shouldBe Seq((1L, "a"), (2L, "b"))
+    side("right").select($"value.k", $"value.w").as[(Long, String)]
+      .collect().toSeq shouldBe Seq((1L, "x"))
+  }
+
+  test("observe actor on a streaming view: metrics arrive in the query progress") {
+    implicit val s = spark
+    val in = tmpDir("obs_stream_in")
+    spark.range(0, 100).selectExpr("id AS k", "id % 2 AS par")
+      .write.mode("overwrite").parquet(in)
+    val ctx = new JobContext(PipelineContext())
+    spark.readStream.schema("k BIGINT, par BIGINT").parquet(in)
+      .createOrReplaceTempView("obs_stream_v")
+    val oa = new graft.utils.ObserveActor()
+    oa.init(Map("view" -> "obs_stream_v", "name" -> "stream_probe",
+      "metric.cnt" -> "count(1)", "metric.odd" -> "sum(par)"))
+    val out = oa.run(ctx).get
+    out.isStreaming shouldBe true
+    // streaming branch: nothing registers on the context (an Observation
+    // cannot attach to a stream) — metrics ride the progress events
+    ctx.observedMetrics() shouldBe Map.empty
+    val q = out.writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = q.recentProgress.flatMap(p =>
+      Option(p.observedMetrics.get("stream_probe")))
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    val odd = rows.map(_.getAs[Long]("odd")).sum
+    total shouldBe 100L
+    odd shouldBe 50L
+  }
 }
 
 /** Driver-side probe for the continuous-trigger test: executor threads (same
