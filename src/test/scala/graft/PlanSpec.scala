@@ -123,7 +123,11 @@ class PlanSpec extends SparkSpec {
       "u1_zipwithindex", // offsets frame: one row per input PARTITION
       "c8_weighted_sample", // rank window AFTER limit(k): orders the k=100
                            // survivors of the TakeOrdered top-k, not data
-      "t18_bpe_apply"      // merge-rank window AFTER limit(2): 2 rows
+      "t18_bpe_apply",     // merge-rank window AFTER limit(2): 2 rows
+      "c10_length_batching" // perGroupSequence offsets frame: one row per
+                           // input PARTITION (u1's shape) — the whole
+                           // point of the helper is that the per-BUCKET
+                           // window never exists; pinned separately below
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -178,10 +182,14 @@ class PlanSpec extends SparkSpec {
                            // a broadcast HASH join on source)
       "k7_hll_intersection", // verdict assembly: 1-row x 1-row crossJoin
                            // of the exact-counts and state-fold aggregates
-      "s9_knn_mmr"         // embeds s1's labeled exact pool build (the
+      "s9_knn_mmr",        // embeds s1's labeled exact pool build (the
                            // checkpoint cut hides it from this plan grep
                            // today; listed so removing the cut is not a
                            // surprise guard failure)
+      "s10_hybrid_rrf"     // semantic side embeds s1's labeled exact
+                           // baseline by documented design (swap in an
+                           // ANN family at scale); the lexical side is a
+                           // keyed token join — pinned separately below
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val p = plan(spec.run(spark, sfDir))
@@ -206,6 +214,43 @@ class PlanSpec extends SparkSpec {
     val p = plan(round)
     (p should not).include("CartesianProduct")
     (p should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("c10: no per-bucket window — every Window in the plan is pid- or offsets-scoped") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = q("c10_length_batching").queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    windows should not be empty
+    // the giant-task shape this guards against: PARTITION BY bucket
+    windows.foreach { w =>
+      val refs = w.partitionSpec.flatMap(_.references.map(_.name))
+      refs should not contain "bucket"
+      if (w.partitionSpec.nonEmpty) refs should contain("__pid_")
+    }
+  }
+
+  test("s10: the lexical postings join is keyed; the only all-pairs node is the labeled semantic baseline") {
+    import org.apache.spark.sql.execution.joins._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = q("s10_hybrid_rrf").queryExecution.executedPlan
+      // exactly two all-pairs nodes, both reviewed: bruteForceTopK's
+      // documented exact-baseline cross join, and the stopword cut's
+      // crossJoin against the broadcast 1-ROW nd aggregate (t16's
+      // stats-frame shape — bounded by construction). A third would mean
+      // the lexical postings join degraded to all-pairs.
+      p.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      } should have size 2
+      // and the token join + vocab cut + rank fusion are keyed equi-joins
+      p.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: ShuffledHashJoinExec => j
+        case j: SortMergeJoinExec => j
+      }.size should be >= 3
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("d16: the (band,bucket) join broadcasts the banded batch, index side streamed") {
