@@ -2323,6 +2323,38 @@ object Queries {
         |SELECT doc_id, n_tokens, bucket, seq, (seq - 1) // 16 AS batch_id
         |FROM s""".stripMargin)),
 
+    // Token-budget corpus selection: rank docs by quality (micro-unit
+    // integer, ties to smallest id), take the prefix whose running token
+    // total fits the budget — the "best N tokens" cut every curation run
+    // ends with. The running sum uses DataframeHelper.perGroupRunningSum
+    // (windowless scale form: a global ORDER BY running sum is one task
+    // holding the corpus); the oracle is the plain window running sum,
+    // which the scale form must equal exactly.
+    Spec("c11_token_budget", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val scored = docs.select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        // round-6 score → exact integer micro-units (t2 proves the
+        // engine parity of the score itself)
+        .withColumn("q_u", expr("cast(round(q * 1000000) AS BIGINT)"))
+        .withColumn("negq", -col("q_u"))
+        .withColumn("g", lit(0L))
+        .drop("q")
+      graft.utils.DataframeHelper.perGroupRunningSum(
+          scored, Seq("g"), Seq("negq", "doc_id"), "n_tokens", "cum_tokens")
+        .filter(col("cum_tokens") <= 20000L)
+        .select(col("doc_id"), col("n_tokens"), col("q_u"), col("cum_tokens"))
+    }, Some(s"""WITH t AS (SELECT doc_id, $qWsTokensSql AS n_tokens,
+        |    CAST(round(($qQualitySql) * 1000000) AS BIGINT) AS q_u
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens, q_u,
+        |    CAST(sum(n_tokens) OVER (ORDER BY q_u DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, q_u, cum_tokens FROM s
+        |WHERE cum_tokens <= 20000""".stripMargin)),
+
     Spec("c9_temperature_mix", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val srcnum = col("source").substr(lit(4), length(col("source"))).cast("long")

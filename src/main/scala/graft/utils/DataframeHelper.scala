@@ -110,9 +110,16 @@ object DataframeHelper {
     require(groupCols.nonEmpty && orderCols.nonEmpty,
       "perGroupSequence needs group and order columns")
     val sortCols = (groupCols ++ orderCols).map(col)
+    // The pid-stamped sorted frame feeds TWO consumers (ranks + offsets);
+    // without pinning, each consumer RECOMPUTES it, and a nondeterministic
+    // upstream (round-robin repartition, sampling-dependent range bounds)
+    // can land rows on different pids per recomputation — offsets then
+    // describe a different partitioning than the ranks. localCheckpoint
+    // materializes the sorted frame once (lazy: on first use).
     val base = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
       .withColumn("__pid_", spark_partition_id())
+      .localCheckpoint(false)
     val wInPart = Window.partitionBy(col("__pid_")).orderBy(sortCols: _*)
     val rn = base.withColumn("__rn_", row_number().over(wInPart).cast("long"))
     val offsets = rn.groupBy(col("__pid_")).agg(count(lit(1)).as("__cnt_"))
@@ -126,6 +133,45 @@ object DataframeHelper {
     idx.join(broadcast(gmin), groupCols)
       .withColumn(seqCol, col("__idx_") - col("__gmin_") + lit(1L))
       .drop("__pid_", "__rn_", "__offset_", "__idx_", "__gmin_")
+  }
+
+  /**
+   * Per-group RUNNING SUM of `valueCol` in `orderCols` order — the scale
+   * form of `sum(v) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED
+   * PRECEDING)` for coarse groups, built on [[perGroupSequence]]'s
+   * machinery: range-sort on (group, order), within-(pid, group) running
+   * sums (bounded tasks), and a (pid × group)-sized offsets frame whose
+   * own prefix sums ride a tiny per-group window. Same contracts:
+   * (groupCols ++ orderCols) unique per row, groups broadcastable.
+   * The prefix-sum selection pattern (token-budget corpus cuts,
+   * quota-fill) runs on exactly this shape at 100 TB — a global ORDER BY
+   * running sum is one task holding the corpus.
+   */
+  def perGroupRunningSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                         valueCol: String, sumCol: String): DataFrame = {
+    require(groupCols.nonEmpty && orderCols.nonEmpty,
+      "perGroupRunningSum needs group and order columns")
+    val sortCols = (groupCols ++ orderCols).map(col)
+    // pinned for the same two-consumer reason as perGroupSequence
+    val base = df.repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid_", spark_partition_id())
+      .localCheckpoint(false)
+    val wRun = Window.partitionBy((col("__pid_") +: groupCols.map(col)): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("__run_", sum(col(valueCol)).over(wRun).cast("long"))
+    // (pid, group) totals: one row per task per group it touches — the
+    // per-group prefix over pid order is a window over this TINY frame
+    val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__pid_"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy((col("__pid_") +: groupCols.map(col)): _*)
+      .agg(sum(col(valueCol)).cast("long").as("__tot_"))
+      .withColumn("__offset_", coalesce(sum(col("__tot_")).over(wOff), lit(0L)))
+      .select((col("__pid_") +: groupCols.map(col)) :+ col("__offset_"): _*)
+    local.join(broadcast(offsets), "__pid_" +: groupCols)
+      .withColumn(sumCol, col("__offset_") + col("__run_"))
+      .drop("__pid_", "__run_", "__offset_")
   }
 
   def zipWithIndex(df: DataFrame, indexCol: String, partitionCols: Seq[String] = Seq.empty): DataFrame =

@@ -35,6 +35,26 @@ class UtilsSpec extends SparkSpec {
     fast.count() shouldBe 6000L
   }
 
+  test("perGroupRunningSum equals the per-group window running sum bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // UNIQUE order key by construction — the helper's contract (lineitem's
+    // (orderkey, linenumber) is NOT unique in this testdata: tied rows
+    // with different values make any running sum tie-order-dependent)
+    val df = spark.range(0, 6000)
+      .selectExpr("id % 5 AS g", "id AS k", "(id * 7) % 13 AS qty")
+      .repartition(13)
+    val fast = DataframeHelper.perGroupRunningSum(
+        df, Seq("g"), Seq("k"), "qty", "run")
+      .select("g", "k", "run")
+    val window = df.withColumn("run", sum(col("qty")).over(
+        Window.partitionBy(col("g")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select("g", "k", "run")
+    fast.exceptAll(window).count() shouldBe 0L
+    window.exceptAll(fast).count() shouldBe 0L
+    fast.count() shouldBe 6000L
+  }
+
   test("zipWithIndex partitioned: 1..k within each partition key") {
     val df = spark.read.parquet(s"$sfDir/nation.parquet")
     val z = DataframeHelper.zipWithIndex(df, "rn", Seq("n_regionkey"))

@@ -145,6 +145,10 @@ LINEAR_SET = [
     # length batching: range sort + pid-keyed local ranks + two broadcast
     # joins (task-count and 8-bucket sized) — no per-bucket giant task
     "c10_length_batching",
+    # token-budget selection: range sort + (pid,group)-windowed running
+    # sums + a (pid x group)-sized offsets broadcast — c10's shape with
+    # a value sum instead of a count
+    "c11_token_budget",
     # collation: one keyed agg under a non-binary collation
     "q95_collation",
     # tws profile: micro-batch scan; per-key state is k entries + a
