@@ -3403,6 +3403,48 @@ object Queries {
     // hand-typed tags) collapse without a lower() rewrite at every use
     // site. Case variation is synthesized deterministically from doc_id
     // parity; the oracle reproduces the grouping with lower().
+    // Parameterized SQL (Spark 4 named parameters) + the IDENTIFIER
+    // clause: the table name arrives as a PARAMETER (safe dynamic SQL —
+    // no string splicing, no injection surface) and the predicate
+    // constant binds as :cap. The oracle is the same query with
+    // literals inlined, so binding must be value-identical.
+    Spec("q99_parameterized_sql", (spark, dir) => {
+      t(spark, dir, "orders")
+      spark.sql(
+        """SELECT o_orderpriority, count(*) AS n,
+          |  CAST(min(o_orderkey) AS BIGINT) AS first_key
+          |FROM IDENTIFIER(:tbl) WHERE o_totalprice < :cap
+          |GROUP BY o_orderpriority""".stripMargin,
+        Map("tbl" -> "orders", "cap" -> 150000.0d))
+    }, Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS first_key
+        |FROM orders WHERE o_totalprice < 150000.0
+        |GROUP BY o_orderpriority""".stripMargin)),
+
+    // SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN expr): the
+    // discounted-price computation declared ONCE as a catalog function in
+    // pure SQL — no JVM closure, fully optimizable (Catalyst inlines the
+    // body, so codegen sees the expression, not a black box). Exact
+    // decimal arithmetic inside the UDF (q1's discipline), summed as
+    // decimal, surfaced as double. The oracle inlines the body.
+    Spec("q100_sql_udf", (spark, dir) => {
+      t(spark, dir, "lineitem")
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_disc_price")
+      spark.sql(
+        """CREATE TEMPORARY FUNCTION graft_disc_price(p DOUBLE, d DOUBLE)
+          |RETURNS DECIMAL(18,4)
+          |RETURN CAST(CAST(p AS DECIMAL(12,2)) * (1 - CAST(d AS DECIMAL(4,2))) AS DECIMAL(18,4))
+          |""".stripMargin)
+      spark.sql(
+        """SELECT l_returnflag,
+          |  CAST(SUM(graft_disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS disc_total,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }, Some("""SELECT l_returnflag,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))) AS DOUBLE) AS disc_total,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     Spec("q95_collation", sqlQuery(Seq("documents"),
       """WITH c AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
         |    ELSE source END AS msrc FROM documents)

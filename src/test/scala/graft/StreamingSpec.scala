@@ -388,6 +388,47 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq shouldBe Seq((1L, "x"))
   }
 
+  test("state data source reads a transformWithState variable by name") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ckpt = tmpDir("tws_read_ckpt")
+    val in = tmpDir("tws_read_in")
+    // (user, ts, id, type): user 1 x3 events, user 2 x1
+    Seq((1L, 10L, 100L, "view"), (1L, 20L, 101L, "click"),
+        (1L, 30L, 102L, "view"), (2L, 40L, 103L, "buy"))
+      .toDF("user_id", "tsu", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("tsu") * 1000000L))
+      .drop("tsu")
+      .write.mode("overwrite").parquet(in)
+    val s2 = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.shuffle.partitions" -> "2")
+    val src = org.apache.spark.sql.GraftSqlBridge.onSession(s2,
+      s2.readStream
+        .schema("user_id BIGINT, event_id BIGINT, event_type STRING, ts TIMESTAMP")
+        .parquet(in))
+    val ctx = new JobContext(PipelineContext())(s2)
+    src.createOrReplaceTempView("tws_read_in_v")
+    val actor = new graft.transform.StreamStatefulTransformer()
+    actor.init(Map("view" -> "tws_read_in_v",
+      "processor.type" -> "graft.streaming.UserProfileProcessor",
+      "processor.k" -> "2"))(s2)
+    val q = actor.run(ctx)(s2).get
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // per-variable reads: the 'seen' ValueState holds each user's event
+    // count — the named-variable inspection path for arbitrary state
+    val seen = spark.read.format("statestore")
+      .option("stateVarName", "seen").load(ckpt)
+      .select(col("key.value").cast("long"), col("value.value").cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    seen shouldBe Seq((1L, 3L), (2L, 1L))
+  }
+
   test("observe actor on a streaming view: metrics arrive in the query progress") {
     implicit val s = spark
     val in = tmpDir("obs_stream_in")

@@ -149,6 +149,11 @@ LINEAR_SET = [
     # sums + a (pid x group)-sized offsets broadcast — c10's shape with
     # a value sum instead of a count
     "c11_token_budget",
+    # parameterized SQL / IDENTIFIER: pure dialect — plans as the plain
+    # filter+agg
+    "q99_parameterized_sql",
+    # SQL UDF: Catalyst inlines the body — plans as q1's decimal agg
+    "q100_sql_udf",
     # collation: one keyed agg under a non-binary collation
     "q95_collation",
     # tws profile: micro-batch scan; per-key state is k entries + a
