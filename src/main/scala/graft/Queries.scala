@@ -3445,6 +3445,30 @@ object Queries {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // SQL TABLE UDF (Spark 4 CREATE FUNCTION ... RETURNS TABLE): a
+    // parameterized relation declared in pure SQL — the body references
+    // the lineitem view and takes the filter constant as an argument;
+    // each invocation inlines as a subquery (no JVM UDTF, fully
+    // optimizable). The oracle expands both invocations by hand.
+    Spec("q101_sql_table_udf", (spark, dir) => {
+      t(spark, dir, "lineitem")
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS graft_flag_stats")
+      spark.sql(
+        """CREATE TEMPORARY FUNCTION graft_flag_stats(rf STRING)
+          |RETURNS TABLE (l_linestatus STRING, n BIGINT)
+          |RETURN SELECT l_linestatus, count(*) AS n
+          |FROM lineitem WHERE l_returnflag = rf GROUP BY l_linestatus
+          |""".stripMargin)
+      spark.sql(
+        """SELECT 'A' AS rf, * FROM graft_flag_stats('A')
+          |UNION ALL
+          |SELECT 'R' AS rf, * FROM graft_flag_stats('R')""".stripMargin)
+    }, Some("""SELECT 'A' AS rf, l_linestatus, count(*) AS n
+        |FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_linestatus
+        |UNION ALL
+        |SELECT 'R' AS rf, l_linestatus, count(*) AS n
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""".stripMargin)),
+
     Spec("q95_collation", sqlQuery(Seq("documents"),
       """WITH c AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
         |    ELSE source END AS msrc FROM documents)

@@ -154,6 +154,8 @@ LINEAR_SET = [
     "q99_parameterized_sql",
     # SQL UDF: Catalyst inlines the body — plans as q1's decimal agg
     "q100_sql_udf",
+    # SQL table UDF: each invocation inlines as a filtered agg subquery
+    "q101_sql_table_udf",
     # collation: one keyed agg under a non-binary collation
     "q95_collation",
     # tws profile: micro-batch scan; per-key state is k entries + a
