@@ -1560,6 +1560,41 @@ object Queries {
         |  CAST(length(substr(text, CAST(i * 16 + 1 AS BIGINT), 16)) AS BIGINT) AS frame_bytes
         |FROM f WHERE i % 4 = 0""".stripMargin)),
 
+    // Keyframe selection: per-frame inter-frame byte-diff motion energy
+    // over the frame-shaped payload (m2's chunking contract), keyframe =
+    // argmax energy (ties → earliest frame) plus the doc's total motion —
+    // what a video curation pass ranks before extracting stills. The
+    // motion math runs over REAL payload bytes executor-side; the oracle
+    // reproduces every energy from the text generator and replays the
+    // argmax relationally.
+    Spec("m8_video_keyframes", (spark, dir) => {
+      implicit val s: SparkSession = spark
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("payload"))
+      val motion = graft.ml.Multimodal.frameMotion(docs, frameBytes = 16)
+      val agg = motion.groupBy(col("id"))
+        .agg(count(lit(1)).as("n_diffs"), sum(col("energy")).as("total_motion"))
+      val key = motion.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("energy").desc, col("frame_no"))))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("frame_no").cast("long").as("key_frame"),
+          col("energy").as("key_energy"))
+      agg.join(key, "id").select(col("id").as("doc_id"),
+        col("n_diffs"), col("total_motion"), col("key_frame"), col("key_energy"))
+    }, Some("""WITH d AS (SELECT doc_id, text, length(text) // 16 AS nf FROM documents),
+        |f AS (SELECT doc_id, text, unnest(range(1, nf)) AS fr FROM d WHERE nf >= 2),
+        |e AS (SELECT doc_id, fr, CAST(list_sum(list_transform(range(0, 16), j ->
+        |    abs(ascii(substr(text, CAST(fr * 16 + j + 1 AS BIGINT), 1)) -
+        |        ascii(substr(text, CAST((fr - 1) * 16 + j + 1 AS BIGINT), 1))))) AS BIGINT) AS energy
+        |  FROM f),
+        |a AS (SELECT doc_id, count(*) AS n_diffs, CAST(sum(energy) AS BIGINT) AS total_motion FROM e GROUP BY doc_id),
+        |k AS (SELECT doc_id, CAST(fr AS BIGINT) AS key_frame, energy AS key_energy FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY energy DESC, fr) AS rk FROM e)
+        |  WHERE rk = 1)
+        |SELECT a.doc_id, a.n_diffs, a.total_motion, k.key_frame, k.key_energy
+        |FROM a JOIN k USING (doc_id)""".stripMargin)),
+
     // Resize on REAL pixels through the REAL codec: each document becomes a
     // genuine 16x16 gray PNG (pixel i = ascii of text[(i*7) mod len]),
     // encoded AND decoded via JDK ImageIO, then 2x2 average-pooled in exact

@@ -507,6 +507,42 @@ object Multimodal {
       }(enc)
   }
 
+  /**
+   * Inter-frame motion energy for frame-shaped payloads: with the payload
+   * cut into full `frameBytes` frames, emit for every frame f ≥ 1 the sum
+   * of absolute byte differences against frame f-1 — the integer "motion"
+   * signal keyframe selection ranks on (a real pipeline computes the same
+   * statistic on decoded luma planes; fixed-size chunks stand in for GOPs
+   * exactly as in [[sampleFrames]]). Exact integer arithmetic, so any
+   * engine can reproduce the energies from the payload generator. Narrow
+   * per-partition map, no shuffle; payloads with < 2 full frames emit
+   * nothing. Output: (id, frame_no ≥ 1, energy).
+   */
+  def frameMotion(df: DataFrame, frameBytes: Int)(implicit spark: SparkSession): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("frame_no", IntegerType),
+      StructField("energy", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col("id").cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          val nf = p.length / frameBytes
+          (1 until nf).iterator.map { f =>
+            var e = 0L
+            var j = 0
+            while (j < frameBytes) {
+              e += math.abs((p(f * frameBytes + j) & 0xff) -
+                (p((f - 1) * frameBytes + j) & 0xff))
+              j += 1
+            }
+            Row(r.getLong(0), f, e)
+          }
+        }
+      }(enc)
+  }
+
   /** Format-agnostic 1-in-N byte decimation over opaque payloads (bandwidth
    *  shaping when the format is unknown). For true pixel resize use
    *  [[averagePool]] — this one never decodes. */

@@ -825,6 +825,18 @@ class MlSpec extends SparkSpec {
     samp.getAs[Int]("sample_rate") shouldBe 8000
   }
 
+  test("frame motion: byte-diff energies, unsigned bytes, short payloads emit nothing") {
+    implicit val s = spark
+    import spark.implicits._
+    val p1 = Array[Byte](0, 10, 0, 20, 5, 30) // frames of 2: (0,10) (0,20) (5,30)
+    val p2 = Array[Byte](0, -1, 0, 0)         // -1 = 0xff: unsigned diff is 255, not 1
+    val p3 = Array[Byte](1, 2, 3)             // one full frame -> no diffs
+    val out = Multimodal.frameMotion(
+        Seq((1L, p1), (2L, p2), (3L, p3)).toDF("id", "payload"), frameBytes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    out shouldBe Seq((1L, 1, 10L), (1L, 2, 15L), (2L, 1, 255L))
+  }
+
   test("WAV codec: PCM16 encode/decode round-trips exactly, rejects non-audio bytes") {
     val samples = Array[Short](0, 1, -1, 32767, -32768, 256, -257, 12345)
     val wav = Multimodal.pcmWav(samples, 8000)

@@ -136,6 +136,9 @@ LINEAR_SET = [
     "d21_substring_dedup",
     # audio: narrow per-row WAV encode+decode map + array math, no shuffle
     "m7_audio_energy",
+    # keyframes: narrow per-row byte-diff map + one doc-keyed agg + a
+    # doc-keyed argmax window (fine-grained key)
+    "m8_video_keyframes",
     # statestore read: AvailableNow drain (state ~ distinct sources) +
     # a batch read of the store files
     "q97_statestore_read",
