@@ -426,6 +426,27 @@ class PlanSpec extends SparkSpec {
     p should include("PartitionFilters")
   }
 
+  test("ivfProbe against a crank-partitioned index: the cell scan is dynamically pruned") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir("ivf_dpp")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = graft.ml.Similarity.ivfCentroids(emb, "vec_id", "v", 16)
+    graft.ml.Similarity.ivfAssignments(emb, cents, "vec_id", "v")
+      .write.partitionBy("crank").parquet(s"$dir/cells")
+    val probe = graft.ml.Similarity.ivfProbe(
+      emb.filter(col("vec_id") % 50 === 0), cents,
+      spark.read.parquet(s"$dir/cells"), "vec_id", "v", k = 5, nprobe = 2)
+    // the 100 TB claim of the index lifecycle: a probe's scan of the
+    // persisted index must carry a runtime partition-pruning filter on
+    // crank — only the probed cells' files are read
+    val p = plan(probe)
+    p.toLowerCase should include("dynamicpruning")
+    p should include("PartitionFilters")
+    // and the probe still answers correctly from the pruned scan
+    probe.count() should be > 0L
+  }
+
   test("q66: runtime bloom filter from the dim filter reaches the fact scan") {
     // plan must be inspected INSIDE the conf scope — q66Scoped restores
     // broadcast/bloom confs on exit and a lazy plan would re-optimize
