@@ -35,7 +35,6 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
     val canWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
-    val warmBudgetNs = 240L * 1000 * 1000 * 1000
     var warmSpentNs = 0L
     try spark.read.parquet(s"$sfDir/region.parquet").count()
     catch { case _: Throwable => () }
@@ -50,10 +49,18 @@ object Bench {
     // optional subsetting for A/B diagnosis: comma-separated exact names
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) && !skip.contains(n) }
-      .map { case (name, fn) =>
-      if (canWarm && warmSpentNs < warmBudgetNs) {
+    // Warm budget SCALES with catalog size (1.5 s/query, floor 240 s): a
+    // fixed cap at 188 queries exhausted mid-catalog and cold-timed the
+    // alphabetic tail (s*, t*, z* read 3-16x their warm numbers in the r7
+    // driver run). If the budget still sheds, each shed query is flagged
+    // "warmed": false in the JSON so a cold number is never mistaken for
+    // a plan regression — no silent caps.
+    val warmBudgetNs = math.max(240L, (1.5 * selected.size).toLong) * 1000L * 1000 * 1000
+    val results = selected.map { case (name, fn) =>
+      val warmed = canWarm && warmSpentNs < warmBudgetNs
+      if (warmed) {
         val w0 = System.nanoTime()
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
         warmSpentNs += System.nanoTime() - w0
@@ -67,20 +74,25 @@ object Bench {
       // on eviction/GC — observed as a one-off 16.8 s on a 2.5 s query.
       // Non-blocking: eviction proceeds while the next warmup runs.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> dt
+      (name, dt, warmed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val cold = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The metric line is ~6 KB at 140 queries and sbt interleaves its own
-    // epilogue around stdout, so ALSO land the JSON in a file the driver
-    // (or any harness) can read without scraping logs.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"sf":"$sfDir"}"""
+    // The per-query line is ~6 KB at 188 queries and sbt interleaves its
+    // own epilogue around stdout, so ALSO land the JSON in a file the
+    // driver (or any harness) can read without scraping logs.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
     println(json)
+    // LAST stdout line is a short total-only JSON that fits any log-tail
+    // capture (the full per-query map above overflows a 2 KB tail).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_cold":${results.count(!_._3)},"sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
   }
 }

@@ -213,6 +213,40 @@ object Queries {
     dppFixture(spark, dir); ()
   }
 
+  /** q97's drained streaming checkpoint as a write-once fixture: the
+   *  AvailableNow noop-sink drain materializes a committed state store
+   *  for `dir`'s documents table under a fingerprint-keyed /tmp path,
+   *  once per (JVM, dir) — stage-then-atomic-move makes concurrent JVMs
+   *  race-safe exactly like the q65 DPP fixture above. */
+  private val q97Ckpts = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def q97Checkpoint(spark: SparkSession, dir: String): String =
+    q97Ckpts.getOrElseUpdate(dir, {
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val fp = java.lang.Long.toHexString(src.length ^ (src.lastModified * 31))
+      val base = s"/tmp/graft_q97_v1_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      if (!new java.io.File(s"$base/_GRAFT_DONE").isFile) {
+        val stage = s"$base.stage_${java.lang.ProcessHandle.current.pid}"
+        val agg = streamTable(spark, dir, "documents.parquet")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
+        val sq = agg.writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation", stage)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        java.nio.file.Files.write(java.nio.file.Paths.get(s"$stage/_GRAFT_DONE"),
+          Array.emptyByteArray)
+        try java.nio.file.Files.move(
+          java.nio.file.Paths.get(stage), java.nio.file.Paths.get(base),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileSystemException
+            if new java.io.File(s"$base/_GRAFT_DONE").isFile =>
+              org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage)); ()
+        }
+      }
+      base
+    })
+
   /** The q65 join, shared by the Spec and PlanSpec's DPP assertion. */
   private[graft] def q65Frame(spark: SparkSession, dir: String): DataFrame = {
     val base = dppFixture(spark, dir)
@@ -2107,7 +2141,7 @@ object Queries {
     // first 20 chars, i.e. a stride-aligned SUFFIX quote under a new id —
     // must surface as shared fingerprints while the documents as wholes
     // stay distinct. The oracle replays windowing, md5 grouping, and the
-    // packed (doc·1e6+off) first-occurrence arg-min relationally.
+    // (doc, off) first-occurrence struct-min relationally.
     Spec("d21_substring_dedup", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -2126,10 +2160,11 @@ object Queries {
         |  FROM corp WHERE length(t) >= 40),
         |g AS (SELECT md5(u.s) AS span_md5, count(*) AS n_spans,
         |    count(DISTINCT doc_id) AS n_docs,
-        |    min(doc_id * 1000000 + u.off) AS keep_key
+        |    min({'d': doc_id, 'o': u.off}) AS k
         |  FROM w GROUP BY 1)
         |SELECT span_md5, CAST(n_spans AS BIGINT) AS n_spans,
-        |  CAST(n_docs AS BIGINT) AS n_docs, CAST(keep_key AS BIGINT) AS keep_key
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(k.d AS BIGINT) AS keep_doc, CAST(k.o AS BIGINT) AS keep_off
         |FROM g WHERE n_docs >= 2""".stripMargin)),
 
     // Deterministic stratified sampling: N docs per language stratum,
@@ -2263,10 +2298,16 @@ object Queries {
     // md5-derived hash family is mirrored in the oracle, so the ENTIRE
     // sample hash-matches — the strongest oracle form, unlike the
     // verdict-bounded estimators.
+    // The sample is emitted as a ','-joined STRING (not array<string>):
+    // the driver's pandas oracle harness cannot sort/hash ndarray cells,
+    // and the join is lossless here (doc_ids contain no commas). The
+    // DuckDB side string_aggs in the same hv order, so the full sample
+    // still hash-matches element-for-element.
     Spec("c7_per_source_sample", (spark, dir) => {
       spark.read.parquet(s"$dir/documents.parquet")
         .groupBy(col("source"))
-        .agg(graft.functions.SketchAggregates.bottomK(col("doc_id"), 5).as("sample_ids"),
+        .agg(array_join(graft.functions.SketchAggregates.bottomK(col("doc_id"), 5), ",")
+            .as("sample_ids"),
           countDistinct(col("doc_id")).as("n_docs"))
     }, Some(s"""WITH h AS (
         |  SELECT source, doc_id,
@@ -2275,7 +2316,7 @@ object Queries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
         |      FROM h)
         |SELECT source,
-        |  (SELECT list(CAST(doc_id AS VARCHAR) ORDER BY hv)
+        |  (SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv)
         |     FROM r WHERE r.source = h2.source AND rk <= 5) AS sample_ids,
         |  count(*) AS n_docs
         |FROM h h2 GROUP BY source""".stripMargin)),
@@ -2422,10 +2463,15 @@ object Queries {
     }),
 
     Spec("q87_stream_sample", (spark, dir) => {
+      // Post-agg projection joins the sample to a ','-string (same
+      // harness-safety rationale as c7); runs per emitted complete-mode
+      // row, so the state-store value stays the fixed-size binary buffer.
       val agg = streamTable(spark, dir, "documents.parquet")
         .groupBy(col("source"))
         .agg(graft.functions.SketchAggregates.bottomK(col("doc_id"), 5).as("sample_ids"),
           count(lit(1)).as("n_docs"))
+        .select(col("source"), array_join(col("sample_ids"), ",").as("sample_ids"),
+          col("n_docs"))
       drainToMemory(spark, agg, "q87_sample", "complete")
     }, Some(s"""WITH h AS (
         |  SELECT source, doc_id,
@@ -2434,7 +2480,7 @@ object Queries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
         |      FROM h)
         |SELECT source,
-        |  (SELECT list(CAST(doc_id AS VARCHAR) ORDER BY hv)
+        |  (SELECT string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hv)
         |     FROM r WHERE r.source = h2.source AND rk <= 5) AS sample_ids,
         |  count(*) AS n_docs
         |FROM h h2 GROUP BY source""".stripMargin)),
@@ -4369,6 +4415,80 @@ object Queries {
          |WHERE rank <= 5""".stripMargin
     }),
 
+    // s10's hybrid retrieval with the PRODUCTION semantic leg: the
+    // fusion is identical, but the semantic rank list comes from the
+    // IVF index (s3's deterministic md5-seeded centroids, nprobe=2)
+    // instead of the O(Q·N) brute-force baseline — each query scores
+    // ~nprobe/numCentroids of the corpus, so BOTH hybrid legs are now
+    // sublinear-per-query (the lexical side was already rare-token-
+    // bounded by the max-df cut). This is the actor's default
+    // (method: hybrid, semanticIndex: ivf); s10 keeps the brute leg as
+    // the grading/recall baseline. The oracle replays the lexical cut,
+    // the FULL IVF routing (seed set, cell assignment, nprobe probe),
+    // and the integer RRF fusion relationally.
+    Spec("s11_hybrid_rrf_ivf", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      Similarity.hybridRrfTopK(
+        docs.filter(col("doc_id") % 50 === 0), docs, "doc_id", "text",
+        emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v",
+        semantic = "ivf")
+    }, Some {
+      val cosQN = s"(${dotSql("q.v", "n.v")}) / (sqrt(q.vv) * sqrt(n.vv))"
+      val distDot = dotSql("e.v", "ct.cv")
+      val vvExpr = dotSql("v", "v")
+      s"""WITH toks AS (SELECT doc_id, unnest(list_distinct(list_filter(
+         |    string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+         |    x -> length(x) > 0))) AS tok FROM documents),
+         |qt AS (SELECT * FROM toks WHERE doc_id % 50 = 0),
+         |nd AS (SELECT count(*) AS nd FROM documents),
+         |dfc AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+         |kept AS (SELECT tok FROM dfc CROSS JOIN nd WHERE df * 10 <= nd),
+         |lex AS (SELECT qt.doc_id AS query_id, c.doc_id AS neighbor_id, count(*) AS lex_u
+         |  FROM qt JOIN toks c ON qt.tok = c.tok AND qt.doc_id <> c.doc_id
+         |  JOIN kept k ON k.tok = c.tok
+         |  GROUP BY 1, 2),
+         |lexr AS (SELECT query_id, neighbor_id, lrank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY lex_u DESC, neighbor_id) AS INT) AS lrank FROM lex)
+         |  WHERE lrank <= 10),
+         |cvr AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |vvt AS (SELECT vec_id, v, ($vvExpr) AS vv FROM cvr),
+         |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vvt),
+         |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
+         |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+         |assigned AS (SELECT e.vec_id, e.v, e.vv, ct.crank,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+         |  FROM vvt e CROSS JOIN cent ct),
+         |cells AS (SELECT vec_id AS neighbor_id, v, vv, crank FROM assigned WHERE arank = 1),
+         |qcells AS (SELECT vec_id AS query_id, v, vv, crank FROM assigned
+         |  WHERE arank <= 2 AND vec_id % 50 = 0),
+         |sem0 AS (SELECT q.query_id, n.neighbor_id, round($cosQN, 6) AS cos_r
+         |  FROM qcells q JOIN cells n ON q.crank = n.crank AND q.query_id <> n.neighbor_id),
+         |semr AS (SELECT query_id, neighbor_id, srank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_r DESC, neighbor_id) AS INT) AS srank FROM sem0)
+         |  WHERE srank <= 10),
+         |f AS (SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         |    coalesce(l.neighbor_id, s.neighbor_id) AS neighbor_id,
+         |    l.lrank, s.srank
+         |  FROM lexr l FULL OUTER JOIN semr s
+         |    ON l.query_id = s.query_id AND l.neighbor_id = s.neighbor_id),
+         |g AS (SELECT query_id, neighbor_id,
+         |    CAST(coalesce(1000000 // (60 + lrank), 0)
+         |       + coalesce(1000000 // (60 + srank), 0) AS BIGINT) AS rrf_u,
+         |    CAST(coalesce(lrank, 0) AS INT) AS lex_r,
+         |    CAST(coalesce(srank, 0) AS INT) AS sem_r
+         |  FROM f)
+         |SELECT query_id, neighbor_id, lex_r AS lex_rank, sem_r AS sem_rank, rrf_u,
+         |  CAST(rank AS INT) AS rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_u DESC, neighbor_id) AS rank FROM g)
+         |WHERE rank <= 5""".stripMargin
+    }),
+
     // SCD Type-2 dimension maintenance through real row-level DML on the
     // v2 catalog: close the changed current rows (MERGE ... UPDATE), then
     // append the new versions — the canonical warehouse pattern for
@@ -4782,14 +4902,13 @@ object Queries {
     // aliases). State/batch parity: after a full AvailableNow drain the
     // store must equal the batch group-by — which is the oracle.
     Spec("q97_statestore_read", (spark, dir) => {
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q97_ckpt").toString
-      val agg = streamTable(spark, dir, "documents.parquet")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))
-      val sq = agg.writeStream.format("noop").outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      sq.awaitTermination()
+      // The drained checkpoint is a WRITE-ONCE fixture (same pattern as
+      // the q65 DPP layout): fingerprint-keyed per source dir, built at
+      // most once per JVM and reused across runs — so plan-only catalog
+      // sweeps don't re-drain a stream per inspection, and nothing leaks
+      // a fresh temp dir per call. State from a committed AvailableNow
+      // drain is a pure function of the input, so reuse is sound.
+      val ckpt = q97Checkpoint(spark, dir)
       spark.read.format("statestore").load(ckpt)
         .select(col("key.source").as("source"),
           col("value.count").as("cnt"), col("value.sum").as("chars"))

@@ -115,21 +115,27 @@ final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSe
   /** Snapshot of observation results; executed observations map to their
    *  metric rows, unexecuted ones to an empty map. The observation future
    *  completes on Spark's listener-bus thread shortly AFTER the observed
-   *  action returns, so `awaitMs` bounds a wait for that async hop — an
-   *  observation whose view never reached an action pays the full wait
-   *  and reports nothing (reads the future: Observation.getOrEmpty is
-   *  private[sql]). */
-  def observedMetrics(awaitMs: Long = 0L): Map[String, Map[String, Any]] =
+   *  action returns, so `awaitMs` bounds a wait for that async hop.
+   *  `awaitMs` is ONE SHARED deadline across all observations (the waits
+   *  overlap; each pending future gets only the budget remaining), so a
+   *  job with several dangling observations — views that never reached
+   *  an action — stalls teardown by at most `awaitMs` total, not per
+   *  observation. (Reads the future directly: Observation.getOrEmpty is
+   *  private[sql].) */
+  def observedMetrics(awaitMs: Long = 0L): Map[String, Map[String, Any]] = {
+    val deadline = System.nanoTime() + awaitMs * 1000000L
     _observations.map { case (n, o) =>
-      if (awaitMs > 0 && o.future.value.isEmpty)
+      val leftMs = (deadline - System.nanoTime()) / 1000000L
+      if (leftMs > 0 && o.future.value.isEmpty)
         scala.util.Try(scala.concurrent.Await.ready(o.future,
-          scala.concurrent.duration.Duration(awaitMs, "ms")))
+          scala.concurrent.duration.Duration(leftMs, "ms")))
       n -> (o.future.value match {
         case Some(scala.util.Success(row)) =>
           row.schema.fieldNames.zip(row.toSeq).toMap[String, Any]
         case _ => Map.empty[String, Any]
       })
     }.toMap
+  }
 
   /** Unpersist everything we cached (job teardown;
    *  reference: PipelineRunner.scala:243-258). */

@@ -70,11 +70,12 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
   }
 
   /** ObserveActor metrics → one `observe:<name>` row per observation whose
-   *  plan actually executed this job (getOrEmpty is non-blocking: a
-   *  pending observation — its view never reached a sink — reports
-   *  nothing rather than deadlocking the runner; the bounded await only
-   *  covers the listener-bus hop after an executed action). Values are
-   *  rendered sorted by alias so the row is deterministic. */
+   *  plan actually executed this job. The harvest is BOUNDED-WAIT, not
+   *  free: the 5 s budget is one shared deadline over all observations
+   *  (see [[JobContext.observedMetrics]]), covering the listener-bus hop
+   *  after executed actions; observations whose view never reached a sink
+   *  report nothing and cannot stall teardown past the single budget.
+   *  Values are rendered sorted by alias so the row is deterministic. */
   private def harvestObservations(jobName: String, ctx: JobContext): Unit =
     ctx.observedMetrics(awaitMs = 5000L).foreach { case (name, vals) =>
       if (vals.nonEmpty)

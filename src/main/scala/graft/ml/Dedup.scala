@@ -389,9 +389,9 @@ object Dedup {
    *
    * Output: one row per cross-document duplicated fingerprint —
    * `span_md5`, `n_spans` (total occurrences), `n_docs` (distinct docs),
-   * `keep_key` = min(doc_id·1e6 + offset), the first occurrence in
-   * (doc, offset) order, packed as one BIGINT so the arg-min is a plain
-   * integer `min` in any engine.
+   * `keep_doc`/`keep_off` = the first occurrence in (doc, offset) order,
+   * computed as a lexicographic struct-min (safe for documents of any
+   * length — no packed-integer range assumptions).
    *
    * Scale shape: one corpus scan, explode to ~len/stride rows per doc,
    * then a single exchange keyed on the constant-width 128-bit md5 (the
@@ -410,11 +410,17 @@ object Dedup {
            |  i -> struct(cast(i * $stride + 1 AS BIGINT) AS off,
            |              substring(t, i * $stride + 1, $window) AS s))""".stripMargin)).as("w"))
       .select(col("doc_id"), col("w.off").as("off"), md5(col("w.s")).as("span_md5"))
+    // First occurrence in (doc_id, off) order as a lexicographic
+    // struct-min — length-safe for any document size, unlike the packed
+    // doc_id*1e6+off long (offsets past ~1M chars would cross into the
+    // next doc_id's key range). Same constant-width reduce state.
     spans.groupBy(col("span_md5"))
       .agg(count(lit(1)).as("n_spans"),
         countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id") * 1000000L + col("off")).as("keep_key"))
+        min(struct(col("doc_id"), col("off"))).as("k"))
       .filter(col("n_docs") >= 2)
+      .select(col("span_md5"), col("n_spans"), col("n_docs"),
+        col("k.doc_id").as("keep_doc"), col("k.off").as("keep_off"))
   }
 
   /**

@@ -220,6 +220,10 @@ class SimilaritySearchActor extends Actor {
   protected var maxDfDenom: Int = 10
   protected var centroidsView: String = ""
   protected var assignView: String = ""
+  // hybrid's semantic leg: "ivf" (production default — each query scores
+  // ~nprobe/numCentroids of the corpus) or "brute" (the exact quadratic
+  // baseline, for grading/recall evaluation)
+  protected var semanticIndex: String = "ivf"
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
@@ -247,6 +251,11 @@ class SimilaritySearchActor extends Actor {
     properties.get("maxDfDenom").foreach(v => maxDfDenom = v.toInt)
     properties.get("centroidsView").foreach(centroidsView = _)
     properties.get("assignView").foreach(assignView = _)
+    properties.get("semanticIndex").foreach { v =>
+      require(Seq("ivf", "brute").contains(v),
+        s"SimilaritySearchActor: semanticIndex must be ivf|brute, got $v")
+      semanticIndex = v
+    }
     require(!Seq("ivf-assign", "ivf-probe").contains(method) || centroidsView.nonEmpty,
       s"SimilaritySearchActor: $method requires centroidsView")
     require(method != "ivf-probe" || assignView.nonEmpty,
@@ -296,7 +305,8 @@ class SimilaritySearchActor extends Actor {
         val qDocs = textQueryWhere.orElse(queryWhere).fold(docs)(docs.filter)
         Similarity.hybridRrfTopK(qDocs, docs, textIdCol, textCol,
           queries, corpus, idCol, vecCol, pool, k, rrfK, maxDfDenom,
-          if (dim > 0) Some(dim) else None)
+          if (dim > 0) Some(dim) else None,
+          semantic = semanticIndex, numCentroids = numCentroids, nprobe = nprobe)
     })
   }
 }
@@ -304,7 +314,9 @@ class SimilaritySearchActor extends Actor {
 /** Text analysis actor: appends token counts, quality score, language id,
  *  and content fingerprint columns to the view. With `bm25Terms` set
  *  (comma-separated) it also appends BM25 relevance columns (`n_terms`,
- *  `bm25_q`) joined on integral `idField`. */
+ *  `bm25_q`) joined on `idField` (any type; the id keeps its native
+ *  type through the scoring pipeline). Inputs that already carry an
+ *  `n_terms`/`bm25_q` column are rejected at run with a clear message. */
 class TextAnalysisActor extends Actor {
   protected var view: String = ""
   protected var textCol: String = "text"
@@ -337,11 +349,9 @@ class TextAnalysisActor extends Actor {
     // internally), so duplicate-id rows are column-identical; the
     // max-aggregate below collapses them to one row per id
     // deterministically (max of identical values) before the left join,
-    // so duplicate input ids aren't row-multiplied. The join key casts
-    // the input's id to long to MATCH bm25Scores' internal cast — without
-    // it a string idField would coerce the bm25 side back to string and
-    // silently mismatch. Null-id rows never match and keep the 0/0
-    // defaults.
+    // so duplicate input ids aren't row-multiplied. bm25Scores keeps the
+    // id's NATIVE type, so the join key is type-exact for long AND string
+    // idFields alike. Null-id rows never match and keep the 0/0 defaults.
     Some(if (bm25Terms.isEmpty) enriched
     else {
       val clash = df.columns.toSet.intersect(Set("n_terms", "bm25_q"))
@@ -353,7 +363,7 @@ class TextAnalysisActor extends Actor {
         .agg(max(col("n_terms")).as("n_terms"), max(col("bm25_q")).as("bm25_q"))
         .withColumnRenamed("id", "graft_bm25_id")
       enriched.join(scores,
-          enriched(idCol).cast("long") === scores("graft_bm25_id"), "left")
+          enriched(idCol) === scores("graft_bm25_id"), "left")
         .drop("graft_bm25_id")
         .withColumn("n_terms", coalesce(col("n_terms"), lit(0L)))
         .withColumn("bm25_q", coalesce(col("bm25_q"), lit(0L)))

@@ -193,9 +193,12 @@ object Similarity {
    * family's join shape + the standard IR stopword cut; a production
    * system swaps the overlap count for BM25 weights with WAND-style
    * upper-bound pruning without changing the plan. Semantic side:
-   * cosine top-`pool` under [[bruteForceTopK]]'s contract (swap in
-   * [[ivfTopK]]/[[lshTopK]] at scale — the fusion only consumes
-   * (query, neighbor, rank)).
+   * cosine top-`pool` — `semantic = "brute"` is the exact
+   * [[bruteForceTopK]] baseline (quadratic, grading only); `semantic =
+   * "ivf"` routes through [[ivfTopK]] (the production default: each
+   * query scores ~nprobe/numCentroids of the corpus). The fusion only
+   * consumes (query, neighbor, rank), so any ranker with that contract
+   * plugs in.
    *
    * Ranks are dense per query (row_number, ties → min neighbor id); a
    * candidate absent from one list contributes nothing for it (the
@@ -214,7 +217,11 @@ object Similarity {
                     vecIdCol: String, vecCol: String,
                     pool: Int = 10, k: Int = 5, rrfK: Int = 60,
                     maxDfDenom: Int = 10,
-                    dim: Option[Int] = None): DataFrame = {
+                    dim: Option[Int] = None,
+                    semantic: String = "brute",
+                    numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    require(Seq("brute", "ivf").contains(semantic),
+      s"hybridRrfTopK: semantic must be brute|ivf, got $semantic")
     def toks(df: DataFrame, idAs: String) = df.select(
       col(idCol).cast("long").as(idAs),
       explode(array_distinct(filter(split(Dedup.normText(col(textCol)), " "),
@@ -242,7 +249,15 @@ object Similarity {
           .orderBy(col("lex_u").desc, col("neighbor_id"))))
       .filter(col("lex_rank") <= pool)
       .select(col("query_id"), col("neighbor_id"), col("lex_rank"))
-    val semR = bruteForceTopK(qVecs, cVecs, vecIdCol, vecCol, pool, dim)
+    // Semantic leg is PLUGGABLE behind the shared (query, neighbor, rank)
+    // contract: "brute" is the exact O(Q·N) grading baseline; "ivf" is
+    // the production scale path — nprobe/numCentroids of the corpus
+    // scored per query against the same deterministic index s3 grades.
+    val semTop = semantic match {
+      case "ivf" => ivfTopK(qVecs, cVecs, vecIdCol, vecCol, pool, numCentroids, nprobe)
+      case _     => bruteForceTopK(qVecs, cVecs, vecIdCol, vecCol, pool, dim)
+    }
+    val semR = semTop
       .select(col("query_id"), col("neighbor_id"), col("rank").as("sem_rank"))
     lexR.join(semR, Seq("query_id", "neighbor_id"), "full_outer")
       .withColumn("rrf_u",

@@ -168,7 +168,10 @@ object TextAnalysis {
    */
   def bm25Scores(df: DataFrame, textCol: String, idCol: String,
                  terms: Seq[String]): DataFrame = {
-    val toks = df.select(col(idCol).cast("long").as("id"),
+    // id keeps its NATIVE type end-to-end (string ids join as strings):
+    // a cast to long would null out non-numeric ids and silently score
+    // them 0/0 via the left-join defaults.
+    val toks = df.select(col(idCol).as("id"),
       filter(split(Dedup.normText(col(textCol)), " "), x => length(x) > 0).as("ts"))
     // dl is aggregated PER ID (not per row): duplicate-id rows are one
     // merged document — sum their lengths, or the tf-side join below
@@ -188,7 +191,7 @@ object TextAnalysis {
           "((2L*df + 1L) * (20L*avgdl*tf + 6L*avgdl + 18L*dl))").as("q"))
     val perDoc = sc.groupBy(col("id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("q")).as("bm25_q"))
-    df.select(col(idCol).cast("long").as("id")).join(perDoc, Seq("id"), "left")
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_terms"), lit(0L)).as("n_terms"),
         coalesce(col("bm25_q"), lit(0L)).as("bm25_q"))

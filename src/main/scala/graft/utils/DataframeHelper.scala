@@ -143,6 +143,10 @@ object DataframeHelper {
    * sums (bounded tasks), and a (pid × group)-sized offsets frame whose
    * own prefix sums ride a tiny per-group window. Same contracts:
    * (groupCols ++ orderCols) unique per row, groups broadcastable.
+   * Sums carry Spark's native sum result type: integral and decimal
+   * valueCols are BIT-EQUAL to the window form; float/double sums are
+   * numerically equivalent but may differ in final ulps (the segmented
+   * summation order differs from the window's strict left fold).
    * The prefix-sum selection pattern (token-budget corpus cuts,
    * quota-fill) runs on exactly this shape at 100 TB — a global ORDER BY
    * running sum is one task holding the corpus.
@@ -160,13 +164,17 @@ object DataframeHelper {
     val wRun = Window.partitionBy((col("__pid_") +: groupCols.map(col)): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base.withColumn("__run_", sum(col(valueCol)).over(wRun).cast("long"))
+    // Sums keep Spark's NATIVE sum result type end-to-end (long for
+    // integral, double for double, widened decimal for decimal) — a
+    // per-segment cast would truncate fractional partials and break the
+    // window-form equivalence for non-integral valueCols.
+    val local = base.withColumn("__run_", sum(col(valueCol)).over(wRun))
     // (pid, group) totals: one row per task per group it touches — the
     // per-group prefix over pid order is a window over this TINY frame
     val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__pid_"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = local.groupBy((col("__pid_") +: groupCols.map(col)): _*)
-      .agg(sum(col(valueCol)).cast("long").as("__tot_"))
+      .agg(sum(col(valueCol)).as("__tot_"))
       .withColumn("__offset_", coalesce(sum(col("__tot_")).over(wOff), lit(0L)))
       .select((col("__pid_") +: groupCols.map(col)) :+ col("__offset_"): _*)
     local.join(broadcast(offsets), "__pid_" +: groupCols)

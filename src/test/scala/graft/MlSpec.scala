@@ -578,15 +578,17 @@ class MlSpec extends SparkSpec {
     implicit val s = spark
     import spark.implicits._
     val ctx = new graft.core.JobContext(graft.core.PipelineContext())
-    // string ids that are castable to long must still line up row-for-row
-    Seq(("10", "alpha beta rare"), ("11", "gamma"), ("12", "nothing"))
+    // the id keeps its native type: NON-numeric string ids must score,
+    // not silently collapse to the 0/0 left-join defaults (the old
+    // cast-to-long coercion nulled "docA" out of the join)
+    Seq(("10", "alpha beta rare"), ("docA", "gamma"), ("12", "nothing"))
       .toDF("sid", "text").createOrReplaceTempView("bm_str")
     val ta = new graft.ml.TextAnalysisActor()
     ta.init(Map("view" -> "bm_str", "idField" -> "sid", "bm25Terms" -> "rare, gamma"))
     val out = ta.run(ctx).get
     out.count() shouldBe 3
     out.collect().map(r => r.getAs[String]("sid") -> r.getAs[Long]("n_terms"))
-      .toMap shouldBe Map("10" -> 1L, "11" -> 1L, "12" -> 0L)
+      .toMap shouldBe Map("10" -> 1L, "docA" -> 1L, "12" -> 0L)
     // a pre-existing output-named column is a clear error, not an
     // ambiguous-reference failure deep in the join
     Seq((1L, "x", 5L)).toDF("doc_id", "text", "n_terms")
@@ -913,6 +915,25 @@ class MlSpec extends SparkSpec {
     out.length shouldBe 1
     out(0).getAs[Long]("n_spans") shouldBe 5L
     out(0).getAs[Long]("n_docs") shouldBe 2L
-    out(0).getAs[Long]("keep_key") shouldBe 1L * 1000000L + 1L
+    out(0).getAs[Long]("keep_doc") shouldBe 1L
+    out(0).getAs[Long]("keep_off") shouldBe 1L
+  }
+
+  test("duplicate spans: first-occurrence arg-min is length-safe past 1M chars") {
+    import spark.implicits._
+    // the duplicated span sits past offset 1,000,000 in doc 1 — the old
+    // doc_id*1e6+off packing would collide doc 1's offset into doc 2's
+    // key range and misreport the first occurrence
+    val filler = "f" * 1000000
+    val dup = "0123456789" * 4 // 40 chars, one window at stride alignment
+    val df = Seq(
+      (1L, filler + dup),            // dup at off 1,000,001 (stride-aligned)
+      (2L, dup)                      // dup at off 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, "text", "doc_id", window = 40, stride = 20)
+      .filter(col("n_docs") >= 2).collect()
+    out.length shouldBe 1
+    out(0).getAs[Long]("keep_doc") shouldBe 1L
+    out(0).getAs[Long]("keep_off") shouldBe 1000001L
   }
 }

@@ -55,6 +55,25 @@ class UtilsSpec extends SparkSpec {
     fast.count() shouldBe 6000L
   }
 
+  test("perGroupRunningSum keeps the native sum type: fractional decimals are exact") {
+    import org.apache.spark.sql.expressions.Window
+    // decimal valueCol: the old per-segment cast-to-long truncated each
+    // segment's partial independently, diverging from the window form
+    val df = spark.range(0, 1000)
+      .selectExpr("id % 3 AS g", "id AS k",
+        "CAST((id % 7) + 0.25 AS DECIMAL(10,2)) AS amt")
+      .repartition(7)
+    val fast = DataframeHelper.perGroupRunningSum(
+        df, Seq("g"), Seq("k"), "amt", "run")
+      .select("g", "k", "run")
+    val window = df.withColumn("run", sum(col("amt")).over(
+        Window.partitionBy(col("g")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("g", "k", "run")
+    fast.exceptAll(window).count() shouldBe 0L
+    window.exceptAll(fast).count() shouldBe 0L
+  }
+
   test("zipWithIndex partitioned: 1..k within each partition key") {
     val df = spark.read.parquet(s"$sfDir/nation.parquet")
     val z = DataframeHelper.zipWithIndex(df, "rn", Seq("n_regionkey"))

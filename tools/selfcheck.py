@@ -64,6 +64,17 @@ def main():
         if dec_cols:
             results[name] = f"DECIMAL_OUTPUT (driver-unsafe, cast to DOUBLE/BIGINT/STRING): {dec_cols}"
             continue
+        # The driver's pandas comparator cannot sort/hash ndarray cells
+        # (r07: c7/q87 went red on array<string> sample columns while this
+        # checker's list-normalization kept them green — a checker-
+        # divergence trap). Forbid nested top-level output types outright.
+        nested_cols = [n for n in snames
+                       if any(t in str(tbl.schema.field(n).type)
+                              for t in ("list", "map", "struct"))]
+        if nested_cols:
+            results[name] = (f"NESTED_OUTPUT (driver-unsafe, array_join/to_json"
+                             f" to STRING): {nested_cols}")
+            continue
         pylist = tbl.to_pylist()
         spark_rows = table_key([[r[c] for c in snames] for r in pylist], snames)
         if name not in oracle:
