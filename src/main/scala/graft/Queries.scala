@@ -219,11 +219,16 @@ object Queries {
    *  once per (JVM, dir) — stage-then-atomic-move makes concurrent JVMs
    *  race-safe exactly like the q65 DPP fixture above. */
   private val q97Ckpts = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def q97Checkpoint(spark: SparkSession, dir: String): String =
-    q97Ckpts.getOrElseUpdate(dir, {
+  private def q97Checkpoint(spark: SparkSession, dir: String): String = {
+    // keyed by the state-store provider too: an A/B run flipping
+    // HDFS <-> RocksDB must not read a checkpoint whose store files are
+    // the other provider's format
+    val provider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      .map(_.replaceAll(".*\\.", "").toLowerCase).getOrElse("hdfs")
+    q97Ckpts.getOrElseUpdate(s"$provider:$dir", {
       val src = new java.io.File(s"$dir/documents.parquet")
       val fp = java.lang.Long.toHexString(src.length ^ (src.lastModified * 31))
-      val base = s"/tmp/graft_q97_v1_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
+      val base = s"/tmp/graft_q97_v1_${provider}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
       if (!new java.io.File(s"$base/_GRAFT_DONE").isFile) {
         val stage = s"$base.stage_${java.lang.ProcessHandle.current.pid}"
         val agg = streamTable(spark, dir, "documents.parquet")
@@ -246,6 +251,7 @@ object Queries {
       }
       base
     })
+  }
 
   /** The q65 join, shared by the Spec and PlanSpec's DPP assertion. */
   private[graft] def q65Frame(spark: SparkSession, dir: String): DataFrame = {

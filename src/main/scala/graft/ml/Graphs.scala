@@ -37,12 +37,16 @@ object Graphs {
    * 0.85, ranks scaled by 1e6 with floor division (`pr div deg`
    * contributions, `150000 + 85%·Σ div 100` update).
    *
-   * Contract: every node must appear as a src — true for any
-   * symmetrized edge list — so no dangling-mass term is needed; a
-   * directed graph with sinks needs its own dangling handling before
-   * this pass. Per round: one keyed join (contributions) + one keyed
-   * groupBy; the node frame re-joins left so rank-less nodes keep the
-   * teleport floor.
+   * Dangling nodes (sinks — appear only as dst) get the standard
+   * treatment: the node set is src ∪ dst, and each round the sinks'
+   * total rank is redistributed uniformly (`dm div n` per node, inside
+   * the damped term) — the power-iteration form of the
+   * dangling-surfer correction (Page et al. '99). On a symmetrized
+   * edge list there are no sinks, the correction is exactly zero, and
+   * results are bit-identical to the sink-free formula. Per round: one
+   * keyed join (contributions) + one keyed groupBy + a 1-row dangling-
+   * mass aggregate broadcast back (never a driver collect); the node
+   * frame re-joins left so rank-less nodes keep the teleport floor.
    *
    * Checkpointing differs from [[kCore]] deliberately: PageRank's
    * per-round frames are FULL-size (edge×deg join, whole node set), so
@@ -55,17 +59,29 @@ object Graphs {
   def pageRankQuantized(edges: DataFrame, iterations: Int): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, "src")
-    val nodes = edges.select(col("src").as("id")).distinct()
+    // node set is src ∪ dst; odeg=0 marks dangling nodes (sinks)
+    val nodes = edges.select(col("src").as("id"))
+      .unionAll(edges.select(col("dst").as("id"))).distinct()
+      .join(deg.select(col("src").as("id"), col("deg")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("odeg"))
+      .localCheckpoint(false)
+    val n = nodes.agg(count(lit(1)).as("n")) // 1-row broadcast, no collect
     var r = nodes.withColumn("pr", lit(1000000L))
     for (i <- 1 to iterations) {
       val contrib = ed.join(r, ed("src") === r("id"))
         .select(col("dst").as("id"), expr("pr div deg").as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("sm"))
+      // sinks' rank mass, redistributed uniformly inside the damped term;
+      // exactly 0 when the graph has no sinks (symmetrized lists)
+      val dang = r.filter(col("odeg") === 0L)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
       r = nodes.join(contrib, Seq("id"), "left")
-        .select(col("id"), expr("150000L + (85 * coalesce(sm, 0L)) div 100").as("pr"))
+        .crossJoin(broadcast(dang)).crossJoin(broadcast(n))
+        .select(col("id"), col("odeg"),
+          expr("150000L + (85 * (coalesce(sm, 0L) + dm div n)) div 100").as("pr"))
       if (i % 4 == 0 && i < iterations) r = r.localCheckpoint(false)
     }
-    r
+    r.select(col("id"), col("pr"))
   }
 
   /**

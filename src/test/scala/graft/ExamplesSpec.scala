@@ -81,14 +81,14 @@ class ExamplesSpec extends SparkSpec {
     viaIndex.size should be > 0
   }
 
-  test("hybrid_retrieval.yaml equals the s10 catalog query exactly") {
+  test("hybrid_retrieval.yaml (semanticIndex: ivf) equals the s11 catalog query exactly") {
     val out = tmpDir("ex_hybrid")
     runExample("hybrid_retrieval.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
     val viaPipeline = spark.read.parquet(s"$out/fused").collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
         r.getAs[Int]("lex_rank"), r.getAs[Int]("sem_rank"),
         r.getAs[Long]("rrf_u"), r.getAs[Int]("rank"))).toSet
-    val viaCatalog = SparkEntry.queries("s10_hybrid_rrf")(spark, sfDir).collect()
+    val viaCatalog = SparkEntry.queries("s11_hybrid_rrf_ivf")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
         r.getAs[Int]("lex_rank"), r.getAs[Int]("sem_rank"),
         r.getAs[Long]("rrf_u"), r.getAs[Int]("rank"))).toSet

@@ -57,6 +57,25 @@ class GraphsSpec extends SparkSpec {
     lab
   }
 
+  /** Directed reference WITH the dangling-mass correction: node set is
+   *  src ∪ dst, each round the sinks' total rank is shared out `dm / n`
+   *  per node inside the damped term. */
+  private def refPageRankDangling(e: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = e.groupBy(_._1).map { case (n0, es) => n0 -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _) => r(s) / deg(s) }.sum
+      }
+      val dm = nodes.filterNot(deg.contains).map(r).sum
+      r = nodes.map(nd =>
+        nd -> (150000L + 85L * (contrib.getOrElse(nd, 0L) + dm / n) / 100L)).toMap
+    }
+    r
+  }
+
   // --- pagerank ---------------------------------------------------------
 
   test("pageRankQuantized matches the integer power-iteration reference") {
@@ -67,6 +86,27 @@ class GraphsSpec extends SparkSpec {
     got shouldBe refPageRank(symPairs(base), 3)
     // hub outranks every leaf
     got(1L) should be > got(2L)
+  }
+
+  test("pageRankQuantized redistributes dangling mass on a directed graph with sinks") {
+    // 1→2, 1→3, 2→3: node 3 is a SINK (dst-only). It must (a) appear in
+    // the output at all — the old src-only node set dropped it — and
+    // (b) feed its rank back uniformly each round instead of absorbing it
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val got = Graphs.pageRankQuantized(edgeDf(base), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe refPageRankDangling(base, 3)
+    got.keySet shouldBe Set(1L, 2L, 3L)
+    // the sink collects from both 1 and 2 — highest rank
+    got(3L) should be > got(2L)
+    got(2L) should be > got(1L)
+    // a sink-free symmetric graph is bit-identical under both references:
+    // the dangling term is exactly zero
+    val sym = Seq((1L, 2L), (2L, 3L))
+    val gotSym = Graphs.pageRankQuantized(Graphs.symmetrize(edgeDf(sym)), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    gotSym shouldBe refPageRank(symPairs(sym), 3)
+    gotSym shouldBe refPageRankDangling(symPairs(sym), 3)
   }
 
   // --- kcore ------------------------------------------------------------

@@ -124,10 +124,11 @@ class PlanSpec extends SparkSpec {
       "c8_weighted_sample", // rank window AFTER limit(k): orders the k=100
                            // survivors of the TakeOrdered top-k, not data
       "t18_bpe_apply",     // merge-rank window AFTER limit(2): 2 rows
-      "c10_length_batching" // perGroupSequence offsets frame: one row per
+      "c10_length_batching", // perGroupSequence offsets frame: one row per
                            // input PARTITION (u1's shape) — the whole
                            // point of the helper is that the per-BUCKET
                            // window never exists; pinned separately below
+      "s11_hybrid_rrf_ivf" // embeds s3's post-limit(16) centroid seed rank
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -175,6 +176,9 @@ class PlanSpec extends SparkSpec {
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
       "g2_triangle_count", // 1-row x 1-row join of two global aggregates
+      "g1_pagerank",       // dangling-mass correction: crossJoins vs TWO
+                           // broadcast 1-ROW aggregates per round (sink
+                           // rank sum + node count) — t7's bounded shape
       "d15_dedup_eval",    // crossJoin vs broadcast 1-row injected-total
                            // aggregate (detection tiers are keyed joins)
       "c9_temperature_mix", // crossJoin vs broadcast 1-row ΣN/Σq totals
@@ -186,10 +190,16 @@ class PlanSpec extends SparkSpec {
                            // checkpoint cut hides it from this plan grep
                            // today; listed so removing the cut is not a
                            // surprise guard failure)
-      "s10_hybrid_rrf"     // semantic side embeds s1's labeled exact
+      "s10_hybrid_rrf",    // semantic side embeds s1's labeled exact
                            // baseline by documented design (swap in an
                            // ANN family at scale); the lexical side is a
                            // keyed token join — pinned separately below
+      "s11_hybrid_rrf_ivf", // production hybrid: the only all-pairs nodes
+                           // are s3's crossJoin vs the broadcast 16-row
+                           // centroid frame (cell routing) and the
+                           // stopword cut's 1-row nd frame; the postings
+                           // and cell-candidate joins are keyed — pinned
+                           // separately below
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val p = plan(spec.run(spark, sfDir))
@@ -250,6 +260,50 @@ class PlanSpec extends SparkSpec {
         case j: ShuffledHashJoinExec => j
         case j: SortMergeJoinExec => j
       }.size should be >= 3
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("s11: production hybrid has NO corpus-wide all-pairs node — only bounded broadcast frames") {
+    import org.apache.spark.sql.execution.joins._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = q("s11_hybrid_rrf_ivf").queryExecution.executedPlan
+      // the all-pairs nodes must ALL be crossJoins against bounded
+      // broadcast frames: the two 16-row centroid routing frames (corpus
+      // assignment + query probe) and the stopword cut's 1-row nd
+      // aggregate. Each such build side is a bounded aggregate/limit
+      // subtree — verify none of them broadcasts a corpus-sized scan
+      // (the degenerate shape this variant exists to remove vs s10).
+      val allPairs = p.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }
+      allPairs.size should be <= 3
+      allPairs.foreach {
+        case j: BroadcastNestedLoopJoinExec =>
+          // the BROADCAST side must be a bounded aggregate/limit subtree
+          // (16-row centroids or the 1-row nd frame) — a raw corpus scan
+          // there = the brute baseline leaked back in. The stream side is
+          // legitimately the corpus.
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case _ => j.right
+          }
+          val s = build.toString
+          // ReusedExchange = the second routing pass reusing the FIRST
+          // pass's (already-verified bounded) centroid broadcast — the
+          // exchange-reuse shape we want
+          assert(s.contains("HashAggregate") || s.contains("Limit") ||
+            s.contains("TakeOrdered") || s.contains("ReusedExchange"),
+            s"unbounded broadcast side in s11 plan:\n$s")
+        case j => fail(s"raw CartesianProduct in s11 plan: $j")
+      }
+      // the cell-candidate join (crank) and postings join are keyed
+      p.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: ShuffledHashJoinExec => j
+        case j: SortMergeJoinExec => j
+      }.size should be >= 4
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

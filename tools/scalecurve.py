@@ -164,6 +164,12 @@ LINEAR_SET = [
     # tws profile: micro-batch scan; per-key state is k entries + a
     # type-counter map + one counter, all fixed-size per key
     "q96_tws_profile",
+    # hybrid retrieval, production legs: lexical rare-token-bounded by
+    # the max-df cut, semantic through the IVF probe (each query scores
+    # ~nprobe/numCentroids of the corpus instead of s10's brute leg);
+    # gated linear — a superlinear regression here means the IVF routing
+    # stopped pruning
+    "s11_hybrid_rrf_ivf",
 ]
 # Non-linear by documented construction (cost model in PLANS.md):
 # round-dominated iterative algorithms, candidate-pair-bounded dedup,
