@@ -243,4 +243,43 @@ class ExamplesSpec extends SparkSpec {
     // the core is a subset of the ranked node set
     core.join(rank, core("node") === rank("id"), "left_anti").count() shouldBe 0L
   }
+
+  test("stream_quality_monitor.yaml surfaces per-micro-batch observed metrics") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val in = tmpDir("ex_obs_in")
+    val out = tmpDir("ex_obs_out")
+    val ckpt = tmpDir("ex_obs_ckpt")
+    writeFile(in, "events.csv", "1,7,1.5\n2,7,\n3,9,4.25\n4,9,0.5\n")
+    // the doc's documented consumption path: a StreamingQueryListener
+    // reading StreamingQueryProgress.observedMetrics per micro-batch
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics
+        if (m.containsKey("stream_quality")) seen.add(m.get("stream_quality"))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      runExample("stream_quality_monitor.yaml",
+        Map("in_dir" -> in, "out_dir" -> out, "ckpt_dir" -> ckpt))
+      // the sink's rows all arrived, metrics attached invisibly
+      spark.read.parquet(s"$out/events").count() shouldBe 4L
+      // progress events are delivered async on the listener bus —
+      // bounded poll, then assert totals across however many batches
+      // AvailableNow sliced the directory into
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      seen.isEmpty shouldBe false
+      import scala.jdk.CollectionConverters._
+      val rows = seen.asScala.toSeq
+      rows.map(_.getAs[Long]("cnt")).sum shouldBe 4L
+      rows.map(_.getAs[Long]("null_values")).sum shouldBe 1L
+      rows.map(_.getAs[Double]("max_value")).max shouldBe 4.25
+    } finally spark.streams.removeListener(listener)
+  }
 }
