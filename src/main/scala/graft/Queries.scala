@@ -2437,6 +2437,64 @@ object Queries {
         |SELECT doc_id, n_tokens, q_u, cum_tokens FROM s
         |WHERE cum_tokens <= 20000""".stripMargin)),
 
+    // DSIR-style importance resampling (Xie et al. NeurIPS'23): score
+    // every document by how much its unigram distribution looks like a
+    // TARGET domain (here lang='en') relative to the whole corpus, then
+    // keep the top-k per source. The per-token weight is the
+    // likelihood ratio (tf_target/N_target) / (tf_source/N_source) in
+    // integer micro-units with floor division — the log-free surrogate
+    // of DSIR's log-ratio sum (all quantities non-negative, so Spark's
+    // truncating `div` and DuckDB's floor `//` agree), bit-identical
+    // across engines where a libm log never is. Scale shape: one token
+    // explode feeding a vocab-sized tf frame (map-side partial agg), a
+    // token-keyed join back (vocab is Zipf-small relative to the
+    // corpus), a (doc)-keyed agg, and a per-SOURCE rank window (group
+    // count bounded by the source catalog, never one global task). The
+    // totals ride a 1-row broadcast (t16's stats-frame shape).
+    Spec("c12_dsir_importance", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"), col("source"), col("lang"),
+        explode(filter(split(Dedup.normText(col("text")), " "),
+          x => length(x) > 0)).as("tok"))
+      val tfS = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf_s"))
+      val tfT = toks.filter(col("lang") === "en")
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf_t"))
+      val totals = tfS.agg(sum(col("tf_s")).as("n_s"))
+        .crossJoin(tfT.agg(sum(col("tf_t")).as("n_t")))
+      val scores = tfS.join(tfT, Seq("tok"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("tok"),
+          expr("(1000000 * coalesce(tf_t, 0L) * n_s) div (tf_s * n_t)").as("w_u"))
+      val perDoc = toks.join(scores, "tok")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("w_u")).as("imp_u"))
+      perDoc.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("imp_u").desc, col("doc_id"))))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("source"), col("n_toks"), col("imp_u"),
+          col("rk").cast("int").as("rk"))
+    }, Some {
+      """WITH n AS (SELECT doc_id, source, lang,
+        |  list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source, lang, unnest(ts) AS tok FROM n),
+        |tfs AS (SELECT tok, count(*) AS tf_s FROM tk GROUP BY tok),
+        |tft AS (SELECT tok, count(*) AS tf_t FROM tk WHERE lang = 'en' GROUP BY tok),
+        |tot AS (SELECT (SELECT SUM(tf_s) FROM tfs) AS n_s,
+        |               (SELECT SUM(tf_t) FROM tft) AS n_t),
+        |sc AS (SELECT tfs.tok,
+        |    (1000000 * coalesce(tft.tf_t, 0) * tot.n_s) // (tfs.tf_s * tot.n_t) AS w_u
+        |  FROM tfs LEFT JOIN tft USING (tok) CROSS JOIN tot),
+        |pd AS (SELECT tk.doc_id, tk.source, count(*) AS n_toks, SUM(sc.w_u) AS imp_u
+        |  FROM tk JOIN sc ON tk.tok = sc.tok GROUP BY 1, 2)
+        |SELECT doc_id, source, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(imp_u AS BIGINT) AS imp_u, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY imp_u DESC, doc_id) AS rk FROM pd)
+        |WHERE rk <= 20""".stripMargin
+    }),
+
     Spec("c9_temperature_mix", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val srcnum = col("source").substr(lit(4), length(col("source"))).cast("long")
@@ -4098,6 +4156,61 @@ object Queries {
          |  CAST(coalesce(s.score, 0) AS BIGINT) AS score,
          |  CAST(CASE WHEN coalesce(s.score, 0) > 0 THEN 1 ELSE 0 END AS INT) AS keep
          |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin
+    }),
+
+    // Gopher-style repetition filters (Rae et al. '21 §A1.1): per doc,
+    // the character mass covered by the MOST FREQUENT word 2-gram
+    // (top_cover_u) and by all 2-grams occurring >= 2 times
+    // (dup_2gram_u), both as integer micro-unit fractions of the
+    // normalized text length — the thresholds Gopher cuts on (e.g. drop
+    // if top-2-gram coverage > 0.20). The corpus has no line structure,
+    // so the n-gram family (not line dedup) is the operative rule set.
+    // Character mass is the overlap-insensitive count*len(gram) form
+    // used by the public reimplementations. Argmax is a lexicographic
+    // struct-min (max count, then smallest gram) — deterministic across
+    // engines with no window. Scale shape: one explode + two keyed aggs
+    // on (doc, gram) then (doc) — constant-width reduce state, no
+    // corpus-wide frame.
+    Spec("t20_gopher_topgram", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val toks = docs.select(col("doc_id"),
+          Dedup.normText(col("text")).as("t"))
+        .select(col("doc_id"), length(col("t")).as("n_chars"),
+          filter(split(col("t"), " "), x => length(x) > 0).as("ts"))
+      val bi = toks.filter(size(col("ts")) >= 2).selectExpr("doc_id", "n_chars",
+        """explode(transform(sequence(1, size(ts) - 1),
+          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))) AS g""".stripMargin)
+      val agg = bi.groupBy(col("doc_id"), col("n_chars"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(min(struct((-col("c")).as("nc"), col("g"))).as("top"),
+          sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(lit(0L)))
+            .as("dup_chars"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("top.g"), lit("")).as("top_2gram"),
+          coalesce(-col("top.nc"), lit(0L)).as("top_count"),
+          coalesce(expr("(1000000 * ((0 - top.nc) * length(top.g))) div n_chars"), lit(0L))
+            .as("top_cover_u"),
+          coalesce(expr("(1000000 * dup_chars) div n_chars"), lit(0L)).as("dup_2gram_u"))
+    }, Some {
+      """WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
+        |tk AS (SELECT doc_id, length(t) AS n_chars,
+        |  list_filter(string_split(t, ' '), x -> length(x) > 0) AS ts FROM n),
+        |bi AS (SELECT doc_id, n_chars,
+        |  unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS g
+        |  FROM tk WHERE len(ts) >= 2),
+        |cnt AS (SELECT doc_id, n_chars, g, count(*) AS c FROM bi GROUP BY doc_id, n_chars, g),
+        |agg AS (SELECT doc_id, n_chars,
+        |    min({'nc': -c, 'g': g}) AS top,
+        |    SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup_chars
+        |  FROM cnt GROUP BY doc_id, n_chars)
+        |SELECT d.doc_id,
+        |  coalesce((a.top).g, '') AS top_2gram,
+        |  CAST(coalesce(-(a.top).nc, 0) AS BIGINT) AS top_count,
+        |  CAST(coalesce((1000000 * ((-(a.top).nc) * length((a.top).g))) // a.n_chars, 0) AS BIGINT) AS top_cover_u,
+        |  CAST(coalesce((1000000 * a.dup_chars) // a.n_chars, 0) AS BIGINT) AS dup_2gram_u
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
     }),
 
     // PageRank (3 fixed power iterations, damping 0.85) over the bipartite

@@ -181,6 +181,10 @@ class PlanSpec extends SparkSpec {
                            // rank sum + node count) — t7's bounded shape
       "d15_dedup_eval",    // crossJoin vs broadcast 1-row injected-total
                            // aggregate (detection tiers are keyed joins)
+      "c12_dsir_importance", // likelihood-ratio totals: 1-row x 1-row
+                           // crossJoin of the two corpus token counts,
+                           // then broadcast into the vocab-sized score
+                           // frame (t16's stats shape)
       "c9_temperature_mix", // crossJoin vs broadcast 1-row ΣN/Σq totals
                            // frame (t16's stats shape; source counts are
                            // a broadcast HASH join on source)

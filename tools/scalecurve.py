@@ -164,6 +164,12 @@ LINEAR_SET = [
     # tws profile: micro-batch scan; per-key state is k entries + a
     # type-counter map + one counter, all fixed-size per key
     "q96_tws_profile",
+    # Gopher top-2-gram coverage: one explode + two keyed (doc,gram)/(doc)
+    # aggs, constant-width reduce state
+    "t20_gopher_topgram",
+    # DSIR importance: token explode -> vocab tf frames (Zipf-small),
+    # token-keyed score join, doc-keyed agg, per-source rank window
+    "c12_dsir_importance",
     # hybrid retrieval, production legs: lexical rare-token-bounded by
     # the max-df cut, semantic through the IVF probe (each query scores
     # ~nprobe/numCentroids of the corpus instead of s10's brute leg);
