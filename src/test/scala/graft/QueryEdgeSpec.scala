@@ -90,4 +90,42 @@ class QueryEdgeSpec extends SparkSpec {
       }
     }
   }
+
+  test("t20: top-2-gram coverage, lexicographic tie-break, gram-less docs keep zero defaults") {
+    import spark.implicits._
+    val dir = tmpDir("t20_edge")
+    Seq(
+      (1L, "a b a b a b"), // "a b"x3, "b a"x2; n_chars=11
+      (2L, "solo"),        // single token: no 2-grams -> defaults row
+      (3L, "c a c b")      // three distinct grams, count 1 each -> tie,
+                           // smallest gram "a c" wins
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t20_gopher_topgram")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    out(1L) shouldBe (("a b", 3L,
+      1000000L * 3 * 3 / 11,                  // top coverage: 3 hits x 3 chars
+      1000000L * (3 * 3 + 2 * 3) / 11))       // dup mass: both repeated grams
+    out(2L) shouldBe (("", 0L, 0L, 0L))
+    out(3L) shouldBe (("a c", 1L, 1000000L * 3 / 7, 0L))
+  }
+
+  test("c12: likelihood-ratio weights and per-source ranks match the hand computation") {
+    import spark.implicits._
+    val dir = tmpDir("c12_edge")
+    Seq(
+      (1L, "aa aa", "en", "srcA"),  // target-heavy
+      (2L, "bb bb", "de", "srcA"),  // non-target tokens only
+      (3L, "aa bb", "en", "srcB")
+    ).toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    // tf_s: aa=3, bb=3; target(en): aa=3, bb=1; N_s=6, N_t=4
+    // w(aa) = 1e6*3*6 div (3*4) = 1_500_000; w(bb) = 1e6*1*6 div (3*4) = 500_000
+    val out = SparkEntry.queries("c12_dsir_importance")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    out(1L) shouldBe (("srcA", 2L, 3000000L, 1))
+    out(2L) shouldBe (("srcA", 2L, 1000000L, 2)) // outranked within its source
+    out(3L) shouldBe (("srcB", 2L, 2000000L, 1))
+  }
 }
