@@ -2495,6 +2495,92 @@ object Queries {
         |WHERE rk <= 20""".stripMargin
     }),
 
+    // Per-source quality calibration: a raw quality score is not
+    // comparable ACROSS sources (each source has its own score
+    // distribution — boilerplate-heavy crawls score low everywhere,
+    // curated sources high everywhere), so a single global threshold
+    // over-prunes some sources and under-prunes others. The standard
+    // fix is rank normalization per source: percentile within the
+    // source, then ONE global percentile cut. pct_u = 1e6·(n−r) div
+    // (n−1) in integer micro-units (top rank → 1e6, bottom → 0;
+    // single-doc sources calibrate to 1e6), keep = top half of every
+    // source. Scale shape: one scoring scan, a source-keyed count agg
+    // broadcast back, and a source-keyed rank window (group count
+    // bounded by the source catalog) — no global window, no corpus-
+    // sized task.
+    Spec("c13_quality_calibrate", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val scored = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        .withColumn("q_u", expr("cast(round(q * 1000000) AS BIGINT)"))
+        .drop("q")
+      val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      scored.join(broadcast(counts), "source")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(col("q_u").desc, col("doc_id"))))
+        .withColumn("pct_u",
+          when(col("n") === 1L, lit(1000000L))
+            .otherwise(expr("(1000000 * (n - rk)) div (n - 1)")))
+        .select(col("doc_id"), col("source"), col("q_u"),
+          col("rk").cast("long").as("rk"), col("pct_u"),
+          (col("pct_u") >= 500000L).cast("int").as("keep"))
+    }, Some(s"""WITH t AS (SELECT doc_id, source,
+        |    CAST(round(($qQualitySql) * 1000000) AS BIGINT) AS q_u
+        |  FROM documents),
+        |c AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+        |r AS (SELECT t.doc_id, t.source, t.q_u, c.n,
+        |    row_number() OVER (PARTITION BY t.source
+        |      ORDER BY t.q_u DESC, t.doc_id) AS rk
+        |  FROM t JOIN c USING (source))
+        |SELECT doc_id, source, q_u, CAST(rk AS BIGINT) AS rk,
+        |  CAST(CASE WHEN n = 1 THEN 1000000
+        |       ELSE (1000000 * (n - rk)) // (n - 1) END AS BIGINT) AS pct_u,
+        |  CAST(CASE WHEN (CASE WHEN n = 1 THEN 1000000
+        |       ELSE (1000000 * (n - rk)) // (n - 1) END) >= 500000
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM r""".stripMargin)),
+
+    // Leakage-safe train/valid/test split: assign each document to a
+    // split by hashing its CONTENT FINGERPRINT (md5 of the normalized
+    // text), not its id — byte-identical duplicates land in the same
+    // split BY CONSTRUCTION, so a duplicated document can never sit in
+    // train while its twin sits in eval (the classic contamination
+    // leak). 80/10/10 by integer hash bucket, reproducible across
+    // engines/runs. The output carries the per-fingerprint
+    // distinct-split count, so the no-leak invariant itself is
+    // hash-graded (every row must read 1), not just asserted. Scale
+    // shape: one scoring scan + one fingerprint-keyed agg broadcast
+    // back — the same constant-width md5 exchange as d1.
+    Spec("c14_leakage_safe_split", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .withColumn("bucket",
+          pmod(Hashing.oracleHash(concat(lit("split:"), col("fp"))), lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, lit("train"))
+            .when(col("bucket") < 90, lit("valid")).otherwise(lit("test")))
+      val audit = base.groupBy(col("fp"))
+        .agg(count(lit(1)).as("fp_docs"), countDistinct(col("split")).as("fp_splits"))
+      base.join(audit, "fp")
+        .select(col("doc_id"), col("fp"), col("bucket"), col("split"),
+          col("fp_docs"), col("fp_splits"))
+    }, Some(s"""WITH b AS (SELECT doc_id,
+        |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+        |  FROM documents),
+        |s AS (SELECT doc_id, fp,
+        |    ${Hashing.duckdbHashSql("'split:' || fp")} % 100 AS bucket FROM b),
+        |sp AS (SELECT doc_id, fp, bucket,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        |  FROM s),
+        |a AS (SELECT fp, count(*) AS fp_docs,
+        |    count(DISTINCT split) AS fp_splits FROM sp GROUP BY fp)
+        |SELECT sp.doc_id, sp.fp, CAST(sp.bucket AS BIGINT) AS bucket, sp.split,
+        |  CAST(a.fp_docs AS BIGINT) AS fp_docs, CAST(a.fp_splits AS BIGINT) AS fp_splits
+        |FROM sp JOIN a USING (fp)""".stripMargin)),
+
     Spec("c9_temperature_mix", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val srcnum = col("source").substr(lit(4), length(col("source"))).cast("long")

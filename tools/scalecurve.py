@@ -170,6 +170,12 @@ LINEAR_SET = [
     # DSIR importance: token explode -> vocab tf frames (Zipf-small),
     # token-keyed score join, doc-keyed agg, per-source rank window
     "c12_dsir_importance",
+    # per-source quality calibration: scoring scan + source-count
+    # broadcast + source-keyed rank window
+    "c13_quality_calibrate",
+    # leakage-safe split: one scan + one fingerprint-keyed audit agg
+    # (constant-width md5 exchange, d1's shape)
+    "c14_leakage_safe_split",
     # hybrid retrieval, production legs: lexical rare-token-bounded by
     # the max-df cut, semantic through the IVF probe (each query scores
     # ~nprobe/numCentroids of the corpus instead of s10's brute leg);
