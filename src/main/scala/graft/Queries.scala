@@ -1765,6 +1765,42 @@ object Queries {
         |  CAST(list_max(fe) AS BIGINT) AS peak_energy
         |FROM f""".stripMargin)),
 
+    // Audio dedup by energy fingerprint: md5 of the 8-frame energy
+    // signature (m7's exact per-frame sums over REAL WAV decode) groups
+    // byte-identical recordings — d1's content-hash dedup shape lifted
+    // to the audio modality. Exact duplicates are PLANTED (%9 docs
+    // re-encoded under shifted ids) because the synthetic corpus has
+    // none — same vacuity fix as d1. The signature is integer-exact
+    // (sums of squares of PCM16 samples), so the fingerprint is
+    // bit-identical across engines with no float tolerance. Scale
+    // shape: per-row decode map + ONE constant-width md5-keyed
+    // exchange, regardless of audio duration.
+    Spec("m9_audio_dedup", (spark, dir) => {
+      implicit val s: SparkSession = spark
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.unionAll(docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), col("text")))
+      val wavs = graft.ml.Multimodal.textToWav(planted, "doc_id", "text", 8000, 400)
+      graft.ml.Multimodal.decodeAudio(wavs)
+        .select(col("id").as("doc_id"),
+          expr("transform(sequence(0, 7), k -> aggregate(slice(samples, k * 50 + 1, 50), 0L, (a, x) -> a + x * x))").as("fe"))
+        .select(col("doc_id"),
+          md5(expr("array_join(transform(fe, x -> cast(x AS STRING)), ',')")).as("audio_fp"))
+        .groupBy(col("audio_fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+    }, Some("""WITH corpus AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
+        |s AS (SELECT doc_id, list_transform(range(0, 400), i ->
+        |    CAST(ascii(substr(text, CAST((i * 3) % length(text) AS BIGINT) + 1, 1)) - 96 AS BIGINT) * 256) AS smp
+        |  FROM corpus),
+        |f AS (SELECT doc_id, list_transform(range(0, 8), k ->
+        |    list_sum(list_transform(smp[CAST(k * 50 + 1 AS BIGINT):CAST(k * 50 + 50 AS BIGINT)], x -> x * x))) AS fe
+        |  FROM s),
+        |fp AS (SELECT doc_id, md5(array_to_string(fe, ',')) AS audio_fp FROM f)
+        |SELECT audio_fp, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS dup_count
+        |FROM fp GROUP BY 1""".stripMargin)),
+
     // ------------------------------------------- training-data pipeline ops
 
     Spec("d1_dedup_exact", (spark, dir) => {

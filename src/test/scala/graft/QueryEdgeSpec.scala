@@ -128,4 +128,26 @@ class QueryEdgeSpec extends SparkSpec {
     out(2L) shouldBe (("srcA", 2L, 1000000L, 2)) // outranked within its source
     out(3L) shouldBe (("srcB", 2L, 2000000L, 1))
   }
+
+  test("c14: byte-identical duplicates land in one split; whitespace variants share a fingerprint") {
+    import spark.implicits._
+    val dir = tmpDir("c14_edge")
+    Seq(
+      (1L, "same words here"),
+      (2L, "same words here"),      // exact duplicate of 1
+      (3L, "same   words\there"),   // whitespace variant -> same normalized fp
+      (4L, "different entirely")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("c14_leakage_safe_split")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(3), r.getLong(4), r.getLong(5))).toMap
+    // docs 1-3 share one fingerprint -> one split, audit reads (3, 1)
+    val fps = Seq(1L, 2L, 3L).map(out(_)._1).distinct
+    fps.size shouldBe 1
+    Seq(1L, 2L, 3L).map(out(_)._2).distinct.size shouldBe 1
+    Seq(1L, 2L, 3L).foreach { id => out(id)._3 shouldBe 3L; out(id)._4 shouldBe 1L }
+    out(4L)._1 should not be fps.head
+    out(4L)._3 shouldBe 1L
+    out(4L)._4 shouldBe 1L
+  }
 }

@@ -136,6 +136,9 @@ LINEAR_SET = [
     "d21_substring_dedup",
     # audio: narrow per-row WAV encode+decode map + array math, no shuffle
     "m7_audio_energy",
+    # audio dedup: per-row decode map + one constant-width md5-keyed
+    # exchange (d1's shape on the audio modality)
+    "m9_audio_dedup",
     # keyframes: narrow per-row byte-diff map + one doc-keyed agg + a
     # doc-keyed argmax window (fine-grained key)
     "m8_video_keyframes",
