@@ -3736,6 +3736,48 @@ object Queries {
         |SELECT 'R' AS rf, l_linestatus, count(*) AS n
         |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_linestatus""".stripMargin)),
 
+    // XML functions (Spark 4 native from_xml + the classic xpath UDFs):
+    // rows rendered to XML fragments, parsed back with an explicit
+    // schema, one field cross-checked through the independent xpath
+    // parser, then aggregated. The oracle computes the same result from
+    // the RAW columns — so the whole render -> parse -> extract chain
+    // is hash-graded, not just non-null. Integer cents keep the sum
+    // engine-exact. Narrow plan: per-row string/parse maps + one keyed
+    // agg; the parse never shuffles.
+    Spec("q102_xml", sqlQuery(Seq("orders"),
+      """WITH x AS (SELECT concat('<o><p>', o_orderpriority, '</p><t>',
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+        |    '</t></o>') AS frag FROM orders),
+        |p AS (SELECT from_xml(frag, 'p STRING, t BIGINT') AS v,
+        |             xpath_string(frag, '/o/p') AS p2 FROM x)
+        |SELECT v.p AS priority, count(*) AS n,
+        |  sum(v.t) AS cents,
+        |  sum(CASE WHEN v.p = p2 THEN 1 ELSE 0 END) AS xpath_agree
+        |FROM p GROUP BY v.p""".stripMargin),
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+        |  count(*) AS xpath_agree
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // Lateral column aliases (Spark 3.4+ dialect): a SELECT-list alias
+    // referenced by LATER expressions in the same list, chained twice,
+    // both in a plain projection and under an aggregate. The oracle
+    // expands every alias by hand — proving the resolution rule, not
+    // just that the query runs.
+    Spec("q103_lateral_alias", sqlQuery(Seq("orders"),
+      """WITH base AS (SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |    cents div 100 AS dollars,
+        |    dollars * 2 + o_orderkey % 10 AS derived
+        |  FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderkey, cents, dollars, derived FROM base""".stripMargin),
+      Some("""SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100 AS dollars,
+        |  (CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) // 100) * 2
+        |    + o_orderkey % 10 AS derived
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin)),
+
     Spec("q95_collation", sqlQuery(Seq("documents"),
       """WITH c AS (SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
         |    ELSE source END AS msrc FROM documents)

@@ -129,6 +129,10 @@ LINEAR_SET = [
     # pipe syntax: pure dialect — identical plan to the classic
     # filter+agg+having form
     "q93_sql_pipe",
+    # XML render->parse->extract: per-row string/parse maps + one keyed agg
+    "q102_xml",
+    # lateral column aliases: pure dialect — plans as the expanded projection
+    "q103_lateral_alias",
     # variant: per-row parse/extract map + one keyed agg
     "q94_variant_json",
     # substring spans: windowed explode (~len/stride rows per doc) +
