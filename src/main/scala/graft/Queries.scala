@@ -2489,27 +2489,8 @@ object Queries {
     // totals ride a 1-row broadcast (t16's stats-frame shape).
     Spec("c12_dsir_importance", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val toks = docs.select(col("doc_id"), col("source"), col("lang"),
-        explode(filter(split(Dedup.normText(col("text")), " "),
-          x => length(x) > 0)).as("tok"))
-      val tfS = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf_s"))
-      val tfT = toks.filter(col("lang") === "en")
-        .groupBy(col("tok")).agg(count(lit(1)).as("tf_t"))
-      val totals = tfS.agg(sum(col("tf_s")).as("n_s"))
-        .crossJoin(tfT.agg(sum(col("tf_t")).as("n_t")))
-      val scores = tfS.join(tfT, Seq("tok"), "left")
-        .crossJoin(broadcast(totals))
-        .select(col("tok"),
-          expr("(1000000 * coalesce(tf_t, 0L) * n_s) div (tf_s * n_t)").as("w_u"))
-      val perDoc = toks.join(scores, "tok")
-        .groupBy(col("doc_id"), col("source"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("w_u")).as("imp_u"))
-      perDoc.withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("source")).orderBy(col("imp_u").desc, col("doc_id"))))
-        .filter(col("rk") <= 20)
-        .select(col("doc_id"), col("source"), col("n_toks"), col("imp_u"),
-          col("rk").cast("int").as("rk"))
+      graft.ml.Curation.dsirTopKPerSource(docs, "doc_id", "source", "text",
+        col("lang") === "en", topK = 20)
     }, Some {
       """WITH n AS (SELECT doc_id, source, lang,
         |  list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
@@ -2546,21 +2527,7 @@ object Queries {
     // sized task.
     Spec("c13_quality_calibrate", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val scored = docs.select(col("doc_id"), col("source"),
-          TextAnalysis.qualityScore(col("text")).as("q"))
-        .withColumn("q_u", expr("cast(round(q * 1000000) AS BIGINT)"))
-        .drop("q")
-      val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      scored.join(broadcast(counts), "source")
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("source")).orderBy(col("q_u").desc, col("doc_id"))))
-        .withColumn("pct_u",
-          when(col("n") === 1L, lit(1000000L))
-            .otherwise(expr("(1000000 * (n - rk)) div (n - 1)")))
-        .select(col("doc_id"), col("source"), col("q_u"),
-          col("rk").cast("long").as("rk"), col("pct_u"),
-          (col("pct_u") >= 500000L).cast("int").as("keep"))
+      graft.ml.Curation.calibrateQuality(docs, "doc_id", "source", "text")
     }, Some(s"""WITH t AS (SELECT doc_id, source,
         |    CAST(round(($qQualitySql) * 1000000) AS BIGINT) AS q_u
         |  FROM documents),
@@ -2590,18 +2557,7 @@ object Queries {
     // back — the same constant-width md5 exchange as d1.
     Spec("c14_leakage_safe_split", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val base = docs.select(col("doc_id"),
-          TextAnalysis.fingerprint(col("text")).as("fp"))
-        .withColumn("bucket",
-          pmod(Hashing.oracleHash(concat(lit("split:"), col("fp"))), lit(100L)))
-        .withColumn("split",
-          when(col("bucket") < 80, lit("train"))
-            .when(col("bucket") < 90, lit("valid")).otherwise(lit("test")))
-      val audit = base.groupBy(col("fp"))
-        .agg(count(lit(1)).as("fp_docs"), countDistinct(col("split")).as("fp_splits"))
-      base.join(audit, "fp")
-        .select(col("doc_id"), col("fp"), col("bucket"), col("split"),
-          col("fp_docs"), col("fp_splits"))
+      graft.ml.Curation.leakageSafeSplit(docs, "doc_id", "text")
     }, Some(s"""WITH b AS (SELECT doc_id,
         |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
         |  FROM documents),
@@ -4337,26 +4293,7 @@ object Queries {
     // corpus-wide frame.
     Spec("t20_gopher_topgram", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val toks = docs.select(col("doc_id"),
-          Dedup.normText(col("text")).as("t"))
-        .select(col("doc_id"), length(col("t")).as("n_chars"),
-          filter(split(col("t"), " "), x => length(x) > 0).as("ts"))
-      val bi = toks.filter(size(col("ts")) >= 2).selectExpr("doc_id", "n_chars",
-        """explode(transform(sequence(1, size(ts) - 1),
-          |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))) AS g""".stripMargin)
-      val agg = bi.groupBy(col("doc_id"), col("n_chars"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("n_chars"))
-        .agg(min(struct((-col("c")).as("nc"), col("g"))).as("top"),
-          sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(lit(0L)))
-            .as("dup_chars"))
-      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("top.g"), lit("")).as("top_2gram"),
-          coalesce(-col("top.nc"), lit(0L)).as("top_count"),
-          coalesce(expr("(1000000 * ((0 - top.nc) * length(top.g))) div n_chars"), lit(0L))
-            .as("top_cover_u"),
-          coalesce(expr("(1000000 * dup_chars) div n_chars"), lit(0L)).as("dup_2gram_u"))
+      graft.ml.Curation.gopherTopGram(docs, "doc_id", "text")
     }, Some {
       """WITH n AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents),
         |tk AS (SELECT doc_id, length(t) AS n_chars,

@@ -1,0 +1,161 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus curation operators that sit between dedup and batch assembly:
+ * score calibration, leakage-safe splitting, importance resampling, and
+ * repetition filtering. Library form of the c12/c13/c14/t20 catalog
+ * queries so pipelines reach them through [[CurationActor]].
+ *
+ * Shared contracts (the catalog queries grade these against DuckDB
+ * oracles, so every function is bit-reproducible across engines):
+ *  - All scores/fractions are INTEGER MICRO-UNITS (1e6 = 1.0) with
+ *    floor division — no libm, no float thresholds.
+ *  - Randomness is deterministic content/id hashing (md5-derived), so
+ *    results are a pure function of the input.
+ *
+ * No counterpart in the reference (its actor set stops at relational
+ * transforms); the methods follow the public data-curation literature
+ * (Gopher repetition rules — Rae et al. '21; DSIR — Xie et al. '23).
+ */
+object Curation {
+
+  /**
+   * Per-source quality calibration (c13): rank-normalize
+   * [[TextAnalysis.qualityScore]] within each source to an integer
+   * micro-unit percentile, then one GLOBAL percentile cut. A raw score
+   * threshold is not comparable across sources (each has its own score
+   * distribution); the rank form is. Output: (idCol, sourceCol, q_u,
+   * rk, pct_u, keep) with keep = pct_u >= keepAtLeastPctU.
+   *
+   * Scale shape: one scoring scan, a source-keyed count broadcast, and
+   * a source-keyed rank window (group count bounded by the source
+   * catalog — never one global task).
+   */
+  def calibrateQuality(df: DataFrame, idCol: String, sourceCol: String,
+                       textCol: String,
+                       keepAtLeastPctU: Long = 500000L): DataFrame = {
+    val scored = df.select(col(idCol), col(sourceCol),
+        TextAnalysis.qualityScore(col(textCol)).as("q"))
+      .withColumn("q_u", expr("cast(round(q * 1000000) AS BIGINT)"))
+      .drop("q")
+    val counts = scored.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+    scored.join(broadcast(counts), sourceCol)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col("q_u").desc, col(idCol))))
+      .withColumn("pct_u",
+        when(col("n") === 1L, lit(1000000L))
+          .otherwise(expr("(1000000 * (n - rk)) div (n - 1)")))
+      .select(col(idCol), col(sourceCol), col("q_u"),
+        col("rk").cast("long").as("rk"), col("pct_u"),
+        (col("pct_u") >= keepAtLeastPctU).cast("int").as("keep"))
+  }
+
+  /**
+   * Leakage-safe train/valid/test split (c14): assign by hashing the
+   * CONTENT FINGERPRINT (md5 of normalized text), never the id —
+   * byte-identical duplicates land in the same split by construction,
+   * so a duplicated document can never sit in train while its twin
+   * sits in eval. Output: (idCol, fp, bucket, split, fp_docs,
+   * fp_splits); fp_splits is the per-fingerprint distinct-split count —
+   * the no-leak invariant as a graded column (must read 1).
+   *
+   * Scale shape: one scan + one constant-width md5-keyed audit
+   * aggregate (d1's exchange shape).
+   */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct < 100,
+      s"bad split percentages: train=$trainPct valid=$validPct")
+    val base = df.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .withColumn("bucket",
+        pmod(Hashing.oracleHash(concat(lit("split:"), col("fp"))), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + validPct, lit("valid"))
+          .otherwise(lit("test")))
+    val audit = base.groupBy(col("fp"))
+      .agg(count(lit(1)).as("fp_docs"), countDistinct(col("split")).as("fp_splits"))
+    base.join(audit, "fp")
+      .select(col(idCol), col("fp"), col("bucket"), col("split"),
+        col("fp_docs"), col("fp_splits"))
+  }
+
+  /**
+   * DSIR-style importance resampling (c12, Xie et al. '23): weight
+   * every token by the target/source likelihood ratio
+   * (tf_target/N_target)/(tf_source/N_source) in integer micro-units —
+   * the log-free surrogate of DSIR's log-ratio sum (all quantities
+   * non-negative, so truncating and floor division agree) — sum per
+   * document, keep the top `topK` per source. `targetWhere` selects
+   * the target-domain rows (e.g. `col("lang") === "en"`).
+   *
+   * Scale shape: one token explode feeding vocab-sized tf frames
+   * (map-side partial agg; vocabulary is Zipf-small relative to the
+   * corpus), a token-keyed score join back, a doc-keyed agg, and a
+   * per-source rank window. Totals ride a 1-row broadcast.
+   */
+  def dsirTopKPerSource(df: DataFrame, idCol: String, sourceCol: String,
+                        textCol: String, targetWhere: Column,
+                        topK: Int = 20): DataFrame = {
+    val toks = df.select(col(idCol), col(sourceCol), targetWhere.as("__tgt_"),
+      explode(filter(split(Dedup.normText(col(textCol)), " "),
+        x => length(x) > 0)).as("tok"))
+    val tfS = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf_s"))
+    val tfT = toks.filter(col("__tgt_")).groupBy(col("tok")).agg(count(lit(1)).as("tf_t"))
+    val totals = tfS.agg(sum(col("tf_s")).as("n_s"))
+      .crossJoin(tfT.agg(sum(col("tf_t")).as("n_t")))
+    val scores = tfS.join(tfT, Seq("tok"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr("(1000000 * coalesce(tf_t, 0L) * n_s) div (tf_s * n_t)").as("w_u"))
+    toks.join(scores, "tok")
+      .groupBy(col(idCol), col(sourceCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_u")).as("imp_u"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(sourceCol)).orderBy(col("imp_u").desc, col(idCol))))
+      .filter(col("rk") <= topK)
+      .select(col(idCol), col(sourceCol), col("n_toks"), col("imp_u"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /**
+   * Gopher repetition metrics (t20, Rae et al. '21 §A1.1): per doc, the
+   * character mass covered by the MOST FREQUENT word 2-gram
+   * (`top_cover_u`) and by all 2-grams occurring >= 2 times
+   * (`dup_2gram_u`), both as micro-unit fractions of the normalized
+   * text length — the thresholds Gopher cuts on (drop if coverage >
+   * 0.20 etc.). Character mass is the overlap-insensitive
+   * count·len(gram) form used by the public reimplementations; the
+   * argmax is a lexicographic struct-min (max count, then smallest
+   * gram), deterministic with no window.
+   *
+   * Scale shape: one explode + two keyed aggregations on (doc, gram)
+   * then (doc) — constant-width reduce state.
+   */
+  def gopherTopGram(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), Dedup.normText(col(textCol)).as("t"))
+      .select(col(idCol), length(col("t")).as("n_chars"),
+        filter(split(col("t"), " "), x => length(x) > 0).as("ts"))
+    val bi = toks.filter(size(col("ts")) >= 2).selectExpr(idCol, "n_chars",
+      """explode(transform(sequence(1, size(ts) - 1),
+        |  i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))) AS g""".stripMargin)
+    val agg = bi.groupBy(col(idCol), col("n_chars"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_chars"))
+      .agg(min(struct((-col("c")).as("nc"), col("g"))).as("top"),
+        sum(when(col("c") >= 2, col("c") * length(col("g"))).otherwise(lit(0L)))
+          .as("dup_chars"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("top.g"), lit("")).as("top_2gram"),
+        coalesce(-col("top.nc"), lit(0L)).as("top_count"),
+        coalesce(expr("(1000000 * ((0 - top.nc) * length(top.g))) div n_chars"), lit(0L))
+          .as("top_cover_u"),
+        coalesce(expr("(1000000 * dup_chars) div n_chars"), lit(0L)).as("dup_2gram_u"))
+  }
+}

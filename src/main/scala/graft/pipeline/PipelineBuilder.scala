@@ -85,7 +85,8 @@ object PipelineBuilder {
     "text-analysis" -> "graft.ml.TextAnalysisActor",
     "multimodal-decode" -> "graft.ml.MultimodalDecodeActor",
     "image-dedup" -> "graft.ml.ImageDedupActor",
-    "graph" -> "graft.ml.GraphActor")
+    "graph" -> "graft.ml.GraphActor",
+    "curate" -> "graft.ml.CurationActor")
 
   def fromFile(path: String, submitVars: Map[String, String] = Map.empty,
                appConfig: Map[String, String] = Map.empty)

@@ -244,6 +244,24 @@ class ExamplesSpec extends SparkSpec {
     core.join(rank, core("node") === rank("id"), "left_anti").count() shouldBe 0L
   }
 
+  test("curation_splits.yaml: calibrated view equals the c13 catalog query; splits leak-free") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_curate")
+    runExample("curation_splits.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val viaPipeline = spark.read.parquet(s"$out/calibrated").collect()
+      .map(_.toString).toSet
+    val viaCatalog = SparkEntry.queries("c13_quality_calibrate")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    viaPipeline shouldBe viaCatalog
+    val splits = spark.read.parquet(s"$out/splits")
+    // only the kept (top-half) docs were split, and the no-leak
+    // invariant column reads 1 on every row
+    splits.count() shouldBe spark.read.parquet(s"$out/calibrated")
+      .filter(col("keep") === 1).count()
+    splits.filter(col("fp_splits") =!= 1L).count() shouldBe 0L
+  }
+
   test("stream_quality_monitor.yaml surfaces per-micro-batch observed metrics") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import org.apache.spark.sql.streaming.StreamingQueryListener._

@@ -599,6 +599,40 @@ class MlSpec extends SparkSpec {
     ex.getMessage should include("n_terms")
   }
 
+  test("curation actor: calibrate/split/dsir/gopher dispatch and match the library") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("cur_in")
+    def run(props: Map[String, String]) = {
+      val a = new graft.ml.CurationActor()
+      a.init(Map("view" -> "cur_in") ++ props)
+      a.run(ctx).get
+    }
+    val cal = run(Map("method" -> "calibrate"))
+    cal.columns shouldBe Array("doc_id", "source", "q_u", "rk", "pct_u", "keep")
+    cal.count() shouldBe spark.table("cur_in").count()
+    // every source keeps its top half (plus ties at the cut)
+    cal.filter(col("rk") === 1 && col("keep") === 0).count() shouldBe 0L
+
+    val sp = run(Map("method" -> "split", "trainPct" -> "70", "validPct" -> "20"))
+    sp.groupBy(col("split")).count().count() should be <= 3L
+    sp.filter(col("fp_splits") =!= 1L).count() shouldBe 0L // no-leak invariant
+
+    val ds = run(Map("method" -> "dsir", "targetWhere" -> "lang = 'en'", "topK" -> "3"))
+    ds.filter(col("rk") > 3).count() shouldBe 0L
+    ds.columns shouldBe Array("doc_id", "source", "n_toks", "imp_u", "rk")
+
+    val gp = run(Map("method" -> "gopher"))
+    gp.columns shouldBe Array("doc_id", "top_2gram", "top_count", "top_cover_u", "dup_2gram_u")
+    gp.count() shouldBe spark.table("cur_in").count()
+
+    // dsir without targetWhere fails at init with a pointer
+    intercept[IllegalArgumentException] {
+      new graft.ml.CurationActor().init(Map("view" -> "cur_in", "method" -> "dsir"))
+    }.getMessage should include("targetWhere")
+  }
+
   test("multimodal stub decode produces schema-stable features partition-parallel") {
     implicit val s = spark
     import spark.implicits._
