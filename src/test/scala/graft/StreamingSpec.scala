@@ -455,6 +455,58 @@ class StreamingSpec extends SparkSpec {
     total shouldBe 100L
     odd shouldBe 50L
   }
+
+  test("transformWithState TTL: TTL'd state expires across an idle gap, NONE state survives") {
+    implicit val s = spark
+    import spark.implicits._
+    val in = tmpDir("ttl_in")
+    val out = tmpDir("ttl_out")
+    val ckpt = tmpDir("ttl_ckpt")
+    // poll-then-stop through foreachBatch->parquet: a ProcessingTime-mode
+    // transformWithState schedules micro-batches continuously to evaluate
+    // wall-clock state, so an AvailableNow drain never self-terminates
+    // and processAllAvailable never goes idle; and the memory sink cannot
+    // RECOVER a checkpoint, which the second run must do. foreachBatch
+    // supports recovery, and the parquet rows are the emissions.
+    def drain(totalExpected: Long): Unit = {
+      spark.readStream.schema("user_id BIGINT, event_id BIGINT").parquet(in)
+        .createOrReplaceTempView("ttl_in_v")
+      val actor = new StreamStatefulTransformer()
+      actor.init(Map("view" -> "ttl_in_v",
+        "processor.type" -> "graft.streaming.TtlSeenProcessor",
+        "processor.ttlMs" -> "500"))
+      val ctx = new JobContext(PipelineContext())
+      val q = actor.run(ctx).get.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out))
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .start()
+      def rows(): Long =
+        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (rows() < totalExpected && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      q.stop()
+      q.awaitTermination()
+    }
+    Seq((1L, 100L), (2L, 200L)).toDF("user_id", "event_id")
+      .write.mode("append").parquet(in)
+    drain(totalExpected = 2)
+    val first = spark.read.parquet(out).collect()
+      .map(r => r.getLong(1) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+    first(100L) shouldBe ((false, false)) // first sighting: no prior state
+    first(200L) shouldBe ((false, false))
+    // idle gap 3x the TTL, then a SECOND run resumes the same checkpoint:
+    // the 500 ms TTL'd state must have been expired by the store while
+    // the TTLConfig.NONE twin — written in the same batch — survives
+    Thread.sleep(1500)
+    Seq((1L, 101L)).toDF("user_id", "event_id")
+      .write.mode("append").parquet(in)
+    drain(totalExpected = 3)
+    val byEvent = spark.read.parquet(out).collect()
+      .map(r => r.getLong(1) -> (r.getBoolean(2), r.getBoolean(3))).toMap
+    byEvent(101L) shouldBe ((false, true))
+  }
 }
 
 /** Driver-side probe for the continuous-trigger test: executor threads (same
