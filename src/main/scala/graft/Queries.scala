@@ -3715,6 +3715,34 @@ object Queries {
         |  count(*) AS xpath_agree
         |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // Error-safe SQL surface: the try_* family (NULL instead of ANSI
+    // runtime errors — division by zero, bigint overflow, out-of-bounds
+    // array index) and NAMED FUNCTION ARGUMENTS (mask with upperChar =>
+    // '#'). The oracle mirrors each behavior with explicit CASE /
+    // regexp logic, so the graded result proves the null-on-error
+    // semantics, not just that the functions parse. The overflow column
+    // is constant-NULL by construction on this subset (every orderkey
+    // multiplication overflows) — the try_multiply gate itself is what
+    // is being graded there (the +2 keeps orderkey 0 overflowing).
+    Spec("q104_error_safe", sqlQuery(Seq("orders"),
+      """SELECT o_orderkey,
+        |  mask(o_orderpriority, upperChar => '#') AS masked,
+        |  try_divide(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
+        |             o_orderkey % 3) AS safe_div,
+        |  try_multiply(o_orderkey + 2, 9223372036854775807L) AS overflow_null,
+        |  try_element_at(split(o_orderpriority, '-'),
+        |                 CAST(1 + o_orderkey % 4 AS INT)) AS part
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin),
+      Some("""SELECT o_orderkey,
+        |  regexp_replace(regexp_replace(regexp_replace(o_orderpriority,
+        |    '[A-Z]', '#', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DOUBLE)
+        |            / (o_orderkey % 3) END AS safe_div,
+        |  CAST(NULL AS BIGINT) AS overflow_null,
+        |  string_split(o_orderpriority, '-')[CAST(1 + o_orderkey % 4 AS BIGINT)] AS part
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin)),
+
     // Lateral column aliases (Spark 3.4+ dialect): a SELECT-list alias
     // referenced by LATER expressions in the same list, chained twice,
     // both in a plain projection and under an aggregate. The oracle

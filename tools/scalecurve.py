@@ -133,6 +133,8 @@ LINEAR_SET = [
     "q102_xml",
     # lateral column aliases: pure dialect — plans as the expanded projection
     "q103_lateral_alias",
+    # try_*/named-args error-safe surface: narrow per-row maps, no shuffle
+    "q104_error_safe",
     # variant: per-row parse/extract map + one keyed agg
     "q94_variant_json",
     # substring spans: windowed explode (~len/stride rows per doc) +
