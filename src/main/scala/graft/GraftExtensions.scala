@@ -66,6 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_bottomk"),
       new ExpressionInfo(classOf[graft.functions.SketchAggregates.BottomKSample].getName, "graft_bottomk"),
       (es: Seq[Expression]) => graft.functions.SketchAggregates.bottomKBuilder(es)))
+    e.injectFunction((FunctionIdentifier("graft_topk_pairs"),
+      new ExpressionInfo(classOf[graft.functions.SketchAggregates.TopKPairs].getName, "graft_topk_pairs"),
+      (es: Seq[Expression]) => graft.functions.SketchAggregates.topKPairsBuilder(es)))
     e.injectOptimizerRule(_ => graft.functions.VectorRewriteRule)
   }
 }

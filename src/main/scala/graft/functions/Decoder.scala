@@ -132,6 +132,8 @@ object UdfRegistry {
       SketchAggregates.cmsCountBuilder)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_bottomk",
       SketchAggregates.bottomKBuilder)
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "graft_topk_pairs",
+      SketchAggregates.topKPairsBuilder)
     // N-ary Z-order key (trailing integer literal = per-dim bits)
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, "zorder_key",
       ZOrderExpression.sqlBuilder)

@@ -577,6 +577,113 @@ object SketchAggregates {
     override def prettyName: String = "graft_bottomk"
   }
 
+  /** Top-k (value, id) pairs under (value DESC, id ASC) — first = best.
+   *  A TreeSet of long pairs; duplicates of an identical pair collapse
+   *  (the aggregate is a function of the DISTINCT pair set). */
+  final class TopKPairsBuffer(val k: Int) {
+    val entries = new java.util.TreeSet[Array[Long]](
+      new java.util.Comparator[Array[Long]] {
+        override def compare(a: Array[Long], b: Array[Long]): Int = {
+          val c = java.lang.Long.compare(b(0), a(0)) // value DESC
+          if (c != 0) c else java.lang.Long.compare(a(1), b(1)) // id ASC
+        }
+      })
+    def insert(v: Long, id: Long): Unit = {
+      entries.add(Array(v, id))
+      if (entries.size > k) entries.remove(entries.last())
+    }
+    def mergeIn(o: TopKPairsBuffer): Unit = {
+      val it = o.entries.iterator()
+      while (it.hasNext) entries.add(it.next())
+      while (entries.size > k) entries.remove(entries.last())
+    }
+  }
+
+  private def topKPairsSerialize(b: TopKPairsBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(b.k)
+    out.writeInt(b.entries.size)
+    val it = b.entries.iterator()
+    while (it.hasNext) { val e = it.next(); out.writeLong(e(0)); out.writeLong(e(1)) }
+    out.flush(); bos.toByteArray
+  }
+
+  private def topKPairsDeserialize(bytes: Array[Byte]): TopKPairsBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new TopKPairsBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { b.insert(in.readLong(), in.readLong()); i += 1 }
+    b
+  }
+
+  /**
+   * graft_topk_pairs(value, id, k): the k best (value, id) pairs per
+   * group under (value DESC, id ASC), returned best-first as
+   * array<struct<v, id>> — so element position + 1 IS the dense rank.
+   * The per-group TOP-K-BY-VALUE shape at 100 TB: as an aggregate, each
+   * task folds its partition into <= k pairs per group and only those
+   * cross the exchange — where the window row_number alternative
+   * shuffles EVERY row to rank it (same argument as [[BottomKSample]],
+   * with an explicit value instead of the oracle hash). Union-then-trim
+   * merge is order-free and idempotent over the distinct pair set, so
+   * the result is stable across partitioning, re-runs, micro-batch
+   * slicing, and engines (plain integer comparisons — mirrored by any
+   * SQL oracle's ORDER BY v DESC, id ASC LIMIT k).
+   */
+  case class TopKPairs(
+      value: Expression,
+      id: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKPairsBuffer]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+    require(k >= 1 && k <= 100000, s"graft_topk_pairs k must be in [1,100000], got $k")
+
+    override def left: Expression = value
+    override def right: Expression = id
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("v", LongType, nullable = false),
+        StructField("id", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): TopKPairsBuffer = new TopKPairsBuffer(k)
+
+    override def update(buf: TopKPairsBuffer, input: InternalRow): TopKPairsBuffer = {
+      val v = value.eval(input)
+      val i = id.eval(input)
+      if (v != null && i != null)
+        buf.insert(v.asInstanceOf[Number].longValue(), i.asInstanceOf[Number].longValue())
+      buf
+    }
+    override def merge(b1: TopKPairsBuffer, b2: TopKPairsBuffer): TopKPairsBuffer = {
+      b1.mergeIn(b2); b1
+    }
+    override def eval(buf: TopKPairsBuffer): Any = {
+      val rows = new Array[Any](buf.entries.size)
+      val it = buf.entries.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val e = it.next()
+        rows(i) = InternalRow(e(0), e(1))
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(rows)
+    }
+    override def serialize(buf: TopKPairsBuffer): Array[Byte] = topKPairsSerialize(buf)
+    override def deserialize(bytes: Array[Byte]): TopKPairsBuffer = topKPairsDeserialize(bytes)
+    override def withNewMutableAggBufferOffset(o: Int): TopKPairs =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TopKPairs =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): TopKPairs =
+      copy(value = newLeft, id = newRight)
+    override def prettyName: String = "graft_topk_pairs"
+  }
+
   // -------------------------------------------------------------- Bloom
 
   /** Bloom-filter state layout: [int numHashes][bit bytes]. Bit count is
@@ -1025,6 +1132,20 @@ object SketchAggregates {
     if (es.length != 2) throw new IllegalArgumentException(
       s"graft_bottomk expects (col, k), got ${es.length} arguments")
     BottomKSample(es.head, foldedInt(es(1), "graft_bottomk k")).toAggregateExpression()
+  }
+
+  /** Per-group top-k (value, id) pairs under (value DESC, id ASC),
+   *  best-first (position + 1 = dense rank). Integral columns only. */
+  def topKPairs(value: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKPairs(GraftSqlBridge.expression(value), GraftSqlBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** SQL builder for graft_topk_pairs(value, id, k). */
+  private[graft] def topKPairsBuilder(es: Seq[Expression]): Expression = {
+    if (es.length != 3) throw new IllegalArgumentException(
+      s"graft_topk_pairs expects (value, id, k), got ${es.length} arguments")
+    TopKPairs(es(0), es(1), foldedInt(es(2), "graft_topk_pairs k")).toAggregateExpression()
   }
 
   /** Persistable Count-Min frequency state of `c` (binary; depth*width longs). */

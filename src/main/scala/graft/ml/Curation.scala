@@ -3,6 +3,7 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /**
  * Corpus curation operators that sit between dedup and batch assembly:
@@ -96,8 +97,12 @@ object Curation {
    *
    * Scale shape: one token explode feeding vocab-sized tf frames
    * (map-side partial agg; vocabulary is Zipf-small relative to the
-   * corpus), a token-keyed score join back, a doc-keyed agg, and a
-   * per-source rank window. Totals ride a 1-row broadcast.
+   * corpus), a token-keyed score join back, a doc-keyed agg, and the
+   * per-source top-k as a [[graft.functions.SketchAggregates.TopKPairs]]
+   * AGGREGATE for integral ids (<= k pairs per source per task cross
+   * the exchange; non-integral ids fall back to the rank-window
+   * reference form, which ranks every scored row). Totals ride a
+   * 1-row broadcast.
    */
   def dsirTopKPerSource(df: DataFrame, idCol: String, sourceCol: String,
                         textCol: String, targetWhere: Column,
@@ -113,14 +118,35 @@ object Curation {
       .crossJoin(broadcast(totals))
       .select(col("tok"),
         expr("(1000000 * coalesce(tf_t, 0L) * n_s) div (tf_s * n_t)").as("w_u"))
-    toks.join(scores, "tok")
+    val perDoc = toks.join(scores, "tok")
       .groupBy(col(idCol), col(sourceCol))
       .agg(count(lit(1)).as("n_toks"), sum(col("w_u")).as("imp_u"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(sourceCol)).orderBy(col("imp_u").desc, col(idCol))))
-      .filter(col("rk") <= topK)
-      .select(col(idCol), col(sourceCol), col("n_toks"), col("imp_u"),
-        col("rk").cast("int").as("rk"))
+    val integralId = df.schema(df.schema.fieldIndex(idCol)).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId) {
+      // Scale form: per-source top-k AS AN AGGREGATE
+      // (graft_topk_pairs) — each task ships <= k (imp_u, id) pairs per
+      // source through the exchange, where the window form ranks
+      // (shuffles) every scored document. Element position is the dense
+      // rank (value DESC, id ASC — the same total order as the window).
+      val top = perDoc.groupBy(col(sourceCol))
+        .agg(graft.functions.SketchAggregates
+          .topKPairs(col("imp_u"), col(idCol), topK).as("tk"))
+        .select(col(sourceCol), posexplode(col("tk")).as(Seq("pos", "p")))
+        .select(col(sourceCol), col("p.id").as(idCol),
+          (col("pos") + 1).cast("int").as("rk"))
+      top.join(perDoc, Seq(idCol, sourceCol))
+        .select(col(idCol), col(sourceCol), col("n_toks"), col("imp_u"), col("rk"))
+    } else {
+      // non-integral ids: the window reference form (same total order)
+      perDoc.withColumn("rk", row_number().over(
+          Window.partitionBy(col(sourceCol)).orderBy(col("imp_u").desc, col(idCol))))
+        .filter(col("rk") <= topK)
+        .select(col(idCol), col(sourceCol), col("n_toks"), col("imp_u"),
+          col("rk").cast("int").as("rk"))
+    }
   }
 
   /**

@@ -390,7 +390,9 @@ class PlanSpec extends SparkSpec {
       "graft_cms_state" -> graft.functions.SketchAggregates.cmsState(
         col("l_partkey").cast("string"), 4, 256),
       "graft_bottomk" -> graft.functions.SketchAggregates.bottomK(
-        col("l_partkey").cast("string"), 8))) {
+        col("l_partkey").cast("string"), 8),
+      "graft_topk_pairs" -> graft.functions.SketchAggregates.topKPairs(
+        col("l_extendedprice").cast("long"), col("l_partkey"), 8))) {
       val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_returnflag")).agg(agg.as("sk"))
       val tree = plan(df).linesIterator.takeWhile(_.trim.nonEmpty).mkString("\n")

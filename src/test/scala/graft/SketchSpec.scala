@@ -281,6 +281,52 @@ class SketchSpec extends SparkSpec {
     back.k shouldBe buf.k
   }
 
+  test("topk_pairs: equals the window reference, position is the rank, partition-invariant") {
+    import graft.functions.SketchAggregates._
+    import org.apache.spark.sql.expressions.Window
+    // ties on the value (v % 9) force the id ASC tie-break to matter
+    val df = spark.range(0, 5000).selectExpr("id % 7 AS grp", "id % 9 AS v", "id")
+    def topOf(d: org.apache.spark.sql.DataFrame): Map[(Long, Int), (Long, Long)] =
+      d.groupBy(col("grp")).agg(topKPairs(col("v"), col("id"), 4).as("tk"))
+        .select(col("grp"), posexplode(col("tk")).as(Seq("pos", "p")))
+        .collect().map(r => (r.getLong(0), r.getInt(1) + 1) ->
+          (r.getStruct(2).getLong(0), r.getStruct(2).getLong(1))).toMap
+    val agg = topOf(df)
+    val ref = df.withColumn("rk", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rk") <= 4).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getLong(2))).toMap
+    agg shouldBe ref
+    topOf(df.repartition(23)) shouldBe agg
+    // identical duplicate pairs collapse (distinct pair-set semantics)
+    topOf(df.unionAll(df)) shouldBe agg
+  }
+
+  test("topk_pairs: SQL surface and state serde round-trip") {
+    graft.functions.UdfRegistry.registerSystemUdfs(spark)
+    spark.range(0, 1000).selectExpr("id % 5 AS v", "id")
+      .createOrReplaceTempView("tkp_in")
+    val viaSql = spark.sql("SELECT graft_topk_pairs(v, id, 3) AS tk FROM tkp_in")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    viaSql.length shouldBe 3
+    // best-first: value DESC then id ASC — v=4 first appears at id 4
+    viaSql.head.getLong(0) shouldBe 4L
+    viaSql.head.getLong(1) shouldBe 4L
+    val viaApi = spark.table("tkp_in")
+      .agg(graft.functions.SketchAggregates.topKPairs(col("v"), col("id"), 3))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    viaSql shouldBe viaApi
+    val agg = graft.functions.SketchAggregates.TopKPairs(
+      org.apache.spark.sql.catalyst.expressions.Literal(0L),
+      org.apache.spark.sql.catalyst.expressions.Literal(0L), 8)
+    val buf = agg.createAggregationBuffer()
+    (1 to 100).foreach(i => buf.insert(i % 13L, i.toLong))
+    val back = agg.deserialize(agg.serialize(buf))
+    back.entries.toArray.toSeq.map(_.asInstanceOf[Array[Long]].toSeq) shouldBe
+      buf.entries.toArray.toSeq.map(_.asInstanceOf[Array[Long]].toSeq)
+    back.k shouldBe buf.k
+  }
+
   test("cms: never undercounts, overcount within eps*N, deterministic across partitioning") {
     import graft.functions.SketchAggregates._
     // zipfish multiset: value v appears ~20000/v times
