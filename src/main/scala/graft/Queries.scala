@@ -2627,6 +2627,38 @@ object Queries {
         |  count(*) AS n_docs
         |FROM h h2 GROUP BY source""".stripMargin)),
 
+    // c12's top-k-by-value selection maintained as STREAMING state: the
+    // graft_topk_pairs buffer is the state-store value per source
+    // (fixed k pairs, vs ranking state linear in documents), and
+    // because the union-then-trim merge is idempotent and order-free
+    // over the distinct pair set, micro-batch slicing is INVISIBLE —
+    // the drained top-k hash-matches the batch oracle exactly (q87's
+    // stream/batch-parity contract extended to the top-k aggregate).
+    // Output stringified 'v:id,...' in rank order (nested top-level
+    // types are driver-unsafe).
+    Spec("q105_stream_topk", (spark, dir) => {
+      val agg = streamTable(spark, dir, "documents.parquet")
+        .groupBy(col("source"))
+        .agg(graft.functions.SketchAggregates
+            .topKPairs(col("n_chars"), col("doc_id"), 5).as("tk"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          expr("array_join(transform(tk, x -> concat(x.v, ':', x.id)), ',')")
+            .as("top_docs"),
+          col("n_docs"))
+      drainToMemory(spark, agg, "q105_topk", "complete")
+    }, Some("""WITH r AS (SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |top AS (SELECT source,
+        |    string_agg(CAST(n_chars AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR),
+        |               ',' ORDER BY rk) AS top_docs
+        |  FROM r WHERE rk <= 5 GROUP BY source),
+        |cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT top.source, top.top_docs, cnt.n_docs
+        |FROM top JOIN cnt USING (source)""".stripMargin)),
+
     // Map higher-order functions end-to-end: per-customer maps built with
     // map_from_entries (sorted entry arrays — deterministic map layout),
     // combined with map_zip_with (integer per-status average), pruned with

@@ -92,6 +92,9 @@ LINEAR_SET = [
     # streaming per-source sample: bottom-k buffer per source in the
     # state store; micro-batch scan, k entries per group per batch
     "q87_stream_sample",
+    # streaming per-source top-k: fixed k-pair graft_topk_pairs buffer
+    # per source in the state store (q87's shape, value-ranked)
+    "q105_stream_topk",
     # chunk dedup: typed-flatMap tokenize + three keyed shuffles (md5
     # span digest, doc id x2) — all single-pass
     "d17_paragraph_dedup",
