@@ -59,10 +59,14 @@ object Bench {
     // a plan regression — no silent caps.
     val warmBudgetNs = math.max(240L, (1.5 * selected.size).toLong) * 1000L * 1000 * 1000
     val results = selected.map { case (name, fn) =>
-      val warmed = canWarm && warmSpentNs < warmBudgetNs
-      if (warmed) {
+      // warmed means the warm run COMPLETED: a warm attempt that throws
+      // leaves the timed number effectively cold, and flagging it warm
+      // would let a cold number masquerade as a plan regression.
+      var warmed = false
+      if (canWarm && warmSpentNs < warmBudgetNs) {
         val w0 = System.nanoTime()
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, warmDir).count(); warmed = true }
+        catch { case _: Throwable => () }
         warmSpentNs += System.nanoTime() - w0
       }
       val t0 = System.nanoTime()
@@ -81,7 +85,17 @@ object Bench {
     val cold = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"sf":"$sfDir"}"""
+    // Host-drift markers: the three trivial-scan queries whose cost is a
+    // pure function of the host (no shuffle, no state, sub-second at any
+    // sf). PLANS.md adjudicates slow bench phases by comparing these to
+    // their stable historical values; emitting them as a named field lets
+    // the driver normalize cross-round totals mechanically instead of
+    // fishing them out of the per-query map.
+    val markerNames = Seq("u1_zipwithindex", "q3_distinct", "q12_string_funcs")
+    val markers = results.collect {
+      case (k, v, _) if markerNames.contains(k) => s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"markers":$markers,"sf":"$sfDir"}"""
     // The per-query line is ~6 KB at 188 queries and sbt interleaves its
     // own epilogue around stdout, so ALSO land the JSON in a file the
     // driver (or any harness) can read without scraping logs.
@@ -92,7 +106,7 @@ object Bench {
     println(json)
     // LAST stdout line is a short total-only JSON that fits any log-tail
     // capture (the full per-query map above overflows a 2 KB tail).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_cold":${results.count(!_._3)},"sf":"$sfDir","detail":"$outFile"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_cold":${results.count(!_._3)},"markers":$markers,"sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
   }
 }

@@ -349,6 +349,21 @@ object Queries {
           concat(col("text"), lit(" dup dup dup")).as("text")))
   }
 
+  /** Synthetic per-language chain edges (each doc -> its per-lang
+   *  predecessor in doc_id order) — the CC fixture graph for d9/d18.
+   *  Built from perGroupSequence + a keyed (lang, seq) self-join instead
+   *  of `lag() OVER (PARTITION BY lang)`: a handful of languages over a
+   *  100 TB corpus makes each lang-window ONE corpus-sized task, while
+   *  the join is keyed on the high-cardinality (lang, seq) pair and the
+   *  sequence itself is the windowless range-partitioned helper. */
+  private def langChainEdges(docs: DataFrame): DataFrame = {
+    val seq = graft.utils.DataframeHelper.perGroupSequence(
+      docs.select(col("doc_id"), col("lang")), Seq("lang"), Seq("doc_id"), "sq")
+    val prev = seq.select(col("lang"), (col("sq") + 1).as("sq"), col("doc_id").as("id_a"))
+    val cur = seq.select(col("lang"), col("sq"), col("doc_id").as("id_b"))
+    prev.join(cur, Seq("lang", "sq")).select(col("id_a"), col("id_b"))
+  }
+
   /** DuckDB mirror of d1/q41's exact-duplicate planting. */
   private val exactCorpusCte =
     """ecorpus AS (
@@ -1935,12 +1950,7 @@ object Queries {
     Spec("d9_connected_components", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-      val edges = docs
-        .withColumn("prev", lag(col("doc_id"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      val edges = langChainEdges(docs)
       val labels = Dedup.clusterLabelsStars(edges)
       docs.join(labels, docs("doc_id") === labels("id"), "left")
         .select(col("doc_id"),
@@ -1961,12 +1971,7 @@ object Queries {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"),
           TextAnalysis.qualityScore(regexp_replace(col("text"), " the ", " . ")).as("quality"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-      val edges = docs
-        .withColumn("prev", lag(col("doc_id"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      val edges = langChainEdges(docs)
       val labels = Dedup.clusterLabelsStars(edges)
       val labeled = docs.join(labels, docs("doc_id") === labels("id"), "left")
         .select(col("doc_id"),
@@ -2216,26 +2221,22 @@ object Queries {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
         .withColumn("h", Hashing.oracleHash(col("doc_id").cast("string")))
-      // Two-phase rank so no task ever sorts a whole stratum (a handful of
-      // languages over a 100 TB corpus = corpus-sized sort tasks otherwise).
-      // Phase 1 ranks within (lang, salt) slices — a row whose global
-      // per-lang rank is <= k also ranks <= k in its slice, so dropping
-      // slice-rank > k is lossless. Phase 2 exact-ranks only the
-      // <= k*salts survivors per stratum. Output identical to a single
-      // global per-lang rank; the oracle is unchanged.
+      // Per-stratum k-smallest-by-hash AS AN AGGREGATE (graft_topk_pairs
+      // on the negated hash): each task folds its partition into <= k
+      // pairs per language, and only those cross the exchange — a
+      // PARTITION BY lang rank window would sort each whole stratum in
+      // one task (a handful of languages over 100 TB = corpus-sized
+      // tasks), and even the salted two-phase variant this replaced
+      // still sorted 1/|salts| of a stratum per task. Pair order
+      // (-h DESC, doc_id ASC) = (h ASC, doc_id ASC), so position + 1 is
+      // exactly the window rank; the oracle is the plain window form.
       val k = 10
-      val salts = 32
-      val w1 = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang"), col("salt")).orderBy(col("h"), col("doc_id"))
-      val w2 = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-      docs.withColumn("salt", pmod(hash(col("doc_id")), lit(salts)))
-        .withColumn("srn", row_number().over(w1))
-        .filter(col("srn") <= k)
-        .drop("salt", "srn")
-        .withColumn("rn", row_number().over(w2))
-        .filter(col("rn") <= k)
-        .select(col("doc_id"), col("lang"), col("rn").cast("int").as("rn"))
+      docs.groupBy(col("lang"))
+        .agg(graft.functions.SketchAggregates
+          .topKPairs(-col("h"), col("doc_id"), k).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "p")))
+        .select(col("p.id").as("doc_id"), col("lang"),
+          (col("pos") + 1).cast("int").as("rn"))
     }, Some {
       s"""WITH l AS ($t3Oracle),
          |h AS (SELECT doc_id, lang_pred AS lang,
@@ -2247,19 +2248,21 @@ object Queries {
     // Sequence packing: assign docs (in stable id order within a shard) to
     // fixed token-budget packs via the running token count — the standard
     // pre-tokenization chunking pass of an LLM data pipeline. Packing is
-    // sharded: a global ordered window would be ONE task holding a
-    // corpus-sized running sum; sharding by a deterministic key makes it
-    // embarrassingly parallel (a pack is identified by (shard, pack_id)),
-    // and training-data packing has no cross-shard ordering requirement.
+    // sharded (a pack is identified by (shard, pack_id); training-data
+    // packing has no cross-shard ordering requirement), and the per-shard
+    // running sum rides DataframeHelper.perGroupRunningSum — the
+    // WINDOWLESS range-partitioned form. A PARTITION BY shard window
+    // would put 1/16 of the corpus in ONE task (16 is a constant, the
+    // corpus is not); the helper range-sorts (shard, doc_id) across all
+    // tasks and stitches per-task offsets, bit-equal for integral sums.
+    // cum_before = inclusive running sum minus the row's own tokens.
     Spec("c3_token_packing", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")).cast("long").as("tokens"))
         .withColumn("shard", pmod(col("doc_id"), lit(16L)))
-      docs.withColumn("cum_before",
-          coalesce(sum(col("tokens")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
-              .orderBy(col("doc_id"))
-              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      graft.utils.DataframeHelper.perGroupRunningSum(
+          docs, Seq("shard"), Seq("doc_id"), "tokens", "cum_incl")
+        .withColumn("cum_before", col("cum_incl") - col("tokens"))
         .select(col("doc_id"), col("tokens"), col("shard"),
           (col("cum_before") / lit(512)).cast("long").as("pack_id"))
     }, Some("""WITH t AS (SELECT doc_id,
@@ -2522,9 +2525,12 @@ object Queries {
     // (n−1) in integer micro-units (top rank → 1e6, bottom → 0;
     // single-doc sources calibrate to 1e6), keep = top half of every
     // source. Scale shape: one scoring scan, a source-keyed count agg
-    // broadcast back, and a source-keyed rank window (group count
-    // bounded by the source catalog) — no global window, no corpus-
-    // sized task.
+    // broadcast back, and the per-source rank via perGroupSequence —
+    // the WINDOWLESS range-partitioned form (a PARTITION BY source
+    // window would put each source's ENTIRE row set in one task: few
+    // sources × 100 TB = corpus-sized sort tasks). The oracle is the
+    // plain window form, which perGroupSequence equals bit-for-bit on
+    // the unique (source, q_u desc, doc_id) order.
     Spec("c13_quality_calibrate", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       graft.ml.Curation.calibrateQuality(docs, "doc_id", "source", "text")
@@ -2572,6 +2578,42 @@ object Queries {
         |SELECT sp.doc_id, sp.fp, CAST(sp.bucket AS BIGINT) AS bucket, sp.split,
         |  CAST(a.fp_docs AS BIGINT) AS fp_docs, CAST(a.fp_splits AS BIGINT) AS fp_splits
         |FROM sp JOIN a USING (fp)""".stripMargin)),
+
+    // c12's DSIR selection with STRING document ids — what real corpora
+    // key on (URLs, UUIDs), and the path that previously fell back to a
+    // per-source rank window ranking EVERY scored row. The scale form
+    // keys each id by a 64-bit md5 surrogate (Hashing.oracleHash —
+    // cross-engine reproducible), runs the same graft_topk_pairs
+    // aggregate (<= k (imp_u, surrogate) pairs per source per task
+    // cross the exchange), and joins back to recover the id. The
+    // oracle replays the EXACT tie order by ranking on the same
+    // md5-derived surrogate — so the surrogate arithmetic itself is
+    // hash-graded, not just the survivor set.
+    Spec("c15_dsir_string_ids", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("doc_uri", concat(lit("doc-"), col("doc_id").cast("string")))
+      graft.ml.Curation.dsirTopKPerSource(docs, "doc_uri", "source", "text",
+        col("lang") === "en", topK = 20)
+    }, Some {
+      s"""WITH n AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_uri, source, lang,
+        |  list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |tk AS (SELECT doc_uri, source, lang, unnest(ts) AS tok FROM n),
+        |tfs AS (SELECT tok, count(*) AS tf_s FROM tk GROUP BY tok),
+        |tft AS (SELECT tok, count(*) AS tf_t FROM tk WHERE lang = 'en' GROUP BY tok),
+        |tot AS (SELECT (SELECT SUM(tf_s) FROM tfs) AS n_s,
+        |               (SELECT SUM(tf_t) FROM tft) AS n_t),
+        |sc AS (SELECT tfs.tok,
+        |    (1000000 * coalesce(tft.tf_t, 0) * tot.n_s) // (tfs.tf_s * tot.n_t) AS w_u
+        |  FROM tfs LEFT JOIN tft USING (tok) CROSS JOIN tot),
+        |pd AS (SELECT tk.doc_uri, tk.source, count(*) AS n_toks, SUM(sc.w_u) AS imp_u
+        |  FROM tk JOIN sc ON tk.tok = sc.tok GROUP BY 1, 2)
+        |SELECT doc_uri, source, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(imp_u AS BIGINT) AS imp_u, CAST(rk AS INT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY imp_u DESC, ${Hashing.duckdbHashSql("doc_uri")}) AS rk FROM pd)
+        |WHERE rk <= 20""".stripMargin
+    }),
 
     Spec("c9_temperature_mix", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -2647,6 +2689,46 @@ object Queries {
             .as("top_docs"),
           col("n_docs"))
       drainToMemory(spark, agg, "q105_topk", "complete")
+    }, Some("""WITH r AS (SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents),
+        |top AS (SELECT source,
+        |    string_agg(CAST(n_chars AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR),
+        |               ',' ORDER BY rk) AS top_docs
+        |  FROM r WHERE rk <= 5 GROUP BY source),
+        |cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT top.source, top.top_docs, cnt.n_docs
+        |FROM top JOIN cnt USING (source)""".stripMargin)),
+
+    // q105's top-k in UPDATE output mode — the production dashboard
+    // shape: each micro-batch emits ONLY the groups whose top-k state
+    // changed (complete mode re-emits every group every batch — at a
+    // real source cardinality that is the whole result table per
+    // trigger). The memory sink therefore accumulates one row per
+    // (source, change); the graded result is the FINAL state per
+    // source, recovered relationally as the emission with the highest
+    // n_docs (the doc count grows strictly with every change to a
+    // group, so max(struct(n_docs, top_docs)) is the last emission —
+    // no batch-id column needed). Final-state parity with the batch
+    // oracle is exact because the topk-pair merge is slicing-invisible
+    // (q105's contract); StreamingSpec separately pins the per-batch
+    // changed-groups-only emission across a multi-batch run.
+    Spec("q106_stream_topk_update", (spark, dir) => {
+      val agg = streamTable(spark, dir, "documents.parquet")
+        .groupBy(col("source"))
+        .agg(graft.functions.SketchAggregates
+            .topKPairs(col("n_chars"), col("doc_id"), 5).as("tk"),
+          count(lit(1)).as("n_docs"))
+        .select(col("source"),
+          expr("array_join(transform(tk, x -> concat(x.v, ':', x.id)), ',')")
+            .as("top_docs"),
+          col("n_docs"))
+      val emitted = drainToMemory(spark, agg, "q106_topk_upd", "update")
+      emitted.groupBy(col("source"))
+        .agg(max(struct(col("n_docs"), col("top_docs"))).as("last"))
+        .select(col("source"), col("last.top_docs").as("top_docs"),
+          col("last.n_docs").as("n_docs"))
     }, Some("""WITH r AS (SELECT source, n_chars, doc_id,
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id) AS rk
@@ -3401,17 +3483,28 @@ object Queries {
     // orders of magnitude smaller, and the post-window groupBy reuses the
     // lang partitioning so there is no extra exchange).
     // est = (k-1) * 2^60 / kth_min; groups smaller than k report exactly.
-    Spec("t12_kmv_sketch", sqlQuery(Seq("documents"),
-      """WITH toks AS (SELECT DISTINCT lang, tok FROM (
-        |    SELECT lang, explode(split(lower(regexp_replace(text, '\\s+', ' ')), ' ')) AS tok
-        |    FROM documents) WHERE length(tok) > 0),
-        |h AS (SELECT lang, CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) AS hv FROM toks),
-        |r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h)
-        |SELECT lang, count(*) AS n_true,
-        |  max(CASE WHEN rn <= 8 THEN hv END) AS kth,
-        |  CASE WHEN count(*) < 8 THEN count(*)
-        |       ELSE 8070450532247928832 div max(CASE WHEN rn <= 8 THEN hv END) END AS est_kmv
-        |FROM r GROUP BY lang""".stripMargin),
+    // The k-smallest-hashes selection is graft_topk_pairs on the negated
+    // hash (<= 8 pairs per lang per task cross the exchange) — a
+    // PARTITION BY lang rank window would sort each language's whole
+    // distinct-token set in one task. kth = last kept element (the k-th
+    // smallest hash, or the max when fewer than k distinct tokens).
+    Spec("t12_kmv_sketch", (spark, dir) => {
+      val toks = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"),
+          explode(split(lower(regexp_replace(col("text"), "\\s+", " ")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .distinct()
+      toks.select(col("lang"),
+          expr("CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("hv"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_true"),
+          graft.functions.SketchAggregates.topKPairs(-col("hv"), col("hv"), 8).as("tk"))
+        .select(col("lang"), col("n_true"),
+          expr("element_at(tk, CAST(size(tk) AS INT)).id").as("kth"),
+          expr("""CASE WHEN n_true < 8 THEN n_true
+                 |ELSE 8070450532247928832 div element_at(tk, CAST(size(tk) AS INT)).id
+                 |END""".stripMargin).as("est_kmv"))
+    },
       Some("""WITH toks AS (SELECT DISTINCT lang, tok FROM (
         |    SELECT lang, unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
         |    FROM documents) WHERE length(tok) > 0),
@@ -3752,18 +3845,23 @@ object Queries {
     // array index) and NAMED FUNCTION ARGUMENTS (mask with upperChar =>
     // '#'). The oracle mirrors each behavior with explicit CASE /
     // regexp logic, so the graded result proves the null-on-error
-    // semantics, not just that the functions parse. The overflow column
-    // is constant-NULL by construction on this subset (every orderkey
-    // multiplication overflows) — the try_multiply gate itself is what
-    // is being graded there (the +2 keeps orderkey 0 overflowing).
+    // semantics, not just that the functions parse. Both try_* error
+    // columns grade BOTH behaviors on this subset: the multiplier
+    // alternates by (orderkey div 100) parity between Long.MaxValue
+    // (overflow -> NULL) and a constant that yields a real product, and
+    // the element index 1 + orderkey % 3 cycles 1..3 over the 2-element
+    // split array so some rows probe past the end (-> NULL) while
+    // others return real parts.
     Spec("q104_error_safe", sqlQuery(Seq("orders"),
       """SELECT o_orderkey,
         |  mask(o_orderpriority, upperChar => '#') AS masked,
         |  try_divide(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT),
         |             o_orderkey % 3) AS safe_div,
-        |  try_multiply(o_orderkey + 2, 9223372036854775807L) AS overflow_null,
+        |  try_multiply(o_orderkey + 2,
+        |    CASE WHEN (o_orderkey div 100) % 2 = 0 THEN 9223372036854775807L
+        |         ELSE 1000003L END) AS overflow_null,
         |  try_element_at(split(o_orderpriority, '-'),
-        |                 CAST(1 + o_orderkey % 4 AS INT)) AS part
+        |                 CAST(1 + o_orderkey % 3 AS INT)) AS part
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin),
       Some("""SELECT o_orderkey,
         |  regexp_replace(regexp_replace(regexp_replace(o_orderpriority,
@@ -3771,8 +3869,9 @@ object Queries {
         |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
         |       ELSE CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS DOUBLE)
         |            / (o_orderkey % 3) END AS safe_div,
-        |  CAST(NULL AS BIGINT) AS overflow_null,
-        |  string_split(o_orderpriority, '-')[CAST(1 + o_orderkey % 4 AS BIGINT)] AS part
+        |  CASE WHEN (o_orderkey // 100) % 2 = 0 THEN CAST(NULL AS BIGINT)
+        |       ELSE (o_orderkey + 2) * 1000003 END AS overflow_null,
+        |  string_split(o_orderpriority, '-')[CAST(1 + o_orderkey % 3 AS BIGINT)] AS part
         |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin)),
 
     // Lateral column aliases (Spark 3.4+ dialect): a SELECT-list alias
@@ -4462,12 +4561,18 @@ object Queries {
       val cust = spark.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").cast("long").as("ck"),
           col("c_nationkey").cast("long").as("nk"))
+      // 8 smallest suppkeys per nation as an AGGREGATE (topKPairs on the
+      // negated key): nationkey has ~25 values, so a PARTITION BY nk rank
+      // window would sort each nation's whole supplier set in one task;
+      // the aggregate ships <= 8 pairs per nation per task instead.
       val s8 = spark.read.parquet(s"$dir/supplier.parquet")
         .select(col("s_suppkey").cast("long").as("sk"),
           col("s_nationkey").cast("long").as("nk"))
-        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("nk")).orderBy(col("sk"))))
-        .filter(col("rk") <= 8).select(col("sk"), col("nk"))
+        .groupBy(col("nk"))
+        .agg(graft.functions.SketchAggregates
+          .topKPairs(-col("sk"), col("sk"), 8).as("tk"))
+        .select(col("nk"), explode(col("tk")).as("p"))
+        .select(col("p.id").as("sk"), col("nk"))
       val e0 = cust.join(s8, "nk")
         .select((col("ck") * 2L).as("src"), (col("sk") * 2L + 1L).as("dst"))
       val nodes = cust.select((col("ck") * 2L).as("node"))
@@ -5278,12 +5383,20 @@ object Queries {
           count(lit(1)).as("n_events"))
       val st = drainToMemory(spark, states, "q86_cms", "complete")
       val ev = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+      // exact top-5 per event_type AS AN AGGREGATE (topKPairs): the
+      // event-type catalog is tiny, so a PARTITION BY event_type rank
+      // window would sort each type's whole (user, count) set in one
+      // task; the aggregate ships <= 5 pairs per type per task. Pair
+      // order (cnt DESC, user ASC) matches the oracle's rank order and
+      // v IS the exact count, so no join back is needed.
       val top = ev.groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("exact_cnt"))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-            .orderBy(col("exact_cnt").desc, col("user_id"))))
-        .filter(col("rk") <= 5).drop("rk")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.SketchAggregates
+          .topKPairs(col("exact_cnt"), col("user_id"), 5).as("tk"))
+        .select(col("event_type"), explode(col("tk")).as("p"))
+        .select(col("event_type"), col("p.id").as("user_id"),
+          col("p.v").as("exact_cnt"))
       val est = graft.functions.SketchAggregates.cmsCount(col("cms"), col("user_id"))
       top.join(st, "event_type")
         .select(col("event_type"), col("user_id"), col("exact_cnt"),

@@ -645,6 +645,29 @@ object SketchAggregates {
 
     override def left: Expression = value
     override def right: Expression = id
+    // The buffer ranks LONGS: a fractional value column would be silently
+    // truncated (wrong order vs the documented ORDER BY v DESC parity) and
+    // a string/decimal one would ClassCastException mid-execution. The
+    // function is SQL-exposed, so reject non-integral inputs at ANALYSIS
+    // time like the sibling sketch aggregates do.
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def integral(dt: DataType): Boolean = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!integral(value.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_topk_pairs requires an INTEGRAL value column (tinyint/smallint/" +
+            s"int/bigint); got ${value.dataType.catalogString}. Fractional values " +
+            "would be truncated and rank wrongly — scale to integer units first " +
+            "(e.g. micro-units: cast(round(v * 1e6) as bigint)).")
+      else if (!integral(id.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_topk_pairs requires an INTEGRAL id column (tinyint/smallint/" +
+            s"int/bigint); got ${id.dataType.catalogString}. Key non-integral ids " +
+            "by a 64-bit surrogate (e.g. graft.ml.Hashing.oracleHash) and join back.")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
     override def dataType: DataType = ArrayType(
       StructType(Seq(StructField("v", LongType, nullable = false),
         StructField("id", LongType, nullable = false))), containsNull = false)

@@ -1,7 +1,6 @@
 package graft.ml
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
@@ -33,8 +32,14 @@ object Curation {
    * rk, pct_u, keep) with keep = pct_u >= keepAtLeastPctU.
    *
    * Scale shape: one scoring scan, a source-keyed count broadcast, and
-   * a source-keyed rank window (group count bounded by the source
-   * catalog — never one global task).
+   * the per-source rank via [[graft.utils.DataframeHelper.perGroupSequence]]
+   * — the WINDOWLESS form. A `row_number() OVER (PARTITION BY source)`
+   * window puts each source's entire row set in ONE task; with a small
+   * source catalog over 100 TB that is a handful of corpus-sized sort
+   * tasks. perGroupSequence range-sorts (source, -q_u, id) across ALL
+   * tasks instead and reconstructs the identical rank from per-task
+   * offsets — bit-equal to the window form because (source, q_u desc,
+   * id) is unique per row (id is a key).
    */
   def calibrateQuality(df: DataFrame, idCol: String, sourceCol: String,
                        textCol: String,
@@ -44,14 +49,15 @@ object Curation {
       .withColumn("q_u", expr("cast(round(q * 1000000) AS BIGINT)"))
       .drop("q")
     val counts = scored.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-    scored.join(broadcast(counts), sourceCol)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col(sourceCol)).orderBy(col("q_u").desc, col(idCol))))
+    val ranked = graft.utils.DataframeHelper.perGroupSequence(
+        scored.withColumn("__negq_", -col("q_u")),
+        Seq(sourceCol), Seq("__negq_", idCol), "rk")
+      .drop("__negq_")
+    ranked.join(broadcast(counts), sourceCol)
       .withColumn("pct_u",
         when(col("n") === 1L, lit(1000000L))
           .otherwise(expr("(1000000 * (n - rk)) div (n - 1)")))
-      .select(col(idCol), col(sourceCol), col("q_u"),
-        col("rk").cast("long").as("rk"), col("pct_u"),
+      .select(col(idCol), col(sourceCol), col("q_u"), col("rk"), col("pct_u"),
         (col("pct_u") >= keepAtLeastPctU).cast("int").as("keep"))
   }
 
@@ -99,10 +105,18 @@ object Curation {
    * (map-side partial agg; vocabulary is Zipf-small relative to the
    * corpus), a token-keyed score join back, a doc-keyed agg, and the
    * per-source top-k as a [[graft.functions.SketchAggregates.TopKPairs]]
-   * AGGREGATE for integral ids (<= k pairs per source per task cross
-   * the exchange; non-integral ids fall back to the rank-window
-   * reference form, which ranks every scored row). Totals ride a
-   * 1-row broadcast.
+   * AGGREGATE (<= k pairs per source per task cross the exchange;
+   * non-integral ids ride a 64-bit md5 surrogate and a keyed join back
+   * — never a per-source rank window). Totals ride a 1-row broadcast.
+   *
+   * Overflow/emptiness contracts: the weight numerator `tf_t * n_s`
+   * exceeds Long once the corpus passes ~9.2e18 token-pairs (n_s IS the
+   * corpus token count at 100 TB), so the ratio is computed in
+   * DECIMAL(38,0) and only the bounded quotient returns to BIGINT —
+   * matching DuckDB's HUGEINT promotion bit-for-bit instead of silently
+   * wrapping. A `targetWhere` matching ZERO rows fails fast with an
+   * explicit error (n_t = 0 would otherwise null every weight and
+   * silently select garbage).
    */
   def dsirTopKPerSource(df: DataFrame, idCol: String, sourceCol: String,
                         textCol: String, targetWhere: Column,
@@ -114,10 +128,20 @@ object Curation {
     val tfT = toks.filter(col("__tgt_")).groupBy(col("tok")).agg(count(lit(1)).as("tf_t"))
     val totals = tfS.agg(sum(col("tf_s")).as("n_s"))
       .crossJoin(tfT.agg(sum(col("tf_t")).as("n_t")))
+      // fail fast on an empty target selection: n_t null/0 would null
+      // every weight downstream. The filter form survives column pruning
+      // (a dropped assert_true projection would be optimized away).
+      .filter(when(coalesce(col("n_t"), lit(0L)) > 0L, lit(true))
+        .otherwise(raise_error(lit(
+          "dsirTopKPerSource: targetWhere matched zero rows (n_t = 0) — " +
+            "every importance weight would be null")).cast("boolean")))
     val scores = tfS.join(tfT, Seq("tok"), "left")
       .crossJoin(broadcast(totals))
+      // DECIMAL(38,0) intermediates (see scaladoc): div on decimals is
+      // Spark's IntegralDivide, which already returns BIGINT.
       .select(col("tok"),
-        expr("(1000000 * coalesce(tf_t, 0L) * n_s) div (tf_s * n_t)").as("w_u"))
+        expr("(1000000 * coalesce(tf_t, 0L) * cast(n_s AS DECIMAL(38,0)))" +
+          " div (tf_s * cast(n_t AS DECIMAL(38,0)))").as("w_u"))
     val perDoc = toks.join(scores, "tok")
       .groupBy(col(idCol), col(sourceCol))
       .agg(count(lit(1)).as("n_toks"), sum(col("w_u")).as("imp_u"))
@@ -140,12 +164,24 @@ object Curation {
       top.join(perDoc, Seq(idCol, sourceCol))
         .select(col(idCol), col(sourceCol), col("n_toks"), col("imp_u"), col("rk"))
     } else {
-      // non-integral ids: the window reference form (same total order)
-      perDoc.withColumn("rk", row_number().over(
-          Window.partitionBy(col(sourceCol)).orderBy(col("imp_u").desc, col(idCol))))
-        .filter(col("rk") <= topK)
-        .select(col(idCol), col(sourceCol), col("n_toks"), col("imp_u"),
-          col("rk").cast("int").as("rk"))
+      // String/UUID/URL ids (what real corpora key on): the SAME
+      // aggregate shape over a 64-bit md5 surrogate of the id
+      // (Hashing.oracleHash — cross-engine reproducible, so a SQL
+      // oracle replays the exact tie order), then a keyed join back to
+      // recover the original id. Total order: (imp_u DESC, surrogate
+      // ASC) — deterministic. A surrogate collision across distinct ids
+      // is 2^-60-improbable; if one ever occurred the join would emit
+      // the colliding ids at the same rank rather than dropping rows.
+      val keyed = perDoc.withColumn("__sid_",
+        Hashing.oracleHash(col(idCol).cast("string")))
+      val top = keyed.groupBy(col(sourceCol))
+        .agg(graft.functions.SketchAggregates
+          .topKPairs(col("imp_u"), col("__sid_"), topK).as("tk"))
+        .select(col(sourceCol), posexplode(col("tk")).as(Seq("pos", "p")))
+        .select(col(sourceCol), col("p.id").as("__sid_"),
+          (col("pos") + 1).cast("int").as("rk"))
+      top.join(keyed, Seq("__sid_", sourceCol))
+        .select(col(idCol), col(sourceCol), col("n_toks"), col("imp_u"), col("rk"))
     }
   }
 

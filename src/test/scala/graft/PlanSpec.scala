@@ -128,6 +128,13 @@ class PlanSpec extends SparkSpec {
                            // input PARTITION (u1's shape) — the whole
                            // point of the helper is that the per-BUCKET
                            // window never exists; pinned separately below
+      "c13_quality_calibrate", // perGroupSequence offsets frame (c10's
+                           // shape) — the per-SOURCE rank window never
+                           // exists; pinned separately below
+      "d9_connected_components", // langChainEdges' perGroupSequence
+                           // offsets frame (c10's shape)
+      "d18_canonical_rep", // langChainEdges' perGroupSequence offsets
+                           // frame (c10's shape)
       "s11_hybrid_rrf_ivf" // embeds s3's post-limit(16) centroid seed rank
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
@@ -185,6 +192,8 @@ class PlanSpec extends SparkSpec {
                            // crossJoin of the two corpus token counts,
                            // then broadcast into the vocab-sized score
                            // frame (t16's stats shape)
+      "c15_dsir_string_ids", // same dsirTopKPerSource totals shape as
+                           // c12 (string-id surrogate path)
       "c9_temperature_mix", // crossJoin vs broadcast 1-row ΣN/Σq totals
                            // frame (t16's stats shape; source counts are
                            // a broadcast HASH join on source)
@@ -242,6 +251,58 @@ class PlanSpec extends SparkSpec {
       refs should not contain "bucket"
       if (w.partitionSpec.nonEmpty) refs should contain("__pid_")
     }
+  }
+
+  test("c13: no per-source window — every Window in the plan is pid- or offsets-scoped") {
+    // The giant-task shape this pin guards against: row_number() OVER
+    // (PARTITION BY source) — few sources x 100 TB = one task sorting an
+    // entire source. calibrateQuality must rank through perGroupSequence,
+    // whose only windows are the per-task rank (__pid_) and the tiny
+    // offsets frame.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val windows = q("c13_quality_calibrate").queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    windows should not be empty
+    windows.foreach { w =>
+      val refs = w.partitionSpec.flatMap(_.references.map(_.name))
+      refs should not contain "source"
+      if (w.partitionSpec.nonEmpty) refs should contain("__pid_")
+    }
+  }
+
+  test("catalog-wide: no Window partitioned ONLY by bounded-cardinality keys") {
+    // The c13 near-miss generalized: a window partitioned solely by
+    // columns whose domain is small and data-independent (source catalog,
+    // language, a shard constant, event types, nation keys...) puts an
+    // entire key-group — a constant fraction of the corpus — in ONE task.
+    // The repo's windowless forms (perGroupSequence / perGroupRunningSum /
+    // graft_topk_pairs) are the cure; a window keyed by at least one
+    // high-cardinality column (doc/user/query/cluster ids) is fine.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lowCard = Set("source", "lang", "split", "band", "bucket", "shard",
+      "event_type", "nk", "salt", "l_returnflag", "l_linestatus",
+      "o_orderstatus", "o_orderpriority")
+    // Reviewed exceptions — the partition key is bounded-cardinality but
+    // the window's INPUT is bounded by construction, so the group never
+    // scales with data:
+    val allowed = Set(
+      "c3_token_packing", // perGroupRunningSum offsets window: runs over
+                         // the (pid x shard)-sized offsets frame (one row
+                         // per task per shard it touches), not the corpus
+      "q51_rank_family"  // window-function-dialect showcase: input bounded
+                         // to <= 2000 rows by the constant o_orderkey
+                         // filter (pushed to the scan) at ANY scale factor
+    )
+    val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
+      val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.nonEmpty &&
+            w.partitionSpec.flatMap(_.references.map(_.name)).forall(lowCard) =>
+          spec.name
+      }
+    }.distinct
+    offenders shouldBe empty
   }
 
   test("s10: the lexical postings join is keyed; the only all-pairs node is the labeled semantic baseline") {

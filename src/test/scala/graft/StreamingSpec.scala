@@ -109,6 +109,55 @@ class StreamingSpec extends SparkSpec {
     rows should contain((h("13"), 1L))
   }
 
+  test("update-mode top-k emits only changed groups per batch; final state equals batch result") {
+    // Three files forced into three micro-batches. Update mode must emit
+    // a group ONLY in the batches where its top-k state changed (the
+    // q106 dashboard shape — complete mode re-emits every group every
+    // batch), and the last emission per group must equal the one-shot
+    // batch aggregate (the topk-pair merge is slicing-invisible).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val in = tmpDir("topk_upd_in")
+    val fa = writeFile(in, "a.csv", "a,1,10\na,2,20\nb,3,30\n")
+    val fb = writeFile(in, "b.csv", "a,4,40\n")
+    val fc = writeFile(in, "c.csv", "b,5,50\n")
+    Files.setLastModifiedTime(Paths.get(fa), FileTime.fromMillis(1000000L))
+    Files.setLastModifiedTime(Paths.get(fb), FileTime.fromMillis(2000000L))
+    Files.setLastModifiedTime(Paths.get(fc), FileTime.fromMillis(3000000L))
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("id", LongType), StructField("v", LongType)))
+    val agg = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").csv(in)
+      .groupBy(col("g"))
+      .agg(graft.functions.SketchAggregates.topKPairs(col("v"), col("id"), 2).as("tk"),
+        count(lit(1)).as("n"))
+      .select(col("g"),
+        expr("array_join(transform(tk, x -> concat(x.v, ':', x.id)), ',')").as("top"),
+        col("n"))
+    val qname = "topk_upd_q"
+    val sq = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val rows = spark.table(qname).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    spark.catalog.dropTempView(qname)
+    // changed-groups-only: batch0 emits a+b, batch1 only a, batch2 only b
+    // = 4 emissions total (complete mode would re-emit both groups each
+    // batch = 6)
+    rows should have size 4
+    rows should contain(("a", "20:2,10:1", 2L)) // batch 0
+    rows should contain(("b", "30:3", 1L))      // batch 0
+    rows should contain(("a", "40:4,20:2", 3L)) // batch 1 (b absent)
+    rows should contain(("b", "50:5,30:3", 2L)) // batch 2 (a absent)
+    // final state per group (q106's max(struct(n, top)) recovery) equals
+    // the one-shot batch aggregate over the same rows
+    val finalState = rows.groupBy(_._1).map { case (g, rs) => g -> rs.maxBy(_._3) }
+    finalState("a") shouldBe ("a", "40:4,20:2", 3L)
+    finalState("b") shouldBe ("b", "50:5,30:3", 2L)
+  }
+
   test("fixed-width stream reader applies positional fields and watermark") {
     implicit val s = spark
     val in = tmpDir("fsin")

@@ -95,6 +95,9 @@ LINEAR_SET = [
     # streaming per-source top-k: fixed k-pair graft_topk_pairs buffer
     # per source in the state store (q87's shape, value-ranked)
     "q105_stream_topk",
+    # q105 in update mode: same state, emits only changed groups per
+    # batch + a source-keyed final-state max over the emissions
+    "q106_stream_topk_update",
     # chunk dedup: typed-flatMap tokenize + three keyed shuffles (md5
     # span digest, doc id x2) — all single-pass
     "d17_paragraph_dedup",
@@ -180,10 +183,14 @@ LINEAR_SET = [
     # aggs, constant-width reduce state
     "t20_gopher_topgram",
     # DSIR importance: token explode -> vocab tf frames (Zipf-small),
-    # token-keyed score join, doc-keyed agg, per-source rank window
+    # token-keyed score join, doc-keyed agg, per-source graft_topk_pairs
+    # aggregate (<= k pairs per source per task cross the exchange)
     "c12_dsir_importance",
+    # c12 with STRING ids: same shape over a 64-bit md5 surrogate of
+    # the id + a keyed join back (no per-source rank window)
+    "c15_dsir_string_ids",
     # per-source quality calibration: scoring scan + source-count
-    # broadcast + source-keyed rank window
+    # broadcast + perGroupSequence rank (windowless range-partitioned)
     "c13_quality_calibrate",
     # leakage-safe split: one scan + one fingerprint-keyed audit agg
     # (constant-width md5 exchange, d1's shape)
