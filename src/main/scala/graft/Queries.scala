@@ -2741,6 +2741,46 @@ object Queries {
         |SELECT top.source, top.top_docs, cnt.n_docs
         |FROM top JOIN cnt USING (source)""".stripMargin)),
 
+    // EVENT-TIME state TTL: the deterministic analogue of the wall-clock
+    // TTLConfig (whose expiry depends on arrival timing BY DESIGN —
+    // test-covered, not gradeable). EventTtlProcessor re-arms one
+    // event-time timer per user at lastSeen + 6h; keys the final
+    // watermark (max ts − 1h) passes without a newer event emit an
+    // expiry record and clear their state — so "which users' state was
+    // TTL-expired" is a pure function of the data and the DuckDB oracle
+    // replays the policy relationally. The final-expiry filter (emitted
+    // last_seen must equal the key's batch max ts) makes the graded set
+    // invariant to micro-batch slicing: a mid-stream expire/reappear
+    // cycle's intermediate emission can never match the key's final max.
+    Spec("q107_event_ttl", (spark, dir) => {
+      val s2 = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      eventsStream(s2, dir).withWatermark("ts", "1 hour")
+        .createOrReplaceTempView("q107_in")
+      val ctx = new JobContext(PipelineContext())(s2)
+      val actor = new graft.transform.StreamStatefulTransformer()
+      actor.init(Map(
+        "view" -> "q107_in",
+        "processor.type" -> "graft.streaming.EventTtlProcessor",
+        "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
+        "processor.ttlSeconds" -> "21600"))(s2)
+      val out = actor.run(ctx)(s2).get
+      val drained = org.apache.spark.sql.GraftSqlBridge.onSession(spark,
+        drainToMemory(s2, out, "q107_ttl", "append"))
+      val finalSeen = normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+        .groupBy(col("user_id"))
+        .agg(expr("unix_micros(max(ts)) div 1000000").as("last_seen"))
+      drained.groupBy(col("user_id"))
+        .agg(max(col("last_seen")).as("last_seen"))
+        .join(finalSeen, Seq("user_id", "last_seen"))
+        .select(col("user_id"), col("last_seen"))
+    }, Some(s"""WITH $eventsUsCte,
+        |m AS (SELECT user_id, max(ts) AS mx FROM events_us GROUP BY user_id),
+        |w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events_us)
+        |SELECT m.user_id, CAST(floor(epoch(m.mx)) AS BIGINT) AS last_seen
+        |FROM m, w WHERE m.mx + INTERVAL 6 HOUR < w.wm""".stripMargin)),
+
     // Map higher-order functions end-to-end: per-customer maps built with
     // map_from_entries (sorted entry arrays — deterministic map layout),
     // combined with map_zip_with (integer per-status average), pruned with

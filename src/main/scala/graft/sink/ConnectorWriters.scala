@@ -16,6 +16,9 @@ abstract class ConnectorWriter(format: String) extends Actor {
   protected var table: Option[String] = None
   protected var path: Option[String] = None
   protected var view: String = ""
+  // advanced: substitute a wire-compatible provider name (test double /
+  // vendor fork); mode-validation and addressing rules stay the actor's
+  protected var providerFormat: String = format
   protected var mode: String = "append"
   protected var partitionBy: Seq[String] = Seq.empty
   protected var bucketSpec: Option[(Int, Seq[String])] = None
@@ -25,6 +28,7 @@ abstract class ConnectorWriter(format: String) extends Actor {
     table = properties.get("table")
     path = properties.get("path")
     view = require_(properties, "view")
+    properties.get("providerFormat").foreach(providerFormat = _)
     properties.get("mode").foreach { m =>
       require(Seq("overwrite", "append").contains(m), s"$format writer: bad mode $m")
       mode = m
@@ -49,7 +53,7 @@ abstract class ConnectorWriter(format: String) extends Actor {
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val isInsertInto = table.isDefined && mode != "overwrite"
-    var w = prepare(ctx.getView(view)).write.format(format).options(options)
+    var w = prepare(ctx.getView(view)).write.format(providerFormat).options(options)
     // insertInto appends into the table's EXISTING layout and Spark rejects
     // combining it with partitionBy/bucketBy — the table already carries
     // both; layout declarations apply to table creation and path writes

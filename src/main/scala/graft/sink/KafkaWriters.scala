@@ -35,6 +35,7 @@ class KafkaWriter extends Actor {
   protected var bootstrapServers: String = ""
   protected var topic: String = ""
   protected var view: String = ""
+  protected var providerFormat: String = "kafka"
   protected var keyField: Option[String] = None
   protected var valueField: Option[String] = None
   protected var headersField: Option[String] = None
@@ -44,6 +45,7 @@ class KafkaWriter extends Actor {
     bootstrapServers = require_(properties, "bootstrapServers")
     topic = require_(properties, "topic")
     view = require_(properties, "view")
+    properties.get("providerFormat").foreach(providerFormat = _)
     keyField = properties.get("keyField")
     valueField = properties.get("valueField")
     headersField = properties.get("headersField")
@@ -58,7 +60,9 @@ class KafkaWriter extends Actor {
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = KafkaRecord.assemble(ctx.getView(view), keyField, valueField, headersField, avroValue = false)
-    df.write.format("kafka")
+    // append mode explicitly: kafka's V1 sink ignores it, and it keeps a
+    // providerFormat substitute (DSv2 or V1) on the supported-mode path
+    df.write.format(providerFormat).mode("append")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .options(options)
@@ -73,6 +77,7 @@ class KafkaStreamWriter extends Actor with StreamWriteSupport {
   protected var bootstrapServers: String = ""
   protected var topic: String = ""
   protected var view: String = ""
+  protected var providerFormat: String = "kafka"
   protected var keyField: Option[String] = None
   protected var valueField: Option[String] = None
   protected var headersField: Option[String] = None
@@ -82,6 +87,7 @@ class KafkaStreamWriter extends Actor with StreamWriteSupport {
     bootstrapServers = require_(properties, "bootstrapServers")
     topic = require_(properties, "topic")
     view = require_(properties, "view")
+    providerFormat = properties.getOrElse("providerFormat", providerFormat)
     keyField = properties.get("keyField")
     valueField = properties.get("valueField")
     headersField = properties.get("headersField")
@@ -93,7 +99,7 @@ class KafkaStreamWriter extends Actor with StreamWriteSupport {
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = KafkaRecord.assemble(ctx.getView(view), keyField, valueField, headersField, avroValue = false)
-    var w = df.writeStream.format("kafka")
+    var w = df.writeStream.format(providerFormat)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .options(options)

@@ -19,12 +19,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 abstract class ConnectorReader(format: String) extends Actor {
   protected var table: Option[String] = None
   protected var path: Option[String] = None
+  // advanced: substitute a wire-compatible provider name (vendor forks,
+  // or the in-process test double ConnectorSpec drives e2e)
+  protected var providerFormat: String = format
   protected var options: Map[String, String] = Map.empty
   protected var postFilter: Option[String] = None
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     table = properties.get("table")
     path = properties.get("path")
+    properties.get("providerFormat").foreach(providerFormat = _)
     options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
     postFilter = properties.get("filter")
   }
@@ -36,7 +40,7 @@ abstract class ConnectorReader(format: String) extends Actor {
 
   /** table-vs-path precedence mirrors the reference (DeltaReader:22-25). */
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
-    val reader = spark.read.format(format).options(options)
+    val reader = spark.read.format(providerFormat).options(options)
     val df = (table, path) match {
       case (Some(t), _) => reader.table(t)
       case (None, Some(p)) => reader.load(p)

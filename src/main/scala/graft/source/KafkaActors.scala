@@ -35,6 +35,15 @@ object KafkaSchema {
       .getOrElse(NoSpec)
   }
 
+  /** First prefix that declares a schema wins. The actor docs spell the
+   *  properties `key.*`/`value.*`; `keySchema.*`/`valueSchema.*` are the
+   *  historical names — both resolve, so a pipeline following either
+   *  form decodes (a docs-only name would otherwise silently skip the
+   *  decode and hand raw bytes downstream). */
+  def fromPropertyPrefixes(prefixes: Seq[String], properties: Map[String, String]): Spec =
+    prefixes.iterator.map(fromProperties(_, properties))
+      .collectFirst { case s if s != NoSpec => s }.getOrElse(NoSpec)
+
   /** Accepts a Spark JSON schema document or a DDL string. */
   def parseJsonSchema(s: String): DataType =
     try DataType.fromJson(s)
@@ -90,10 +99,15 @@ object KafkaSchema {
   }
 }
 
-/** Batch Kafka topic reader (reference: source/KafkaReader.scala:11-18). */
+/** Batch Kafka topic reader (reference: source/KafkaReader.scala:11-18).
+ *  `providerFormat` (advanced) substitutes a wire-compatible data-source
+ *  name for the stock "kafka" provider — vendor forks, or the in-process
+ *  `graft-test-kafka` double ConnectorSpec drives the full
+ *  actor->options->connector path with. */
 class KafkaReader extends Actor {
   protected var bootstrapServers: String = ""
   protected var topic: String = ""
+  protected var providerFormat: String = "kafka"
   protected var options: Map[String, String] = Map.empty
   protected var keySpec: KafkaSchema.Spec = KafkaSchema.NoSpec
   protected var valueSpec: KafkaSchema.Spec = KafkaSchema.NoSpec
@@ -101,16 +115,17 @@ class KafkaReader extends Actor {
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     bootstrapServers = require_(properties, "bootstrapServers")
     topic = require_(properties, "topic")
+    properties.get("providerFormat").foreach(providerFormat = _)
     options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
-    keySpec = KafkaSchema.fromProperties("keySchema", properties)
-    valueSpec = KafkaSchema.fromProperties("valueSchema", properties)
+    keySpec = KafkaSchema.fromPropertyPrefixes(Seq("keySchema", "key"), properties)
+    valueSpec = KafkaSchema.fromPropertyPrefixes(Seq("valueSchema", "value"), properties)
   }
 
   def servers(s: String): this.type = { bootstrapServers = s; this }
   def subscribe(t: String): this.type = { topic = t; this }
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
-    val df = spark.read.format("kafka")
+    val df = spark.read.format(providerFormat)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .options(options)
@@ -123,6 +138,7 @@ class KafkaReader extends Actor {
 class KafkaStreamReader extends Actor with StreamReadSupport {
   protected var bootstrapServers: String = ""
   protected var topic: String = ""
+  protected var providerFormat: String = "kafka"
   protected var options: Map[String, String] = Map.empty
   protected var keySpec: KafkaSchema.Spec = KafkaSchema.NoSpec
   protected var valueSpec: KafkaSchema.Spec = KafkaSchema.NoSpec
@@ -130,14 +146,15 @@ class KafkaStreamReader extends Actor with StreamReadSupport {
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     bootstrapServers = require_(properties, "bootstrapServers")
     topic = require_(properties, "topic")
+    properties.get("providerFormat").foreach(providerFormat = _)
     options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
-    keySpec = KafkaSchema.fromProperties("keySchema", properties)
-    valueSpec = KafkaSchema.fromProperties("valueSchema", properties)
+    keySpec = KafkaSchema.fromPropertyPrefixes(Seq("keySchema", "key"), properties)
+    valueSpec = KafkaSchema.fromPropertyPrefixes(Seq("valueSchema", "value"), properties)
     initStream(properties)
   }
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
-    val df = spark.readStream.format("kafka")
+    val df = spark.readStream.format(providerFormat)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .options(options)

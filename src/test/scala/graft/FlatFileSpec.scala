@@ -126,6 +126,56 @@ class FlatFileSpec extends SparkSpec {
     Decoder.com3ToInt(neg) shouldBe -987
   }
 
+  test("COMP-3 properties: round-trip, sign nibbles, padding, scale (ScalaCheck)") {
+    // Property coverage beyond the two worked examples above: a test-side
+    // encoder (digits -> packed nibbles + sign, written from the same
+    // public format description) round-trips through the decoder across
+    // generated magnitudes, every legal sign nibble, leading-zero byte
+    // padding, and digit-count parity (even digit counts force a pad
+    // nibble — the byte-alignment boundary).
+    import org.scalacheck.Gen
+    def encode(n: Long, signNibble: Int): Array[Byte] = {
+      val digits = math.abs(n).toString
+      val padded = if (digits.length % 2 == 0) "0" + digits else digits
+      val nibbles = padded.map(_ - '0').toIndexedSeq :+ signNibble
+      nibbles.grouped(2).map { case Seq(h, l) => ((h << 4) | l).toByte }.toArray
+    }
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      Iterator.continually(g.sample).flatten.take(n).toSeq
+    val magnitudes = Gen.oneOf(
+      Gen.choose(0L, 9L),                       // single digit (odd count, no pad)
+      Gen.choose(10L, 99L),                     // two digits (pad nibble path)
+      Gen.choose(100L, 2147483647L),            // full int range
+      Gen.oneOf(0L, 9L, 10L, 99L, 100L, 999L,  // nibble-boundary magnitudes
+        1000L, 2147483647L))
+    val posNibbles = Seq(0x0a, 0x0c, 0x0e, 0x0f)
+    val negNibbles = Seq(0x0b, 0x0d)
+    for (m <- samples(magnitudes, 200)) {
+      for (sn <- posNibbles) Decoder.com3ToInt(encode(m, sn)) shouldBe m.toInt
+      for (sn <- negNibbles) Decoder.com3ToInt(encode(m, sn)) shouldBe -m.toInt
+      // leading 0x00 bytes are zero digits: value-invariant
+      val padded = Array[Byte](0x00, 0x00) ++ encode(m, 0x0c)
+      Decoder.com3ToInt(padded) shouldBe m.toInt
+      // scale moves the point exactly as an independent decimal would
+      for (s <- 0 to 4) {
+        val expected = BigDecimal(m).bigDecimal.movePointLeft(s).doubleValue
+        Decoder.com3ToDouble(encode(m, 0x0c), s) shouldBe expected +- (math.ulp(expected) * 2)
+      }
+    }
+    // invalid nibbles fail fast, not garble: digit nibble > 9 in any
+    // digit position; digit nibble (0-9) where the sign must sit
+    for (badDigit <- 0x0a to 0x0f) {
+      val hi = Array[Byte](((badDigit << 4) | 0x1).toByte, 0x2c) // bad high nibble
+      an[IllegalArgumentException] should be thrownBy Decoder.com3ToInt(hi)
+      val lo = Array[Byte](((0x1 << 4) | badDigit).toByte, 0x2c) // bad low nibble (non-final byte)
+      an[IllegalArgumentException] should be thrownBy Decoder.com3ToInt(lo)
+    }
+    for (badSign <- 0x0 to 0x9) {
+      val b = Array[Byte](0x12, ((0x3 << 4) | badSign).toByte)
+      an[IllegalArgumentException] should be thrownBy Decoder.com3ToInt(b)
+    }
+  }
+
   test("binary_split splits on multi-byte delimiter") {
     val data = "ab||cd||ef".getBytes("ISO-8859-1")
     val parts = Decoder.binarySplit(data, "||".getBytes("ISO-8859-1"))

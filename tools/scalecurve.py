@@ -98,6 +98,10 @@ LINEAR_SET = [
     # q105 in update mode: same state, emits only changed groups per
     # batch + a source-keyed final-state max over the emissions
     "q106_stream_topk_update",
+    # event-time TTL: one ValueState + one timer per user (state is
+    # user-cardinality-bounded), expiry at watermark; drained emissions
+    # join a keyed batch agg
+    "q107_event_ttl",
     # chunk dedup: typed-flatMap tokenize + three keyed shuffles (md5
     # span digest, doc id x2) — all single-pass
     "d17_paragraph_dedup",
