@@ -2615,6 +2615,58 @@ object Queries {
         |WHERE rk <= 20""".stripMargin
     }),
 
+    // Epoch-capped mixing schedule: the source-repetition plan of a
+    // token-budget run — temperature weights (q = floor(sqrt(n)), c9's
+    // α=1/2 up-weighting), proportional budget allocation, then each
+    // allocation converted to EPOCHS of its source capped at 4 (the
+    // multi-epoch scaling rule of thumb: repeating a small source
+    // beyond a few epochs stops helping). Micro-epoch integer output;
+    // the two corpus-scale products ride DECIMAL(38,0) (c12's overflow
+    // contract). Shapes: one token-count scan + source agg; all the
+    // arithmetic runs on the source-catalog-sized frame with a 1-row
+    // totals broadcast.
+    Spec("c16_epoch_schedule", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.Curation.epochSchedule(docs, "source", "text")
+    }, Some(s"""WITH t AS (SELECT source, $qWsTokensSql AS tokens FROM documents),
+        |per AS (SELECT source, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+        |    CAST(floor(sqrt(CAST(SUM(tokens) AS DOUBLE))) AS BIGINT) AS q
+        |  FROM t GROUP BY source),
+        |tot AS (SELECT SUM(n_tokens) AS n_total, SUM(q) AS q_total FROM per),
+        |a AS (SELECT source, n_tokens, q,
+        |    CAST(((n_total // 4) * q) // q_total AS BIGINT) AS alloc
+        |  FROM per, tot),
+        |e AS (SELECT *, CAST(least(4000000, (1000000 * alloc) // n_tokens) AS BIGINT) AS epochs_u
+        |  FROM a)
+        |SELECT source, n_tokens, q, alloc, epochs_u,
+        |  CAST((n_tokens * epochs_u) // 1000000 AS BIGINT) AS eff_tokens
+        |FROM e""".stripMargin)),
+
+    // Pack materialization — the last mile of c3's packing: each
+    // (shard, pack) becomes the actual training sequence (texts joined
+    // in doc order with the 0x1E record separator, graded by md5), its
+    // per-document token-offset boundaries (the attention-reset
+    // points), doc count and token total. The within-pack offset
+    // window partitions by (shard, pack_id): pack COUNT grows with the
+    // corpus while each pack is bounded by the token budget — groups
+    // stay small at any scale (the inverse of the c13 shape the
+    // low-cardinality guard rejects).
+    Spec("c17_pack_sequences", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.Curation.packSequences(docs, "doc_id", "text")
+    }, Some(s"""WITH t AS (SELECT doc_id, text, $qWsTokensSql AS tokens,
+        |    doc_id % 16 AS shard FROM documents),
+        |c AS (SELECT *, coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t),
+        |p AS (SELECT *, cum_before // 512 AS pack_id FROM c),
+        |o AS (SELECT *, coalesce(sum(tokens) OVER (PARTITION BY shard, pack_id ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM p)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(pack_id AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
+        |  md5(string_agg(text, chr(30) ORDER BY doc_id)) AS pack_md5,
+        |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS boundaries
+        |FROM o GROUP BY 1, 2""".stripMargin)),
+
     Spec("c9_temperature_mix", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val srcnum = col("source").substr(lit(4), length(col("source"))).cast("long")
@@ -4476,6 +4528,119 @@ object Queries {
          |  CAST(CASE WHEN coalesce(s.score, 0) > 0 THEN 1 ELSE 0 END AS INT) AS keep
          |FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id""".stripMargin
     }),
+
+    // PII detection (Pii.detect): per-document match counts for the five
+    // regex classes (email / SSN / phone / IPv4 / 16-digit card) — the
+    // scrub-audit pass before text leaves curation. The corpus is
+    // synthetic, so PII is PLANTED deterministically by doc_id modulus
+    // (d1's dup-planting pattern): varying emails, fixed phone/SSN/card,
+    // id-derived IPs — every class exercised, docs with zero/one/many
+    // classes all present. Patterns are Java-regex/RE2 identical (no
+    // backreferences or lookaround), so DuckDB's regexp_extract_all
+    // replays the counts exactly. Narrow plan: one projection, regexes
+    // inside whole-stage codegen, no shuffle.
+    Spec("t21_pii_detect", (spark, dir) => {
+      val planted = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+            pmod(col("doc_id"), lit(100L)).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" card 4111111111111111")).otherwise(lit(""))
+        ).as("text"))
+      graft.ml.Pii.detect(planted, "doc_id", "text")
+    }, Some {
+      val pats = graft.ml.Pii.classes.map { case (n, p, _) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$n"
+      }.mkString(",\n        |  ")
+      s"""WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN ' card 4111111111111111' ELSE '' END AS text
+        |FROM documents),
+        |c AS (SELECT doc_id,
+        |  $pats
+        |FROM p)
+        |SELECT doc_id, n_email, n_ssn, n_phone, n_ip, n_cc,
+        |  n_email + n_ssn + n_phone + n_ip + n_cc AS n_pii
+        |FROM c""".stripMargin
+    }),
+
+    // PII redaction (Pii.redact): the transform itself hash-graded — the
+    // redacted text's md5 and length must match DuckDB's replay of the
+    // same ordered class-by-class regexp_replace chain, so a wrong
+    // pattern, wrong order, or an engine regex divergence mismatches
+    // immediately (replacement tokens contain no digits/'@', making the
+    // composition confluent — later classes can't match inside earlier
+    // tokens). Same planted corpus as t21.
+    Spec("t22_pii_redact", (spark, dir) => {
+      val planted = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, concat(lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast("string"), lit("."),
+            pmod(col("doc_id"), lit(100L)).cast("string"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0, lit(" card 4111111111111111")).otherwise(lit(""))
+        ).as("text"))
+      graft.ml.Pii.redact(planted, "doc_id", "text")
+        .select(col("doc_id"), md5(col("redacted")).as("red_md5"),
+          length(col("redacted")).cast("long").as("red_len"), col("n_redacted"))
+    }, Some {
+      val repl = graft.ml.Pii.classes.foldLeft("text") { case (e, (_, p, t)) =>
+        s"regexp_replace($e, '$p', '$t', 'g')"
+      }
+      val cnt = graft.ml.Pii.classes.map { case (_, p, _) =>
+        s"len(regexp_extract_all(text, '$p'))"
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END ||
+        |  CASE WHEN doc_id % 13 = 0 THEN ' card 4111111111111111' ELSE '' END AS text
+        |FROM documents)
+        |SELECT doc_id, md5($repl) AS red_md5,
+        |  CAST(length($repl) AS BIGINT) AS red_len,
+        |  CAST($cnt AS BIGINT) AS n_redacted
+        |FROM p""".stripMargin
+    }),
+
+    // Unigram-LM surprise (the log-free perplexity filter, CCNet's
+    // role): per token, surprise = BIT LENGTH of N_total div tf — an
+    // exact integer floor(log2(N/tf)) + 1 via length(bin(x)), which
+    // both engines compute bit-for-bit where a libm log() never would.
+    // Per doc: mean token surprise in micro-units. Rare-token-heavy
+    // garbage scores high, stopword boilerplate low — the cut a
+    // curation pipeline applies on both tails. Scale shape: c12's
+    // (token explode -> Zipf-small vocab tf frame -> 1-row total
+    // broadcast -> token-keyed join back -> doc agg).
+    Spec("t23_unigram_surprise", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.unigramSurprise(docs, "doc_id", "text")
+    }, Some("""WITH n AS (SELECT doc_id,
+        |  list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(ts) AS tok FROM n),
+        |tf AS (SELECT tok, count(*) AS tf FROM tk GROUP BY tok),
+        |tot AS (SELECT SUM(tf) AS n_total FROM tf),
+        |sc AS (SELECT tok, CAST(length(bin(CAST(n_total // tf AS BIGINT))) AS BIGINT) AS bits
+        |  FROM tf, tot),
+        |pd AS (SELECT tk.doc_id, count(*) AS n_toks, SUM(sc.bits) AS lm_bits
+        |  FROM tk JOIN sc USING (tok) GROUP BY 1)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(lm_bits AS BIGINT) AS lm_bits,
+        |  CAST((1000000 * lm_bits) // n_toks AS BIGINT) AS ppl_u
+        |FROM pd""".stripMargin)),
 
     // Gopher-style repetition filters (Rae et al. '21 §A1.1): per doc,
     // the character mass covered by the MOST FREQUENT word 2-gram

@@ -186,6 +186,84 @@ object Curation {
   }
 
   /**
+   * Epoch-capped mixing schedule (c16): the source-repetition plan a
+   * token-budget training run needs — temperature-weight each source
+   * (q_s = floor(sqrt(n_s)), the α=1/2 up-weighting of small sources),
+   * allocate the budget proportionally, then convert each allocation to
+   * EPOCHS of the source capped at `maxEpochs` (repeating a small
+   * source beyond a few epochs stops helping — the public multi-epoch
+   * scaling results' rule of thumb). Everything is integer micro-unit
+   * arithmetic with floor division; the two products that could exceed
+   * Long at corpus scale (`1e6 * alloc`, `n_tokens * epochs_u`) ride
+   * DECIMAL(38,0) like [[dsirTopKPerSource]]'s weights.
+   *
+   * Output: (sourceCol, n_tokens, q, alloc, epochs_u, eff_tokens) —
+   * epochs_u in micro-epochs (1e6 = one full epoch), eff_tokens the
+   * tokens the schedule actually draws from the source.
+   *
+   * Scale shape: one token-count scan + a source-keyed agg, then all
+   * arithmetic on the source-catalog-sized frame with a 1-row totals
+   * broadcast.
+   */
+  def epochSchedule(df: DataFrame, sourceCol: String, textCol: String,
+                    budgetDiv: Int = 4, maxEpochs: Int = 4): DataFrame = {
+    require(budgetDiv >= 1 && maxEpochs >= 1,
+      s"epochSchedule: bad budgetDiv=$budgetDiv maxEpochs=$maxEpochs")
+    val per = df.select(col(sourceCol),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("tokens"))
+      .groupBy(col(sourceCol)).agg(sum(col("tokens")).as("n_tokens"))
+      .withColumn("q", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("n_tokens")).as("n_total"), sum(col("q")).as("q_total"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("alloc", expr(s"((n_total div $budgetDiv) * q) div q_total"))
+      .withColumn("epochs_u", least(lit(maxEpochs * 1000000L),
+        expr("(1000000 * cast(alloc AS DECIMAL(38,0))) div n_tokens")))
+      .withColumn("eff_tokens",
+        expr("(cast(n_tokens AS DECIMAL(38,0)) * epochs_u) div 1000000"))
+      .select(col(sourceCol), col("n_tokens"), col("q"), col("alloc"),
+        col("epochs_u"), col("eff_tokens"))
+  }
+
+  /**
+   * Pack materialization (c17): the last mile of c3's sequence packing —
+   * for each (shard, pack) turn the assigned documents into the actual
+   * training sequence: texts concatenated in doc order with the ASCII
+   * record separator (0x1E), per-document token-offset boundaries (the
+   * attention-mask reset points), doc count and token total. The
+   * sequence itself is emitted as its md5 (packs are long; the hash
+   * grades the exact bytes without shipping them).
+   *
+   * Scale shape: c3's windowless per-shard running sum assigns packs;
+   * the within-pack offset window partitions by (shard, pack_id) —
+   * pack count GROWS with the corpus while each pack is bounded by the
+   * token budget, so groups stay small at any scale; one keyed agg
+   * builds the sequences with order-free sorted-struct aggregation.
+   */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    shardMod: Int = 16, packTokens: Int = 512): DataFrame = {
+    require(shardMod >= 1 && packTokens >= 1,
+      s"packSequences: bad shardMod=$shardMod packTokens=$packTokens")
+    val docs = df.select(col(idCol), col(textCol).as("__text_"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("tokens"))
+      .withColumn("shard", pmod(col(idCol), lit(shardMod.toLong)))
+    val packed = graft.utils.DataframeHelper.perGroupRunningSum(
+        docs, Seq("shard"), Seq(idCol), "tokens", "cum_incl")
+      .withColumn("pack_id", expr(s"(cum_incl - tokens) div $packTokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("pack_id")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    packed.withColumn("off", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("pack_tokens"),
+        md5(concat_ws("\u001e",
+          expr(s"transform(array_sort(collect_list(struct($idCol, __text_))), x -> x.__text_)")))
+          .as("pack_md5"),
+        concat_ws(",",
+          expr(s"transform(array_sort(collect_list(struct($idCol, off))), x -> cast(x.off AS STRING))"))
+          .as("boundaries"))
+  }
+
+  /**
    * Gopher repetition metrics (t20, Rae et al. '21 §A1.1): per doc, the
    * character mass covered by the MOST FREQUENT word 2-gram
    * (`top_cover_u`) and by all 2-grams occurring >= 2 times

@@ -514,7 +514,8 @@ class CurationActor extends Actor {
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
-      require(Seq("calibrate", "split", "dsir", "gopher").contains(m),
+      require(Seq("calibrate", "split", "dsir", "gopher", "surprise",
+        "epochs", "pack").contains(m),
         s"CurationActor: bad method $m")
       method = m
     }
@@ -549,6 +550,49 @@ class CurationActor extends Actor {
         Curation.dsirTopKPerSource(df, idCol, sourceCol, textCol, expr(targetWhere), topK)
       case "gopher" =>
         Curation.gopherTopGram(df, idCol, textCol)
+      case "surprise" =>
+        TextAnalysis.unigramSurprise(df, idCol, textCol)
+      case "epochs" =>
+        Curation.epochSchedule(df, sourceCol, textCol)
+      case "pack" =>
+        Curation.packSequences(df, idCol, textCol)
+    })
+  }
+}
+
+/** PII scrubbing actor: `method: detect` appends nothing and returns the
+ *  per-document class counts ([[Pii.detect]]); `method: redact` returns
+ *  (id, redacted, n_redacted) with every class replaced by its token
+ *  ([[Pii.redact]]). Pure per-row projection — no shuffle, codegen'd
+ *  regex expressions; patterns are RE2-compatible so external engines
+ *  reproduce counts and redacted text exactly. */
+class PiiActor extends Actor {
+  protected var view: String = ""
+  protected var method: String = "detect"
+  protected var idCol: String = "doc_id"
+  protected var textCol: String = "text"
+  protected var outCol: String = "redacted"
+
+  override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
+    view = require_(properties, "view")
+    properties.get("method").foreach { m =>
+      require(Seq("detect", "redact").contains(m), s"PiiActor: bad method $m")
+      method = m
+    }
+    properties.get("idField").foreach(idCol = _)
+    properties.get("textField").foreach(textCol = _)
+    properties.get("outputField").foreach(outCol = _)
+  }
+
+  def sourceView(v: String): this.type = { view = v; this }
+
+  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+
+  override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    val df = ctx.getView(view)
+    Some(method match {
+      case "detect" => Pii.detect(df, idCol, textCol)
+      case "redact" => Pii.redact(df, idCol, textCol, outCol)
     })
   }
 }

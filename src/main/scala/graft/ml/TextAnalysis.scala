@@ -196,4 +196,40 @@ object TextAnalysis {
         coalesce(col("n_terms"), lit(0L)).as("n_terms"),
         coalesce(col("bm25_q"), lit(0L)).as("bm25_q"))
   }
+
+  /**
+   * Unigram-LM surprise score — the log-free, cross-engine-exact
+   * analogue of the perplexity filter (CCNet-style: score text by how
+   * surprising its tokens are under a corpus LM; outliers on either
+   * side are boilerplate or garbage). Per token the surprise is the
+   * BIT LENGTH of `N_total div tf` — an exact integer
+   * `floor(log2(N/tf)) + 1`, computed as `length(bin(x))` which any SQL
+   * engine reproduces bit-for-bit where a libm `log()` never is. Rare
+   * tokens contribute many bits, stop-words one or two; the per-doc
+   * score is the mean token surprise in integer micro-units:
+   * `ppl_u = (1e6 * Σ bits) div n_tokens`.
+   *
+   * Output: (idCol, n_toks, lm_bits, ppl_u).
+   *
+   * Scale shape: c12's — one token explode into a vocab-sized tf frame
+   * (map-side partial agg; vocabulary is Zipf-small relative to the
+   * corpus), a 1-row total broadcast into the vocab frame, a token-keyed
+   * join back, and one doc-keyed agg. No window, no driver reads.
+   */
+  def unigramSurprise(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(org.apache.spark.sql.functions.filter(
+        split(Dedup.normText(col(textCol)), " "),
+        x => length(x) > 0)).as("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("n_total"))
+    val scored = tf.crossJoin(broadcast(total))
+      .select(col("tok"),
+        expr("CAST(length(bin(n_total div tf)) AS BIGINT)").as("bits"))
+    toks.join(scored, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("lm_bits"))
+      .select(col(idCol), col("n_toks"), col("lm_bits"),
+        expr("(1000000 * lm_bits) div n_toks").as("ppl_u"))
+  }
 }

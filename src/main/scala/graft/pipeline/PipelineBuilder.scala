@@ -86,7 +86,8 @@ object PipelineBuilder {
     "multimodal-decode" -> "graft.ml.MultimodalDecodeActor",
     "image-dedup" -> "graft.ml.ImageDedupActor",
     "graph" -> "graft.ml.GraphActor",
-    "curate" -> "graft.ml.CurationActor")
+    "curate" -> "graft.ml.CurationActor",
+    "pii" -> "graft.ml.PiiActor")
 
   def fromFile(path: String, submitVars: Map[String, String] = Map.empty,
                appConfig: Map[String, String] = Map.empty)

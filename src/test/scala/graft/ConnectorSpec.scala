@@ -135,6 +135,81 @@ class ConnectorSpec extends SparkSpec {
     out.count() shouldBe 2L // post-load filter applied on the loaded frame
   }
 
+  test("kafka STREAM reader e2e against the streaming double: decode + watermark plumbing") {
+    // KafkaStreamReader's real run() against the DSv2 MicroBatchStream
+    // double: subscribe/startingOffsets reach the source, the JSON value
+    // decode + flatten runs on streaming wire-shaped rows, and the
+    // watermark property attaches (visible as the eventTime column
+    // surviving an event-time window aggregate without
+    // withWatermark-missing analysis errors).
+    implicit val s = spark
+    import graft.testdouble.GraftTestKafkaStream
+    GraftTestKafkaStream.reset()
+    val ctx = new JobContext(PipelineContext())
+    val r = new graft.source.KafkaStreamReader
+    r.init(Map(
+      "providerFormat" -> "graft-test-kafka-stream",
+      "bootstrapServers" -> "broker-a:9092",
+      "topic" -> "events",
+      "options.test.records" ->
+        """u7|{"user_id": 7, "city": "x"};u8|{"user_id": 8, "city": "y"}""",
+      "value.jsonSchemaString" -> "user_id long, city string",
+      "watermark.timeField" -> "__kafka_timestamp",
+      "watermark.delayThreshold" -> "10 minutes"))
+    val out = r.run(ctx).get
+    out.isStreaming shouldBe true
+    // event-time agg on the watermarked column — fails analysis if the
+    // watermark did not attach
+    val agg = out.groupBy(org.apache.spark.sql.functions.window(
+      col("__kafka_timestamp"), "1 hour")).count()
+    val qname = s"ksr_e2e_${System.nanoTime}"
+    val sq = agg.writeStream.format("memory").queryName(qname)
+      .outputMode("complete").start()
+    sq.processAllAvailable(); sq.stop()
+    spark.table(qname).collect().map(_.getLong(1)).sum shouldBe 2L
+    spark.catalog.dropTempView(qname)
+    GraftTestKafkaStream.lastReadOptions("subscribe") shouldBe "events"
+    GraftTestKafkaStream.lastReadOptions("kafka.bootstrap.servers") shouldBe "broker-a:9092"
+    // and the decode itself, drained without the agg
+    val qname2 = s"ksr_rows_${System.nanoTime}"
+    val sq2 = out.select("user_id", "city").writeStream.format("memory")
+      .queryName(qname2).outputMode("append").start()
+    sq2.processAllAvailable(); sq2.stop()
+    val rows = spark.table(qname2).collect().map(r2 => (r2.getLong(0), r2.getString(1))).sorted
+    rows.toSeq shouldBe Seq((7L, "x"), (8L, "y"))
+    spark.catalog.dropTempView(qname2)
+  }
+
+  test("kafka STREAM writer e2e against the streaming double: records, epochs, options") {
+    implicit val s = spark
+    import graft.testdouble.GraftTestKafkaStream
+    GraftTestKafkaStream.reset()
+    val ctx = new JobContext(PipelineContext())
+    // source stream: the read double; records become (key=binary k, ...)
+    val src = spark.readStream.format("graft-test-kafka-stream")
+      .option("test.records", "a|1;b|2;c|3").load()
+      .selectExpr("CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v")
+    src.createOrReplaceTempView("ksw_src")
+    val w = new graft.sink.KafkaStreamWriter
+    w.init(Map(
+      "providerFormat" -> "graft-test-kafka-stream",
+      "bootstrapServers" -> "broker-a:9092",
+      "topic" -> "out-topic",
+      "view" -> "ksw_src",
+      "keyField" -> "k",
+      "valueField" -> "v",
+      "outputMode" -> "append",
+      "trigger.mode" -> "once",
+      "options.checkpointLocation" -> tmpDir("ksw_ckpt")))
+    w.run(ctx)
+    GraftTestKafkaStream.lastWriteOptions("topic") shouldBe "out-topic"
+    GraftTestKafkaStream.lastWriteOptions("kafka.bootstrap.servers") shouldBe "broker-a:9092"
+    GraftTestKafkaStream.committedEpochs should not be empty
+    GraftTestKafkaStream.written.sortBy(_._1) shouldBe Seq(
+      ("a", "1"), ("b", "2"), ("c", "3"))
+    spark.catalog.dropTempView("ksw_src")
+  }
+
   test("as-of join leftOuter keeps unmatched rows") {
     implicit val s = spark
     import spark.implicits._

@@ -262,6 +262,26 @@ class ExamplesSpec extends SparkSpec {
     splits.filter(col("fp_splits") =!= 1L).count() shouldBe 0L
   }
 
+  test("pii_scrub.yaml: audit + redact + gate; redacted output equals the library path") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_pii")
+    runExample("pii_scrub.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val audit = spark.read.parquet(s"$out/pii_audit")
+    audit.count() shouldBe spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val clean = spark.read.parquet(s"$out/clean")
+    // the gate kept only low-density docs and carried their counts through
+    clean.filter(col("n_pii") > 10).count() shouldBe 0L
+    // pipeline redaction == direct library redaction on the same rows
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val direct = graft.ml.Pii.redact(docs, "doc_id", "text")
+      .select(col("doc_id"), col("redacted"))
+    val viaPipeline = clean.select(col("doc_id"), col("text").as("redacted"))
+    viaPipeline.join(direct, "doc_id")
+      .filter(viaPipeline("redacted") =!= direct("redacted"))
+      .count() shouldBe 0L
+  }
+
   test("stream_quality_monitor.yaml surfaces per-micro-batch observed metrics") {
     import org.apache.spark.sql.streaming.StreamingQueryListener
     import org.apache.spark.sql.streaming.StreamingQueryListener._

@@ -633,6 +633,45 @@ class MlSpec extends SparkSpec {
     }.getMessage should include("targetWhere")
   }
 
+  test("pii actor: detect counts and redact tokens; composition is confluent") {
+    implicit val s = spark
+    import spark.implicits._
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    Seq(
+      (1L, "mail me at a.b+c@test.org or x@y.io, ssn 123-45-6789"),
+      (2L, "call 555-123-4567 from 10.0.0.1 card 4111111111111111"),
+      (3L, "nothing sensitive here 12345"),
+      (4L, "ip 999.1.1.1 still matches the conservative ipv4 shape")
+    ).toDF("doc_id", "text").createOrReplaceTempView("pii_in")
+    def run(props: Map[String, String]) = {
+      val a = new graft.ml.PiiActor()
+      a.init(Map("view" -> "pii_in") ++ props)
+      a.run(ctx).get
+    }
+    val det = run(Map("method" -> "detect")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    det(1L).getLong(1) shouldBe 2L // emails
+    det(1L).getLong(2) shouldBe 1L // ssn
+    det(1L).getLong(6) shouldBe 3L // total
+    det(2L).getLong(3) shouldBe 1L // phone
+    det(2L).getLong(4) shouldBe 1L // ip
+    det(2L).getLong(5) shouldBe 1L // cc
+    det(3L).getLong(6) shouldBe 0L
+    val red = run(Map("method" -> "redact")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    red(1L)._1 shouldBe "mail me at <EMAIL> or <EMAIL>, ssn <SSN>"
+    red(2L)._1 shouldBe "call <PHONE> from <IP> card <CC>"
+    red(2L)._2 shouldBe 3L
+    red(3L)._1 should include("12345") // non-PII digits untouched
+    // confluence: redacting an already-redacted text is a no-op
+    run(Map("method" -> "redact")).createOrReplaceTempView("pii_round1")
+    val again = graft.ml.Pii.redact(spark.table("pii_round1")
+      .withColumnRenamed("redacted", "text"), "doc_id", "text")
+    again.filter(col("n_redacted") =!= 0L).count() shouldBe 0L
+    spark.catalog.dropTempView("pii_in")
+    spark.catalog.dropTempView("pii_round1")
+  }
+
   test("multimodal stub decode produces schema-stable features partition-parallel") {
     implicit val s = spark
     import spark.implicits._

@@ -194,6 +194,10 @@ class PlanSpec extends SparkSpec {
                            // frame (t16's stats shape)
       "c15_dsir_string_ids", // same dsirTopKPerSource totals shape as
                            // c12 (string-id surrogate path)
+      "c16_epoch_schedule", // 1-row totals crossJoin broadcast into the
+                           // source-catalog-sized frame (t16's shape)
+      "t23_unigram_surprise", // 1-row corpus-total crossJoin broadcast
+                           // into the vocab-sized tf frame (c12's shape)
       "c9_temperature_mix", // crossJoin vs broadcast 1-row ΣN/Σq totals
                            // frame (t16's stats shape; source counts are
                            // a broadcast HASH join on source)
@@ -290,9 +294,13 @@ class PlanSpec extends SparkSpec {
       "c3_token_packing", // perGroupRunningSum offsets window: runs over
                          // the (pid x shard)-sized offsets frame (one row
                          // per task per shard it touches), not the corpus
-      "q51_rank_family"  // window-function-dialect showcase: input bounded
+      "q51_rank_family", // window-function-dialect showcase: input bounded
                          // to <= 2000 rows by the constant o_orderkey
                          // filter (pushed to the scan) at ANY scale factor
+      "c17_pack_sequences" // perGroupRunningSum offsets window over the
+                         // (pid x shard)-sized frame (c3's reviewed shape);
+                         // the pack-offset window itself is keyed by the
+                         // high-cardinality (shard, pack_id) pair
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan

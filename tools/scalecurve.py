@@ -186,6 +186,17 @@ LINEAR_SET = [
     # Gopher top-2-gram coverage: one explode + two keyed (doc,gram)/(doc)
     # aggs, constant-width reduce state
     "t20_gopher_topgram",
+    # PII detect/redact: pure per-row regex projections, no shuffle
+    "t21_pii_detect",
+    "t22_pii_redact",
+    # unigram surprise: c12's shape (token explode -> vocab tf frame ->
+    # 1-row broadcast -> keyed join back -> doc agg)
+    "t23_unigram_surprise",
+    # epoch schedule: one scan + source agg + catalog-sized arithmetic
+    "c16_epoch_schedule",
+    # pack materialization: c3's windowless shard running sum + a
+    # (shard, pack_id)-keyed window whose groups are budget-bounded
+    "c17_pack_sequences",
     # DSIR importance: token explode -> vocab tf frames (Zipf-small),
     # token-keyed score join, doc-keyed agg, per-source graft_topk_pairs
     # aggregate (<= k pairs per source per task cross the exchange)
