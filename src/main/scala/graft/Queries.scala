@@ -808,6 +808,35 @@ object Queries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** s12's oracle: s3's IVF replay with the centroid seed set restricted
+   *  to the BASE corpus (vec_id % 10 <> 0) while assignment/probing run
+   *  over the full union — the incremental-ingest contract. */
+  private val s12Oracle: String = {
+    val vvExpr = dotSql("v", "v")
+    val distDot = dotSql("e.v", "ct.cv")
+    val cosDot = dotSql("q.v", "n.v")
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+       |vv AS (SELECT vec_id, v, ($vvExpr) AS vv FROM c),
+       |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h
+       |  FROM vv WHERE vec_id % 10 <> 0),
+       |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+       |assigned AS (SELECT e.vec_id, e.v, e.vv, ct.crank,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+       |  FROM vv e CROSS JOIN cent ct),
+       |cells AS (SELECT vec_id AS neighbor_id, v, vv, crank FROM assigned WHERE arank = 1),
+       |qcells AS (SELECT vec_id AS query_id, v, vv, crank FROM assigned
+       |  WHERE arank <= 2 AND vec_id % 50 = 0),
+       |scored AS (SELECT q.query_id, n.neighbor_id,
+       |  round(($cosDot) / (sqrt(q.vv) * sqrt(n.vv)), 6) AS cos_r
+       |  FROM qcells q JOIN cells n ON q.crank = n.crank AND q.query_id <> n.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos_r,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cos_r AS cos_sim, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   /** PQ full-ADC top-k — the memory-compression half of IVF-PQ. */
   private def s5(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -2104,6 +2133,28 @@ object Queries {
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
     Spec("s2_knn_lsh", s2, Some(s2Oracle)),
     Spec("s3_knn_ivf", s3, Some(s3Oracle)),
+
+    // Incremental IVF index maintenance — the production ingest shape:
+    // centroids are built ONCE from the base corpus and held fixed; an
+    // arriving batch is assigned against the EXISTING centroid frame
+    // and appended to the assignments, with no rebuild and no touch of
+    // the already-indexed vectors. Because cell assignment is per-row
+    // against a broadcast frame, the incremental index is BIT-IDENTICAL
+    // to rebuilding assignments over (base ∪ batch) with the same
+    // centroids (MlSpec pins the equality); the graded probe runs over
+    // the union index. At 100 TB this is the difference between an
+    // ingest touching |batch| rows and re-sharding the whole index.
+    Spec("s12_ivf_incremental", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "v", 16)
+      val index = Similarity.ivfAssignments(base, cents, "vec_id", "v")
+        .unionAll(Similarity.ivfAssignments(batch, cents, "vec_id", "v"))
+      Similarity.ivfProbe(emb.filter(col("vec_id") % 50 === 0), cents, index,
+        "vec_id", "v", 5, 2)
+    }, Some(s12Oracle)),
 
     // Int8-quantized kNN: per-vector symmetric quantization (scale =
     // 127/max|x|) then exact top-k over the quantized vectors — at 100 TB

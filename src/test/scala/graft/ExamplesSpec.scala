@@ -262,6 +262,17 @@ class ExamplesSpec extends SparkSpec {
     splits.filter(col("fp_splits") =!= 1L).count() shouldBe 0L
   }
 
+  test("ann_incremental_ingest.yaml: actor-composed incremental index equals the s12 catalog query") {
+    implicit val s = spark
+    val out = tmpDir("ex_ivf_inc")
+    runExample("ann_incremental_ingest.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val viaPipeline = spark.read.parquet(s"$out/neighbors").collect()
+      .map(_.toString).toSet
+    val viaCatalog = SparkEntry.queries("s12_ivf_incremental")(spark, sfDir)
+      .collect().map(_.toString).toSet
+    viaPipeline shouldBe viaCatalog
+  }
+
   test("pii_scrub.yaml: audit + redact + gate; redacted output equals the library path") {
     implicit val s = spark
     import org.apache.spark.sql.functions._

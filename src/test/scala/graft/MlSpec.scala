@@ -633,6 +633,27 @@ class MlSpec extends SparkSpec {
     }.getMessage should include("targetWhere")
   }
 
+  test("incremental IVF add equals a full assignment rebuild with the same centroids") {
+    // the s12 contract: assigning ONLY the new batch against the existing
+    // centroid frame and appending is bit-identical to re-assigning the
+    // whole union — because assignment is per-row against a broadcast
+    // frame, never a function of the other corpus rows
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val cents = graft.ml.Similarity.ivfCentroids(base, "vec_id", "v", 16)
+    val incremental = graft.ml.Similarity.ivfAssignments(base, cents, "vec_id", "v")
+      .unionAll(graft.ml.Similarity.ivfAssignments(batch, cents, "vec_id", "v"))
+      .select(col("crank"), col("id"))
+    val rebuilt = graft.ml.Similarity.ivfAssignments(emb, cents, "vec_id", "v")
+      .select(col("crank"), col("id"))
+    incremental.exceptAll(rebuilt).count() shouldBe 0L
+    rebuilt.exceptAll(incremental).count() shouldBe 0L
+  }
+
   test("pii actor: detect counts and redact tokens; composition is confluent") {
     implicit val s = spark
     import spark.implicits._

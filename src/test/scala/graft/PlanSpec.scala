@@ -135,7 +135,9 @@ class PlanSpec extends SparkSpec {
                            // offsets frame (c10's shape)
       "d18_canonical_rep", // langChainEdges' perGroupSequence offsets
                            // frame (c10's shape)
-      "s11_hybrid_rrf_ivf" // embeds s3's post-limit(16) centroid seed rank
+      "s11_hybrid_rrf_ivf", // embeds s3's post-limit(16) centroid seed rank
+      "s12_ivf_incremental" // s3's post-limit(16) centroid seed rank (base
+                           // corpus only — the fixed-centroid ingest shape)
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -155,6 +157,8 @@ class PlanSpec extends SparkSpec {
       "s5_knn_pq",         // labeled full-ADC scan (PQ compresses memory,
                            // not candidate count; IVF cells bound that)
       "s3_knn_ivf",        // crossJoin vs broadcast k-row centroid frame
+      "s12_ivf_incremental", // s3's crossJoin vs broadcast 16-row centroid
+                           // frame, for base + batch assignment and probe
       "s6_knn_ivfpq",      // crossJoin vs broadcast 16-row centroid frame
       "c1_kmeans",         // crossJoin vs broadcast k-row centroid frame
       "d14_semdedup",      // kmeans assignment: crossJoin vs broadcast

@@ -194,6 +194,9 @@ LINEAR_SET = [
     "t23_unigram_surprise",
     # epoch schedule: one scan + source agg + catalog-sized arithmetic
     "c16_epoch_schedule",
+    # incremental IVF: s3's cell-routed probe over a union index (per-row
+    # assignment vs a broadcast 16-row centroid frame; no rebuild)
+    "s12_ivf_incremental",
     # pack materialization: c3's windowless shard running sum + a
     # (shard, pack_id)-keyed window whose groups are budget-bounded
     "c17_pack_sequences",
