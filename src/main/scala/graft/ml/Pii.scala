@@ -43,8 +43,12 @@ object Pii {
    *  n_ssn, n_phone, n_ip, n_cc, n_pii). Counts are independent per
    *  class (each runs on the ORIGINAL text). */
   def detect(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // null text counts as ZERO matches, not null counts — regexp_count
+    // propagates null, which would null n_pii and silently pass any
+    // downstream `n_pii <= k` threshold gate
+    val t = coalesce(col(textCol), lit(""))
     val counts = classes.map { case (name, pat, _) =>
-      regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name")
+      regexp_count(t, lit(pat)).cast("long").as(s"n_$name")
     }
     val total = classes.map { case (name, _, _) => col(s"n_$name") }
       .reduce(_ + _).as("n_pii")
@@ -59,11 +63,13 @@ object Pii {
    *  class's token — the composition is confluent. */
   def redact(df: DataFrame, idCol: String, textCol: String,
              outCol: String = "redacted"): DataFrame = {
+    // null text passes through as null (redacting an absent document
+    // yields an absent document) with a ZERO count (see detect)
     val redacted = classes.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
       regexp_replace(c, lit(pat), lit(tok))
     }
     val total: Column = classes.map { case (_, pat, _) =>
-      regexp_count(col(textCol), lit(pat)).cast("long")
+      regexp_count(coalesce(col(textCol), lit("")), lit(pat)).cast("long")
     }.reduce(_ + _)
     df.select(col(idCol), redacted.as(outCol), total.as("n_redacted"))
   }

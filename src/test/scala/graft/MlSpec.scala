@@ -662,7 +662,8 @@ class MlSpec extends SparkSpec {
       (1L, "mail me at a.b+c@test.org or x@y.io, ssn 123-45-6789"),
       (2L, "call 555-123-4567 from 10.0.0.1 card 4111111111111111"),
       (3L, "nothing sensitive here 12345"),
-      (4L, "ip 999.1.1.1 still matches the conservative ipv4 shape")
+      (4L, "ip 999.1.1.1 still matches the conservative ipv4 shape"),
+      (5L, null.asInstanceOf[String]) // null text: zero counts, null redacted
     ).toDF("doc_id", "text").createOrReplaceTempView("pii_in")
     def run(props: Map[String, String]) = {
       val a = new graft.ml.PiiActor()
@@ -678,12 +679,15 @@ class MlSpec extends SparkSpec {
     det(2L).getLong(4) shouldBe 1L // ip
     det(2L).getLong(5) shouldBe 1L // cc
     det(3L).getLong(6) shouldBe 0L
+    det(5L).getLong(6) shouldBe 0L // null text -> zero, never null counts
     val red = run(Map("method" -> "redact")).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     red(1L)._1 shouldBe "mail me at <EMAIL> or <EMAIL>, ssn <SSN>"
     red(2L)._1 shouldBe "call <PHONE> from <IP> card <CC>"
     red(2L)._2 shouldBe 3L
     red(3L)._1 should include("12345") // non-PII digits untouched
+    run(Map("method" -> "redact")).filter(col("doc_id") === 5L)
+      .collect().head.isNullAt(1) shouldBe true // null text stays null
     // confluence: redacting an already-redacted text is a no-op
     run(Map("method" -> "redact")).createOrReplaceTempView("pii_round1")
     val again = graft.ml.Pii.redact(spark.table("pii_round1")
