@@ -633,6 +633,69 @@ class MlSpec extends SparkSpec {
     }.getMessage should include("targetWhere")
   }
 
+  test("epochSchedule: small sources up-weighted, epoch cap binds, guards fail fast") {
+    implicit val s = spark
+    import spark.implicits._
+    // big source: ~100x the small one's tokens
+    val docs = ((1 to 100).map(i => (s"d$i", "big", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")) ++
+      Seq(("s1", "small", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10")))
+      .toDF("doc_id", "source", "text")
+    val out = graft.ml.Curation.epochSchedule(docs, "source", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // temperature (sqrt) up-weighting: the small source gets MORE epochs
+    // of itself than the big one
+    out("small").getLong(4) should be > out("big").getLong(4)
+    // cap binds: never more than 4 full epochs (4e6 micro-epochs)
+    out.values.foreach(_.getLong(4) should be <= 4000000L)
+    // effective tokens never exceed epochs * n_tokens
+    out.values.foreach { r =>
+      r.getLong(5) should be <= (r.getLong(1) * 4L)
+    }
+    an[IllegalArgumentException] should be thrownBy
+      graft.ml.Curation.epochSchedule(docs, "source", "text", budgetDiv = 0)
+  }
+
+  test("packSequences: greedy budget assignment, cumulative boundaries, oversized docs") {
+    implicit val s = spark
+    import spark.implicits._
+    // shardMod=1 -> one shard; packTokens=8; docs of 5 tokens each:
+    // cum_before 0,5,10 -> packs 0,0,1 (greedy: a pack may overflow by
+    // the doc that crosses the budget, docs are never split)
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h i j"), (3L, "k l m n o"),
+      (4L, ("x " * 20).trim) // 20 tokens: bigger than the whole budget
+    ).toDF("doc_id", "text")
+    val out = graft.ml.Curation.packSequences(docs, "doc_id", "text",
+        shardMod = 1, packTokens = 8)
+      .collect().map(r => (r.getLong(1), r)).toMap // key by pack_id
+    out(0L).getLong(2) shouldBe 2L            // docs 1,2
+    out(0L).getAs[String]("boundaries") shouldBe "0,5"
+    out(0L).getLong(3) shouldBe 10L           // overflow by the crossing doc
+    // doc 3 (cum_before 10 -> pack 1), doc 4 (cum_before 15 -> pack 1):
+    // greedy keeps filling pack 1; the oversized doc is never split
+    out(1L).getLong(2) shouldBe 2L
+    out(1L).getAs[String]("boundaries") shouldBe "0,5"
+    out(1L).getLong(3) shouldBe 25L
+    // determinism: md5 stable across runs
+    val again = graft.ml.Curation.packSequences(docs, "doc_id", "text", 1, 8)
+      .collect().map(r => (r.getLong(1), r.getAs[String]("pack_md5"))).toMap
+    again(0L) shouldBe out(0L).getAs[String]("pack_md5")
+  }
+
+  test("unigramSurprise: stopword boilerplate scores low, rare-token text high") {
+    implicit val s = spark
+    import spark.implicits._
+    val docs = ((1 to 50).map(i => (i.toLong, "the the the the")) ++
+      Seq((99L, "zq7 qv9 xk3 jw5"))).toDF("doc_id", "text")
+    val out = graft.ml.TextAnalysis.unigramSurprise(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // "the" dominates the corpus -> near-zero bits; the rare-token doc
+    // carries ~log2(N/1) bits per token
+    out(99L) should be > (out(1L) * 4)
+    // every boilerplate doc scores identically (pure function of tf)
+    out(1L) shouldBe out(50L)
+  }
+
   test("incremental IVF add equals a full assignment rebuild with the same centroids") {
     // the s12 contract: assigning ONLY the new batch against the existing
     // centroid frame and appending is bit-identical to re-assigning the
