@@ -95,7 +95,21 @@ object Bench {
     val markers = results.collect {
       case (k, v, _) if markerNames.contains(k) => s"\"" + k + "\":" + v
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"markers":$markers,"sf":"$sfDir"}"""
+    // value_norm: the raw total scaled by the markers' drift against their
+    // stable historical levels (sf0.1, quiet host — the bands PLANS.md has
+    // adjudicated every slow phase against since r7: u1 0.19-0.22 s,
+    // q3 0.19-0.24, q12 0.09-0.14; midpoints below). A 1.3x-marker host
+    // phase divides out instead of needing a human to do the arithmetic.
+    // `value` stays the raw wall-clock total — the driver's number.
+    val markerRef = Map(
+      "u1_zipwithindex" -> 0.21, "q3_distinct" -> 0.21, "q12_string_funcs" -> 0.11)
+    val measured = results.collect {
+      case (k, v, _) if markerRef.contains(k) && v > 0 => (k, v) }
+    val valueNorm =
+      if (measured.size == markerRef.size)
+        total * markerRef.values.sum / measured.map(_._2).sum
+      else total // subset run without all markers: no normalization
+    val json = s"""{"metric":"total","value":$total,"value_norm":$valueNorm,"unit":"sec","queries":$qs,"cold":$cold,"markers":$markers,"sf":"$sfDir"}"""
     // The per-query line is ~6 KB at 188 queries and sbt interleaves its
     // own epilogue around stdout, so ALSO land the JSON in a file the
     // driver (or any harness) can read without scraping logs.
@@ -106,7 +120,7 @@ object Bench {
     println(json)
     // LAST stdout line is a short total-only JSON that fits any log-tail
     // capture (the full per-query map above overflows a 2 KB tail).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_cold":${results.count(!_._3)},"markers":$markers,"sf":"$sfDir","detail":"$outFile"}""")
+    println(s"""{"metric":"total","value":$total,"value_norm":$valueNorm,"unit":"sec","n":${results.size},"n_cold":${results.count(!_._3)},"markers":$markers,"sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
   }
 }

@@ -2718,6 +2718,28 @@ object Queries {
         |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS boundaries
         |FROM o GROUP BY 1, 2""".stripMargin)),
 
+    // c17 driven by the BPE-ish tokenizer instead of whitespace counts —
+    // the tokenCount parameter means a real tokenizer swaps in without
+    // forking the operator; same windowless pack assignment, same
+    // bounded (shard, pack_id) offset window as c17.
+    Spec("c18_pack_bpe", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.Curation.packSequences(docs, "doc_id", "text",
+        tokenCount = graft.ml.TextAnalysis.bpeTokenCount(_))
+    }, Some(s"""WITH t AS (SELECT doc_id, text,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tokens,
+        |    doc_id % 16 AS shard FROM documents),
+        |c AS (SELECT *, coalesce(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM t),
+        |p AS (SELECT *, cum_before // 512 AS pack_id FROM c),
+        |o AS (SELECT *, coalesce(sum(tokens) OVER (PARTITION BY shard, pack_id ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM p)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(pack_id AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS pack_tokens,
+        |  md5(string_agg(text, chr(30) ORDER BY doc_id)) AS pack_md5,
+        |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS boundaries
+        |FROM o GROUP BY 1, 2""".stripMargin)),
+
     Spec("c9_temperature_mix", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
       val srcnum = col("source").substr(lit(4), length(col("source"))).cast("long")
@@ -4650,9 +4672,16 @@ object Queries {
       val repl = graft.ml.Pii.classes.foldLeft("text") { case (e, (_, p, t)) =>
         s"regexp_replace($e, '$p', '$t', 'g')"
       }
-      val cnt = graft.ml.Pii.classes.map { case (_, p, _) =>
-        s"len(regexp_extract_all(text, '$p'))"
-      }.mkString(" + ")
+      // count each class on the progressively-redacted text, exactly as
+      // Pii.redact does — an earlier replacement can expose a later match
+      val cnt = {
+        var cur = "text"
+        graft.ml.Pii.classes.map { case (_, p, t) =>
+          val c = s"len(regexp_extract_all($cur, '$p'))"
+          cur = s"regexp_replace($cur, '$p', '$t', 'g')"
+          c
+        }.mkString(" + ")
+      }
       s"""WITH p AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
         |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-4567' ELSE '' END ||

@@ -193,9 +193,11 @@ object Curation {
    * EPOCHS of the source capped at `maxEpochs` (repeating a small
    * source beyond a few epochs stops helping — the public multi-epoch
    * scaling results' rule of thumb). Everything is integer micro-unit
-   * arithmetic with floor division; the two products that could exceed
-   * Long at corpus scale (`1e6 * alloc`, `n_tokens * epochs_u`) ride
-   * DECIMAL(38,0) like [[dsirTopKPerSource]]'s weights.
+   * arithmetic with floor division; the three products that could
+   * exceed Long at corpus scale (`(n_total div budgetDiv) * q`,
+   * `1e6 * alloc`, `n_tokens * epochs_u`) ride DECIMAL(38,0) like
+   * [[dsirTopKPerSource]]'s weights — at ~2.5e13 total tokens the
+   * budget share (~6e12) times q (~5e6) is ~3e19 > Long.MaxValue.
    *
    * Output: (sourceCol, n_tokens, q, alloc, epochs_u, eff_tokens) —
    * epochs_u in micro-epochs (1e6 = one full epoch), eff_tokens the
@@ -206,16 +208,35 @@ object Curation {
    * broadcast.
    */
   def epochSchedule(df: DataFrame, sourceCol: String, textCol: String,
-                    budgetDiv: Int = 4, maxEpochs: Int = 4): DataFrame = {
+                    budgetDiv: Int = 4, maxEpochs: Int = 4,
+                    tokenCount: Column => Column =
+                      TextAnalysis.wsTokenCount(_)): DataFrame = {
     require(budgetDiv >= 1 && maxEpochs >= 1,
       s"epochSchedule: bad budgetDiv=$budgetDiv maxEpochs=$maxEpochs")
     val per = df.select(col(sourceCol),
-        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("tokens"))
+        tokenCount(col(textCol)).cast("long").as("tokens"))
       .groupBy(col(sourceCol)).agg(sum(col("tokens")).as("n_tokens"))
+    epochScheduleFromCounts(per, sourceCol, "n_tokens", budgetDiv, maxEpochs)
+  }
+
+  /**
+   * [[epochSchedule]] over PRE-AGGREGATED per-source token counts —
+   * the entry point when counts come from a real tokenizer run (BPE,
+   * t17/t18) or a metadata table instead of the whitespace counter.
+   * Same arithmetic, same DECIMAL(38,0) overflow protection.
+   */
+  def epochScheduleFromCounts(perSource: DataFrame, sourceCol: String,
+                              tokensCol: String, budgetDiv: Int = 4,
+                              maxEpochs: Int = 4): DataFrame = {
+    require(budgetDiv >= 1 && maxEpochs >= 1,
+      s"epochScheduleFromCounts: bad budgetDiv=$budgetDiv maxEpochs=$maxEpochs")
+    val per = perSource
+      .select(col(sourceCol), col(tokensCol).cast("long").as("n_tokens"))
       .withColumn("q", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
     val tot = per.agg(sum(col("n_tokens")).as("n_total"), sum(col("q")).as("q_total"))
     per.crossJoin(broadcast(tot))
-      .withColumn("alloc", expr(s"((n_total div $budgetDiv) * q) div q_total"))
+      .withColumn("alloc", expr(
+        s"cast(((n_total div $budgetDiv) * cast(q AS DECIMAL(38,0))) div q_total AS BIGINT)"))
       .withColumn("epochs_u", least(lit(maxEpochs * 1000000L),
         expr("(1000000 * cast(alloc AS DECIMAL(38,0))) div n_tokens")))
       .withColumn("eff_tokens",
@@ -240,11 +261,13 @@ object Curation {
    * builds the sequences with order-free sorted-struct aggregation.
    */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    shardMod: Int = 16, packTokens: Int = 512): DataFrame = {
+                    shardMod: Int = 16, packTokens: Int = 512,
+                    tokenCount: Column => Column =
+                      TextAnalysis.wsTokenCount(_)): DataFrame = {
     require(shardMod >= 1 && packTokens >= 1,
       s"packSequences: bad shardMod=$shardMod packTokens=$packTokens")
     val docs = df.select(col(idCol), col(textCol).as("__text_"),
-        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("tokens"))
+        tokenCount(col(textCol)).cast("long").as("tokens"))
       .withColumn("shard", pmod(col(idCol), lit(shardMod.toLong)))
     val packed = graft.utils.DataframeHelper.perGroupRunningSum(
         docs, Seq("shard"), Seq(idCol), "tokens", "cum_incl")

@@ -60,17 +60,24 @@ object Pii {
   /** Redact every class in order; output (idCol, redacted text column,
    *  n_redacted = total matches replaced). Replacement tokens contain no
    *  digits or '@', so later classes can never match inside an earlier
-   *  class's token — the composition is confluent. */
+   *  class's token — the composition is confluent.
+   *
+   *  `n_redacted` counts each class on the PROGRESSIVELY-redacted text
+   *  (what that class's replace actually sees), not the original: an
+   *  earlier replacement can EXPOSE a later-class match — e.g. in
+   *  `"a@b.co1.2.3.4"` the IP's `\b` fails on the original (`o`→`1` is
+   *  word-to-word) but matches after `<EMAIL>` is spliced in — so
+   *  counting the original would under-report the substitutions made. */
   def redact(df: DataFrame, idCol: String, textCol: String,
              outCol: String = "redacted"): DataFrame = {
     // null text passes through as null (redacting an absent document
     // yields an absent document) with a ZERO count (see detect)
-    val redacted = classes.foldLeft(col(textCol)) { case (c, (_, pat, tok)) =>
-      regexp_replace(c, lit(pat), lit(tok))
-    }
-    val total: Column = classes.map { case (_, pat, _) =>
-      regexp_count(coalesce(col(textCol), lit("")), lit(pat)).cast("long")
-    }.reduce(_ + _)
+    val (redacted, total) =
+      classes.foldLeft((col(textCol), lit(0L).cast("long"): Column)) {
+        case ((c, cnt), (_, pat, tok)) =>
+          (regexp_replace(c, lit(pat), lit(tok)),
+           cnt + regexp_count(coalesce(c, lit("")), lit(pat)).cast("long"))
+      }
     df.select(col(idCol), redacted.as(outCol), total.as("n_redacted"))
   }
 }

@@ -95,10 +95,14 @@ class HBaseStreamWriter(channel: HBaseChannel) extends Actor with StreamWriteSup
  */
 abstract class ForeachBatchConnectorStreamWriter(format: String) extends Actor with StreamWriteSupport {
   protected var view: String = ""
+  // advanced: substitute a wire-compatible provider name (test double /
+  // vendor fork); the foreachBatch/checkpoint semantics stay the actor's
+  protected var providerFormat: String = format
   protected var options: Map[String, String] = Map.empty
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
+    properties.get("providerFormat").foreach(providerFormat = _)
     options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
     initStreamWrite(properties)
     require(checkpointLocation.isDefined,
@@ -113,7 +117,7 @@ abstract class ForeachBatchConnectorStreamWriter(format: String) extends Actor w
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
     require(df.isStreaming, s"$format stream writer: view '$view' is not a stream")
-    val fmt = format
+    val fmt = providerFormat
     val opts = options
     var w = df.writeStream.outputMode(outputMode).foreachBatch { (batch: DataFrame, _: Long) =>
       batch.write.format(fmt).options(opts).mode("append").save()

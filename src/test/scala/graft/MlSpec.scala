@@ -655,6 +655,33 @@ class MlSpec extends SparkSpec {
       graft.ml.Curation.epochSchedule(docs, "source", "text", budgetDiv = 0)
   }
 
+  test("epochScheduleFromCounts: alloc arithmetic survives the Long wrap point") {
+    implicit val s = spark
+    import spark.implicits._
+    // Corpus-scale counts: (n_total div 4) * q overflows BIGINT (~2e27)
+    // unless the product rides DECIMAL(38,0). 4e18 fits in Long; the
+    // intermediate does not.
+    val big = 4000000000000000000L   // 4e18 tokens, q = 2e9
+    val small = 1000000000000L       // 1e12 tokens, q = 1e6
+    val out = graft.ml.Curation.epochScheduleFromCounts(
+        Seq(("big", big), ("small", small)).toDF("source", "n_tokens"),
+        "source", "n_tokens")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // mirror the arithmetic in BigInt (what DuckDB's HUGEINT promotion does)
+    val (qB, qS) = (BigInt(2000000000L), BigInt(1000000L))
+    val nTotal = BigInt(big) + BigInt(small)
+    def alloc(q: BigInt) = ((nTotal / 4) * q / (qB + qS)).toLong
+    out("big").getLong(3) shouldBe alloc(qB)
+    out("small").getLong(3) shouldBe alloc(qS)
+    // the wrapped (plain-BIGINT) result would have been wildly different
+    out("big").getLong(3) should be > 0L
+    out("big").getLong(3) should be <= big
+    // downstream columns stay consistent: eff_tokens <= maxEpochs * n_tokens
+    // (BigInt on the test side — the 4x product itself wraps Long here)
+    out.values.foreach(r =>
+      BigInt(r.getLong(5)) should be <= BigInt(r.getLong(1)) * 4)
+  }
+
   test("packSequences: greedy budget assignment, cumulative boundaries, oversized docs") {
     implicit val s = spark
     import spark.implicits._
@@ -758,6 +785,23 @@ class MlSpec extends SparkSpec {
     again.filter(col("n_redacted") =!= 0L).count() shouldBe 0L
     spark.catalog.dropTempView("pii_in")
     spark.catalog.dropTempView("pii_round1")
+  }
+
+  test("pii redact: n_redacted counts substitutions exposed by earlier classes") {
+    implicit val s = spark
+    import spark.implicits._
+    // On the ORIGINAL text the IP's \b fails ('o'->'1' is word-to-word);
+    // replacing the email splices in '>' which IS a boundary, so the IP
+    // gets redacted too. The count must reflect BOTH substitutions.
+    val df = Seq((1L, "a@b.co1.2.3.4")).toDF("doc_id", "text")
+    val r = graft.ml.Pii.redact(df, "doc_id", "text").collect().head
+    r.getString(1) shouldBe "<EMAIL><IP>"
+    r.getLong(2) shouldBe 2L
+    // and detect() keeps its documented independent-per-class semantics:
+    // the IP is invisible on the original text
+    val d = graft.ml.Pii.detect(df, "doc_id", "text").collect().head
+    d.getLong(1) shouldBe 1L // email
+    d.getLong(4) shouldBe 0L // ip not matched on original
   }
 
   test("multimodal stub decode produces schema-stable features partition-parallel") {

@@ -301,10 +301,12 @@ class PlanSpec extends SparkSpec {
       "q51_rank_family", // window-function-dialect showcase: input bounded
                          // to <= 2000 rows by the constant o_orderkey
                          // filter (pushed to the scan) at ANY scale factor
-      "c17_pack_sequences" // perGroupRunningSum offsets window over the
+      "c17_pack_sequences", // perGroupRunningSum offsets window over the
                          // (pid x shard)-sized frame (c3's reviewed shape);
                          // the pack-offset window itself is keyed by the
                          // high-cardinality (shard, pack_id) pair
+      "c18_pack_bpe"     // identical plan to c17 with the BPE token
+                         // counter swapped in via the tokenCount param
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan

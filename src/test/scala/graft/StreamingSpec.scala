@@ -556,6 +556,75 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(1) -> (r.getBoolean(2), r.getBoolean(3))).toMap
     byEvent(101L) shouldBe ((false, true))
   }
+
+  test("event-time TTL: graded set is invariant to micro-batch slicing across an expire/reappear cycle") {
+    // q107's final-expiry filter claims (Queries.scala, q107 comment) that
+    // a mid-stream expire -> reappear -> re-expire cycle cannot change the
+    // graded output: the intermediate expiry's last_seen can never equal
+    // the key's final max ts. Drive the SAME events through (A) three
+    // separately-drained micro-batches with checkpoint resume — forcing
+    // the intermediate expiry to actually emit — and (B) one single-shot
+    // drain, and pin that the graded sets match while A's raw emissions
+    // contain the extra intermediate record.
+    implicit val s = spark
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") // session TZ = UTC
+    def at(hours: Int) = new java.sql.Timestamp(t0.getTime + hours * 3600L * 1000)
+    val batches = Seq(
+      Seq((1L, at(0)), (2L, at(0))),   // arm timers at +6h
+      Seq((2L, at(10))),               // wm -> +9h: user 1 expires MID-STREAM
+      Seq((1L, at(10)), (3L, at(20)))  // user 1 REAPPEARS; wm -> +19h re-expires 1 and 2
+    )
+    def drain(in: String, out: String, ckpt: String): Unit = {
+      spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(in)
+        .withWatermark("ts", "1 hour").createOrReplaceTempView("ettl_in_v")
+      val actor = new StreamStatefulTransformer()
+      actor.init(Map("view" -> "ettl_in_v",
+        "processor.type" -> "graft.streaming.EventTtlProcessor",
+        "processor.keyField" -> "user_id", "processor.tsField" -> "ts",
+        "processor.ttlSeconds" -> "21600"))
+      val q = actor.run(new JobContext(PipelineContext())).get.writeStream
+        .foreachBatch((b: DataFrame, _: Long) => b.write.mode("append").parquet(out))
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emissions(out: String): Seq[(Long, Long)] =
+      try spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      catch { case _: Throwable => Seq.empty }
+    // q107's grading step: max emitted last_seen per key, kept only when
+    // it equals the key's overall max event time
+    def graded(out: String, all: Seq[(Long, java.sql.Timestamp)]): Set[(Long, Long)] = {
+      val finalSeen = all.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2.getTime / 1000).max }
+      emissions(out).groupBy(_._1).flatMap { case (k, es) =>
+        val mx = es.map(_._2).max
+        if (finalSeen(k) == mx) Some((k, mx)) else None
+      }.toSet
+    }
+    val all = batches.flatten
+    // (A) sliced: one drain per batch file, resuming the checkpoint
+    val (inA, outA, ckptA) = (tmpDir("ettl_a_in"), tmpDir("ettl_a_out"), tmpDir("ettl_a_ck"))
+    batches.foreach { b =>
+      b.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(inA)
+      drain(inA, outA, ckptA)
+    }
+    // (B) single shot: all events visible to the first drain
+    val (inB, outB, ckptB) = (tmpDir("ettl_b_in"), tmpDir("ettl_b_out"), tmpDir("ettl_b_ck"))
+    all.toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(inB)
+    drain(inB, outB, ckptB)
+    // the mid-stream intermediate expiry REALLY emitted in A (last_seen=t0)
+    emissions(outA) should contain((1L, t0.getTime / 1000))
+    // ... and B never saw it
+    emissions(outB) should not contain ((1L, t0.getTime / 1000))
+    // the graded sets are identical: users 1 and 2 expired at +10h;
+    // user 3 still live at the final watermark
+    val expected = Set((1L, at(10).getTime / 1000), (2L, at(10).getTime / 1000))
+    graded(outA, all) shouldBe expected
+    graded(outB, all) shouldBe expected
+    spark.catalog.dropTempView("ettl_in_v")
+  }
 }
 
 /** Driver-side probe for the continuous-trigger test: executor threads (same

@@ -200,6 +200,8 @@ LINEAR_SET = [
     # pack materialization: c3's windowless shard running sum + a
     # (shard, pack_id)-keyed window whose groups are budget-bounded
     "c17_pack_sequences",
+    # c17 with the BPE-ish token counter swapped in — identical plan
+    "c18_pack_bpe",
     # DSIR importance: token explode -> vocab tf frames (Zipf-small),
     # token-keyed score join, doc-keyed agg, per-source graft_topk_pairs
     # aggregate (<= k pairs per source per task cross the exchange)
