@@ -12,8 +12,11 @@ import sys, os, json, subprocess, time
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/graft_scale/sf1"
-REPLICAS = 10
+# Overridable for beyond-sf1 probes of individual queries, e.g.
+#   SCALE_REPLICAS=20 SCALE_DST=/tmp/graft_scale/sf2 \
+#     python3 tools/scalecurve.py --queries d15_dedup_eval
+DST = os.environ.get("SCALE_DST", "/tmp/graft_scale/sf1")
+REPLICAS = int(os.environ.get("SCALE_REPLICAS", "10"))
 LINEAR_CAP = 1.5  # "<= ~1.5x linear" per-unit-data budget
 
 # FULL-CATALOG classification: every catalog query is either LINEAR
@@ -386,7 +389,7 @@ def main():
             bad.append(q)
         cls = (f"linear {verdict}" if linear else f"modeled: {MODELED[q]}")
         rows.append((q, a, b, ratio, unit, cls))
-    print("| query | sf0.1 s | sf1 s | x | x/10 (1.0=linear) | class |")
+    print(f"| query | sf0.1 s | {REPLICAS}x s | x | x/{REPLICAS} (1.0=linear) | class |")
     print("|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r[0]} | {r[1]:.2f} | {r[2]:.2f} | {r[3]:.1f} | "
