@@ -692,6 +692,32 @@ object Queries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** Hard-negative mining: s1's brute baseline with the different-label
+   *  predicate — the contrastive-training negatives near the boundary.
+   *  Production composes the IVF probe + label filter (see
+   *  [[Similarity.hardNegatives]] scaladoc). */
+  private def s13(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"),
+        col("label"))
+    Similarity.hardNegatives(emb.filter(col("vec_id") % 50 === 0), emb,
+      "vec_id", "v", "label", 5)
+  }
+
+  private val s13Oracle: String = {
+    val cos = s"(${dotSql("q.v", "c.v")}) / (${normSql("q.v")} * ${normSql("c.v")})"
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+       |    CAST(label AS VARCHAR) AS label FROM embeddings),
+       |q AS (SELECT * FROM c WHERE vec_id % 50 = 0),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    c.label AS neg_label, round($cos, 6) AS cos_r
+       |  FROM q JOIN c ON q.vec_id <> c.vec_id AND q.label <> c.label),
+       |r AS (SELECT query_id, neighbor_id, neg_label, cos_r,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, neg_label, cos_r AS cos_sim, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   /** Approximate (LSH-bucketed) top-k — the scale path. */
   private def s2(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -2131,6 +2157,7 @@ object Queries {
     Spec("d5_simhash", d5, Some(d5Oracle)),
     Spec("d6_embed_neardup", d6, Some(d6Oracle)),
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
+    Spec("s13_hard_negatives", s13, Some(s13Oracle)),
     Spec("s2_knn_lsh", s2, Some(s2Oracle)),
     Spec("s3_knn_ivf", s3, Some(s3Oracle)),
 
@@ -2739,6 +2766,36 @@ object Queries {
         |  md5(string_agg(text, chr(30) ORDER BY doc_id)) AS pack_md5,
         |  string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS boundaries
         |FROM o GROUP BY 1, 2""".stripMargin)),
+
+    // Corpus version diff: the incremental-pipeline manifest compare.
+    // The "new" version is derived deterministically from documents —
+    // %7==0 dropped (removed), %5==0 text-perturbed (changed, unless
+    // also dropped), +500000 ids planted for %11==0 (added) — so every
+    // status is exercised and the oracle replays the same derivation.
+    // One md5 projection per side + one id-keyed full outer join.
+    Spec("c19_corpus_diff", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val newV = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+      graft.ml.Curation.corpusDiff(docs, newV, "doc_id", "text")
+    }, Some(
+      """WITH newv AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+        |mo AS (SELECT doc_id, md5(coalesce(text, '')) AS h_old FROM documents),
+        |mn AS (SELECT doc_id, md5(coalesce(text, '')) AS h_new FROM newv)
+        |SELECT coalesce(mo.doc_id, mn.doc_id) AS doc_id,
+        |  CASE WHEN mo.doc_id IS NULL THEN 'added'
+        |       WHEN mn.doc_id IS NULL THEN 'removed'
+        |       WHEN h_old = h_new THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM mo FULL OUTER JOIN mn ON mo.doc_id = mn.doc_id""".stripMargin)),
 
     Spec("c9_temperature_mix", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -4551,6 +4608,67 @@ object Queries {
         |  CAST(sum((length(s1) - length(replace(s1, '<', ''))) * tc) AS BIGINT) AS symbols_after_m1,
         |  CAST(sum((length(s2) - length(replace(s2, '<', ''))) * tc) AS BIGINT) AS symbols_after_m2
         |FROM b GROUP BY m1, m2""".stripMargin
+    }),
+
+    // Full iterative BPE trainer (t17's round looped, t18's apply
+    // between rounds): 6 merges learned over the corpus vocabulary,
+    // graded against a 6x-unrolled DuckDB replay of the identical loop
+    // (same wrapped-symbol form, same left-to-right replace, same
+    // (cnt DESC, a, b) tie-break — the merge table is a pure function
+    // of the corpus). Scale shape: ONE corpus scan into the Zipf-small
+    // word dictionary, then vocab-bounded rounds (see bpeLearn scaladoc).
+    Spec("t24_bpe_train", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.bpeLearn(docs, "text", 6)
+    }, Some {
+      val rounds = (1 to 6).map { k =>
+        s"""p$k AS (SELECT string_split(substr(ws, 2, length(ws) - 2), '><') AS syms, tc FROM v${k - 1}),
+           |x$k AS (SELECT syms, tc, unnest(range(1, len(syms))) AS i FROM p$k),
+           |e$k AS (SELECT syms[i] AS a, syms[i + 1] AS b, tc FROM x$k),
+           |m$k AS (SELECT CAST($k AS BIGINT) AS round, a, b, CAST(SUM(tc) AS BIGINT) AS cnt
+           |  FROM e$k GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$k AS (SELECT replace(ws, '<' || m.a || '><' || m.b || '>', '<' || m.a || m.b || '>') AS ws, tc
+           |  FROM v${k - 1}, m$k m)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 6).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+      s"""WITH n AS (SELECT list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+         |  FROM documents),
+         |tok AS (SELECT unnest(ts) AS tok FROM n),
+         |tc AS (SELECT tok, count(*) AS tc FROM tok GROUP BY tok),
+         |v0 AS (SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS ws, tc FROM tc),
+         |$rounds
+         |SELECT round, a || b AS merge, a, b, cnt FROM ($union)""".stripMargin
+    }),
+
+    // Integer batch-perceptron training (t19's missing training half):
+    // 3 epochs over the hashed bag-of-words, label = (lang == 'en'),
+    // graded against a 3x-unrolled DuckDB replay — weights are exact
+    // integers (the perceptron update needs no learning-rate reals), so
+    // the whole training run is a pure function of the corpus.
+    Spec("t25_perceptron_train", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.perceptronTrain(docs, "doc_id", "text",
+        col("lang") === "en", epochs = 3, buckets = 1024)
+    }, Some {
+      val h = graft.ml.Hashing.duckdbHashSql("tok")
+      val ep = (2 to 3).map { k =>
+        s"""s$k AS (SELECT id, y, SUM(w * cnt) AS s FROM x JOIN w${k - 1} USING (bucket) GROUP BY id, y),
+           |mi$k AS (SELECT id FROM s$k WHERE y * s <= 0),
+           |g$k AS (SELECT bucket, SUM(y * cnt) AS g FROM x JOIN mi$k USING (id) GROUP BY bucket),
+           |w$k AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+           |    coalesce(a.w, 0) + coalesce(b.g, 0) AS w
+           |  FROM w${k - 1} a FULL OUTER JOIN g$k b ON a.bucket = b.bucket)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH n AS (SELECT doc_id, lang, list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), t -> length(t) > 0) AS ts
+         |  FROM documents),
+         |tok AS (SELECT doc_id AS id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |    unnest(ts) AS tok FROM n),
+         |x AS (SELECT id, y, $h % 1024 AS bucket, count(*) AS cnt
+         |  FROM tok GROUP BY 1, 2, 3),
+         |w1 AS (SELECT bucket, SUM(y * cnt) AS w FROM x GROUP BY bucket),
+         |$ep
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(w AS BIGINT) AS w
+         |FROM w3 WHERE w <> 0""".stripMargin
     }),
 
     // fastText-shaped hashed linear quality classifier (Joulin et al.

@@ -287,6 +287,37 @@ object Curation {
   }
 
   /**
+   * Corpus version diff (c19): content-hash manifests of two corpus
+   * versions full-outer-joined on the document id — the bookkeeping an
+   * INCREMENTAL pipeline runs before anything else, so re-ingestion,
+   * re-dedup, and re-scoring touch only `added`/`changed` documents
+   * instead of the whole corpus. Output: one row per id in either
+   * version, (idCol, status ∈ added|removed|changed|unchanged).
+   *
+   * Scale shape: one md5 projection per version (no shuffle), then a
+   * single id-keyed full outer join — at 100 TB the manifests are
+   * id+16-byte-hash frames, a tiny fraction of corpus width, and the
+   * join output feeds `WHERE status <> 'unchanged'` so downstream
+   * stages are |delta|-sized, not |corpus|-sized.
+   *
+   * Null text hashes as the empty string (a present-but-empty document
+   * is a real state — distinguishable from an absent row, which the
+   * outer join surfaces as added/removed).
+   */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def manifest(df: DataFrame, h: String) =
+      df.select(col(idCol), md5(coalesce(col(textCol), lit(""))).as(h))
+    manifest(oldDf, "h_old")
+      .join(manifest(newDf, "h_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /**
    * Gopher repetition metrics (t20, Rae et al. '21 §A1.1): per doc, the
    * character mass covered by the MOST FREQUENT word 2-gram
    * (`top_cover_u`) and by all 2-grams occurring >= 2 times

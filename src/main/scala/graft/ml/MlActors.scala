@@ -224,15 +224,20 @@ class SimilaritySearchActor extends Actor {
   // ~nprobe/numCentroids of the corpus) or "brute" (the exact quadratic
   // baseline, for grading/recall evaluation)
   protected var semanticIndex: String = "ivf"
+  protected var labelCol: String = ""
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid",
-        "ivf-centroids", "ivf-assign", "ivf-probe").contains(m),
+        "ivf-centroids", "ivf-assign", "ivf-probe", "hard-negatives").contains(m),
         s"SimilaritySearchActor: bad method $m")
       method = m
     }
+    properties.get("labelField").foreach(labelCol = _)
+    require(method != "hard-negatives" || labelCol.nonEmpty,
+      "SimilaritySearchActor: hard-negatives requires labelField (the " +
+        "class column whose DIFFERENT-label neighbors are mined)")
     properties.get("idField").foreach(idCol = _)
     properties.get("vectorField").foreach(vecCol = _)
     properties.get("k").foreach(v => k = v.toInt)
@@ -279,6 +284,8 @@ class SimilaritySearchActor extends Actor {
     val queries = queryWhere.fold(corpus)(corpus.filter)
     Some(method match {
       case "brute-force" => Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      case "hard-negatives" =>
+        Similarity.hardNegatives(queries, corpus, idCol, vecCol, labelCol, k)
       case "lsh" => Similarity.lshTopK(queries, corpus, idCol, vecCol, k, dim, numPlanes)
       case "ivf" => Similarity.ivfTopK(queries, corpus, idCol, vecCol, k, numCentroids, nprobe)
       case "pq" => Similarity.pqTopK(queries, corpus, idCol, vecCol, k, dim, subspaces)
@@ -322,6 +329,11 @@ class TextAnalysisActor extends Actor {
   protected var textCol: String = "text"
   protected var idCol: String = "doc_id"
   protected var bm25Terms: Seq[String] = Seq.empty
+  protected var method: String = "enrich"
+  protected var bpeMerges: Int = 6
+  protected var labelWhere: String = ""
+  protected var epochs: Int = 3
+  protected var buckets: Int = 1024
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
@@ -329,6 +341,18 @@ class TextAnalysisActor extends Actor {
     properties.get("idField").foreach(idCol = _)
     properties.get("bm25Terms").foreach(v =>
       bm25Terms = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    properties.get("method").foreach { m =>
+      require(Seq("enrich", "bpe-train", "perceptron-train").contains(m),
+        s"TextAnalysisActor: unknown method '$m' (enrich | bpe-train | perceptron-train)")
+      method = m
+    }
+    properties.get("bpeMerges").foreach(v => bpeMerges = v.toInt)
+    properties.get("labelWhere").foreach(labelWhere = _)
+    properties.get("epochs").foreach(v => epochs = v.toInt)
+    properties.get("buckets").foreach(v => buckets = v.toInt)
+    require(method != "perceptron-train" || labelWhere.nonEmpty,
+      "TextAnalysisActor(perceptron-train): labelWhere is required (the " +
+        "SQL predicate labeling the positive class, e.g. \"lang = 'en'\")")
   }
 
   def sourceView(v: String): this.type = { view = v; this }
@@ -337,6 +361,13 @@ class TextAnalysisActor extends Actor {
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
+    // training methods: the output is a learned TABLE (merges / weights),
+    // not a row-preserving enrichment — a different shape, so a switch
+    if (method == "bpe-train")
+      return Some(TextAnalysis.bpeLearn(df, textCol, bpeMerges))
+    if (method == "perceptron-train")
+      return Some(TextAnalysis.perceptronTrain(df, idCol, textCol,
+        expr(labelWhere), epochs, buckets))
     val t = col(textCol)
     val enriched = df
       .withColumn("ws_tokens", TextAnalysis.wsTokenCount(t).cast("long"))
@@ -510,14 +541,25 @@ class CurationActor extends Actor {
   protected var validPct: Int = 10
   protected var targetWhere: String = ""
   protected var topK: Int = 20
+  protected var againstView: String = ""
+  protected var tokenCounter: String = "ws"
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("calibrate", "split", "dsir", "gopher", "surprise",
-        "epochs", "pack").contains(m),
+        "epochs", "pack", "diff").contains(m),
         s"CurationActor: bad method $m")
       method = m
+    }
+    properties.get("againstView").foreach(againstView = _)
+    require(method != "diff" || againstView.nonEmpty,
+      "CurationActor(diff): againstView is required (the OLD corpus " +
+        "version; `view` is the new one)")
+    properties.get("tokenCounter").foreach { t =>
+      require(Seq("ws", "bpe").contains(t),
+        s"CurationActor: tokenCounter must be ws or bpe, got $t")
+      tokenCounter = t
     }
     properties.get("idField").foreach(idCol = _)
     properties.get("textField").foreach(textCol = _)
@@ -537,7 +579,9 @@ class CurationActor extends Actor {
 
   def sourceView(v: String): this.type = { view = v; this }
 
-  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+  override def inputViews: Seq[String] =
+    (if (view.nonEmpty) Seq(view) else Seq.empty) ++
+      (if (againstView.nonEmpty) Seq(againstView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
@@ -553,11 +597,19 @@ class CurationActor extends Actor {
       case "surprise" =>
         TextAnalysis.unigramSurprise(df, idCol, textCol)
       case "epochs" =>
-        Curation.epochSchedule(df, sourceCol, textCol)
+        Curation.epochSchedule(df, sourceCol, textCol, tokenCount = counter)
       case "pack" =>
-        Curation.packSequences(df, idCol, textCol)
+        Curation.packSequences(df, idCol, textCol, tokenCount = counter)
+      case "diff" =>
+        Curation.corpusDiff(ctx.getView(againstView), df, idCol, textCol)
     })
   }
+
+  /** The budget/packing token counter the `tokenCounter` property picks:
+   *  whitespace (default) or the BPE-ish regex (t17/t18's family). */
+  private def counter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    if (tokenCounter == "bpe") TextAnalysis.bpeTokenCount(_)
+    else TextAnalysis.wsTokenCount(_)
 }
 
 /** PII scrubbing actor: `method: detect` appends nothing and returns the

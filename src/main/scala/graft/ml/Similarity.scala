@@ -94,6 +94,43 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining (s13): for each query vector, the top-k most
+   * similar corpus vectors with a DIFFERENT label — the negatives a
+   * contrastive-training pipeline wants (near the decision boundary,
+   * not random). Same determinism contract as [[bruteForceTopK]]:
+   * round-6 cosine, neighbor_id tie-break. Output: (query_id,
+   * neighbor_id, neg_label, cos_sim, rank).
+   *
+   * This is the exact O(|Q|·|N|) grading baseline (s1's role); at
+   * production scale compose the IVF family instead — route queries to
+   * cells ([[ivfTopK]]'s probe), label-filter the cell candidates, then
+   * rank — the label predicate composes with any candidate generator
+   * because it is a per-pair filter, never a join key.
+   */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String, k: Int,
+                    dim: Option[Int] = None): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"), normD(col(vecCol), dim).as("qn"),
+      col(labelCol).cast("string").as("qlabel"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"), normD(col(vecCol), dim).as("cn"),
+      col(labelCol).cast("string").as("nlabel"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("qlabel") =!= col("nlabel"))
+      .select(col("query_id"), col("neighbor_id"), col("nlabel").as("neg_label"),
+        (dotD(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("cos_sim"))
+    scored
+      .withColumn("cos_r", round(col("cos_sim"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("cos_r").as("cos_sim"), col("rank"))
+  }
+
+  /**
    * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
    * SIGIR'98): greedily pick `k` of each query's `poolSize` nearest
    * neighbors, each step taking the candidate maximizing

@@ -232,4 +232,116 @@ object TextAnalysis {
       .select(col(idCol), col("n_toks"), col("lm_bits"),
         expr("(1000000 * lm_bits) div n_toks").as("ppl_u"))
   }
+
+  /**
+   * Iterative BPE merge learning — the full trainer loop whose single
+   * round t17 computes and whose encode half t18 applies (Sennrich et
+   * al. '16). Round k counts adjacent SYMBOL pairs over the vocabulary
+   * (corpus-weighted), takes the most frequent (ties broken by the pair
+   * itself, so the merge table is a pure function of the corpus), and
+   * rewrites the vocabulary with that merge before round k+1. Symbols
+   * are multi-character after the first round — words ride the
+   * `<sym><sym>…` wrapped form t18 introduced, so one left-to-right
+   * `replace('<a><b>' -> '<ab>')` applies a merge with no boundary
+   * sharing, byte-identical in any engine.
+   *
+   * Output: one row per learned merge — (round, merge, a, b, cnt).
+   *
+   * Scale shape: the corpus is scanned ONCE into the word-frequency
+   * dictionary (map-side partial agg; Zipf makes vocab ≪ tokens); every
+   * round after that runs on the vocab-sized frame — a bigram explode,
+   * one keyed agg, a TakeOrdered(1), and a 1-row broadcast back — with
+   * the vocab localCheckpointed per round to keep the plan linear
+   * ([[Clustering.kmeans]]'s loop discipline). At 100 TB the per-round
+   * cost is vocabulary-bounded, not corpus-bounded.
+   */
+  def bpeLearn(df: DataFrame, textCol: String, numMerges: Int = 6): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64,
+      s"bpeLearn: numMerges must be in [1, 64], got $numMerges")
+    var vocab = df.select(explode(org.apache.spark.sql.functions.filter(
+        split(Dedup.normText(col(textCol)), " "), x => length(x) > 0)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tc"))
+      .select(regexp_replace(col("tok"), "(.)", "<$1>").as("ws"), col("tc"))
+      .localCheckpoint(true) // vocab-sized; scanned once per round
+    var out: DataFrame = null
+    for (round <- 1 to numMerges) {
+      val top = vocab
+        .withColumn("syms", split(expr("substring(ws, 2, length(ws) - 2)"), "><"))
+        .filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> named_struct('a', element_at(syms, i), 'b', element_at(syms, i + 1)))"""
+            .stripMargin)).as("p"), col("tc"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("tc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .withColumn("round", lit(round.toLong))
+        .localCheckpoint(true) // 1 row; re-roots the per-round plan
+      out = if (out == null) top else out.unionAll(top)
+      // 1-row merge frame broadcast against the vocab — t18's reviewed
+      // crossJoin shape (PlanSpec-allowlisted for the catalog query)
+      vocab = vocab
+        .crossJoin(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))))
+        .withColumn("ws",
+          expr("replace(ws, '<' || ma || '><' || mb || '>', '<' || ma || mb || '>')"))
+        .select(col("ws"), col("tc"))
+        .localCheckpoint(true)
+    }
+    out.select(col("round"), concat(col("a"), col("b")).as("merge"),
+      col("a"), col("b"), col("cnt"))
+  }
+
+  /**
+   * Integer batch-perceptron trainer (t25) — the TRAINING half of the
+   * quality-classifier story whose fixed-weight inference t19 ships:
+   * learn per-bucket weights for a hashed bag-of-words linear
+   * classifier from a labeled view, entirely in integer arithmetic so
+   * the learned weights are a pure function of the input (no float
+   * accumulation order, no learning-rate reals — the classic perceptron
+   * update IS integer: w += Σ y·x over the misclassified set).
+   *
+   * Per epoch: score every doc (s = Σ w[bucket]·cnt), take the docs
+   * with y·s <= 0 (misclassified — epoch 1 starts at w = 0, so it
+   * reduces to the class-difference centroid), and add their y-weighted
+   * feature counts into w. Output: the final nonzero weights
+   * (bucket, w) — feed them to a t19-style scorer.
+   *
+   * Scale shape: the corpus collapses ONCE to the (id, y, bucket, cnt)
+   * hashed bag (localCheckpointed, [[Clustering.kmeans]]'s loop
+   * discipline); each epoch then costs one broadcast of the ≤`buckets`
+   * weight frame into a doc-keyed score agg plus one id-keyed join for
+   * the gradient — two corpus-bounded shuffles per epoch, never a
+   * driver read. Hashing rides [[Hashing.oracleHash]] for cross-engine
+   * grading; swap [[Hashing.fastHash]] in production.
+   */
+  def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
+                      labelWhere: Column, epochs: Int = 3,
+                      buckets: Int = 1024): DataFrame = {
+    require(epochs >= 1 && epochs <= 16,
+      s"perceptronTrain: epochs must be in [1, 16], got $epochs")
+    require(buckets >= 2, s"perceptronTrain: buckets must be >= 2, got $buckets")
+    val x = df.select(col(idCol).as("id"),
+        when(labelWhere, lit(1L)).otherwise(lit(-1L)).as("y"),
+        explode(org.apache.spark.sql.functions.filter(
+          split(Dedup.normText(col(textCol)), " "), t => length(t) > 0)).as("tok"))
+      .withColumn("bucket", pmod(Hashing.oracleHash(col("tok")), lit(buckets.toLong)))
+      .groupBy(col("id"), col("y"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // scanned once per epoch
+    // epoch 1 at w = 0: every doc misclassified -> plain aggregate
+    var w = x.groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("w"))
+      .localCheckpoint(true) // <= buckets rows; re-roots the per-epoch plan
+    for (_ <- 2 to epochs) {
+      val mis = x.join(broadcast(w), "bucket")
+        .groupBy(col("id"), col("y"))
+        .agg(sum(col("w") * col("cnt")).as("s"))
+        .filter(col("y") * col("s") <= 0).select(col("id"))
+      val grad = x.join(mis, "id")
+        .groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("g"))
+      w = w.join(grad, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("g"), lit(0L))).as("w"))
+        .localCheckpoint(true)
+    }
+    w.filter(col("w") =!= 0L).select(col("bucket"), col("w"))
+  }
 }

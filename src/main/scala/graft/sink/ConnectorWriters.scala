@@ -103,12 +103,16 @@ abstract class ConnectorStreamWriter(format: String, continuousAllowed: Boolean)
   protected var table: Option[String] = None
   protected var path: Option[String] = None
   protected var view: String = ""
+  // advanced: substitute a wire-compatible provider name (test double /
+  // vendor fork); addressing + output-mode/trigger rules stay the actor's
+  protected var providerFormat: String = format
   protected var options: Map[String, String] = Map.empty
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     table = properties.get("table")
     path = properties.get("path")
     view = require_(properties, "view")
+    properties.get("providerFormat").foreach(providerFormat = _)
     options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
     allowedOutputModes = Seq("append", "complete")
     initStreamWrite(properties)
@@ -121,7 +125,7 @@ abstract class ConnectorStreamWriter(format: String, continuousAllowed: Boolean)
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
     require(df.isStreaming, s"$format stream writer: view '$view' is not a stream")
-    var w = df.writeStream.format(format).options(options).outputMode(outputMode)
+    var w = df.writeStream.format(providerFormat).options(options).outputMode(outputMode)
     checkpointLocation.foreach(c => w = w.option("checkpointLocation", c))
     val query = (table, path) match {
       // a TABLE name must start via toTable — Delta treats option("path")

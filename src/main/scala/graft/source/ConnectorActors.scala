@@ -74,11 +74,15 @@ class FlightReader extends ConnectorReader("flight")
 abstract class ConnectorStreamReader(format: String) extends Actor with StreamReadSupport {
   protected var table: Option[String] = None
   protected var path: Option[String] = None
+  // advanced: substitute a wire-compatible provider name (vendor forks,
+  // or the in-process DSv2 test double ConnectorSpec drives e2e)
+  protected var providerFormat: String = format
   protected var options: Map[String, String] = Map.empty
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     table = properties.get("table")
     path = properties.get("path")
+    properties.get("providerFormat").foreach(providerFormat = _)
     options = properties.collect { case (k, v) if k.startsWith("options.") => k.stripPrefix("options.") -> v }
     initStream(properties)
   }
@@ -87,7 +91,7 @@ abstract class ConnectorStreamReader(format: String) extends Actor with StreamRe
   def fromPath(p: String): this.type = { path = Some(p); this }
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
-    val reader = spark.readStream.format(format).options(options)
+    val reader = spark.readStream.format(providerFormat).options(options)
     val df = (table, path) match {
       case (_, Some(p)) => reader.load(p)
       case (Some(t), None) => reader.table(t)

@@ -273,6 +273,32 @@ class ExamplesSpec extends SparkSpec {
     viaPipeline shouldBe viaCatalog
   }
 
+  test("incremental_update.yaml: diff manifest gates rescoring to the delta only") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_incr")
+    runExample("incremental_update.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val manifest = spark.read.parquet(s"$out/manifest")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // pipeline manifest == library corpusDiff on the same derivation
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text")))
+    val direct = graft.ml.Curation.corpusDiff(docs, v2, "doc_id", "text")
+    manifest.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(manifest).count() shouldBe 0L
+    // only added+changed docs were rescored, and all of them were
+    val delta = spark.read.parquet(s"$out/delta_scored")
+    val expected = manifest.filter(col("status").isin("added", "changed"))
+    delta.count() shouldBe expected.count()
+    delta.select("doc_id").exceptAll(expected.select("doc_id")).count() shouldBe 0L
+    // the rescore actually ran the enrichment on the delta
+    delta.columns should contain allOf ("quality", "lang_pred", "ws_tokens")
+  }
+
   test("pii_scrub.yaml: audit + redact + gate; redacted output equals the library path") {
     implicit val s = spark
     import org.apache.spark.sql.functions._

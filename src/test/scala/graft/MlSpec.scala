@@ -787,6 +787,161 @@ class MlSpec extends SparkSpec {
     spark.catalog.dropTempView("pii_round1")
   }
 
+  test("curation actor tokenCounter=bpe drives packing with the BPE counter") {
+    implicit val s = spark
+    import spark.implicits._
+    val docs = Seq((1L, "a-b c"), (2L, "x,y z!")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("tkc_in")
+    val a = new graft.ml.CurationActor()
+    a.init(Map("view" -> "tkc_in", "method" -> "pack", "tokenCounter" -> "bpe"))
+    val viaActor = a.run(new graft.core.JobContext(graft.core.PipelineContext()))
+      .get.orderBy("shard", "pack_id").collect().map(_.toSeq)
+    val direct = graft.ml.Curation.packSequences(docs, "doc_id", "text",
+        tokenCount = graft.ml.TextAnalysis.bpeTokenCount(_))
+      .orderBy("shard", "pack_id").collect().map(_.toSeq)
+    viaActor shouldBe direct
+    // and the counters genuinely differ on this input ("a-b" = 3 BPE tokens)
+    val ws = graft.ml.Curation.packSequences(docs, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.sum("pack_tokens")).collect().head.getLong(0)
+    val bpe = direct.map(_(3).asInstanceOf[Long]).sum
+    bpe should be > ws
+    intercept[IllegalArgumentException] {
+      new graft.ml.CurationActor().init(Map("view" -> "tkc_in", "tokenCounter" -> "nope"))
+    }.getMessage should include("tokenCounter")
+    spark.catalog.dropTempView("tkc_in")
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged, null-vs-absent distinction, actor wiring") {
+    implicit val s = spark
+    import spark.implicits._
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val newV = Seq((1L, "a"), (2L, "B2"), (5L, "e"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val st = graft.ml.Curation.corpusDiff(oldV, newV, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    st shouldBe Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added")
+    // null text is a STATE (hashes as ''), not an absence: 4 is unchanged,
+    // while flipping null -> '' stays unchanged (same hash, documented)
+    // and null -> 'x' is changed
+    val newV2 = Seq((4L, "x")).toDF("doc_id", "text")
+    graft.ml.Curation.corpusDiff(oldV.filter(col("doc_id") === 4L), newV2,
+      "doc_id", "text").collect().head.getString(1) shouldBe "changed"
+    // actor: view = new version, againstView = old
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    oldV.createOrReplaceTempView("cd_old"); newV.createOrReplaceTempView("cd_new")
+    val a = new graft.ml.CurationActor()
+    a.init(Map("view" -> "cd_new", "method" -> "diff", "againstView" -> "cd_old"))
+    a.inputViews should contain allOf ("cd_new", "cd_old")
+    a.run(ctx).get.filter(col("status") === "added")
+      .collect().head.getLong(0) shouldBe 5L
+    // diff without againstView fails at init with a pointer
+    intercept[IllegalArgumentException] {
+      new graft.ml.CurationActor().init(Map("view" -> "cd_new", "method" -> "diff"))
+    }.getMessage should include("againstView")
+    spark.catalog.dropTempView("cd_old"); spark.catalog.dropTempView("cd_new")
+  }
+
+  test("hardNegatives: only different-label neighbors, nearest-first, actor wiring") {
+    implicit val s = spark
+    import spark.implicits._
+    // 2D toy geometry: query (1,0) label A; same-label (0.99,0.1) is the
+    // NEAREST vector but must be excluded; B-labeled (0.9,0.4) and (0,1)
+    // must come back in similarity order
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0), "A"), (2L, Seq(0.99, 0.1), "A"),
+      (3L, Seq(0.9, 0.4), "B"), (4L, Seq(0.0, 1.0), "B"))
+      .toDF("vec_id", "v", "label")
+    val out = graft.ml.Similarity.hardNegatives(
+        vecs.filter(col("vec_id") === 1L), vecs, "vec_id", "v", "label", 5)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getInt(4)))
+    out.map(_._1).toSeq shouldBe Seq(3L, 4L) // same-label 2 excluded
+    out.foreach(_._2 shouldBe "B")
+    out.map(_._3).toSeq shouldBe Seq(1, 2)
+    // actor surface + the labelField requirement
+    vecs.createOrReplaceTempView("hn_in")
+    val a = new graft.ml.SimilaritySearchActor()
+    a.init(Map("view" -> "hn_in", "method" -> "hard-negatives",
+      "vectorField" -> "v", "labelField" -> "label",
+      "queryWhere" -> "vec_id = 1"))
+    a.run(new graft.core.JobContext(graft.core.PipelineContext()))
+      .get.collect().map(_.getLong(1)).toSeq shouldBe Seq(3L, 4L)
+    intercept[IllegalArgumentException] {
+      new graft.ml.SimilaritySearchActor().init(
+        Map("view" -> "hn_in", "method" -> "hard-negatives"))
+    }.getMessage should include("labelField")
+    spark.catalog.dropTempView("hn_in")
+  }
+
+  test("perceptronTrain: epoch-1 centroid, convergence stops updates, separable corpus classifies") {
+    implicit val s = spark
+    import spark.implicits._
+    // linearly separable: positive docs use tokens {good, fine},
+    // negatives {bad, awful} — disjoint vocab, so the perceptron must
+    // separate them and later epochs add nothing once converged
+    val docs = Seq(
+      (1L, "good good fine", "en"), (2L, "fine good", "en"),
+      (3L, "bad awful bad", "xx"), (4L, "awful bad", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val w1 = graft.ml.TextAnalysis.perceptronTrain(docs, "doc_id", "text",
+      col("lang") === "en", epochs = 1)
+    val w3 = graft.ml.TextAnalysis.perceptronTrain(docs, "doc_id", "text",
+      col("lang") === "en", epochs = 3)
+    // epoch 1 = class-difference centroid: positive tokens get +count,
+    // negative tokens -count (disjoint vocab -> sign splits cleanly)
+    val m1 = w1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m1.values.count(_ > 0) should be >= 1
+    m1.values.count(_ < 0) should be >= 1
+    // scoring every doc with w1 separates the classes -> epochs 2-3 see
+    // no misclassification -> weights unchanged
+    val m3 = w3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m3 shouldBe m1
+    // actor surface + the labelWhere requirement
+    docs.createOrReplaceTempView("pt_in")
+    val a = new graft.ml.TextAnalysisActor()
+    a.init(Map("view" -> "pt_in", "method" -> "perceptron-train",
+      "labelWhere" -> "lang = 'en'", "epochs" -> "3"))
+    val viaActor = a.run(new graft.core.JobContext(graft.core.PipelineContext()))
+      .get.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaActor shouldBe m1
+    intercept[IllegalArgumentException] {
+      new graft.ml.TextAnalysisActor().init(
+        Map("view" -> "pt_in", "method" -> "perceptron-train"))
+    }.getMessage should include("labelWhere")
+    spark.catalog.dropTempView("pt_in")
+  }
+
+  test("bpeLearn: merge order, multi-char symbols, deterministic tie-break") {
+    implicit val s = spark
+    import spark.implicits._
+    // corpus: "abab" x3, "ab" x2 -> round 1 pairs: (a,b) weighted 3*2+2=8,
+    // (b,a) 3. Merge 1 = ab. Round 2 on <ab><ab> / <ab>: (ab,ab) = 3.
+    // Merge 2 = abab. Round 3: no pairs left -> empty (degenerate-safe).
+    val docs = Seq("abab abab abab ab ab").toDF("text")
+    val out = graft.ml.TextAnalysis.bpeLearn(docs, "text", 3).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    out(1L) shouldBe (("ab", 8L))
+    out(2L) shouldBe (("abab", 3L))
+    out.size shouldBe 2 // round 3 found nothing to merge
+    // tie-break: equal counts resolve by (a, b) ascending — "xy" and "yz"
+    // both appear twice; "xy" wins lexicographically
+    val tie = Seq("xy xy yz yz").toDF("text")
+    val t1 = graft.ml.TextAnalysis.bpeLearn(tie, "text", 1).collect().head
+    t1.getString(1) shouldBe "xy"
+    t1.getLong(4) shouldBe 2L
+    an[IllegalArgumentException] should be thrownBy
+      graft.ml.TextAnalysis.bpeLearn(docs, "text", 0)
+    // actor surface
+    docs.createOrReplaceTempView("bpe_in")
+    val a = new graft.ml.TextAnalysisActor()
+    a.init(Map("view" -> "bpe_in", "method" -> "bpe-train", "bpeMerges" -> "2"))
+    val viaActor = a.run(new graft.core.JobContext(graft.core.PipelineContext()))
+      .get.collect().map(_.getString(1)).sorted
+    viaActor shouldBe Array("ab", "abab")
+    spark.catalog.dropTempView("bpe_in")
+  }
+
   test("pii redact: n_redacted counts substitutions exposed by earlier classes") {
     implicit val s = spark
     import spark.implicits._

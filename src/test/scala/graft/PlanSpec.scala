@@ -153,6 +153,8 @@ class PlanSpec extends SparkSpec {
     // bug.
     val allowed = Set(
       "s1_knn_bruteforce", // labeled exact baseline: all-pairs by design
+      "s13_hard_negatives", // labeled exact baseline: s1's shape + the
+                           // different-label filter (IVF composes at scale)
       "s4_knn_quantized",  // labeled quantized exact baseline: same shape
       "s5_knn_pq",         // labeled full-ADC scan (PQ compresses memory,
                            // not candidate count; IVF cells bound that)

@@ -68,6 +68,13 @@ LINEAR_SET = [
     "t9_boilerplate_ratio", "t10_vocab_topk", "t11_keywords",
     "t12_kmv_sketch", "t13_lm_score", "t14_outlier_zscore",
     "t15_readability", "t16_bm25", "t17_bpe_pairs",
+    # iterative BPE trainer: one corpus scan into the Zipf-small word
+    # dictionary, then 6 vocab-bounded rounds (explode + agg + top-1)
+    "t24_bpe_train",
+    # perceptron training: one scan into the hashed bag, then per epoch
+    # a broadcast-weight score agg + an id-keyed gradient join — two
+    # corpus-bounded shuffles per epoch, epochs fixed
+    "t25_perceptron_train",
     "u1_zipwithindex", "v1_data_validator", "z1_zorder_locality",
     "z2_zorder3",
     # sketch aggregates: one pass + fixed-size state per group; k1/k2 pay
@@ -205,6 +212,9 @@ LINEAR_SET = [
     "c17_pack_sequences",
     # c17 with the BPE-ish token counter swapped in — identical plan
     "c18_pack_bpe",
+    # corpus diff: two md5 manifest projections + one id-keyed full
+    # outer join — single-shuffle linear
+    "c19_corpus_diff",
     # DSIR importance: token explode -> vocab tf frames (Zipf-small),
     # token-keyed score join, doc-keyed agg, per-source graft_topk_pairs
     # aggregate (<= k pairs per source per task cross the exchange)
@@ -251,6 +261,7 @@ MODELED = {
     "g2_triangle_count":      "edge-wedge join: cost ~ sum(deg^2)",
     "q45_recursive_cte":      "iteration(recursion-depth)-dominated",
     "s1_knn_bruteforce":      "O(Q*N), Q ~ N/50: quadratic BY DESIGN (exact baseline)",
+    "s13_hard_negatives":     "s1's O(Q*N) exact-baseline shape + different-label filter (IVF composes at scale)",
     "s2_knn_lsh":             "O(Q*candidates), bucket-bounded",
     "s3_knn_ivf":             "O(Q*nprobe*cell)",
     "s4_knn_quantized":       "labeled quantized exact baseline: O(Q*N)",
