@@ -273,6 +273,28 @@ class ExamplesSpec extends SparkSpec {
     viaPipeline shouldBe viaCatalog
   }
 
+  test("classifier_train_apply.yaml: pipeline weights equal the library trainer; scoring is self-consistent") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_clf")
+    runExample("classifier_train_apply.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val weights = spark.read.parquet(s"$out/weights")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // train step == library trainer, bit-for-bit
+    val direct = graft.ml.TextAnalysis.perceptronTrain(docs, "doc_id", "text",
+      col("lang") === "en", epochs = 3)
+    weights.exceptAll(direct).count() shouldBe 0L
+    direct.exceptAll(weights).count() shouldBe 0L
+    // apply step: every scored doc got a prediction consistent with its score
+    val scored = spark.read.parquet(s"$out/scored")
+    scored.count() should be > 0L
+    scored.filter((col("score") > 0) =!= (col("pred_en") === 1)).count() shouldBe 0L
+    // evaluate step: n matches the scored row count
+    val acc = spark.read.parquet(s"$out/accuracy").collect().head
+    acc.getLong(0) shouldBe scored.count()
+    acc.getLong(1) should be <= acc.getLong(0)
+  }
+
   test("incremental_update.yaml: diff manifest gates rescoring to the delta only") {
     implicit val s = spark
     import org.apache.spark.sql.functions._

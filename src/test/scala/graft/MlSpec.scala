@@ -843,6 +843,35 @@ class MlSpec extends SparkSpec {
     spark.catalog.dropTempView("cd_old"); spark.catalog.dropTempView("cd_new")
   }
 
+  test("round-10 operators: degenerate inputs (empty corpus, all-same-label, single-symbol vocab)") {
+    implicit val s = spark
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // bpeLearn on an empty corpus: no merges, correct schema, no throw
+    val b = graft.ml.TextAnalysis.bpeLearn(empty, "text", 3)
+    b.columns.toSeq shouldBe Seq("round", "merge", "a", "b", "cnt")
+    b.count() shouldBe 0L
+    // single-symbol vocabulary: nothing can merge
+    graft.ml.TextAnalysis.bpeLearn(Seq("a a b").toDF("text"), "text", 2)
+      .count() shouldBe 0L
+    // perceptron on a single-class corpus: every doc misclassified on the
+    // negative side never flips (all y = -1 -> weights all negative, all
+    // scores negative, y*s > 0 -> converged after epoch 1)
+    val oneClass = Seq((1L, "aa bb", "xx"), (2L, "cc", "xx")).toDF("doc_id", "text", "lang")
+    val w = graft.ml.TextAnalysis.perceptronTrain(oneClass, "doc_id", "text",
+      col("lang") === "en", epochs = 3)
+    w.collect().foreach(_.getLong(1) should be < 0L)
+    // hardNegatives where every candidate shares the query's label: empty
+    val same = Seq((1L, Seq(1.0, 0.0), "A"), (2L, Seq(0.0, 1.0), "A"))
+      .toDF("vec_id", "v", "label")
+    graft.ml.Similarity.hardNegatives(same, same, "vec_id", "v", "label", 5)
+      .count() shouldBe 0L
+    // corpusDiff against an empty old version: everything is added
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val d = graft.ml.Curation.corpusDiff(empty, docs, "doc_id", "text")
+    d.filter(col("status") === "added").count() shouldBe 2L
+  }
+
   test("hardNegatives: only different-label neighbors, nearest-first, actor wiring") {
     implicit val s = spark
     import spark.implicits._
