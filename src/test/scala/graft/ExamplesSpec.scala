@@ -273,6 +273,18 @@ class ExamplesSpec extends SparkSpec {
     viaPipeline shouldBe viaCatalog
   }
 
+  test("stream_pii_scrub.yaml: kafka-to-kafka streaming redaction through the doubles") {
+    implicit val s = spark
+    import graft.testdouble.GraftTestKafkaStream
+    GraftTestKafkaStream.reset()
+    runExample("stream_pii_scrub.yaml", Map("ckpt_dir" -> tmpDir("ex_spii_ck")))
+    GraftTestKafkaStream.lastWriteOptions("topic") shouldBe "clean-docs"
+    GraftTestKafkaStream.committedEpochs should not be empty
+    val byKey = GraftTestKafkaStream.written.toMap
+    byKey("1") shouldBe "contact <EMAIL> or <PHONE>"
+    byKey("2") shouldBe "nothing sensitive"
+  }
+
   test("classifier_train_apply.yaml: pipeline weights equal the library trainer; scoring is self-consistent") {
     implicit val s = spark
     import org.apache.spark.sql.functions._
