@@ -4640,6 +4640,44 @@ object Queries {
          |SELECT round, a || b AS merge, a, b, cnt FROM ($union)""".stripMargin
     }),
 
+    // BPE train -> encode, end to end: tokenize the corpus under the 6
+    // merges t24 learns, applied in round order by a higher-order fold
+    // over the 1-row merge-array broadcast (the fold runs on the
+    // DISTINCT vocabulary, never the token stream). The oracle chains
+    // t24's unrolled trainer into a list_reduce apply — both engines
+    // fold the identical pattern list in the identical order.
+    Spec("t26_bpe_encode", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.bpeEncode(docs, "doc_id", "text",
+        graft.ml.TextAnalysis.bpeLearn(docs, "text", 6))
+    }, Some {
+      val rounds = (1 to 6).map { k =>
+        s"""p$k AS (SELECT string_split(substr(ws, 2, length(ws) - 2), '><') AS syms, tc FROM v${k - 1}),
+           |x$k AS (SELECT syms, tc, unnest(range(1, len(syms))) AS i FROM p$k),
+           |e$k AS (SELECT syms[i] AS a, syms[i + 1] AS b, tc FROM x$k),
+           |m$k AS (SELECT CAST($k AS BIGINT) AS round, a, b, CAST(SUM(tc) AS BIGINT) AS cnt
+           |  FROM e$k GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$k AS (SELECT replace(ws, '<' || m.a || '><' || m.b || '>', '<' || m.a || m.b || '>') AS ws, tc
+           |  FROM v${k - 1}, m$k m)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 6).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+      s"""WITH n AS (SELECT doc_id, list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+         |  FROM documents),
+         |tokd AS (SELECT doc_id, unnest(ts) AS tok FROM n),
+         |tc AS (SELECT tok, count(*) AS tc FROM tokd GROUP BY tok),
+         |v0 AS (SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS ws, tc FROM tc),
+         |$rounds,
+         |mm AS (SELECT round, '<' || a || '><' || b || '>' AS pat FROM ($union)),
+         |marr AS (SELECT list(pat ORDER BY round) AS marr FROM mm),
+         |enc AS (SELECT tok,
+         |    list_reduce(list_prepend(regexp_replace(tok, '(.)', '<\\1>', 'g'), marr),
+         |      (acc, m) -> replace(acc, m, replace(m, '><', ''))) AS enc
+         |  FROM (SELECT DISTINCT tok FROM tokd), marr),
+         |ns AS (SELECT tok, CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT) AS n_syms FROM enc)
+         |SELECT d.doc_id, count(*) AS n_words, CAST(SUM(ns.n_syms) AS BIGINT) AS bpe_tokens
+         |FROM tokd d JOIN ns USING (tok) GROUP BY d.doc_id""".stripMargin
+    }),
+
     // Integer batch-perceptron training (t19's missing training half):
     // 3 epochs over the hashed bag-of-words, label = (lang == 'en'),
     // graded against a 3x-unrolled DuckDB replay — weights are exact

@@ -334,6 +334,7 @@ class TextAnalysisActor extends Actor {
   protected var labelWhere: String = ""
   protected var epochs: Int = 3
   protected var buckets: Int = 1024
+  protected var mergesView: String = ""
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
@@ -342,11 +343,16 @@ class TextAnalysisActor extends Actor {
     properties.get("bm25Terms").foreach(v =>
       bm25Terms = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     properties.get("method").foreach { m =>
-      require(Seq("enrich", "bpe-train", "perceptron-train").contains(m),
-        s"TextAnalysisActor: unknown method '$m' (enrich | bpe-train | perceptron-train)")
+      require(Seq("enrich", "bpe-train", "bpe-encode", "perceptron-train").contains(m),
+        s"TextAnalysisActor: unknown method '$m' " +
+          "(enrich | bpe-train | bpe-encode | perceptron-train)")
       method = m
     }
     properties.get("bpeMerges").foreach(v => bpeMerges = v.toInt)
+    properties.get("mergesView").foreach(mergesView = _)
+    require(method != "bpe-encode" || mergesView.nonEmpty,
+      "TextAnalysisActor(bpe-encode): mergesView is required (the learned " +
+        "merge table a bpe-train step produced)")
     properties.get("labelWhere").foreach(labelWhere = _)
     properties.get("epochs").foreach(v => epochs = v.toInt)
     properties.get("buckets").foreach(v => buckets = v.toInt)
@@ -357,7 +363,9 @@ class TextAnalysisActor extends Actor {
 
   def sourceView(v: String): this.type = { view = v; this }
 
-  override def inputViews: Seq[String] = if (view.nonEmpty) Seq(view) else Seq.empty
+  override def inputViews: Seq[String] =
+    (if (view.nonEmpty) Seq(view) else Seq.empty) ++
+      (if (mergesView.nonEmpty) Seq(mergesView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
@@ -365,6 +373,8 @@ class TextAnalysisActor extends Actor {
     // not a row-preserving enrichment — a different shape, so a switch
     if (method == "bpe-train")
       return Some(TextAnalysis.bpeLearn(df, textCol, bpeMerges))
+    if (method == "bpe-encode")
+      return Some(TextAnalysis.bpeEncode(df, idCol, textCol, ctx.getView(mergesView)))
     if (method == "perceptron-train")
       return Some(TextAnalysis.perceptronTrain(df, idCol, textCol,
         expr(labelWhere), epochs, buckets))

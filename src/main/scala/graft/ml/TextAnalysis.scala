@@ -292,6 +292,46 @@ object TextAnalysis {
   }
 
   /**
+   * BPE encode with a LEARNED merge table (t26) — the apply half of
+   * [[bpeLearn]]'s train half: tokenize the corpus under the k learned
+   * merges, applied in round order via one higher-order fold
+   * (`aggregate(marr, ws, (acc, m) -> replace(acc, m, merged(m)))` —
+   * each merge pattern `<a><b>` collapses to `<ab>` by deleting its
+   * inner `><`, so the fold needs no second lookup table). Output per
+   * document: (idCol, n_words, bpe_tokens).
+   *
+   * Scale shape: the merge table is a k-row 1-row-array broadcast; the
+   * fold runs over the DISTINCT vocabulary (Zipf-small), never the
+   * token stream; then one token-keyed join back and a doc-keyed agg —
+   * c12's shape. Encode cost is |vocab|·k replaces however large the
+   * corpus.
+   */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame): DataFrame = {
+    val marr = merges.select(col("round"),
+        concat(lit("<"), col("a"), lit("><"), col("b"), lit(">")).as("pat"))
+      .agg(expr("transform(array_sort(collect_list(struct(round, pat))), x -> x.pat)")
+        .as("marr"))
+    def toks(d: DataFrame, cols: Column*) = d.select(cols :+
+      explode(org.apache.spark.sql.functions.filter(
+        split(Dedup.normText(col(textCol)), " "), t => length(t) > 0)).as("tok"): _*)
+    // the fold runs once per DISTINCT word — never per occurrence
+    val vocab = toks(df).select(col("tok")).distinct()
+      // 1-row merge-array frame broadcast against the vocab (t18's
+      // reviewed crossJoin shape)
+      .crossJoin(broadcast(marr))
+      .withColumn("ws", regexp_replace(col("tok"), "(.)", "<$1>"))
+      .withColumn("enc", expr(
+        "aggregate(marr, ws, (acc, m) -> replace(acc, m, replace(m, '><', '')))"))
+      .select(col("tok"),
+        expr("CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT)").as("n_syms"))
+    toks(df, col(idCol))
+      .join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("bpe_tokens"))
+  }
+
+  /**
    * Integer batch-perceptron trainer (t25) — the TRAINING half of the
    * quality-classifier story whose fixed-weight inference t19 ships:
    * learn per-bucket weights for a hashed bag-of-words linear

@@ -843,6 +843,38 @@ class MlSpec extends SparkSpec {
     spark.catalog.dropTempView("cd_old"); spark.catalog.dropTempView("cd_new")
   }
 
+  test("bpeEncode: learned merges compress token counts, round order respected, actor wiring") {
+    implicit val s = spark
+    import spark.implicits._
+    val docs = Seq((1L, "abab abab abab ab ab")).toDF("doc_id", "text")
+    // 2 merges: 'ab' then 'abab' -> both words collapse to ONE symbol
+    val m2 = graft.ml.TextAnalysis.bpeLearn(docs, "text", 2)
+    val full = graft.ml.TextAnalysis.bpeEncode(docs, "doc_id", "text", m2)
+      .collect().head
+    full.getLong(1) shouldBe 5L // n_words
+    full.getLong(2) shouldBe 5L // every word one symbol
+    // 1 merge only: 'abab' stays <ab><ab> (2 syms), 'ab' is 1
+    val m1 = graft.ml.TextAnalysis.bpeLearn(docs, "text", 1)
+    graft.ml.TextAnalysis.bpeEncode(docs, "doc_id", "text", m1)
+      .collect().head.getLong(2) shouldBe 8L // 3*2 + 2*1
+    // actor: train view feeds encode via mergesView
+    docs.createOrReplaceTempView("be_docs")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val tr = new graft.ml.TextAnalysisActor()
+    tr.init(Map("view" -> "be_docs", "method" -> "bpe-train", "bpeMerges" -> "2"))
+    tr.run(ctx).get.createOrReplaceTempView("be_merges")
+    val en = new graft.ml.TextAnalysisActor()
+    en.init(Map("view" -> "be_docs", "method" -> "bpe-encode",
+      "mergesView" -> "be_merges"))
+    en.inputViews should contain allOf ("be_docs", "be_merges")
+    en.run(ctx).get.collect().head.getLong(2) shouldBe 5L
+    intercept[IllegalArgumentException] {
+      new graft.ml.TextAnalysisActor().init(
+        Map("view" -> "be_docs", "method" -> "bpe-encode"))
+    }.getMessage should include("mergesView")
+    spark.catalog.dropTempView("be_docs"); spark.catalog.dropTempView("be_merges")
+  }
+
   test("round-10 operators: degenerate inputs (empty corpus, all-same-label, single-symbol vocab)") {
     implicit val s = spark
     import spark.implicits._

@@ -170,6 +170,9 @@ class PlanSpec extends SparkSpec {
                            // s3 (broadcast centroid frame) for the eval
       "t16_bm25",          // crossJoin vs broadcast 1-row corpus stats
       "t18_bpe_apply",     // crossJoin vs broadcast 1-row merge frame
+      "t26_bpe_encode",    // crossJoin vs broadcast 1-row merge-ARRAY
+                           // frame, folded over the distinct vocab only
+                           // (t18's reviewed shape with k merges)
       "k2_kll_quantiles",  // rank-verify pass: crossJoin vs broadcast
                            // 1-row sketch-estimate frame (t16's shape)
       "k3_hll_merge_states", // verdict assembly: 1-row x 1-row crossJoin
