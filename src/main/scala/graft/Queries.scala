@@ -3545,6 +3545,33 @@ object Queries {
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment""".stripMargin)),
 
+    // Skew-AWARE join: q58 salts every row (right side replicated salt×);
+    // this form measures per-key counts first and salts ONLY the hot keys
+    // (here a synthetic sentinel key holding ~90% of the rows — the
+    // null-like-id shape), cold keys ride a plain equi join. The union of
+    // the legs is row-identical to the plain join, which is exactly what
+    // the oracle grades.
+    Spec("q108_skew_autosalt", (spark, dir) => {
+      // the realistic shape: a FACT side whose foreign key is skewed (a
+      // null-like sentinel holds ~90% of the rows) joining a DIMENSION
+      // with one row per key — join output stays |fact|, but a plain
+      // shuffle join puts the whole sentinel group in ONE task
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(when(col("l_orderkey") % 10 < 9, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"), col("l_linenumber"))
+      val dim = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_custkey"))
+        .unionAll(spark.range(1).select(lit(0L).as("k"), lit(0L).as("o_custkey")))
+      DataframeHelper.skewAwareJoin(li, dim, Seq("k"), salt = 8, hotThreshold = 1000L)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_cust"))
+    }, Some("""WITH l AS (SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey END AS k,
+        |              l_linenumber FROM lineitem),
+        |     d AS (SELECT o_orderkey AS k, o_custkey FROM orders
+        |           UNION ALL SELECT 0, 0)
+        |SELECT l.k, count(*) AS n, CAST(SUM(d.o_custkey) AS BIGINT) AS sum_cust
+        |FROM l JOIN d ON l.k = d.k GROUP BY l.k""".stripMargin)),
+
     // Per-document distinctive keywords: top-3 tokens by the ratio of
     // in-document frequency to corpus frequency (log-free TF-IDF analog —
     // exact small-int division keeps cross-engine bits identical where a

@@ -60,6 +60,7 @@ object PipelineBuilder {
     "variable-setter" -> "graft.utils.VariableSetter",
     "view-partitioner" -> "graft.utils.ViewPartitioner",
     "observe" -> "graft.utils.ObserveActor",
+    "plan-audit" -> "graft.plans.PlanAuditActor",
     "file-writer" -> "graft.sink.FileWriter",
     "file-stream-writer" -> "graft.streaming.FileStreamWriter",
     "jdbc-writer" -> "graft.sink.JdbcWriter",

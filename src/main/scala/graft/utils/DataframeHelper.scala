@@ -90,6 +90,46 @@ object DataframeHelper {
   }
 
   /**
+   * Skew-aware join: salt ONLY the hot keys. [[saltedJoin]] replicates
+   * the ENTIRE right side `salt`× — correct, but at 100 TB that is
+   * salt×|R| extra shuffle volume when the skew is usually confined to
+   * a handful of keys. This variant measures per-key left-side counts
+   * with one map-side-combined aggregate (output is |distinct keys|
+   * rows; the hot set — count > hotThreshold — has at most
+   * |L|/hotThreshold keys, tiny by construction), broadcasts the hot
+   * key set, and splits BOTH sides on it: hot rows ride [[saltedJoin]]
+   * (each giant key group spread over `salt` tasks, only the hot slice
+   * of the right side replicated), cold rows ride a plain equi join.
+   * The union of the two legs is row-identical to the plain join —
+   * the split predicate is a pure function of the join key, so every
+   * matching pair lands in exactly one leg.
+   *
+   * vs AQE skew handling: AQE splits oversized PARTITIONS of a
+   * sort-merge join at runtime, but a single giant KEY group is
+   * indivisible to it — all its rows still hash to one task. Salting
+   * splits the key itself, which is the only cure when one key is a
+   * double-digit percentage of the corpus (null-like sentinel ids,
+   * empty-string URLs, the "unknown" language bucket).
+   */
+  def skewAwareJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    salt: Int = 8, hotThreshold: Long = 100000L,
+                    joinType: String = "inner"): DataFrame = {
+    require(hotThreshold > 0, "hotThreshold must be > 0")
+    // joinType domain is checked by saltedJoin (inner/left only: a right/
+    // full join would need the split on the right side's counts too)
+    val hot = broadcast(
+      left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__cnt_"))
+        .filter(col("__cnt_") > hotThreshold)
+        .select(keys.map(col): _*))
+    val hotLeg = saltedJoin(
+      left.join(hot, keys, "left_semi"),
+      right.join(hot, keys, "left_semi"), keys, salt, joinType)
+    val coldLeg = left.join(hot, keys, "left_anti")
+      .join(right.join(hot, keys, "left_anti"), keys, joinType)
+    hotLeg.unionByName(coldLeg)
+  }
+
+  /**
    * Dense 1-based sequence number within each group, in `orderCols` order,
    * WITHOUT a per-group window — the scale form of
    * `row_number() OVER (PARTITION BY group ORDER BY order)` for COARSE

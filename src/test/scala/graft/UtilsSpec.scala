@@ -202,6 +202,35 @@ class UtilsSpec extends SparkSpec {
     }
   }
 
+  test("skewAwareJoin: salts only hot keys, result identical to plain join for inner and left") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // synthetic skew: ~90% of lineitem rows funnel into key 0; include a
+    // left key absent from the right so the left-join leg preserves nulls
+    val left = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(when(col("l_orderkey") % 10 < 9, lit(0L))
+        .otherwise(col("l_orderkey")).as("k"), col("l_linenumber"))
+      .unionAll(Seq((-7L, 99)).toDF("k", "l_linenumber"))
+    val right = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(when(col("o_orderkey") % 100 === 0, lit(0L))
+        .otherwise(col("o_orderkey")).as("k"), col("o_orderstatus"))
+    for (jt <- Seq("inner", "left"); threshold <- Seq(100L, 1L, 1000000L)) {
+      // threshold 100: only key 0 hot; 1: everything hot; 1e6: nothing hot
+      val plain = left.join(right, Seq("k"), jt)
+        .select("k", "l_linenumber", "o_orderstatus")
+        .collect().map(_.toString).sorted
+      val skew = graft.utils.DataframeHelper
+        .skewAwareJoin(left, right, Seq("k"), 8, threshold, jt)
+        .select("k", "l_linenumber", "o_orderstatus")
+        .collect().map(_.toString).sorted
+      skew shouldBe plain
+    }
+    // the hot set really is key-0-only at threshold 100: the cold leg must
+    // not contain key 0, the hot leg must contain ONLY key 0
+    val hot = left.groupBy("k").count().filter(col("count") > 100).select("k")
+    hot.collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+  }
+
   test("saltedJoin tolerates map columns and spreads exact duplicates on request") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -75,6 +75,13 @@ LINEAR_SET = [
     # a broadcast-weight score agg + an id-keyed gradient join — two
     # corpus-bounded shuffles per epoch, epochs fixed
     "t25_perceptron_train",
+    # BPE encode: t24's vocab-bounded trainer + a vocab-bounded fold
+    # (1-row merge-array broadcast), token-keyed join back, doc agg
+    "t26_bpe_encode",
+    # skew-aware join: one map-side-combined count pass + broadcast hot
+    # set + salted hot leg / plain cold leg — two keyed shuffles, the
+    # giant key spread over `salt` tasks instead of one
+    "q108_skew_autosalt",
     "u1_zipwithindex", "v1_data_validator", "z1_zorder_locality",
     "z2_zorder3",
     # sketch aggregates: one pass + fixed-size state per group; k1/k2 pay
