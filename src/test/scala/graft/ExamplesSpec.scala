@@ -391,4 +391,27 @@ class ExamplesSpec extends SparkSpec {
       rows.map(_.getAs[Double]("max_value")).max shouldBe 4.25
     } finally spark.streams.removeListener(listener)
   }
+
+  test("plan_gate.yaml: a clean plan passes the gate and persists its findings; a cartesian fails it") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_plangate")
+    runExample("plan_gate.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val findings = spark.read.json(s"$out/plan_audit")
+    findings.filter(col("severity") === "error").count() shouldBe 0L
+    findings.filter(col("rule") === "shuffle-count").count() shouldBe 1L
+    spark.read.parquet(s"$out/report").count() should be > 0L
+
+    // the same gate refuses a cartesian: swap the report view for a cross
+    // join and run just the audit actor
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .crossJoin(spark.read.parquet(s"$sfDir/orders.parquet"))
+      .createOrReplaceTempView("pg_cross")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val gate = new graft.plans.PlanAuditActor()
+    gate.init(Map("view" -> "pg_cross"))
+    intercept[IllegalStateException](gate.run(ctx)).getMessage should
+      include("cartesian-join")
+    spark.catalog.dropTempView("pg_cross")
+  }
 }
