@@ -30,7 +30,16 @@ final case class PipelineContext(
     metricsUri: Option[String] = None,
     /** Debug staging: dump every action's output to this uri as csv. */
     stagingUri: Option[String] = None,
-    stagingActions: Seq[String] = Seq.empty
+    stagingActions: Seq[String] = Seq.empty,
+    /** Pipeline-wide plan gate: when Some("error"|"warn"), every action's
+     *  output plan is audited by [[graft.plans.PlanAudit]] and the run
+     *  fails on findings at/above the severity — the per-action
+     *  `plan-audit` actor without writing one action per view. Pure plan
+     *  inspection; None (default) = off. */
+    planAudit: Option[String] = None,
+    /** Rule names the pipeline-wide gate ignores (e.g. a labeled
+     *  brute-force baseline stage's `cartesian-join`). */
+    planAuditAllowRules: Set[String] = Set.empty
 ) {
   val globalTempDatabase: String = "global_temp"
 }

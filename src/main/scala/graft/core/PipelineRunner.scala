@@ -38,7 +38,9 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
   def run(pipeline: Pipeline, jobFilter: Option[Set[String]])(implicit rootSession: SparkSession): Unit = {
     val ctxTemplate = pipelineCtx.copy(
       singleSparkSession = pipelineCtx.singleSparkSession || pipeline.singleSparkSession,
-      globalViewAsLocal = pipelineCtx.globalViewAsLocal && pipeline.globalViewAsLocal)
+      globalViewAsLocal = pipelineCtx.globalViewAsLocal && pipeline.globalViewAsLocal,
+      planAudit = pipelineCtx.planAudit.orElse(pipeline.planAudit),
+      planAuditAllowRules = pipelineCtx.planAuditAllowRules ++ pipeline.planAuditAllowRules)
 
     val jobs = jobFilter match {
       case Some(names) => pipeline.jobs.filter(j => names.contains(j.name))
@@ -150,6 +152,23 @@ final class PipelineRunner(pipelineCtx: PipelineContext = PipelineContext()) {
       try action.actor.run(ctx)(session)
       catch { case e: Throwable => status = s"failed: ${e.getMessage}"; throw e }
       finally if (status != "completed") record(job, action, None, t0, status)
+    // 3b. pipeline-wide plan gate: audit the action's OUTPUT plan before
+    //     anything downstream executes it (pure inspection, no job). The
+    //     per-action `plan-audit` actor covers targeted gates; this
+    //     setting covers every action without writing one.
+    for (threshold <- ctx.pipelineCtx.planAudit; df <- result) {
+      val findings = graft.plans.PlanAudit.audit(df)
+        .filterNot(f => ctx.pipelineCtx.planAuditAllowRules(f.rule))
+        .filter(f => graft.plans.PlanAudit.atLeast(f.severity, threshold))
+      if (findings.nonEmpty) {
+        record(job, action, None, t0, s"failed: plan audit ($threshold)")
+        throw new IllegalStateException(
+          s"job '${job.name}' action '${action.name}': plan audit found " +
+            s"${findings.size} finding(s) at/above severity '$threshold':\n" +
+            findings.map(f => s"  [${f.severity}] ${f.rule} @ ${f.node}: ${f.detail}")
+              .mkString("\n"))
+      }
+    }
     // 4. validation-run truncation (reference :78)
     val limited = (result, ctx.pipelineCtx.validationRunLimit) match {
       case (Some(df), Some(n)) if !df.isStreaming => Some(df.limit(n))

@@ -31,5 +31,9 @@ final case class Pipeline(
     /** prefix -> UdfRegister class/function hook. */
     udfRegistrations: Seq[String] = Seq.empty,
     singleSparkSession: Boolean = false,
-    globalViewAsLocal: Boolean = true
+    globalViewAsLocal: Boolean = true,
+    /** settings.planAudit: "error" | "warn" — pipeline-wide plan gate. */
+    planAudit: Option[String] = None,
+    /** settings.planAuditAllowRules: comma-separated suppressed rules. */
+    planAuditAllowRules: Set[String] = Set.empty
 )

@@ -186,7 +186,14 @@ object PipelineBuilder {
       variables = resolvedVars,
       udfRegistrations = asList(root.get("udf-registration")).map(_.toString),
       singleSparkSession = settings.get("singleSparkSession").exists(_.toBoolean),
-      globalViewAsLocal = settings.get("globalViewAsLocal").forall(_.toBoolean))
+      globalViewAsLocal = settings.get("globalViewAsLocal").forall(_.toBoolean),
+      planAudit = settings.get("planAudit").map { v =>
+        require(Seq("error", "warn").contains(v),
+          s"settings.planAudit must be error|warn, got '$v'")
+        v
+      },
+      planAuditAllowRules = settings.get("planAuditAllowRules")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty))
   }
 
   private def buildJob(m: Map[String, Any], aliases: Map[String, String],

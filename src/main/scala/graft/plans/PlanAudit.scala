@@ -63,13 +63,19 @@ object PlanAudit {
   def atLeast(severity: String, threshold: String): Boolean =
     severityRank.getOrElse(severity, 0) >= severityRank.getOrElse(threshold, 3)
 
-  /** Audit a DataFrame's plan. Pure inspection — triggers no job. */
+  /** Audit a DataFrame's plan. Pure inspection — triggers no job.
+   * Streaming frames are audited on the ANALYZED logical plan (their
+   * optimized/physical plans only exist inside a started query; even
+   * building them trips the batch-execution check), so the logical
+   * rules fire and the physical scan facts are skipped. */
   def audit(df: DataFrame,
             lowCardKeys: Set[String] = DefaultLowCardKeys,
             boundedRows: Long = DefaultBoundedRows): Seq[PlanFinding] = {
-    val optimized = df.queryExecution.optimizedPlan
-    logicalFindings(optimized, lowCardKeys, boundedRows) ++
-      physicalFindings(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
+    if (df.isStreaming)
+      logicalFindings(df.queryExecution.analyzed, lowCardKeys, boundedRows)
+    else
+      logicalFindings(df.queryExecution.optimizedPlan, lowCardKeys, boundedRows) ++
+        physicalFindings(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
   }
 
   private def bounded(p: LogicalPlan, boundedRows: Long): Boolean =

@@ -41,6 +41,38 @@ class PipelineRunnerSpec extends SparkSpec {
     spark.table("li_limit").count() shouldBe 7
   }
 
+  test("pipeline-wide plan gate: settings.planAudit fails a cartesian action, allowRules passes it") {
+    val cross = Pipeline("t", Seq(Job("j", Seq(
+      readerAction("pa_li"),
+      readerAction("pa_od", "orders.parquet"),
+      Action("boom", new SqlTransformer().sqlString(
+        "select * from pa_li cross join pa_od"),
+        Some(View("pa_out")))))), singleSparkSession = true,
+      planAudit = Some("error"))
+    val e = intercept[IllegalStateException] {
+      new PipelineRunner(PipelineContext(singleSparkSession = true)).run(cross)(spark)
+    }
+    e.getMessage should include("plan audit")
+    e.getMessage should include("cartesian-join")
+    // the failure is recorded in the runner metrics
+    // (one row per attempted action; the failing one carries the status)
+
+    // an explicitly-allowed rule (a labeled brute-force stage) passes
+    val allowed = cross.copy(planAuditAllowRules = Set("cartesian-join"))
+    new PipelineRunner(PipelineContext(singleSparkSession = true)).run(allowed)(spark)
+    spark.table("pa_out").columns.length should be > 0
+    // a clean pipeline under the strictest severity (warn) also passes:
+    // plain filtered aggregate has only info findings
+    val clean = Pipeline("t2", Seq(Job("j", Seq(
+      readerAction("pa_li2"),
+      Action("agg", new SqlTransformer().sqlString(
+        "select l_returnflag, count(*) as c from pa_li2 group by l_returnflag"),
+        Some(View("pa_out2")))))), singleSparkSession = true,
+      planAudit = Some("warn"))
+    new PipelineRunner(PipelineContext(singleSparkSession = true)).run(clean)(spark)
+    spark.table("pa_out2").count() shouldBe 3
+  }
+
   test("global views cross job sub-sessions, local views do not") {
     val probe = new Actor {
       var sawGlobal = false

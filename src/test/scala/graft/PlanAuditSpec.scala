@@ -134,6 +134,20 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.dropTempView("pa_bad"); spark.catalog.dropTempView("pa_good")
   }
 
+  test("streaming frames audit without executing: rules fire on the logical plan") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val dir = tmpDir("audit_stream")
+    writeFile(dir, "a.csv", "1,x\n2,y\n")
+    val stream = spark.readStream.schema("id LONG, v STRING").csv(dir)
+    // pure plan inspection — no query start, no checkpoint
+    val clean = PlanAudit.audit(stream.filter(col("id") > 0))
+    clean.filter(_.severity == "error") shouldBe empty
+    val windowed = stream.withColumn("rn",
+      row_number().over(W.orderBy("id")))
+    PlanAudit.audit(windowed).filter(_.severity == "error")
+      .map(_.rule) should contain("partitionless-window")
+  }
+
   test("dogfood: catalog plans adjudicate the same way the human review did") {
     def q(name: String) = Queries.all.find(_.name == name).get.run(spark, sfDir)
     // a clean pushdown query: no error-severity findings
