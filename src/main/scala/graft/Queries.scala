@@ -4705,6 +4705,74 @@ object Queries {
          |FROM tokd d JOIN ns USING (tok) GROUP BY d.doc_id""".stripMargin
     }),
 
+    // Zipf-decay fit per source: least-squares slope of bit-length(tf)
+    // vs bit-length(rank) over each source's top-256 vocabulary. Ranks
+    // ride graft_topk_pairs (<= k pairs/group/task — no per-source
+    // window); the fit is tie-order independent (only the tf multiset
+    // enters the sums), so the oracle's ORDER BY tf DESC, tok rank
+    // matches the aggregate's hash-surrogate tiebreak bit-for-bit.
+    Spec("t27_zipf_fit", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.zipfFit(docs, "source", "text", 256)
+    }, Some("""WITH toks AS (SELECT source,
+        |    unnest(list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |                       x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY source, tok),
+        |top AS (SELECT source, tf,
+        |    row_number() OVER (PARTITION BY source ORDER BY tf DESC, tok) AS rnk
+        |  FROM tf QUALIFY rnk <= 256),
+        |pts AS (SELECT source, CAST(length(bin(rnk)) AS BIGINT) AS x,
+        |               CAST(length(bin(tf)) AS BIGINT) AS y FROM top),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+        |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |        CAST(SUM(x * x) AS BIGINT) AS sxx
+        |      FROM pts GROUP BY source)
+        |SELECT source, n AS n_ranks,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |       ELSE (1000000 * (sx * sy - n * sxy)) // (n * sxx - sx * sx) END AS BIGINT)
+        |    AS decay_u
+        |FROM s""".stripMargin)),
+
+    // Corpus drift per source: cross-entropy of the NEW snapshot's
+    // tokens under the OLD snapshot's Laplace-smoothed unigram model vs
+    // under its own (c19 diffs the rows; this scores the distributional
+    // shift). The fixture treats a deterministic 2/3 subset as the
+    // previous snapshot. All-integer bit-length entropies; the ratio's
+    // 1e6 product rides DECIMAL(38,0)/HUGEINT so it cannot wrap at any
+    // corpus size.
+    Spec("t28_corpus_drift", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.corpusDrift(docs,
+        docs.filter(col("doc_id") % 3 =!= 0), "source", "text")
+    }, Some("""WITH tokn AS (SELECT source,
+        |    unnest(list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |                       x -> length(x) > 0)) AS tok
+        |  FROM documents),
+        |toko AS (SELECT source,
+        |    unnest(list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |                       x -> length(x) > 0)) AS tok
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |tn AS (SELECT source, tok, count(*) AS tf FROM tokn GROUP BY source, tok),
+        |tdo AS (SELECT source, tok, count(*) AS tf_old FROM toko GROUP BY source, tok),
+        |nn AS (SELECT source, CAST(SUM(tf) AS BIGINT) AS nn FROM tn GROUP BY source),
+        |oo AS (SELECT source, CAST(SUM(tf_old) AS BIGINT) AS no_tot,
+        |              CAST(count(*) AS BIGINT) AS vo FROM tdo GROUP BY source),
+        |sc AS (SELECT tn.source, tn.tf,
+        |    CAST(length(bin(nn.nn // tn.tf)) AS BIGINT) AS b_self,
+        |    CAST(length(bin((oo.no_tot + oo.vo) // (coalesce(tdo.tf_old, 0) + 1))) AS BIGINT) AS b_cross
+        |  FROM tn LEFT JOIN tdo ON tn.source = tdo.source AND tn.tok = tdo.tok
+        |  JOIN nn ON tn.source = nn.source
+        |  JOIN oo ON tn.source = oo.source)
+        |SELECT source, CAST(SUM(tf) AS BIGINT) AS n_toks,
+        |  CAST(SUM(tf * b_self) AS BIGINT) AS bits_self,
+        |  CAST(SUM(tf * b_cross) AS BIGINT) AS bits_cross,
+        |  CAST(SUM(tf * b_cross) - SUM(tf * b_self) AS BIGINT) AS drift_bits,
+        |  CAST(CASE WHEN SUM(tf * b_self) = 0 THEN 0
+        |       ELSE (1000000 * SUM(tf * b_cross)) // SUM(tf * b_self) END AS BIGINT)
+        |    AS ppl_ratio_u
+        |FROM sc GROUP BY source""".stripMargin)),
+
     // Integer batch-perceptron training (t19's missing training half):
     // 3 epochs over the hashed bag-of-words, label = (lang == 'en'),
     // graded against a 3x-unrolled DuckDB replay — weights are exact

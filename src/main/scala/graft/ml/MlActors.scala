@@ -335,17 +335,22 @@ class TextAnalysisActor extends Actor {
   protected var epochs: Int = 3
   protected var buckets: Int = 1024
   protected var mergesView: String = ""
+  protected var sourceCol: String = "source"
+  protected var topK: Int = 256
+  protected var oldView: String = ""
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("textField").foreach(textCol = _)
     properties.get("idField").foreach(idCol = _)
+    properties.get("sourceField").foreach(sourceCol = _)
     properties.get("bm25Terms").foreach(v =>
       bm25Terms = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     properties.get("method").foreach { m =>
-      require(Seq("enrich", "bpe-train", "bpe-encode", "perceptron-train").contains(m),
+      require(Seq("enrich", "bpe-train", "bpe-encode", "perceptron-train",
+        "zipf-fit", "corpus-drift").contains(m),
         s"TextAnalysisActor: unknown method '$m' " +
-          "(enrich | bpe-train | bpe-encode | perceptron-train)")
+          "(enrich | bpe-train | bpe-encode | perceptron-train | zipf-fit | corpus-drift)")
       method = m
     }
     properties.get("bpeMerges").foreach(v => bpeMerges = v.toInt)
@@ -353,6 +358,11 @@ class TextAnalysisActor extends Actor {
     require(method != "bpe-encode" || mergesView.nonEmpty,
       "TextAnalysisActor(bpe-encode): mergesView is required (the learned " +
         "merge table a bpe-train step produced)")
+    properties.get("topK").foreach(v => topK = v.toInt)
+    properties.get("oldView").foreach(oldView = _)
+    require(method != "corpus-drift" || oldView.nonEmpty,
+      "TextAnalysisActor(corpus-drift): oldView is required (the previous " +
+        "snapshot to score the current view's drift against)")
     properties.get("labelWhere").foreach(labelWhere = _)
     properties.get("epochs").foreach(v => epochs = v.toInt)
     properties.get("buckets").foreach(v => buckets = v.toInt)
@@ -365,7 +375,8 @@ class TextAnalysisActor extends Actor {
 
   override def inputViews: Seq[String] =
     (if (view.nonEmpty) Seq(view) else Seq.empty) ++
-      (if (mergesView.nonEmpty) Seq(mergesView) else Seq.empty)
+      (if (mergesView.nonEmpty) Seq(mergesView) else Seq.empty) ++
+      (if (oldView.nonEmpty) Seq(oldView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
@@ -378,6 +389,11 @@ class TextAnalysisActor extends Actor {
     if (method == "perceptron-train")
       return Some(TextAnalysis.perceptronTrain(df, idCol, textCol,
         expr(labelWhere), epochs, buckets))
+    // corpus-health methods: per-SOURCE summaries, not per-row enrichment
+    if (method == "zipf-fit")
+      return Some(TextAnalysis.zipfFit(df, sourceCol, textCol, topK))
+    if (method == "corpus-drift")
+      return Some(TextAnalysis.corpusDrift(df, ctx.getView(oldView), sourceCol, textCol))
     val t = col(textCol)
     val enriched = df
       .withColumn("ws_tokens", TextAnalysis.wsTokenCount(t).cast("long"))

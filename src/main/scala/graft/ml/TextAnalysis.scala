@@ -384,4 +384,110 @@ object TextAnalysis {
     }
     w.filter(col("w") =!= 0L).select(col("bucket"), col("w"))
   }
+
+  /** (source, tok) term frequencies — the shared first stage of the
+   * corpus-health operators below (one explode, map-side partial agg
+   * into a vocab-sized frame). */
+  private def sourceTf(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        explode(org.apache.spark.sql.functions.filter(
+          split(Dedup.normText(col(textCol)), " "), t => length(t) > 0)).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("tf"))
+
+  /**
+   * Zipf-decay fit per source (t27): least-squares slope of
+   * bit-length(frequency) against bit-length(rank) over each source's
+   * top-k vocabulary — the corpus-health number that catches a source
+   * whose token distribution collapsed (boilerplate floods, dedup
+   * misses, generator loops all flatten/steepen the Zipf line).
+   *
+   * Exactness: ranks come from [[graft.functions.SketchAggregates]]'
+   * `graft_topk_pairs` (≤ k pairs per group per task — never a
+   * per-source window), tie-broken by a 64-bit token surrogate. The
+   * FIT is tie-order independent: only the multiset of selected tf
+   * values enters the sums (ties have equal tf by definition, so any
+   * tie order selects the same value multiset), which is why the
+   * DuckDB oracle may rank with `ORDER BY tf DESC, tok` and still
+   * match bit-for-bit. Both logs ride the exact `length(bin(x))`
+   * floor-log2 (t23's idiom); the slope is emitted in NEGATED
+   * micro-units (`decay_u` ≥ 0 — tf is non-increasing in rank, so the
+   * covariance never flips sign) to keep every `div` on nonnegative
+   * operands, where Spark and DuckDB integer division agree.
+   *
+   * Scale shape: one corpus scan into the vocab-sized tf frame, the
+   * top-k aggregate, then arithmetic over ≤ k rows per source. With
+   * k=256 and bit-length domains ≤ 64, every product is ≤ ~2^32 —
+   * no overflow path at any corpus size.
+   */
+  def zipfFit(df: DataFrame, sourceCol: String = "source",
+              textCol: String = "text", topK: Int = 256): DataFrame = {
+    require(topK >= 4 && topK <= 100000, s"zipfFit: topK in [4, 100000], got $topK")
+    val tf = sourceTf(df, sourceCol, textCol)
+    val top = tf.groupBy(col("source"))
+      .agg(graft.functions.SketchAggregates
+        .topKPairs(col("tf"), Hashing.oracleHash(col("tok")), topK).as("pairs"))
+    val pts = top.select(col("source"), posexplode(col("pairs")))
+      .select(col("source"),
+        expr("CAST(length(bin(pos + 1)) AS BIGINT)").as("x"),
+        expr("CAST(length(bin(col.v)) AS BIGINT)").as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").as("n_ranks"),
+        expr("""CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                ELSE (1000000 * (sx * sy - n * sxy)) div (n * sxx - sx * sx) END""")
+          .as("decay_u"))
+  }
+
+  /**
+   * Corpus drift per source (t28): cross-entropy of the NEW snapshot's
+   * tokens under the OLD snapshot's unigram model vs under its own —
+   * the monitoring number for "this source's distribution moved
+   * between snapshots" (c19 diffs the rows; this scores the
+   * distributional shift). Laplace-smoothed on the old side
+   * (`(N_old + V_old) div (tf_old + 1)`) so unseen tokens cost the
+   * old model its full tail mass instead of dividing by zero.
+   *
+   * Exact integer path end-to-end: both entropies are
+   * `Σ tf_new · length(bin(total div tf))` (t23's bit-length log2),
+   * and the summary ratio `ppl_ratio_u` divides two POSITIVE sums —
+   * `div` never sees a negative operand. `drift_bits` (cross − self)
+   * may legitimately go negative with floor-logs on near-identical
+   * snapshots; it is emitted as a plain BIGINT difference, never
+   * divided.
+   *
+   * Scale shape: two corpus scans into vocab-sized tf frames, a
+   * (source, tok)-keyed left join between them, per-source totals as
+   * a broadcast hash join back onto the vocab frame, one final
+   * per-source agg. Linear in both snapshots; no window anywhere.
+   */
+  def corpusDrift(newDf: DataFrame, oldDf: DataFrame,
+                  sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val tfN = sourceTf(newDf, sourceCol, textCol)
+    val tfO = sourceTf(oldDf, sourceCol, textCol)
+      .withColumnRenamed("tf", "tf_old")
+    val totN = tfN.groupBy(col("source")).agg(sum(col("tf")).as("nn"))
+    val totO = tfO.groupBy(col("source"))
+      .agg(sum(col("tf_old")).as("no"), count(lit(1)).as("vo"))
+    val scored = tfN.join(tfO, Seq("source", "tok"), "left")
+      .join(broadcast(totN), "source")
+      .join(broadcast(totO), "source")
+      .select(col("source"), col("tf"),
+        expr("CAST(length(bin(nn div tf)) AS BIGINT)").as("b_self"),
+        expr("CAST(length(bin((no + vo) div (coalesce(tf_old, 0) + 1))) AS BIGINT)")
+          .as("b_cross"))
+    scored.groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * col("b_self")).as("bits_self"),
+        sum(col("tf") * col("b_cross")).as("bits_cross"))
+      .select(col("source"), col("n_toks"), col("bits_self"), col("bits_cross"),
+        (col("bits_cross") - col("bits_self")).as("drift_bits"),
+        // the 1e6 product exceeds Long once bits_cross > ~9.2e12 (a few
+        // hundred GB of tokens) — DECIMAL(38,0) intermediate, div on
+        // decimals is Spark's IntegralDivide and already returns BIGINT
+        // (c12's idiom; the DuckDB oracle's SUM is HUGEINT natively)
+        expr("""CAST(CASE WHEN bits_self = 0 THEN 0
+                ELSE (1000000 * cast(bits_cross AS DECIMAL(38,0))) div bits_self
+                END AS BIGINT)""").as("ppl_ratio_u"))
+  }
 }

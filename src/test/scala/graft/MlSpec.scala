@@ -875,6 +875,68 @@ class MlSpec extends SparkSpec {
     spark.catalog.dropTempView("be_docs"); spark.catalog.dropTempView("be_merges")
   }
 
+  test("zipfFit: exact hand-computed slope on a constructed zipf corpus, actor wiring") {
+    implicit val s = spark
+    import spark.implicits._
+    // tf(a)=8 tf(b)=4 tf(c)=2 tf(d)=1 -> x=blen(rank)=(1,2,2,3),
+    // y=blen(tf)=(4,3,2,1); n=4 sx=8 sy=10 sxy=17 sxx=18
+    // decay_u = 1e6*(80-68)/(72-64) = 1_500_000
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val docs = Seq((1L, text, "web")).toDF("doc_id", "text", "source")
+    val fit = graft.ml.TextAnalysis.zipfFit(docs, "source", "text", 256).collect()
+    fit should have size 1
+    fit.head.getLong(1) shouldBe 4L     // n_ranks
+    fit.head.getLong(2) shouldBe 1500000L
+    // degenerate: one distinct token -> zero denominator -> decay 0
+    val one = Seq((1L, "z z z", "w")).toDF("doc_id", "text", "source")
+    graft.ml.TextAnalysis.zipfFit(one, "source", "text", 256)
+      .collect().head.getLong(2) shouldBe 0L
+    // actor routing
+    docs.createOrReplaceTempView("zf_docs")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val a = new graft.ml.TextAnalysisActor()
+    a.init(Map("view" -> "zf_docs", "method" -> "zipf-fit", "topK" -> "64"))
+    a.run(ctx).get.columns shouldBe Array("source", "n_ranks", "decay_u")
+    spark.catalog.dropTempView("zf_docs")
+  }
+
+  test("corpusDrift: identical snapshots score ratio 1e6; unseen tokens charge the old model") {
+    implicit val s = spark
+    import spark.implicits._
+    // new = "a a b": N=3, b_self(a)=blen(3 div 2)=1, b_self(b)=blen(3)=2
+    // old identical: V=2, NO+VO=5; b_cross(a)=blen(5 div 3)=1,
+    // b_cross(b)=blen(5 div 2)=2 -> bits equal -> drift 0, ratio 1e6
+    val nw = Seq((1L, "a a b", "s1")).toDF("doc_id", "text", "source")
+    val same = graft.ml.TextAnalysis.corpusDrift(nw, nw, "source", "text").collect().head
+    same.getLong(1) shouldBe 3L  // n_toks
+    same.getLong(4) shouldBe 0L  // drift_bits
+    same.getLong(5) shouldBe 1000000L
+    // old = "a a a a": V=1, NO+VO=5; a: blen(5 div 3)=1; b unseen:
+    // blen(5 div 1)=3 -> bits_cross=2*1+3=5 vs bits_self=4 -> drift 1
+    val old = Seq((9L, "a a a a", "s1")).toDF("doc_id", "text", "source")
+    val drifted = graft.ml.TextAnalysis.corpusDrift(nw, old, "source", "text").collect().head
+    drifted.getLong(2) shouldBe 4L  // bits_self
+    drifted.getLong(3) shouldBe 5L  // bits_cross
+    drifted.getLong(4) shouldBe 1L
+    drifted.getLong(5) shouldBe 1250000L
+    // a source with no old-snapshot rows has no model to score against:
+    // consistently dropped (both engines inner-join the old totals)
+    val newSrc = Seq((2L, "x y", "s2")).toDF("doc_id", "text", "source")
+    graft.ml.TextAnalysis.corpusDrift(nw.unionAll(newSrc), old, "source", "text")
+      .select("source").collect().map(_.getString(0)).toSeq shouldBe Seq("s1")
+    // actor: oldView is required and registered as an input view
+    nw.createOrReplaceTempView("cdr_new"); old.createOrReplaceTempView("cdr_old")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val a = new graft.ml.TextAnalysisActor()
+    a.init(Map("view" -> "cdr_new", "method" -> "corpus-drift", "oldView" -> "cdr_old"))
+    a.inputViews should contain allOf ("cdr_new", "cdr_old")
+    a.run(ctx).get.collect().head.getLong(4) shouldBe 1L
+    intercept[IllegalArgumentException] {
+      new graft.ml.TextAnalysisActor().init(Map("view" -> "cdr_new", "method" -> "corpus-drift"))
+    }.getMessage should include("oldView")
+    spark.catalog.dropTempView("cdr_new"); spark.catalog.dropTempView("cdr_old")
+  }
+
   test("round-10 operators: degenerate inputs (empty corpus, all-same-label, single-symbol vocab)") {
     implicit val s = spark
     import spark.implicits._

@@ -173,6 +173,13 @@ class PlanSpec extends SparkSpec {
       "t26_bpe_encode",    // crossJoin vs broadcast 1-row merge-ARRAY
                            // frame, folded over the distinct vocab only
                            // (t18's reviewed shape with k merges)
+      "q108_skew_autosalt", // PushdownLeftSemiAntiJoin pushes the hot-set
+                           // anti join through the dimension's union into
+                           // its 1-LITERAL-ROW branch, where the equi
+                           // condition constant-folds away -> a BNLJ of
+                           // 1 row x the broadcast hot-key set (bounded
+                           // both sides; PlanAudit's maxRows adjudication
+                           // downgrades it to info automatically)
       "k2_kll_quantiles",  // rank-verify pass: crossJoin vs broadcast
                            // 1-row sketch-estimate frame (t16's shape)
       "k3_hll_merge_states", // verdict assembly: 1-row x 1-row crossJoin

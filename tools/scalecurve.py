@@ -78,6 +78,12 @@ LINEAR_SET = [
     # BPE encode: t24's vocab-bounded trainer + a vocab-bounded fold
     # (1-row merge-array broadcast), token-keyed join back, doc agg
     "t26_bpe_encode",
+    # zipf fit: one corpus scan into the vocab tf frame, top-k aggregate
+    # (<= k pairs/group/task), then arithmetic over <= 256 rows/source
+    "t27_zipf_fit",
+    # corpus drift: two corpus scans into vocab tf frames, one
+    # (source,tok)-keyed left join, broadcast totals, per-source agg
+    "t28_corpus_drift",
     # skew-aware join: one map-side-combined count pass + broadcast hot
     # set + salted hot leg / plain cold leg — two keyed shuffles, the
     # giant key spread over `salt` tasks instead of one
