@@ -4773,6 +4773,139 @@ object Queries {
         |    AS ppl_ratio_u
         |FROM sc GROUP BY source""".stripMargin)),
 
+    // Bigram-LM surprise with stupid backoff (t23's two-gram upgrade,
+    // the integer KenLM analog): the LM trains on a held-out 2/3
+    // snapshot so unseen bigrams/tokens genuinely occur and the backoff
+    // path is exercised. All bit-length logs; joins are keyed (tok /
+    // (w1,w2)) plus two reviewed 1-row totals broadcasts; bigrams ride
+    // an in-array zip — no self-join, no window.
+    Spec("t29_bigram_surprise", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.bigramSurprise(docs,
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    }, Some("""WITH n AS (SELECT doc_id,
+        |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |                x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |lm AS (SELECT ts FROM n WHERE doc_id % 3 <> 0),
+        |c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(ts) AS tok FROM lm) GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS nn, CAST(count(*) AS BIGINT) AS vv FROM c1),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT ts[i - 1] AS w1, ts[i] AS w2
+        |    FROM (SELECT ts, unnest(range(2, len(ts) + 1)) AS i FROM lm)) GROUP BY w1, w2),
+        |f AS (SELECT doc_id, ts[1] AS tok FROM n WHERE len(ts) >= 1),
+        |fb AS (SELECT doc_id,
+        |    CAST(length(bin((tot.nn + tot.vv) // (coalesce(c1.c1, 0) + 1))) AS BIGINT) AS bits
+        |  FROM f LEFT JOIN c1 ON f.tok = c1.tok CROSS JOIN tot),
+        |bp AS (SELECT doc_id, ts[i - 1] AS w1, ts[i] AS w2
+        |  FROM (SELECT doc_id, ts, unnest(range(2, len(ts) + 1)) AS i FROM n)),
+        |bb AS (SELECT bp.doc_id,
+        |    CAST(CASE WHEN c2.c2 IS NOT NULL THEN length(bin(u1.c1 // c2.c2))
+        |         ELSE 2 + length(bin((tot.nn + tot.vv) // (coalesce(u2.c1, 0) + 1)))
+        |         END AS BIGINT) AS bits
+        |  FROM bp LEFT JOIN c2 ON bp.w1 = c2.w1 AND bp.w2 = c2.w2
+        |    LEFT JOIN c1 u1 ON bp.w1 = u1.tok
+        |    LEFT JOIN c1 u2 ON bp.w2 = u2.tok CROSS JOIN tot),
+        |ev AS (SELECT doc_id, bits FROM fb UNION ALL SELECT doc_id, bits FROM bb),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |    CAST(SUM(bits) AS BIGINT) AS lm_bits FROM ev GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_toks, 0) AS n_toks,
+        |  coalesce(agg.lm_bits, 0) AS lm_bits,
+        |  CAST(CASE WHEN coalesce(agg.n_toks, 0) = 0 THEN 0
+        |       ELSE (1000000 * agg.lm_bits) // agg.n_toks END AS BIGINT) AS ppl_u
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)""".stripMargin)),
+
+    // Tokenizer fertility per source: UTF-8 bytes per BPE token under
+    // the 6 merges t24 learns — the tokenizer-health number that
+    // catches a vocabulary mismatched to a source. The oracle chains
+    // t24's unrolled trainer into t26's list_reduce encode, grouped by
+    // source; byte counts are over the tokenized words themselves
+    // (DuckDB strlen == Spark octet_length == UTF-8 bytes).
+    Spec("t30_tokenizer_fertility", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.tokenizerFertility(docs, "source", "text",
+        graft.ml.TextAnalysis.bpeLearn(docs, "text", 6))
+    }, Some {
+      val rounds = (1 to 6).map { k =>
+        s"""p$k AS (SELECT string_split(substr(ws, 2, length(ws) - 2), '><') AS syms, tc FROM v${k - 1}),
+           |x$k AS (SELECT syms, tc, unnest(range(1, len(syms))) AS i FROM p$k),
+           |e$k AS (SELECT syms[i] AS a, syms[i + 1] AS b, tc FROM x$k),
+           |m$k AS (SELECT CAST($k AS BIGINT) AS round, a, b, CAST(SUM(tc) AS BIGINT) AS cnt
+           |  FROM e$k GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
+           |v$k AS (SELECT replace(ws, '<' || m.a || '><' || m.b || '>', '<' || m.a || m.b || '>') AS ws, tc
+           |  FROM v${k - 1}, m$k m)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 6).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+      s"""WITH n AS (SELECT source, list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), x -> length(x) > 0) AS ts
+         |  FROM documents),
+         |tokd AS (SELECT source, unnest(ts) AS tok FROM n),
+         |tc AS (SELECT tok, count(*) AS tc FROM tokd GROUP BY tok),
+         |v0 AS (SELECT regexp_replace(tok, '(.)', '<\\1>', 'g') AS ws, tc FROM tc),
+         |$rounds,
+         |mm AS (SELECT round, '<' || a || '><' || b || '>' AS pat FROM ($union)),
+         |marr AS (SELECT list(pat ORDER BY round) AS marr FROM mm),
+         |enc AS (SELECT tok,
+         |    list_reduce(list_prepend(regexp_replace(tok, '(.)', '<\\1>', 'g'), marr),
+         |      (acc, m) -> replace(acc, m, replace(m, '><', ''))) AS enc
+         |  FROM (SELECT DISTINCT tok FROM tokd), marr),
+         |ns AS (SELECT tok, CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT) AS n_syms FROM enc)
+         |SELECT d.source, count(*) AS n_words,
+         |  CAST(SUM(strlen(d.tok)) AS BIGINT) AS n_bytes,
+         |  CAST(SUM(ns.n_syms) AS BIGINT) AS n_bpe,
+         |  CAST((1000000 * SUM(strlen(d.tok))) // SUM(ns.n_syms) AS BIGINT) AS bytes_per_tok_u
+         |FROM tokd d JOIN ns USING (tok) GROUP BY d.source""".stripMargin
+    }),
+
+    // Embedding centroid drift per label (t28's embedding-space
+    // sibling): L1 distance between each label's mean vector in the
+    // full snapshot vs a deterministic 2/3 previous snapshot. Elements
+    // quantize ONCE to micro-units (floor(double(x)*1e6) — IEEE-exact
+    // in any engine); per-dim drift is one cross-multiplied floor div
+    // on a nonnegative numerator, DECIMAL(38,0)/HUGEINT intermediates.
+    Spec("s14_centroid_drift", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .withColumn("label", col("label").cast("long"))
+      graft.ml.Similarity.centroidDrift(emb,
+        emb.filter(col("vec_id") % 3 =!= 0), "label", "embedding")
+    }, Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS grp, vec_id, embedding FROM embeddings),
+        |nw AS (SELECT grp, pos, CAST(count(*) AS BIGINT) AS n_new,
+        |    CAST(SUM(qv) AS BIGINT) AS s_new
+        |  FROM (SELECT grp, generate_subscripts(embedding, 1) AS pos,
+        |          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |        FROM e) GROUP BY grp, pos),
+        |od AS (SELECT grp, pos, CAST(count(*) AS BIGINT) AS n_old,
+        |    CAST(SUM(qv) AS BIGINT) AS s_old
+        |  FROM (SELECT grp, generate_subscripts(embedding, 1) AS pos,
+        |          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |        FROM e WHERE vec_id % 3 <> 0) GROUP BY grp, pos),
+        |d AS (SELECT nw.grp, nw.n_new, od.n_old,
+        |    abs(nw.s_new * od.n_old - od.s_old * nw.n_new) // (nw.n_new * od.n_old) AS d_u
+        |  FROM nw JOIN od ON nw.grp = od.grp AND nw.pos = od.pos)
+        |SELECT grp AS label, CAST(max(n_new) AS BIGINT) AS n_new,
+        |  CAST(max(n_old) AS BIGINT) AS n_old, CAST(count(*) AS BIGINT) AS dims,
+        |  CAST(SUM(d_u) AS BIGINT) AS l1_drift_u
+        |FROM d GROUP BY grp""".stripMargin)),
+
+    // Deterministic seeded epoch reshuffle: every (doc, epoch) gets a
+    // reproducible (shard, pos) training position — the hash-ordered
+    // permutation any training run needs for restartable, coordination-
+    // free data order. Positions ride perGroupSequence (windowless
+    // per-group rank); the oracle reconstructs the identical rank with
+    // a row_number window over the mirrored md5 key.
+    Spec("c20_epoch_shuffle", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.Curation.epochShuffle(docs, "doc_id", "s42", 2, 8)
+    }, Some {
+      val h = graft.ml.Hashing.duckdbHashSql("'s42' || ':' || epoch || ':' || doc_id")
+      s"""WITH e AS (SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents),
+         |k AS (SELECT doc_id, CAST(epoch AS BIGINT) AS epoch, $h AS ord_key FROM e)
+         |SELECT doc_id, epoch, ord_key % 8 AS shard, ord_key,
+         |  CAST(row_number() OVER (PARTITION BY epoch, ord_key % 8
+         |       ORDER BY ord_key, doc_id) AS BIGINT) AS pos
+         |FROM k""".stripMargin
+    }),
+
     // Integer batch-perceptron training (t19's missing training half):
     // 3 epochs over the hashed bag-of-words, label = (lang == 'en'),
     // graded against a 3x-unrolled DuckDB replay — weights are exact

@@ -352,4 +352,48 @@ object Curation {
           .as("top_cover_u"),
         coalesce(expr("(1000000 * dup_chars) div n_chars"), lit(0L)).as("dup_2gram_u"))
   }
+
+  /**
+   * Deterministic seeded epoch reshuffle (c20): assign every document a
+   * reproducible training position — `(epoch, shard, pos)` — so a
+   * training run's data order is a pure function of (corpus, seed) and
+   * any worker, restart, or re-run reads the identical order with zero
+   * coordination. Each epoch is an independent permutation (the epoch
+   * number is folded into the hash), which is exactly the "reshuffle
+   * every epoch" data loaders need; `shard` routes a document to its
+   * reader (hash-balanced), `pos` orders documents within the reader.
+   *
+   * Determinism: the sort key is [[Hashing.oracleHash]] over
+   * `seed:epoch:id` — engine-reproducible, and unique per (epoch, id)
+   * up to hash collisions, with the id as the documented tiebreak tail
+   * so even a collision leaves one order. Positions come from
+   * [[graft.utils.DataframeHelper.perGroupSequence]] — the windowless
+   * per-group rank (a `PARTITION BY epoch, shard` window would put a
+   * corpus-sized shard in ONE task; perGroupSequence range-sorts across
+   * all tasks and reconstructs the identical rank from per-task
+   * offsets). Production swaps [[Hashing.fastHash]] in for the md5.
+   *
+   * Output: one row per (document, epoch) —
+   * (idCol, epoch, shard, ord_key, pos); pos is 1-based within
+   * (epoch, shard).
+   *
+   * Scale shape: an `epochs`-way explode (bounded ≤ 16), one range
+   * sort; epochs × shards stays broadcastable (perGroupSequence's
+   * group-offset frame is one row per group).
+   */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String,
+                   epochs: Int = 2, shards: Int = 8): DataFrame = {
+    require(epochs >= 1 && epochs <= 16,
+      s"epochShuffle: epochs in [1, 16], got $epochs")
+    require(shards >= 1 && shards <= 65536,
+      s"epochShuffle: shards in [1, 65536], got $shards")
+    val keyed = df.select(col(idCol),
+        explode(expr(s"sequence(0L, ${epochs - 1}L)")).as("epoch"))
+      .withColumn("ord_key", Hashing.oracleHash(
+        concat_ws(":", lit(seed), col("epoch"), col(idCol))))
+      .withColumn("shard", pmod(col("ord_key"), lit(shards.toLong)))
+    graft.utils.DataframeHelper.perGroupSequence(
+        keyed, Seq("epoch", "shard"), Seq("ord_key", idCol), "pos")
+      .select(col(idCol), col("epoch"), col("shard"), col("ord_key"), col("pos"))
+  }
 }

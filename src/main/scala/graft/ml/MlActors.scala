@@ -225,19 +225,28 @@ class SimilaritySearchActor extends Actor {
   // baseline, for grading/recall evaluation)
   protected var semanticIndex: String = "ivf"
   protected var labelCol: String = ""
+  protected var oldView: String = ""
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid",
-        "ivf-centroids", "ivf-assign", "ivf-probe", "hard-negatives").contains(m),
+        "ivf-centroids", "ivf-assign", "ivf-probe", "hard-negatives",
+        "centroid-drift").contains(m),
         s"SimilaritySearchActor: bad method $m")
       method = m
     }
+    properties.get("oldView").foreach(oldView = _)
+    require(method != "centroid-drift" || oldView.nonEmpty,
+      "SimilaritySearchActor(centroid-drift): oldView is required (the " +
+        "previous embedding snapshot to diff centroids against)")
     properties.get("labelField").foreach(labelCol = _)
     require(method != "hard-negatives" || labelCol.nonEmpty,
       "SimilaritySearchActor: hard-negatives requires labelField (the " +
         "class column whose DIFFERENT-label neighbors are mined)")
+    require(method != "centroid-drift" || labelCol.nonEmpty,
+      "SimilaritySearchActor(centroid-drift): labelField is required (the " +
+        "group column whose per-group centroids are compared)")
     properties.get("idField").foreach(idCol = _)
     properties.get("vectorField").foreach(vecCol = _)
     properties.get("k").foreach(v => k = v.toInt)
@@ -277,13 +286,16 @@ class SimilaritySearchActor extends Actor {
     (if (view.nonEmpty) Seq(view) else Seq.empty) ++
       (if (textView.nonEmpty) Seq(textView) else Seq.empty) ++
       (if (centroidsView.nonEmpty) Seq(centroidsView) else Seq.empty) ++
-      (if (assignView.nonEmpty) Seq(assignView) else Seq.empty)
+      (if (assignView.nonEmpty) Seq(assignView) else Seq.empty) ++
+      (if (oldView.nonEmpty) Seq(oldView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val corpus = ctx.getView(view)
     val queries = queryWhere.fold(corpus)(corpus.filter)
     Some(method match {
       case "brute-force" => Similarity.bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      case "centroid-drift" =>
+        Similarity.centroidDrift(corpus, ctx.getView(oldView), labelCol, vecCol)
       case "hard-negatives" =>
         Similarity.hardNegatives(queries, corpus, idCol, vecCol, labelCol, k)
       case "lsh" => Similarity.lshTopK(queries, corpus, idCol, vecCol, k, dim, numPlanes)
@@ -338,6 +350,8 @@ class TextAnalysisActor extends Actor {
   protected var sourceCol: String = "source"
   protected var topK: Int = 256
   protected var oldView: String = ""
+  protected var lmView: String = ""
+  protected var backoffBits: Int = 2
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
@@ -348,18 +362,21 @@ class TextAnalysisActor extends Actor {
       bm25Terms = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     properties.get("method").foreach { m =>
       require(Seq("enrich", "bpe-train", "bpe-encode", "perceptron-train",
-        "zipf-fit", "corpus-drift").contains(m),
+        "zipf-fit", "corpus-drift", "bigram-surprise", "fertility").contains(m),
         s"TextAnalysisActor: unknown method '$m' " +
-          "(enrich | bpe-train | bpe-encode | perceptron-train | zipf-fit | corpus-drift)")
+          "(enrich | bpe-train | bpe-encode | perceptron-train | zipf-fit" +
+          " | corpus-drift | bigram-surprise | fertility)")
       method = m
     }
     properties.get("bpeMerges").foreach(v => bpeMerges = v.toInt)
     properties.get("mergesView").foreach(mergesView = _)
-    require(method != "bpe-encode" || mergesView.nonEmpty,
-      "TextAnalysisActor(bpe-encode): mergesView is required (the learned " +
+    require(!Seq("bpe-encode", "fertility").contains(method) || mergesView.nonEmpty,
+      s"TextAnalysisActor($method): mergesView is required (the learned " +
         "merge table a bpe-train step produced)")
     properties.get("topK").foreach(v => topK = v.toInt)
     properties.get("oldView").foreach(oldView = _)
+    properties.get("lmView").foreach(lmView = _)
+    properties.get("backoffBits").foreach(v => backoffBits = v.toInt)
     require(method != "corpus-drift" || oldView.nonEmpty,
       "TextAnalysisActor(corpus-drift): oldView is required (the previous " +
         "snapshot to score the current view's drift against)")
@@ -376,7 +393,8 @@ class TextAnalysisActor extends Actor {
   override def inputViews: Seq[String] =
     (if (view.nonEmpty) Seq(view) else Seq.empty) ++
       (if (mergesView.nonEmpty) Seq(mergesView) else Seq.empty) ++
-      (if (oldView.nonEmpty) Seq(oldView) else Seq.empty)
+      (if (oldView.nonEmpty) Seq(oldView) else Seq.empty) ++
+      (if (lmView.nonEmpty) Seq(lmView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
@@ -394,6 +412,16 @@ class TextAnalysisActor extends Actor {
       return Some(TextAnalysis.zipfFit(df, sourceCol, textCol, topK))
     if (method == "corpus-drift")
       return Some(TextAnalysis.corpusDrift(df, ctx.getView(oldView), sourceCol, textCol))
+    if (method == "fertility")
+      return Some(TextAnalysis.tokenizerFertility(df, sourceCol, textCol,
+        ctx.getView(mergesView)))
+    // lmView defaults to the scored view itself (self-scored corpus —
+    // valid, but the backoff path then never fires; point lmView at a
+    // held-out or previous snapshot for a real perplexity gate)
+    if (method == "bigram-surprise")
+      return Some(TextAnalysis.bigramSurprise(df,
+        if (lmView.nonEmpty) ctx.getView(lmView) else df,
+        idCol, textCol, backoffBits))
     val t = col(textCol)
     val enriched = df
       .withColumn("ws_tokens", TextAnalysis.wsTokenCount(t).cast("long"))
@@ -569,15 +597,21 @@ class CurationActor extends Actor {
   protected var topK: Int = 20
   protected var againstView: String = ""
   protected var tokenCounter: String = "ws"
+  protected var seed: String = "graft"
+  protected var shuffleEpochs: Int = 2
+  protected var shards: Int = 8
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("calibrate", "split", "dsir", "gopher", "surprise",
-        "epochs", "pack", "diff").contains(m),
+        "epochs", "pack", "diff", "shuffle").contains(m),
         s"CurationActor: bad method $m")
       method = m
     }
+    properties.get("seed").foreach(seed = _)
+    properties.get("shuffleEpochs").foreach(v => shuffleEpochs = v.toInt)
+    properties.get("shards").foreach(v => shards = v.toInt)
     properties.get("againstView").foreach(againstView = _)
     require(method != "diff" || againstView.nonEmpty,
       "CurationActor(diff): againstView is required (the OLD corpus " +
@@ -628,6 +662,8 @@ class CurationActor extends Actor {
         Curation.packSequences(df, idCol, textCol, tokenCount = counter)
       case "diff" =>
         Curation.corpusDiff(ctx.getView(againstView), df, idCol, textCol)
+      case "shuffle" =>
+        Curation.epochShuffle(df, idCol, seed, shuffleEpochs, shards)
     })
   }
 

@@ -614,4 +614,57 @@ object Similarity {
       .filter(col("cos_r") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_r").as("cos_sim"))
   }
+
+  /**
+   * Embedding centroid drift per group (s14): L1 distance between each
+   * group's mean vector in a NEW snapshot vs an OLD one — the
+   * embedding-space sibling of the token-level corpus-drift monitor
+   * (TextAnalysis.corpusDrift): an embedder upgrade, a crawl-source
+   * change, or a pipeline bug that shifts a group's vectors moves its
+   * centroid long before any per-pair check fires.
+   *
+   * Exactness: each element is quantized ONCE to micro-units with
+   * `floor(double(x) · 1e6)` — float→double widening, the product, and
+   * floor are all IEEE-exact, so any engine reproduces the integers
+   * bit-for-bit. Mean differences then avoid rounding until the last
+   * step: per dimension the drift is
+   * `|s_new·n_old − s_old·n_new| div (n_new·n_old)` — one exact
+   * cross-multiplied numerator over the dimension's own denominator
+   * (ragged vectors get their own per-dim counts), floor-divided ONCE
+   * per dimension on a nonnegative numerator (the `abs`) and positive
+   * denominator, the regime where Spark's truncating div and DuckDB's
+   * floor `//` agree. Products ride DECIMAL(38,0): element sums reach
+   * ~2e18 at 1e12 rows, × n ~1e12 = ~2e30 ≪ 1e38.
+   *
+   * Output: (groupCol, n_new, n_old, dims, l1_drift_u) — l1_drift_u is
+   * Σ_d |Δmean_d| in micro-units (each dim floored, so the total
+   * under-reports by < dims µu — noise for a drift monitor). Groups
+   * present in only one snapshot have no counterpart to diff against
+   * and are dropped (inner join).
+   *
+   * Scale shape: two corpus scans, each exploding vectors into a
+   * (group, dim)-keyed sum (map-side partial agg; output is
+   * groups × dims rows), one keyed join between the two small frames,
+   * one group agg. No window, no crossJoin, no driver read.
+   */
+  def centroidDrift(newDf: DataFrame, oldDf: DataFrame, groupCol: String,
+                    vecCol: String): DataFrame = {
+    def sums(d: DataFrame, n: String, s: String) = d
+      .select(col(groupCol).as("grp"), posexplode(expr(
+        s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as(n), sum(col("col")).as(s))
+    val nw = sums(newDf, "n_new", "s_new")
+    val od = sums(oldDf, "n_old", "s_old")
+    nw.join(od, Seq("grp", "pos"))
+      .select(col("grp"), col("n_new"), col("n_old"),
+        expr("""CAST(abs(cast(s_new AS DECIMAL(38,0)) * n_old
+                - cast(s_old AS DECIMAL(38,0)) * n_new)
+                div (cast(n_new AS DECIMAL(38,0)) * n_old) AS BIGINT)""").as("d_u"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_new")).as("n_new"), max(col("n_old")).as("n_old"),
+        count(lit(1)).as("dims"), sum(col("d_u")).as("l1_drift_u"))
+      .select(col("grp").as(groupCol), col("n_new"), col("n_old"),
+        col("dims"), col("l1_drift_u"))
+  }
 }

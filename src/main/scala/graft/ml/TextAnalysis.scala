@@ -308,15 +308,32 @@ object TextAnalysis {
    */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: DataFrame): DataFrame = {
+    val vocab = encodedVocab(df, textCol, merges)
+    tokStream(df, textCol, col(idCol))
+      .join(vocab, "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("bpe_tokens"))
+  }
+
+  /** The (id-or-group, tok) occurrence stream every encode-side operator
+   *  consumes: one explode of the normalized whitespace tokens. */
+  private def tokStream(d: DataFrame, textCol: String, cols: Column*): DataFrame =
+    d.select(cols :+
+      explode(org.apache.spark.sql.functions.filter(
+        split(Dedup.normText(col(textCol)), " "), t => length(t) > 0)).as("tok"): _*)
+
+  /** DISTINCT vocabulary encoded under a learned merge table:
+   *  (tok, n_syms = BPE token count of the word). The k merges fold as a
+   *  1-row-array broadcast over the vocab — encode cost is |vocab|·k
+   *  replaces however large the corpus ([[bpeEncode]]'s core, shared with
+   *  [[tokenizerFertility]]). */
+  private def encodedVocab(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
     val marr = merges.select(col("round"),
         concat(lit("<"), col("a"), lit("><"), col("b"), lit(">")).as("pat"))
       .agg(expr("transform(array_sort(collect_list(struct(round, pat))), x -> x.pat)")
         .as("marr"))
-    def toks(d: DataFrame, cols: Column*) = d.select(cols :+
-      explode(org.apache.spark.sql.functions.filter(
-        split(Dedup.normText(col(textCol)), " "), t => length(t) > 0)).as("tok"): _*)
     // the fold runs once per DISTINCT word — never per occurrence
-    val vocab = toks(df).select(col("tok")).distinct()
+    tokStream(df, textCol).select(col("tok")).distinct()
       // 1-row merge-array frame broadcast against the vocab (t18's
       // reviewed crossJoin shape)
       .crossJoin(broadcast(marr))
@@ -325,10 +342,120 @@ object TextAnalysis {
         "aggregate(marr, ws, (acc, m) -> replace(acc, m, replace(m, '><', '')))"))
       .select(col("tok"),
         expr("CAST(length(enc) - length(replace(enc, '<', '')) AS BIGINT)").as("n_syms"))
-    toks(df, col(idCol))
+  }
+
+  /**
+   * Tokenizer fertility per source (t30): UTF-8 bytes per BPE token
+   * under a learned merge table — the tokenizer-health number that
+   * catches a vocabulary mismatched to a source (low bytes-per-token =
+   * the tokenizer shatters that source into near-characters, inflating
+   * its training cost and effectively down-weighting it). Byte counts
+   * are over the tokenized material itself (`octet_length(tok)` summed
+   * per occurrence — whitespace excluded, so the ratio is a property of
+   * the vocabulary, not the formatting).
+   *
+   * Output: (source, n_words, n_bytes, n_bpe, bytes_per_tok_u) with
+   * `bytes_per_tok_u = (1e6 · n_bytes) div n_bpe` in micro-units.
+   *
+   * Scale shape: [[bpeEncode]]'s exactly — the merge fold runs over the
+   * DISTINCT vocabulary (Zipf-small), one token-keyed join back, one
+   * source-keyed agg. The 1e6 product rides DECIMAL(38,0): n_bytes
+   * passes ~9.2e12 (a few TB of text) long before any corpus limit.
+   */
+  def tokenizerFertility(df: DataFrame, sourceCol: String, textCol: String,
+                         merges: DataFrame): DataFrame = {
+    val vocab = encodedVocab(df, textCol, merges)
+    tokStream(df, textCol, col(sourceCol).as("source"))
       .join(vocab, "tok")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(octet_length(col("tok")).cast("long")).as("n_bytes"),
+        sum(col("n_syms")).as("n_bpe"))
+      .select(col("source"), col("n_words"), col("n_bytes"), col("n_bpe"),
+        expr("CAST((1000000 * cast(n_bytes AS DECIMAL(38,0))) div n_bpe AS BIGINT)")
+          .as("bytes_per_tok_u"))
+  }
+
+  /**
+   * Bigram-LM surprise (t29): score every document's tokens under a
+   * bigram language model with stupid backoff — the two-gram upgrade of
+   * [[unigramSurprise]]'s CCNet-style perplexity filter, and the exact
+   * integer analogue of a KenLM quality gate. The LM is trained on a
+   * SEPARATE snapshot (`lmDf` — typically a held-out or previous-crawl
+   * subset), so unseen bigrams and unseen tokens genuinely occur and the
+   * backoff path is exercised, unlike a self-scored corpus where every
+   * bigram has count ≥ 1.
+   *
+   * Per-token bits (all exact `length(bin(x))` floor-log2s):
+   *  - document's first token: smoothed unigram,
+   *    `blen((N+V) div (c1+1))` (Laplace — unseen tokens cost the model
+   *    its full tail mass instead of dividing by zero);
+   *  - bigram (w1, w2) seen in the LM: `blen(c1(w1) div c2(w1,w2))`
+   *    (≈ −log2 p(w2|w1); c2 ≤ c1 so the quotient is ≥ 1);
+   *  - unseen bigram: `backoffBits + blen((N+V) div (c1(w2)+1))` —
+   *    stupid backoff (Brants et al. '07), the integer analogue of the
+   *    usual α = 1/2^backoffBits penalty.
+   *
+   * Output: (idCol, n_toks, lm_bits, ppl_u = (1e6·lm_bits) div n_toks);
+   * docs with no tokens score (0, 0, 0).
+   *
+   * Scale shape: both corpora scan once into vocab-/bigram-vocab-sized
+   * count frames (map-side partial agg); the scoring stream joins those
+   * frames KEYED (tok / (w1,w2)) plus two reviewed 1-row totals
+   * broadcasts, then one doc-keyed agg. Bigrams ride an in-array
+   * `zip_with(slice, slice)` — no self-join, no window, no position
+   * shuffle. Every product is bits (≤64) × tf — no overflow path.
+   */
+  def bigramSurprise(df: DataFrame, lmDf: DataFrame, idCol: String,
+                     textCol: String, backoffBits: Int = 2): DataFrame = {
+    require(backoffBits >= 0 && backoffBits <= 16,
+      s"bigramSurprise: backoffBits in [0, 16], got $backoffBits")
+    def arrs(d: DataFrame, cols: Column*) = d.select(cols :+
+      org.apache.spark.sql.functions.filter(
+        split(Dedup.normText(col(textCol)), " "), t => length(t) > 0).as("ts"): _*)
+    def bigrams(a: DataFrame, cols: Column*) = a.select(cols :+ explode(expr(
+        """zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),
+          |         slice(ts, 2, greatest(size(ts) - 1, 0)),
+          |         (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"): _*)
+      .select(cols :+ col("bg.w1") :+ col("bg.w2"): _*)
+    // the LM: unigram counts, bigram counts, 1-row (N, V) totals
+    val lmArr = arrs(lmDf)
+    val c1 = lmArr.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val c2 = bigrams(lmArr)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val tot = c1.agg(sum(col("c1")).as("nn"), count(lit(1)).as("vv"))
+    // scoring stream: first tokens under the smoothed unigram...
+    val scoreArr = arrs(df, col(idCol))
+    val first = scoreArr.filter(size(col("ts")) >= 1)
+      .select(col(idCol), expr("ts[0]").as("tok"))
+      .join(c1, Seq("tok"), "left")
+      // reviewed 1-row totals broadcast (t23's shape)
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        expr("CAST(length(bin((nn + vv) div (coalesce(c1, 0L) + 1))) AS BIGINT)")
+          .as("bits"))
+    // ...every later token under p(w2 | w1), backing off when unseen
+    val rest = bigrams(scoreArr, col(idCol))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.withColumnRenamed("tok", "w1").withColumnRenamed("c1", "c1w1"),
+        Seq("w1"), "left")
+      .join(c1.withColumnRenamed("tok", "w2").withColumnRenamed("c1", "c1w2"),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot)) // reviewed 1-row totals broadcast
+      .select(col(idCol),
+        expr(s"""CAST(CASE WHEN c2 IS NOT NULL THEN length(bin(c1w1 div c2))
+                 ELSE $backoffBits + length(bin((nn + vv) div (coalesce(c1w2, 0L) + 1)))
+                 END AS BIGINT)""").as("bits"))
+    val perDoc = first.unionByName(rest)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("bpe_tokens"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("bits")).as("lm_bits"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("lm_bits"), lit(0L)).as("lm_bits"),
+        expr("CASE WHEN coalesce(n_toks, 0L) = 0 THEN 0L " +
+          "ELSE (1000000 * lm_bits) div n_toks END").as("ppl_u"))
   }
 
   /**

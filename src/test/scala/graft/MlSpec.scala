@@ -937,6 +937,111 @@ class MlSpec extends SparkSpec {
     spark.catalog.dropTempView("cdr_new"); spark.catalog.dropTempView("cdr_old")
   }
 
+  test("bigramSurprise: hand-computed bits on a held-out LM; backoff fires on unseen bigrams") {
+    implicit val s = spark
+    import spark.implicits._
+    // LM "a b a b c": c1(a)=2 c1(b)=2 c1(c)=1, N=5 V=3 -> N+V=8;
+    // c2(a,b)=2 c2(b,a)=1 c2(b,c)=1
+    val lm = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    // "a b z": first a -> blen(8 div 3)=blen(2)=2; (a,b) seen ->
+    // blen(2 div 2)=1; (b,z) unseen -> 2 + blen(8 div 1)=6. total 9/3 toks
+    val docs = Seq((1L, "a b z"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.ml.TextAnalysis.bigramSurprise(docs, lm, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out(1L) shouldBe ((3L, 9L, 3000000L))
+    // single token "c": blen(8 div (1+1)) = blen(4) = 3
+    out(2L) shouldBe ((1L, 3L, 3000000L))
+    out(3L) shouldBe ((0L, 0L, 0L))
+    // self-scored corpus: every bigram seen, so no backoff path — each
+    // doc's bits are finite and n_toks equals its token count
+    val self = graft.ml.TextAnalysis.bigramSurprise(lm, lm, "doc_id", "text")
+      .collect().head
+    self.getLong(1) shouldBe 5L
+    // actor routing with an explicit lmView
+    docs.createOrReplaceTempView("bs_docs"); lm.createOrReplaceTempView("bs_lm")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val a = new graft.ml.TextAnalysisActor()
+    a.init(Map("view" -> "bs_docs", "method" -> "bigram-surprise", "lmView" -> "bs_lm"))
+    a.inputViews should contain allOf ("bs_docs", "bs_lm")
+    a.run(ctx).get.columns shouldBe Array("doc_id", "n_toks", "lm_bits", "ppl_u")
+    spark.catalog.dropTempView("bs_docs"); spark.catalog.dropTempView("bs_lm")
+  }
+
+  test("tokenizerFertility: bytes-per-token under a hand merge table; actor requires mergesView") {
+    implicit val s = spark
+    import spark.implicits._
+    // merge ab: "ab" -> 1 sym, "cd" -> 2 syms; bytes 2+2=4, bpe 3
+    val merges = Seq((1L, "ab", "a", "b", 5L)).toDF("round", "merge", "a", "b", "cnt")
+    val docs = Seq((1L, "ab cd", "web")).toDF("doc_id", "text", "source")
+    val f = graft.ml.TextAnalysis.tokenizerFertility(docs, "source", "text", merges)
+      .collect().head
+    f.getString(0) shouldBe "web"
+    f.getLong(1) shouldBe 2L            // n_words
+    f.getLong(2) shouldBe 4L            // n_bytes
+    f.getLong(3) shouldBe 3L            // n_bpe
+    f.getLong(4) shouldBe 1333333L      // (1e6*4) div 3
+    intercept[IllegalArgumentException] {
+      new graft.ml.TextAnalysisActor().init(Map("view" -> "x", "method" -> "fertility"))
+    }.getMessage should include("mergesView")
+  }
+
+  test("centroidDrift: exact quantized L1 shift; one-snapshot groups dropped") {
+    implicit val s = spark
+    import spark.implicits._
+    // new g: (1,2) and (3,4); old g: (1,2) only. per dim:
+    // |s_n*n_o - s_o*n_n| div (n_n*n_o) = |4e6-2e6| div 2 = 1e6 (both dims)
+    val nw = Seq((1L, Seq(1.0f, 2.0f), "g"), (2L, Seq(3.0f, 4.0f), "g"),
+      (3L, Seq(9.0f, 9.0f), "h")).toDF("vec_id", "embedding", "grp")
+    val od = Seq((1L, Seq(1.0f, 2.0f), "g")).toDF("vec_id", "embedding", "grp")
+    val out = graft.ml.Similarity.centroidDrift(nw, od, "grp", "embedding").collect()
+    out should have size 1 // group h has no old snapshot -> dropped
+    val r = out.head
+    r.getString(0) shouldBe "g"
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe ((2L, 1L, 2L, 2000000L))
+    // identical snapshots -> zero drift
+    graft.ml.Similarity.centroidDrift(nw, nw, "grp", "embedding")
+      .collect().map(_.getLong(4)).toSet shouldBe Set(0L)
+    // actor requires oldView and labelField
+    intercept[IllegalArgumentException] {
+      new graft.ml.SimilaritySearchActor().init(
+        Map("view" -> "x", "method" -> "centroid-drift", "labelField" -> "grp"))
+    }.getMessage should include("oldView")
+  }
+
+  test("epochShuffle: deterministic, window-equivalent positions, distinct per-epoch permutations") {
+    implicit val s = spark
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = graft.ml.Curation.epochShuffle(docs, "doc_id", "s1", 2, 4)
+    out.count() shouldBe 80 // one row per (doc, epoch)
+    // positions are bit-equal to the window form
+    val win = out.withColumn("wpos", row_number().over(
+      Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(col("ord_key"), col("doc_id"))))
+    win.filter(col("pos") =!= col("wpos")).count() shouldBe 0
+    // deterministic: a re-run reproduces the identical assignment
+    val again = graft.ml.Curation.epochShuffle(docs, "doc_id", "s1", 2, 4)
+    out.unionAll(again).distinct().count() shouldBe 80
+    // epochs are different permutations (the epoch is in the hash)
+    val e0 = out.filter(col("epoch") === 0).select("doc_id", "shard", "pos")
+    val e1 = out.filter(col("epoch") === 1).select("doc_id", "shard", "pos")
+    e0.intersect(e1).count() should be < 40L
+    // a different seed moves documents
+    val seeded = graft.ml.Curation.epochShuffle(docs, "doc_id", "s2", 2, 4)
+    out.select("doc_id", "epoch", "shard", "pos")
+      .intersect(seeded.select("doc_id", "epoch", "shard", "pos"))
+      .count() should be < 80L
+    // actor routing
+    docs.createOrReplaceTempView("es_docs")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val a = new graft.ml.CurationActor()
+    a.init(Map("view" -> "es_docs", "method" -> "shuffle",
+      "seed" -> "s1", "shuffleEpochs" -> "2", "shards" -> "4"))
+    a.run(ctx).get.columns shouldBe Array("doc_id", "epoch", "shard", "ord_key", "pos")
+    spark.catalog.dropTempView("es_docs")
+  }
+
   test("round-10 operators: degenerate inputs (empty corpus, all-same-label, single-symbol vocab)") {
     implicit val s = spark
     import spark.implicits._

@@ -135,6 +135,9 @@ class PlanSpec extends SparkSpec {
                            // offsets frame (c10's shape)
       "d18_canonical_rep", // langChainEdges' perGroupSequence offsets
                            // frame (c10's shape)
+      "c20_epoch_shuffle", // perGroupSequence offsets frame (c10's shape)
+                           // — the per-(epoch, shard) position window
+                           // never exists
       "s11_hybrid_rrf_ivf", // embeds s3's post-limit(16) centroid seed rank
       "s12_ivf_incremental" // s3's post-limit(16) centroid seed rank (base
                            // corpus only — the fixed-centroid ingest shape)
@@ -173,6 +176,12 @@ class PlanSpec extends SparkSpec {
       "t26_bpe_encode",    // crossJoin vs broadcast 1-row merge-ARRAY
                            // frame, folded over the distinct vocab only
                            // (t18's reviewed shape with k merges)
+      "t29_bigram_surprise", // crossJoin vs broadcast 1-row (N, V)
+                           // LM-totals frame, twice (first-token leg +
+                           // bigram leg) — t23's reviewed shape; all
+                           // count joins are keyed
+      "t30_tokenizer_fertility", // t26's crossJoin vs broadcast 1-row
+                           // merge-ARRAY frame over the distinct vocab
       "q108_skew_autosalt", // PushdownLeftSemiAntiJoin pushes the hot-set
                            // anti join through the dimension's union into
                            // its 1-LITERAL-ROW branch, where the equi

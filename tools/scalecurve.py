@@ -84,6 +84,19 @@ LINEAR_SET = [
     # corpus drift: two corpus scans into vocab tf frames, one
     # (source,tok)-keyed left join, broadcast totals, per-source agg
     "t28_corpus_drift",
+    # bigram LM surprise: both corpora scan once into vocab/bigram count
+    # frames; scoring stream joins them KEYED + two 1-row totals
+    # broadcasts; bigrams via in-array zip (no self-join, no window)
+    "t29_bigram_surprise",
+    # tokenizer fertility: t24's vocab-bounded trainer + t26's
+    # vocab-bounded merge fold, token-keyed join back, source agg
+    "t30_tokenizer_fertility",
+    # centroid drift: two scans into (group, dim)-keyed sums
+    # (map-side partial agg), one small-frame join, one group agg
+    "s14_centroid_drift",
+    # epoch shuffle: bounded epochs-way explode + perGroupSequence's
+    # range sort — one extra pid-keyed exchange, never a giant task
+    "c20_epoch_shuffle",
     # skew-aware join: one map-side-combined count pass + broadcast hot
     # set + salted hot leg / plain cold leg — two keyed shuffles, the
     # giant key spread over `salt` tasks instead of one
