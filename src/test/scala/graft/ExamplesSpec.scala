@@ -189,6 +189,32 @@ class ExamplesSpec extends SparkSpec {
     cms1 should be <= ex1 + math.ceil(2.72 * ev.count() / 2048).toLong
   }
 
+  test("training_data_run.yaml: quality -> perplexity -> dedup -> scrub -> shuffle, end to end") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_trainrun")
+    runExample("training_data_run.yaml", Map(
+      "data_dir" -> sfDir, "out_dir" -> out, "seed" -> "r10",
+      // wide calibration band at sandbox scale: the gate mechanism is
+      // what the test exercises, not a tuned threshold
+      "min_quality" -> "0.05", "ppl_lo" -> "1000000", "ppl_hi" -> "60000000"))
+    val docs = spark.read.parquet(s"$out/scrubbed_docs")
+    docs.columns shouldBe Array("doc_id", "redacted", "n_redacted")
+    val n = docs.count()
+    n should be > 0L
+    // dedup kept one row per doc id (exact keeps are unique)
+    docs.select("doc_id").distinct().count() shouldBe n
+    val order = spark.read.parquet(s"$out/train_order")
+    order.columns shouldBe Array("doc_id", "epoch", "shard", "ord_key", "pos")
+    // every surviving doc got a position in BOTH epochs
+    order.count() shouldBe 2 * n
+    order.groupBy("epoch").count().collect().map(_.getLong(1)).toSet shouldBe Set(n)
+    // positions are dense 1..k within each (epoch, shard)
+    val dense = order.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("c"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+    dense.filter(col("mx") =!= col("c") || col("mn") =!= 1L).count() shouldBe 0
+  }
+
   test("curate_corpus.yaml runs semdedup and bm25 through the actor surface") {
     val out = tmpDir("ex_curate")
     runExample("curate_corpus.yaml",
