@@ -4906,6 +4906,43 @@ object Queries {
          |FROM k""".stripMargin
     }),
 
+    // Quality-signal ensemble by Borda rank aggregation: three integer
+    // signals (token length, lexical diversity, negated unigram
+    // surprise) each globally ranked by ONE perGroupSequence over the
+    // 3-signal union — the windowless form of three partitionless
+    // rank windows — then summed. Ties broken by doc_id in both engines.
+    Spec("t31_quality_ensemble", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.qualityEnsemble(docs, "doc_id", "text")
+    }, Some("""WITH n AS (SELECT doc_id,
+        |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |                x -> length(x) > 0) AS ts
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS tok FROM n),
+        |base AS (SELECT n.doc_id, CAST(coalesce(b.n_toks, 0) AS BIGINT) AS n_toks,
+        |    CAST(coalesce(b.nd, 0) AS BIGINT) AS nd
+        |  FROM n LEFT JOIN (SELECT doc_id, count(*) AS n_toks, count(DISTINCT tok) AS nd
+        |    FROM tok GROUP BY doc_id) b USING (doc_id)),
+        |tf AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS nt FROM tf),
+        |bits AS (SELECT tok, CAST(length(bin(nt // tf)) AS BIGINT) AS b FROM tf, tot),
+        |ppl AS (SELECT t.doc_id, CAST((1000000 * SUM(b.b)) // count(*) AS BIGINT) AS ppl_u
+        |  FROM tok t JOIN bits b USING (tok) GROUP BY t.doc_id),
+        |sig AS (SELECT doc_id, n_toks AS v, 'len' AS sig FROM base
+        |  UNION ALL SELECT doc_id,
+        |    CASE WHEN n_toks = 0 THEN 0 ELSE (1000000 * nd) // n_toks END, 'div' FROM base
+        |  UNION ALL SELECT b.doc_id, -coalesce(p.ppl_u, 0), 'ppl'
+        |    FROM base b LEFT JOIN ppl p USING (doc_id)),
+        |rk AS (SELECT doc_id, sig,
+        |    CAST(row_number() OVER (PARTITION BY sig ORDER BY v DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sig)
+        |SELECT doc_id,
+        |  max(CASE WHEN sig = 'len' THEN rk END) AS rk_len,
+        |  max(CASE WHEN sig = 'div' THEN rk END) AS rk_div,
+        |  max(CASE WHEN sig = 'ppl' THEN rk END) AS rk_ppl,
+        |  CAST(SUM(rk) AS BIGINT) AS borda
+        |FROM rk GROUP BY doc_id""".stripMargin)),
+
     // Integer batch-perceptron training (t19's missing training half):
     // 3 epochs over the hashed bag-of-words, label = (lang == 'en'),
     // graded against a 3x-unrolled DuckDB replay — weights are exact

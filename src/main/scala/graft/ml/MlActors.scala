@@ -605,7 +605,7 @@ class CurationActor extends Actor {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("calibrate", "split", "dsir", "gopher", "surprise",
-        "epochs", "pack", "diff", "shuffle").contains(m),
+        "epochs", "pack", "diff", "shuffle", "ensemble").contains(m),
         s"CurationActor: bad method $m")
       method = m
     }
@@ -664,6 +664,8 @@ class CurationActor extends Actor {
         Curation.corpusDiff(ctx.getView(againstView), df, idCol, textCol)
       case "shuffle" =>
         Curation.epochShuffle(df, idCol, seed, shuffleEpochs, shards)
+      case "ensemble" =>
+        TextAnalysis.qualityEnsemble(df, idCol, textCol)
     })
   }
 

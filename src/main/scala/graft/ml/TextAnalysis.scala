@@ -377,6 +377,53 @@ object TextAnalysis {
   }
 
   /**
+   * Quality-signal ensemble by Borda rank aggregation (t31): combine
+   * three orthogonal integer signals — token length, lexical diversity
+   * (`1e6·distinct div tokens`), and unigram-LM naturalness (negated
+   * [[unigramSurprise]] ppl_u, lower surprise ranks better) — into one
+   * corpus-wide rank sum. Rank aggregation is how production quality
+   * ensembles compose heterogeneous scorers (a raw-score average is
+   * meaningless across units; ranks are comparable by construction),
+   * and the Borda sum is the standard positional rule.
+   *
+   * Exactness: every signal is exact-integer, and each global rank is
+   * ordered by (value DESC, id) — fully deterministic, so a DuckDB
+   * `row_number()` replay matches bit-for-bit.
+   *
+   * Output: (idCol, rk_len, rk_div, rk_ppl, borda) — rank 1 is best
+   * per signal; smaller borda = better document.
+   *
+   * Scale shape: a GLOBAL rank is the classic scale trap (a
+   * partitionless window is one task holding the corpus); here all
+   * three ranks ride ONE [[graft.utils.DataframeHelper.perGroupSequence]]
+   * over the 3-signal union — range-sorted across all tasks, ranks
+   * reconstructed from per-task offsets. Plus t23's scan shape for the
+   * LM leg. No window over data-sized groups anywhere.
+   */
+  def qualityEnsemble(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokStream(df, textCol, col(idCol))
+    val base = df.select(col(idCol)).join(
+        toks.groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_toks"), countDistinct(col("tok")).as("nd")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("nd"), lit(0L)).as("nd"))
+    val ppl = unigramSurprise(df, idCol, textCol).select(col(idCol), col("ppl_u"))
+    val sig = base.select(col(idCol), col("n_toks").as("v"), lit("len").as("sig"))
+      .unionByName(base.select(col(idCol),
+        expr("CASE WHEN n_toks = 0 THEN 0L ELSE (1000000 * nd) div n_toks END").as("v"),
+        lit("div").as("sig")))
+      .unionByName(ppl.select(col(idCol), (-col("ppl_u")).as("v"), lit("ppl").as("sig")))
+    val ranked = graft.utils.DataframeHelper.perGroupSequence(
+      sig.withColumn("__negv_", -col("v")), Seq("sig"), Seq("__negv_", idCol), "rk")
+    ranked.groupBy(col(idCol))
+      .agg(max(when(col("sig") === "len", col("rk"))).as("rk_len"),
+        max(when(col("sig") === "div", col("rk"))).as("rk_div"),
+        max(when(col("sig") === "ppl", col("rk"))).as("rk_ppl"),
+        sum(col("rk")).as("borda"))
+  }
+
+  /**
    * Bigram-LM surprise (t29): score every document's tokens under a
    * bigram language model with stupid backoff — the two-gram upgrade of
    * [[unigramSurprise]]'s CCNet-style perplexity filter, and the exact

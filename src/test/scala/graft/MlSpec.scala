@@ -1042,6 +1042,31 @@ class MlSpec extends SparkSpec {
     spark.catalog.dropTempView("es_docs")
   }
 
+  test("qualityEnsemble: hand-computed Borda ranks over the three signals") {
+    implicit val s = spark
+    import spark.implicits._
+    // corpus tf: a=3 b=1 c=4, N=8 -> bits a=blen(8 div 3)=2, b=4, c=2
+    // d1 "a a b": len 3, div 666666, ppl (1e6*8) div 3 = 2666666
+    // d2 "a":     len 1, div 1000000, ppl 2000000
+    // d3 "c c c c": len 4, div 250000, ppl 2000000
+    // ranks (desc, ties by id): len d3,d1,d2 -> 1,2,3; div d2,d1,d3;
+    // ppl (lower better, tie d2<d3): d2,d3,d1 -> borda d1=7 d2=5 d3=6
+    val docs = Seq((1L, "a a b"), (2L, "a"), (3L, "c c c c")).toDF("doc_id", "text")
+    val out = graft.ml.TextAnalysis.qualityEnsemble(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    out(1L) shouldBe ((2L, 2L, 3L, 7L))
+    out(2L) shouldBe ((3L, 1L, 1L, 5L))
+    out(3L) shouldBe ((1L, 3L, 2L, 6L))
+    // actor routing
+    docs.createOrReplaceTempView("qe_docs")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val a = new graft.ml.CurationActor()
+    a.init(Map("view" -> "qe_docs", "method" -> "ensemble"))
+    a.run(ctx).get.columns shouldBe Array("doc_id", "rk_len", "rk_div", "rk_ppl", "borda")
+    spark.catalog.dropTempView("qe_docs")
+  }
+
   test("round-10 operators: degenerate inputs (empty corpus, all-same-label, single-symbol vocab)") {
     implicit val s = spark
     import spark.implicits._

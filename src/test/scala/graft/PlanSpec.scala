@@ -138,6 +138,9 @@ class PlanSpec extends SparkSpec {
       "c20_epoch_shuffle", // perGroupSequence offsets frame (c10's shape)
                            // — the per-(epoch, shard) position window
                            // never exists
+      "t31_quality_ensemble", // perGroupSequence offsets frame (c10's
+                           // shape) — the three GLOBAL rank windows
+                           // never exist; ranks ride one range sort
       "s11_hybrid_rrf_ivf", // embeds s3's post-limit(16) centroid seed rank
       "s12_ivf_incremental" // s3's post-limit(16) centroid seed rank (base
                            // corpus only — the fixed-centroid ingest shape)
@@ -182,6 +185,8 @@ class PlanSpec extends SparkSpec {
                            // count joins are keyed
       "t30_tokenizer_fertility", // t26's crossJoin vs broadcast 1-row
                            // merge-ARRAY frame over the distinct vocab
+      "t31_quality_ensemble", // embeds t23's crossJoin vs broadcast
+                           // 1-row corpus-totals frame (the LM leg)
       "q108_skew_autosalt", // PushdownLeftSemiAntiJoin pushes the hot-set
                            // anti join through the dimension's union into
                            // its 1-LITERAL-ROW branch, where the equi

@@ -97,6 +97,9 @@ LINEAR_SET = [
     # epoch shuffle: bounded epochs-way explode + perGroupSequence's
     # range sort — one extra pid-keyed exchange, never a giant task
     "c20_epoch_shuffle",
+    # quality ensemble: t23's LM scan + one perGroupSequence range sort
+    # over the 3-signal union — three global ranks, zero global windows
+    "t31_quality_ensemble",
     # skew-aware join: one map-side-combined count pass + broadcast hot
     # set + salted hot leg / plain cold leg — two keyed shuffles, the
     # giant key spread over `salt` tasks instead of one
