@@ -3607,6 +3607,99 @@ object Queries {
         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM s)
         |SELECT doc_id, tok, tf, score, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3""".stripMargin)),
 
+    // Streaming corpus-health monitor: per event-time hour per source —
+    // doc count, whitespace tokens, planted-PII match count — the
+    // in-flight ops dashboard for an ingest stream (a source suddenly
+    // flooding PII or collapsing in length shows here before any batch
+    // job runs). Event time is a deterministic function of doc_id so
+    // the DuckDB replay buckets identically; tumbling windows align to
+    // epoch 0 in both engines (floor(ts/3600)*3600). Per-row stateless
+    // maps into a windowed keyed agg — state is (buckets x sources).
+    Spec("q109_stream_corpus_health", (spark, dir) => {
+      val piiTotal = graft.ml.Pii.classes.map { case (_, p, _) =>
+        regexp_count(coalesce(col("text"), lit("")), lit(p)).cast("long")
+      }.reduce(_ + _)
+      val sDocs = streamTable(spark, dir, "documents.parquet")
+        .select(col("source"),
+          concat(col("text"),
+            when(col("doc_id") % 4 === 0, concat(lit(" reach a"),
+              col("doc_id").cast("string"), lit("@x.io"))).otherwise(lit("")),
+            when(col("doc_id") % 6 === 0, lit(" call 555-123-4567"))
+              .otherwise(lit(""))).as("text"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id") * 60).as("ts"))
+      val agg = sDocs.groupBy(window(col("ts"), "1 hour"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.ml.TextAnalysis.wsTokenCount(col("text")).cast("long")).as("n_toks"),
+          sum(piiTotal).as("n_pii"))
+        .select(col("window.start").cast("long").as("bucket_start"), col("source"),
+          col("n_docs"), col("n_toks"), col("n_pii"))
+      drainToMemory(spark, agg, "q109_health", "complete")
+    }, Some {
+      val piiSum = graft.ml.Pii.classes.map { case (_, p, _) =>
+        s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT source, text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ' reach a' || CAST(doc_id AS VARCHAR) || '@x.io' ELSE '' END ||
+         |    CASE WHEN doc_id % 6 = 0 THEN ' call 555-123-4567' ELSE '' END AS text,
+         |    1700000000 + doc_id * 60 AS tsec
+         |  FROM documents),
+         |h AS (SELECT source, (tsec // 3600) * 3600 AS bucket_start,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+         |    $piiSum AS pii
+         |  FROM p)
+         |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, source,
+         |  count(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_toks,
+         |  CAST(SUM(pii) AS BIGINT) AS n_pii
+         |FROM h GROUP BY 1, 2""".stripMargin
+    }),
+
+    // Streaming decontamination: probe an INGEST STREAM against a Bloom
+    // filter built batch-side over the eval set (b1's shape with the
+    // train side streamed) — the in-flight gate that drops contaminated
+    // documents before they ever land. The one-row bloom state rides a
+    // stream-static broadcast; the probe is stateless per shingle; only
+    // the per-doc verdict aggregates. Graded like b1: exact_hit from
+    // the broadcast distinct eval-shingle set, and the no-false-negative
+    // invariant (bloom_hit >= exact_hit) as an output column.
+    Spec("q110_stream_decontaminate", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val evalSh = Dedup.shingles(docs.filter(col("doc_id") % 50 === 0),
+        "text", "doc_id", 3, distinct = false)
+      // 2^16 bits: the ~8 KB row every streamed shingle carries through
+      // the stream-static broadcast (b1's 2^22 default is a 512 KB row —
+      // measured 10x the whole query's cost when attached per shingle in
+      // a stream); at the eval set's shingle count the fp rate stays
+      // orders below the graded invariant
+      val state = evalSh.agg(
+        graft.functions.SketchAggregates.bloomState(col("shingle"), 1 << 16).as("bf"))
+      val evalSet = evalSh.select(col("shingle")).distinct()
+        .withColumn("ex", lit(1))
+      val sSh = Dedup.shingles(
+        streamTable(spark, dir, "documents.parquet")
+          .filter(col("doc_id") % 50 =!= 0).select(col("doc_id"), col("text")),
+        "text", "doc_id", 3, distinct = false)
+      // reviewed stream-static crossJoin vs the broadcast 1-row bloom
+      // state (b1's shape)
+      val probed = sSh.crossJoin(broadcast(state))
+        .join(broadcast(evalSet), Seq("shingle"), "left")
+        .groupBy(col("id"))
+        .agg(max(graft.functions.SketchAggregates
+            .bloomContains(col("bf"), col("shingle")).cast("int")).as("bloom_hit"),
+          max(coalesce(col("ex"), lit(0))).as("exact_hit"))
+        .select(col("id").as("doc_id"), col("exact_hit"),
+          (col("bloom_hit") >= col("exact_hit")).cast("int").as("no_false_neg"))
+      drainToMemory(spark, probed, "q110_decon", "complete")
+    }, Some {
+      s"""WITH ${shingleCte("documents")},
+         |ev AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, shingle FROM shing WHERE doc_id % 50 <> 0),
+         |cont AS (SELECT DISTINCT doc_id FROM tr JOIN ev USING (shingle))
+         |SELECT t.doc_id,
+         |  CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS exact_hit,
+         |  1 AS no_false_neg
+         |FROM (SELECT DISTINCT doc_id FROM tr) t LEFT JOIN cont c USING (doc_id)""".stripMargin
+    }),
+
     // EXISTS / NOT EXISTS correlated subqueries — Catalyst rewrites both
     // to semi/anti hash joins on o_custkey (no per-row subquery execution),
     // so the plan is two key-partitioned joins regardless of corpus size.

@@ -187,6 +187,8 @@ class PlanSpec extends SparkSpec {
                            // merge-ARRAY frame over the distinct vocab
       "t31_quality_ensemble", // embeds t23's crossJoin vs broadcast
                            // 1-row corpus-totals frame (the LM leg)
+      "q110_stream_decontaminate", // b1's crossJoin vs the broadcast
+                           // 1-row bloom-state frame, stream-static
       "q108_skew_autosalt", // PushdownLeftSemiAntiJoin pushes the hot-set
                            // anti join through the dimension's union into
                            // its 1-LITERAL-ROW branch, where the equi

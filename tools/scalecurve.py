@@ -100,6 +100,12 @@ LINEAR_SET = [
     # quality ensemble: t23's LM scan + one perGroupSequence range sort
     # over the 3-signal union — three global ranks, zero global windows
     "t31_quality_ensemble",
+    # streaming corpus health: stateless per-row maps into a windowed
+    # keyed agg — state is (buckets x sources), input one pass
+    "q109_stream_corpus_health",
+    # streaming decontamination: stateless shingle probe vs a broadcast
+    # 1-row bloom state + broadcast eval set; only the verdict aggregates
+    "q110_stream_decontaminate",
     # skew-aware join: one map-side-combined count pass + broadcast hot
     # set + salted hot leg / plain cold leg — two keyed shuffles, the
     # giant key spread over `salt` tasks instead of one
