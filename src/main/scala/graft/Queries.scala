@@ -5036,6 +5036,38 @@ object Queries {
         |  CAST(SUM(rk) AS BIGINT) AS borda
         |FROM rk GROUP BY doc_id""".stripMargin)),
 
+    // Deterministic span-corruption schedule: per 8-token block, a
+    // 2-token masked span at hash-derived offset <= 5 — non-overlapping
+    // by construction (no sequential overlap walk), ~25% coverage, the
+    // whole mask a pure function of (corpus, seed). mask_pos_sum is the
+    // order-free checksum a consumer verifies regenerated masks against.
+    Spec("t32_span_corruption", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.Curation.spanCorruption(docs, "doc_id", "text", "s7")
+    }, Some {
+      val h = graft.ml.Hashing.duckdbHashSql("'s7' || ':' || doc_id || ':' || b")
+      s"""WITH n AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+         |                         x -> length(x) > 0)) AS BIGINT) AS n
+         |  FROM documents),
+         |bl AS (SELECT doc_id, n, unnest(range((n + 7) // 8)) AS b FROM n WHERE n > 0),
+         |m AS (SELECT doc_id, n, b * 8 + ($h % 6) AS p1 FROM bl),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN p1 < n THEN 1 ELSE 0 END AS m1,
+         |    CASE WHEN p1 + 1 < n THEN 1 ELSE 0 END AS m2, p1 FROM m),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         |    CAST(SUM(m1 + m2) AS BIGINT) AS n_masked,
+         |    CAST(SUM((p1 + 1) * m1 + (p1 + 2) * m2) AS BIGINT) AS mask_pos_sum
+         |  FROM s GROUP BY doc_id)
+         |SELECT n.doc_id, n.n AS n_toks,
+         |  coalesce(a.n_blocks, 0) AS n_blocks,
+         |  coalesce(a.n_masked, 0) AS n_masked,
+         |  coalesce(a.mask_pos_sum, 0) AS mask_pos_sum,
+         |  CAST(CASE WHEN n.n = 0 THEN 0
+         |       ELSE (1000000 * coalesce(a.n_masked, 0)) // n.n END AS BIGINT) AS cover_u
+         |FROM n LEFT JOIN a USING (doc_id)""".stripMargin
+    }),
+
     // Integer batch-perceptron training (t19's missing training half):
     // 3 epochs over the hashed bag-of-words, label = (lang == 'en'),
     // graded against a 3x-unrolled DuckDB replay — weights are exact

@@ -381,6 +381,61 @@ object Curation {
    * sort; epochs × shards stays broadcastable (perGroupSequence's
    * group-offset frame is one row per group).
    */
+  /**
+   * Deterministic span-corruption schedule (t32): assign every document
+   * the token spans a denoising (T5-style) objective will mask, as a
+   * pure function of (corpus, seed) — so any worker, restart, or
+   * re-tokenization pass regenerates the identical masks with zero
+   * coordination (c20's reproducibility contract, applied to the
+   * objective instead of the data order).
+   *
+   * Scheme: positions partition into fixed 8-token blocks; block `b` of
+   * document `d` masks the 2-token span starting at offset
+   * `hash(seed:d:b) % 6` — non-overlapping BY CONSTRUCTION (offset ≤ 5,
+   * span end ≤ 7), ~25% coverage, and fully parallel: no sequential
+   * overlap resolution, which is what makes deterministic masking
+   * feasible at corpus scale (a greedy "skip if previous span covers
+   * me" walk is inherently per-document sequential). Tail blocks mask
+   * whatever part of their span exists.
+   *
+   * Output: (idCol, n_toks, n_blocks, n_masked, mask_pos_sum, cover_u)
+   * — mask_pos_sum is Σ(1-based masked positions), the order-free
+   * checksum a consumer verifies its regenerated masks against;
+   * cover_u the realized mask fraction in micro-units.
+   *
+   * Scale shape: one block-explode (|tokens|/8 rows), hash + bounded
+   * arithmetic per block, one doc-keyed agg. No window, no join except
+   * the doc-keyed count reattach.
+   */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+                     seed: String): DataFrame = {
+    val n = df.select(col(idCol),
+      size(filter(split(Dedup.normText(col(textCol)), " "),
+        t => length(t) > 0)).cast("long").as("n"))
+    val blocks = n.filter(col("n") > 0L)
+      .select(col(idCol), col("n"),
+        explode(expr("sequence(0L, (n + 7) div 8 - 1)")).as("b"))
+      .withColumn("r", pmod(Hashing.oracleHash(
+        concat_ws(":", lit(seed), col(idCol), col("b"))), lit(6L)))
+      .withColumn("p1", col("b") * 8L + col("r"))
+      .select(col(idCol),
+        when(col("p1") < col("n"), lit(1L)).otherwise(lit(0L)).as("m1"),
+        when(col("p1") + 1L < col("n"), lit(1L)).otherwise(lit(0L)).as("m2"),
+        col("p1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("m1") + col("m2")).as("n_masked"),
+        sum((col("p1") + 1L) * col("m1") + (col("p1") + 2L) * col("m2"))
+          .as("mask_pos_sum"))
+    n.join(blocks, Seq(idCol), "left")
+      .select(col(idCol), col("n").as("n_toks"),
+        coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("mask_pos_sum"), lit(0L)).as("mask_pos_sum"),
+        expr("CASE WHEN n = 0 THEN 0L ELSE (1000000 * coalesce(n_masked, 0L)) div n END")
+          .as("cover_u"))
+  }
+
   def epochShuffle(df: DataFrame, idCol: String, seed: String,
                    epochs: Int = 2, shards: Int = 8): DataFrame = {
     require(epochs >= 1 && epochs <= 16,

@@ -605,7 +605,7 @@ class CurationActor extends Actor {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("calibrate", "split", "dsir", "gopher", "surprise",
-        "epochs", "pack", "diff", "shuffle", "ensemble").contains(m),
+        "epochs", "pack", "diff", "shuffle", "ensemble", "mask").contains(m),
         s"CurationActor: bad method $m")
       method = m
     }
@@ -666,6 +666,8 @@ class CurationActor extends Actor {
         Curation.epochShuffle(df, idCol, seed, shuffleEpochs, shards)
       case "ensemble" =>
         TextAnalysis.qualityEnsemble(df, idCol, textCol)
+      case "mask" =>
+        Curation.spanCorruption(df, idCol, textCol, seed)
     })
   }
 

@@ -1067,6 +1067,54 @@ class MlSpec extends SparkSpec {
     spark.catalog.dropTempView("qe_docs")
   }
 
+  test("spanCorruption: full blocks mask exactly 2, tails clip, checksum matches an independent replay") {
+    implicit val s = spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(16)("a").mkString(" ")), // 2 full blocks -> 4 masked
+      (2L, Seq.fill(9)("a").mkString(" ")),  // block 1 holds pos 8 only
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.ml.Curation.spanCorruption(docs, "doc_id", "text", "s7")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    out(1L)._1 shouldBe 16L; out(1L)._2 shouldBe 2L
+    out(1L)._3 shouldBe 4L; out(1L)._5 shouldBe 250000L
+    out(3L) shouldBe ((0L, 0L, 0L, 0L, 0L))
+    // independent replay of the block hashes -> exact expected checksum
+    def r(doc: Long, b: Long): Long = spark.range(1)
+      .select(pmod(graft.ml.Hashing.oracleHash(
+        concat_ws(":", lit("s7"), lit(doc), lit(b))), lit(6L)))
+      .collect().head.getLong(0)
+    val exp1 = (0L to 1L).map { b => val p = b * 8 + r(1L, b); (p + 1) + (p + 2) }.sum
+    out(1L)._4 shouldBe exp1
+    // doc 2 tail: block 1 spans pos 8..8+r; only pos 8 exists (n=9), so
+    // it is masked iff r(2,1) == 0
+    val tailMask = if (r(2L, 1L) == 0L) 1L else 0L
+    out(2L)._3 shouldBe (2L + tailMask)
+    // determinism + seed sensitivity
+    val again = graft.ml.Curation.spanCorruption(docs, "doc_id", "text", "s7")
+    graft.ml.Curation.spanCorruption(docs, "doc_id", "text", "s7")
+      .unionAll(again).distinct().count() shouldBe 3
+    val other = graft.ml.Curation.spanCorruption(docs, "doc_id", "text", "zz")
+      .collect().map(r2 => r2.getLong(0) -> r2.getLong(4)).toMap
+    // same structural counts, (very likely) different positions for doc 1
+    (out(1L)._4 == other(1L)) shouldBe (r(1L, 0L) == {
+      spark.range(1).select(pmod(graft.ml.Hashing.oracleHash(
+        concat_ws(":", lit("zz"), lit(1L), lit(0L))), lit(6L)))
+        .collect().head.getLong(0)
+    } && r(1L, 1L) == spark.range(1).select(pmod(graft.ml.Hashing.oracleHash(
+        concat_ws(":", lit("zz"), lit(1L), lit(1L))), lit(6L)))
+        .collect().head.getLong(0))
+    // actor routing
+    docs.createOrReplaceTempView("sc_docs")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val a = new graft.ml.CurationActor()
+    a.init(Map("view" -> "sc_docs", "method" -> "mask", "seed" -> "s7"))
+    a.run(ctx).get.columns shouldBe Array(
+      "doc_id", "n_toks", "n_blocks", "n_masked", "mask_pos_sum", "cover_u")
+    spark.catalog.dropTempView("sc_docs")
+  }
+
   test("round-10 operators: degenerate inputs (empty corpus, all-same-label, single-symbol vocab)") {
     implicit val s = spark
     import spark.implicits._

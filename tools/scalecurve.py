@@ -106,6 +106,9 @@ LINEAR_SET = [
     # streaming decontamination: stateless shingle probe vs a broadcast
     # 1-row bloom state + broadcast eval set; only the verdict aggregates
     "q110_stream_decontaminate",
+    # span corruption: one block-explode (|tokens|/8 rows), per-block
+    # hash arithmetic, doc-keyed agg — no window, no overlap walk
+    "t32_span_corruption",
     # skew-aware join: one map-side-combined count pass + broadcast hot
     # set + salted hot leg / plain cold leg — two keyed shuffles, the
     # giant key spread over `salt` tasks instead of one
