@@ -189,6 +189,22 @@ class ExamplesSpec extends SparkSpec {
     cms1 should be <= ex1 + math.ceil(2.72 * ev.count() / 2048).toLong
   }
 
+  test("corpus_health.yaml: token drift + zipf fit + centroid drift in one health report") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_health")
+    runExample("corpus_health.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    val report = spark.read.parquet(s"$out/health_report")
+    report.columns shouldBe Array(
+      "source", "n_toks", "drift_bits", "ppl_ratio_u", "n_ranks", "decay_u")
+    // one row per source present in both snapshots; ratios are sane
+    report.count() should be > 0L
+    report.filter(col("ppl_ratio_u") < 900000L).count() shouldBe 0
+    val emb = spark.read.parquet(s"$out/embedding_drift")
+    emb.columns shouldBe Array("label", "n_new", "n_old", "dims", "l1_drift_u")
+    emb.filter(col("n_new") < col("n_old")).count() shouldBe 0
+  }
+
   test("training_data_run.yaml: quality -> perplexity -> dedup -> scrub -> shuffle, end to end") {
     implicit val s = spark
     import org.apache.spark.sql.functions._

@@ -1115,6 +1115,30 @@ class MlSpec extends SparkSpec {
     spark.catalog.dropTempView("sc_docs")
   }
 
+  test("spanCorruption invariants hold for every token count 0..40") {
+    implicit val s = spark
+    import spark.implicits._
+    val docs = (0 to 40).map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.ml.Curation.spanCorruption(docs, "doc_id", "text", "inv")
+      .collect()
+    rows should have size 41
+    rows.foreach { r =>
+      val (n, blocks, masked, posSum) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      n shouldBe r.getLong(0) // doc i has i tokens
+      blocks shouldBe (n + 7) / 8
+      // full blocks mask exactly 2 (offset <= 5 keeps the span inside);
+      // the tail block contributes 0..2 depending on its size vs offset
+      masked should be >= 2 * (n / 8)
+      masked should be <= math.min(2 * (n / 8) + 2, n)
+      // 1-based positions: each masked position in [1, n]
+      posSum should be >= masked
+      posSum should be <= masked * n
+      r.getLong(5) shouldBe (if (n == 0) 0L else 1000000 * masked / n)
+    }
+  }
+
   test("round-10 operators: degenerate inputs (empty corpus, all-same-label, single-symbol vocab)") {
     implicit val s = spark
     import spark.implicits._
