@@ -1139,6 +1139,26 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("tokenizerFertility is consistent with bpeEncode under the same merge table") {
+    implicit val s = spark
+    import spark.implicits._
+    // cross-operator pin: per-source n_bpe/n_words from fertility must
+    // equal the per-doc bpeEncode outputs summed by source — both ride
+    // the same vocab-encode stage, so a drift here means the shared
+    // helper split semantics
+    val docs = Seq((1L, "abab cd ab", "w"), (2L, "cd cd abab", "w"),
+      (3L, "zz abab", "x")).toDF("doc_id", "text", "source")
+    val merges = graft.ml.TextAnalysis.bpeLearn(docs, "text", 3)
+    val fert = graft.ml.TextAnalysis.tokenizerFertility(docs, "source", "text", merges)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val enc = graft.ml.TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("w"), sum(col("bpe_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    fert shouldBe enc
+  }
+
   test("round-10 operators: degenerate inputs (empty corpus, all-same-label, single-symbol vocab)") {
     implicit val s = spark
     import spark.implicits._
