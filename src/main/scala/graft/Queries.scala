@@ -5068,6 +5068,31 @@ object Queries {
          |FROM n LEFT JOIN a USING (doc_id)""".stripMargin
     }),
 
+    // Per-source out-of-vocabulary rate under the corpus top-256
+    // vocabulary — the vocab-sizing coverage report. The vocab set is
+    // deterministic in both engines (tf DESC, token-hash ASC at the
+    // boundary, the same hash both sides), membership joins on that
+    // hash against a broadcast k-row frame.
+    Spec("t33_oov_rate", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.oovRate(docs, "source", "text", 256)
+    }, Some {
+      val h = graft.ml.Hashing.duckdbHashSql("tok")
+      s"""WITH toks AS (SELECT source,
+         |    unnest(list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+         |                       x -> length(x) > 0)) AS tok
+         |  FROM documents),
+         |stf AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY source, tok),
+         |ctf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM stf GROUP BY tok),
+         |vocab AS (SELECT tok FROM ctf ORDER BY ctf DESC, $h ASC LIMIT 256)
+         |SELECT s.source, CAST(SUM(s.tf) AS BIGINT) AS n_toks,
+         |  CAST(SUM(CASE WHEN v.tok IS NULL THEN s.tf ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST((1000000 * SUM(CASE WHEN v.tok IS NULL THEN s.tf ELSE 0 END))
+         |       // SUM(s.tf) AS BIGINT) AS oov_u
+         |FROM stf s LEFT JOIN vocab v ON s.tok = v.tok GROUP BY s.source""".stripMargin
+    }),
+
     // Integer batch-perceptron training (t19's missing training half):
     // 3 epochs over the hashed bag-of-words, label = (lang == 'en'),
     // graded against a 3x-unrolled DuckDB replay — weights are exact

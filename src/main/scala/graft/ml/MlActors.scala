@@ -362,10 +362,10 @@ class TextAnalysisActor extends Actor {
       bm25Terms = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     properties.get("method").foreach { m =>
       require(Seq("enrich", "bpe-train", "bpe-encode", "perceptron-train",
-        "zipf-fit", "corpus-drift", "bigram-surprise", "fertility").contains(m),
+        "zipf-fit", "corpus-drift", "bigram-surprise", "fertility", "oov").contains(m),
         s"TextAnalysisActor: unknown method '$m' " +
           "(enrich | bpe-train | bpe-encode | perceptron-train | zipf-fit" +
-          " | corpus-drift | bigram-surprise | fertility)")
+          " | corpus-drift | bigram-surprise | fertility | oov)")
       method = m
     }
     properties.get("bpeMerges").foreach(v => bpeMerges = v.toInt)
@@ -415,6 +415,8 @@ class TextAnalysisActor extends Actor {
     if (method == "fertility")
       return Some(TextAnalysis.tokenizerFertility(df, sourceCol, textCol,
         ctx.getView(mergesView)))
+    if (method == "oov")
+      return Some(TextAnalysis.oovRate(df, sourceCol, textCol, topK))
     // lmView defaults to the scored view itself (self-scored corpus —
     // valid, but the backoff path then never fires; point lmView at a
     // held-out or previous snapshot for a real perplexity gate)

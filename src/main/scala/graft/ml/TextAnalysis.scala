@@ -377,6 +377,46 @@ object TextAnalysis {
   }
 
   /**
+   * Out-of-vocabulary rate per source (t33): the fraction of each
+   * source's tokens falling outside the corpus's top-k vocabulary —
+   * the vocab-sizing / coverage report read before committing to a
+   * tokenizer budget (a source with high OOV under the planned vocab
+   * will shatter into fallback bytes and train poorly).
+   *
+   * The vocabulary is the k most frequent tokens corpus-wide, selected
+   * by the `graft_topk_pairs` aggregate (≤ k pairs per task through
+   * the exchange — never a global rank window), boundary ties broken
+   * by the 64-bit token hash surrogate so the selected SET is
+   * deterministic and any engine reproduces it. Membership joins on
+   * the same hash (collision odds ~k²/2^60 — and the DuckDB oracle
+   * hashes identically, so even a collision grades consistently).
+   *
+   * Output: (source, n_toks, n_oov, oov_u = (1e6·n_oov) div n_toks).
+   *
+   * Scale shape: one corpus scan into the vocab-sized tf frame, the
+   * top-k aggregate, then the (source, tok)-keyed stats frame joins
+   * the broadcast k-row vocab — per-source sums, no window, no
+   * second corpus scan (the stream-side counts ride the tf frame).
+   */
+  def oovRate(df: DataFrame, sourceCol: String = "source",
+              textCol: String = "text", vocabK: Int = 256): DataFrame = {
+    require(vocabK >= 1 && vocabK <= 100000, s"oovRate: vocabK in [1, 100000], got $vocabK")
+    val stf = sourceTf(df, sourceCol, textCol) // (source, tok, tf)
+    val tf = stf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+    val vocab = tf.agg(graft.functions.SketchAggregates
+        .topKPairs(col("ctf"), Hashing.oracleHash(col("tok")), vocabK).as("pairs"))
+      .select(explode(col("pairs")).as("p")).select(col("p.id").as("h"))
+      .withColumn("iv", lit(1L))
+    stf.withColumn("h", Hashing.oracleHash(col("tok")))
+      .join(broadcast(vocab), Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(when(col("iv").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
+      .select(col("source"), col("n_toks"), col("n_oov"),
+        expr("(1000000 * n_oov) div n_toks").as("oov_u"))
+  }
+
+  /**
    * Quality-signal ensemble by Borda rank aggregation (t31): combine
    * three orthogonal integer signals — token length, lexical diversity
    * (`1e6·distinct div tokens`), and unigram-LM naturalness (negated

@@ -1159,6 +1159,29 @@ class MlSpec extends SparkSpec {
     fert shouldBe enc
   }
 
+  test("oovRate: exact per-source OOV under a tiny vocab; full coverage at large k") {
+    implicit val s = spark
+    import spark.implicits._
+    // tf: a=4 b=2 c=1 d=1 -> top-2 vocab {a, b} (ties impossible here);
+    // s1 "a a b c": oov=1/4 -> 250000; s2 "a a b d": oov=1/4
+    val docs = Seq((1L, "a a b c", "s1"), (2L, "a a b d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ml.TextAnalysis.oovRate(docs, "source", "text", 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    out("s1") shouldBe ((4L, 1L, 250000L))
+    out("s2") shouldBe ((4L, 1L, 250000L))
+    // a vocab covering everything -> zero OOV everywhere
+    graft.ml.TextAnalysis.oovRate(docs, "source", "text", 100)
+      .collect().map(_.getLong(2)).toSet shouldBe Set(0L)
+    // actor routing shares the topK property
+    docs.createOrReplaceTempView("ov_docs")
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val a = new graft.ml.TextAnalysisActor()
+    a.init(Map("view" -> "ov_docs", "method" -> "oov", "topK" -> "2"))
+    a.run(ctx).get.columns shouldBe Array("source", "n_toks", "n_oov", "oov_u")
+    spark.catalog.dropTempView("ov_docs")
+  }
+
   test("round-10 operators: degenerate inputs (empty corpus, all-same-label, single-symbol vocab)") {
     implicit val s = spark
     import spark.implicits._

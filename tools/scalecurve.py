@@ -109,6 +109,9 @@ LINEAR_SET = [
     # span corruption: one block-explode (|tokens|/8 rows), per-block
     # hash arithmetic, doc-keyed agg — no window, no overlap walk
     "t32_span_corruption",
+    # oov rate: one scan into the vocab tf frame, global top-k
+    # aggregate, broadcast k-row membership join, per-source sums
+    "t33_oov_rate",
     # skew-aware join: one map-side-combined count pass + broadcast hot
     # set + salted hot leg / plain cold leg — two keyed shuffles, the
     # giant key spread over `salt` tasks instead of one
