@@ -195,11 +195,12 @@ class ExamplesSpec extends SparkSpec {
     val out = tmpDir("ex_health")
     runExample("corpus_health.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
     val report = spark.read.parquet(s"$out/health_report")
-    report.columns shouldBe Array(
-      "source", "n_toks", "drift_bits", "ppl_ratio_u", "n_ranks", "decay_u")
+    report.columns shouldBe Array("source", "n_toks", "drift_bits",
+      "ppl_ratio_u", "n_ranks", "decay_u", "n_oov", "oov_u")
     // one row per source present in both snapshots; ratios are sane
     report.count() should be > 0L
     report.filter(col("ppl_ratio_u") < 900000L).count() shouldBe 0
+    report.filter(col("oov_u") < 0L || col("oov_u") > 1000000L).count() shouldBe 0
     val emb = spark.read.parquet(s"$out/embedding_drift")
     emb.columns shouldBe Array("label", "n_new", "n_old", "dims", "l1_drift_u")
     emb.filter(col("n_new") < col("n_old")).count() shouldBe 0
