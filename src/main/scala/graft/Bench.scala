@@ -4,11 +4,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    System.setProperty("derby.system.home", "target/derby") // keep derby.log out of CWD
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .config("spark.ui.enabled", "false")
     // extra confs for A/B experiments, e.g.
     // SPARK_GRAFT_EXTRA_CONF="spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider"
@@ -32,6 +34,19 @@ object Bench {
     // is itself stable run-to-run, so any shedding hits the same queries.
     spark.range(100000).selectExpr("id % 10 AS k", "id AS v")
       .groupBy("k").count().count()
+    // Pay the RocksDB one-time JVM costs (native-lib extraction + first
+    // DB open) OUTSIDE any timed number: the transformWithState queries
+    // use the RocksDB state-store provider, and the first open otherwise
+    // lands in whichever TWS query times first (observed as 1.5-9 s of
+    // host-dependent noise on q84). Per-query warmup does not fully
+    // absorb it when the warm budget sheds the tail.
+    try {
+      org.rocksdb.RocksDB.loadLibrary()
+      val tmp = java.nio.file.Files.createTempDirectory("bench-rocks-preload")
+      val opts = new org.rocksdb.Options().setCreateIfMissing(true)
+      val db = org.rocksdb.RocksDB.open(opts, tmp.toString)
+      db.put("k".getBytes, "v".getBytes); db.close(); opts.close()
+    } catch { case _: Throwable => () }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
     val canWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir

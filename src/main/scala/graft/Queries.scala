@@ -718,6 +718,48 @@ object Queries {
        |FROM r WHERE rank <= 5""".stripMargin
   }
 
+  /** s13's production twin: hard negatives via the IVF cell probe (s3's
+   *  candidate generator) with the different-label predicate as a per-pair
+   *  filter on the cell candidates. Per-query work is ~nprobe/numCentroids
+   *  of the corpus, not all of it. */
+  private def s13b(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"),
+        col("label"))
+    Similarity.hardNegativesIvf(emb.filter(col("vec_id") % 50 === 0), emb,
+      "vec_id", "v", "label", 5, 16, 2)
+  }
+
+  /** s3's IVF replay with labels carried through assignment and the
+   *  different-label predicate on the scored pairs. */
+  private val s13bOracle: String = {
+    val vvExpr = dotSql("v", "v")
+    val distDot = dotSql("e.v", "ct.cv")
+    val cosDot = dotSql("q.v", "n.v")
+    s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v,
+       |    CAST(label AS VARCHAR) AS label FROM embeddings),
+       |vv AS (SELECT vec_id, v, label, ($vvExpr) AS vv FROM c),
+       |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
+       |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
+       |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+       |assigned AS (SELECT e.vec_id, e.v, e.vv, e.label, ct.crank,
+       |  row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+       |  FROM vv e CROSS JOIN cent ct),
+       |cells AS (SELECT vec_id AS neighbor_id, v, vv, label AS nlabel, crank
+       |  FROM assigned WHERE arank = 1),
+       |qcells AS (SELECT vec_id AS query_id, v, vv, label AS qlabel, crank
+       |  FROM assigned WHERE arank <= 2 AND vec_id % 50 = 0),
+       |scored AS (SELECT q.query_id, n.neighbor_id, n.nlabel AS neg_label,
+       |  round(($cosDot) / (sqrt(q.vv) * sqrt(n.vv)), 6) AS cos_r
+       |  FROM qcells q JOIN cells n ON q.crank = n.crank
+       |    AND q.query_id <> n.neighbor_id AND q.qlabel <> n.nlabel),
+       |r AS (SELECT query_id, neighbor_id, neg_label, cos_r,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, neg_label, cos_r AS cos_sim, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= 5""".stripMargin
+  }
+
   /** Approximate (LSH-bucketed) top-k — the scale path. */
   private def s2(spark: SparkSession, dir: String): DataFrame = {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -2158,6 +2200,7 @@ object Queries {
     Spec("d6_embed_neardup", d6, Some(d6Oracle)),
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
     Spec("s13_hard_negatives", s13, Some(s13Oracle)),
+    Spec("s13b_hard_negatives_ivf", s13b, Some(s13bOracle)),
     Spec("s2_knn_lsh", s2, Some(s2Oracle)),
     Spec("s3_knn_ivf", s3, Some(s3Oracle)),
 
@@ -2504,13 +2547,7 @@ object Queries {
     // which perGroupSequence must equal bit-for-bit.
     Spec("c10_length_batching", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val toks = docs.select(col("doc_id"),
-          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
-        .withColumn("bucket", expr("least(n_tokens div 32, 7L)"))
-      graft.utils.DataframeHelper.perGroupSequence(
-          toks, Seq("bucket"), Seq("doc_id"), "seq")
-        .withColumn("batch_id", expr("(seq - 1) div 16"))
-        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("seq"), col("batch_id"))
+      graft.ml.Curation.lengthBatches(docs, "doc_id", "text")
     }, Some("""WITH t AS (SELECT doc_id,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
@@ -2531,19 +2568,7 @@ object Queries {
     // which the scale form must equal exactly.
     Spec("c11_token_budget", (spark, dir) => {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val scored = docs.select(col("doc_id"),
-          TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"),
-          TextAnalysis.qualityScore(col("text")).as("q"))
-        // round-6 score → exact integer micro-units (t2 proves the
-        // engine parity of the score itself)
-        .withColumn("q_u", expr("cast(round(q * 1000000) AS BIGINT)"))
-        .withColumn("negq", -col("q_u"))
-        .withColumn("g", lit(0L))
-        .drop("q")
-      graft.utils.DataframeHelper.perGroupRunningSum(
-          scored, Seq("g"), Seq("negq", "doc_id"), "n_tokens", "cum_tokens")
-        .filter(col("cum_tokens") <= 20000L)
-        .select(col("doc_id"), col("n_tokens"), col("q_u"), col("cum_tokens"))
+      graft.ml.Curation.tokenBudgetSelect(docs, "doc_id", "text")
     }, Some(s"""WITH t AS (SELECT doc_id, $qWsTokensSql AS n_tokens,
         |    CAST(round(($qQualitySql) * 1000000) AS BIGINT) AS q_u
         |  FROM documents),
@@ -2553,6 +2578,44 @@ object Queries {
         |  FROM t)
         |SELECT doc_id, n_tokens, q_u, cum_tokens FROM s
         |WHERE cum_tokens <= 20000""".stripMargin)),
+
+    // c11 driven by the BPE-ish tokenizer — the tokenCount parameter
+    // (c18's pattern) means the budget's UNIT swaps to real-tokenizer
+    // counts without forking the operator: same quality ranking, same
+    // windowless running-sum prefix, different cut points.
+    Spec("c21_budget_bpe", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.Curation.tokenBudgetSelect(docs, "doc_id", "text",
+        tokenCount = TextAnalysis.bpeTokenCount(_))
+    }, Some(s"""WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+        |    CAST(round(($qQualitySql) * 1000000) AS BIGINT) AS q_u
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens, q_u,
+        |    CAST(sum(n_tokens) OVER (ORDER BY q_u DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, q_u, cum_tokens FROM s
+        |WHERE cum_tokens <= 20000""".stripMargin)),
+
+    // c10 driven by the BPE-ish tokenizer: batch geometry follows the
+    // real tokenizer's lengths (padding is paid in TOKENIZER units, so
+    // bucketing by whitespace counts under-packs code/punctuation-heavy
+    // documents). Same windowless per-bucket sequence as c10.
+    Spec("c22_batch_bpe", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.Curation.lengthBatches(docs, "doc_id", "text",
+        tokenCount = TextAnalysis.bpeTokenCount(_))
+    }, Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |    CAST(least(n_tokens // 32, 7) AS BIGINT) AS bucket FROM t),
+        |s AS (SELECT doc_id, n_tokens, bucket,
+        |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS seq
+        |  FROM b)
+        |SELECT doc_id, n_tokens, bucket, seq, (seq - 1) // 16 AS batch_id
+        |FROM s""".stripMargin)),
 
     // DSIR-style importance resampling (Xie et al. NeurIPS'23): score
     // every document by how much its unigram distribution looks like a
@@ -5594,6 +5657,76 @@ object Queries {
          |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3)""".stripMargin
     }),
 
+    // s9's production twin: the MMR re-rank is pool-bounded by
+    // construction, so the only corpus-scale piece is the POOL BUILD —
+    // here routed through the IVF cell probe (s3's candidate generator,
+    // the s13b treatment applied to diversity re-ranking). Same greedy
+    // integer-λ trace over the pool; only the pool membership is
+    // approximate.
+    Spec("s9b_mmr_ivf", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      Similarity.mmrTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "v",
+        k = 3, poolSize = 8, semantic = "ivf")
+    }, Some {
+      val vvExpr = dotSql("v", "v")
+      val distDot = dotSql("e.v", "ct.cv")
+      val cosDot = dotSql("q.v", "n.v")
+      val cosAB = s"(${dotSql("ca.v", "cb.v")}) / (${normSql("ca.v")} * ${normSql("cb.v")})"
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |vv AS (SELECT vec_id, v, ($vvExpr) AS vv FROM c),
+         |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
+         |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
+         |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+         |assigned AS MATERIALIZED (SELECT e.vec_id, e.v, e.vv, ct.crank,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+         |  FROM vv e CROSS JOIN cent ct),
+         |cells AS (SELECT vec_id AS neighbor_id, v, vv, crank FROM assigned WHERE arank = 1),
+         |qcells AS (SELECT vec_id AS query_id, v, vv, crank FROM assigned
+         |  WHERE arank <= 2 AND vec_id % 50 = 0),
+         |scored AS MATERIALIZED (SELECT q.query_id, n.neighbor_id,
+         |  round(($cosDot) / (sqrt(q.vv) * sqrt(n.vv)), 6) AS cos_r
+         |  FROM qcells q JOIN cells n ON q.crank = n.crank AND q.query_id <> n.neighbor_id),
+         |p8 AS MATERIALIZED (SELECT query_id, neighbor_id, cos_r FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 8),
+         |ps AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+         |    CAST(round(round($cosAB, 6) * 1000000) AS BIGINT) AS sim_u
+         |  FROM p8 a JOIN p8 b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+         |  JOIN c ca ON ca.vec_id = a.neighbor_id JOIN c cb ON cb.vec_id = b.neighbor_id),
+         |pu AS (SELECT query_id, neighbor_id,
+         |    CAST(round(cos_r * 1000000) AS BIGINT) AS rel_u FROM p8),
+         |sel1 AS (SELECT query_id, neighbor_id, 1 AS pick_rank,
+         |    CAST(round(cos_r * 1000000) AS BIGINT) * 10 AS score_u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank = 1),
+         |st2 AS (SELECT d.query_id, d.neighbor_id,
+         |    7 * d.rel_u - 3 * ps.sim_u AS score_u
+         |  FROM pu d JOIN sel1 s ON d.query_id = s.query_id AND d.neighbor_id <> s.neighbor_id
+         |  JOIN ps ON ps.query_id = d.query_id AND ps.ida = d.neighbor_id AND ps.idb = s.neighbor_id),
+         |sel2 AS (SELECT query_id, neighbor_id, 2 AS pick_rank, score_u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, neighbor_id) AS rk
+         |  FROM st2) WHERE rk = 1),
+         |sel12 AS (SELECT query_id, neighbor_id FROM sel1
+         |  UNION ALL SELECT query_id, neighbor_id FROM sel2),
+         |red3 AS (SELECT d.query_id, d.neighbor_id, d.rel_u, max(ps.sim_u) AS red_u
+         |  FROM pu d
+         |  JOIN sel12 s ON d.query_id = s.query_id
+         |  JOIN ps ON ps.query_id = d.query_id AND ps.ida = d.neighbor_id AND ps.idb = s.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+         |    WHERE x.query_id = d.query_id AND x.neighbor_id = d.neighbor_id)
+         |  GROUP BY d.query_id, d.neighbor_id, d.rel_u),
+         |st3 AS (SELECT query_id, neighbor_id,
+         |    7 * rel_u - 3 * red_u AS score_u FROM red3),
+         |sel3 AS (SELECT query_id, neighbor_id, 3 AS pick_rank, score_u FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, neighbor_id) AS rk
+         |  FROM st3) WHERE rk = 1)
+         |SELECT query_id, CAST(pick_rank AS INT) AS pick_rank, neighbor_id,
+         |  CAST(score_u AS BIGINT) AS score_u
+         |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2 UNION ALL SELECT * FROM sel3)""".stripMargin
+    }),
+
     // Hybrid retrieval: lexical (distinct-token overlap via inverted-index
     // join with the standard max-df stopword cut — the sparse/BM25 join
     // shape) and semantic (cosine top-10, s1's contract) rank lists fused
@@ -6559,6 +6692,55 @@ object Queries {
         |SELECT w.n_nodes, (SELECT count(*) FROM e) AS n_edges, tri.n_tri AS n_triangles,
         |  CAST(CASE WHEN w.n_wedges = 0 THEN 0 ELSE (3000000 * tri.n_tri) // w.n_wedges END AS BIGINT) AS cc_ppm
         |FROM w, tri""".stripMargin)),
+
+    // g2's degree-skew hardening: DEGREE-ORDERED orientation (Schank &
+    // Wagner's compact-forward / node-iterator++). Each undirected edge
+    // is oriented from its lower (degree, id) endpoint to the higher, and
+    // wedges form ONLY at the low endpoint — per-node wedge work drops
+    // from deg² to out-deg², and out-degree is bounded by O(sqrt(m))-ish
+    // (arboricity), so one celebrity node no longer owns a deg² task.
+    // Every triangle has a unique minimum vertex in the total order, so
+    // the count needs no /3 and must EQUAL g2's (cc_ppm likewise, still
+    // over the naive wedge total). okey packs (deg, id) into one BIGINT
+    // (deg·1e10 + id — exact while id < 1e10 and deg < 9.2e8; a struct
+    // compare lifts the bound on a production id domain).
+    Spec("g2b_triangle_oriented", sqlQuery(Seq("lineitem"),
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 101 = 0),
+        |e AS (SELECT DISTINCT a.s AS s1, b.s AS s2 FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |d AS (SELECT v, count(*) AS deg FROM
+        |  (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e) GROUP BY v),
+        |ok AS (SELECT v, deg * 10000000000 + v AS okey FROM d),
+        |de AS (SELECT CASE WHEN o1.okey < o2.okey THEN o1.okey ELSE o2.okey END AS uk,
+        |              CASE WHEN o1.okey < o2.okey THEN o2.okey ELSE o1.okey END AS wk
+        |  FROM e JOIN ok o1 ON e.s1 = o1.v JOIN ok o2 ON e.s2 = o2.v),
+        |tri AS (SELECT count(*) AS n_tri FROM de a
+        |  JOIN de b ON b.uk = a.uk AND a.wk < b.wk
+        |  JOIN de c ON c.uk = a.wk AND c.wk = b.wk),
+        |wo AS (SELECT CAST(coalesce(SUM((odeg * (odeg - 1)) div 2), 0) AS BIGINT) AS n_wedges_oriented
+        |  FROM (SELECT uk, count(*) AS odeg FROM de GROUP BY uk)),
+        |wn AS (SELECT CAST(SUM((deg * (deg - 1)) div 2) AS BIGINT) AS n_wedges_naive, count(*) AS n_nodes FROM d)
+        |SELECT wn.n_nodes, (SELECT count(*) FROM e) AS n_edges, tri.n_tri AS n_triangles,
+        |  wn.n_wedges_naive, wo.n_wedges_oriented,
+        |  CASE WHEN wn.n_wedges_naive = 0 THEN 0 ELSE (3000000 * tri.n_tri) div wn.n_wedges_naive END AS cc_ppm
+        |FROM wn, wo, tri""".stripMargin),
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem WHERE l_partkey % 101 = 0),
+        |e AS (SELECT DISTINCT a.s AS s1, b.s AS s2 FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+        |d AS (SELECT v, count(*) AS deg FROM
+        |  (SELECT s1 AS v FROM e UNION ALL SELECT s2 AS v FROM e) GROUP BY v),
+        |ok AS (SELECT v, deg * 10000000000 + v AS okey FROM d),
+        |de AS (SELECT CASE WHEN o1.okey < o2.okey THEN o1.okey ELSE o2.okey END AS uk,
+        |              CASE WHEN o1.okey < o2.okey THEN o2.okey ELSE o1.okey END AS wk
+        |  FROM e JOIN ok o1 ON e.s1 = o1.v JOIN ok o2 ON e.s2 = o2.v),
+        |tri AS (SELECT count(*) AS n_tri FROM de a
+        |  JOIN de b ON b.uk = a.uk AND a.wk < b.wk
+        |  JOIN de c ON c.uk = a.wk AND c.wk = b.wk),
+        |wo AS (SELECT CAST(coalesce(SUM((odeg * (odeg - 1)) // 2), 0) AS BIGINT) AS n_wedges_oriented
+        |  FROM (SELECT uk, count(*) AS odeg FROM de GROUP BY uk)),
+        |wn AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges_naive, count(*) AS n_nodes FROM d)
+        |SELECT wn.n_nodes, (SELECT count(*) FROM e) AS n_edges, tri.n_tri AS n_triangles,
+        |  wn.n_wedges_naive, wo.n_wedges_oriented,
+        |  CAST(CASE WHEN wn.n_wedges_naive = 0 THEN 0 ELSE (3000000 * tri.n_tri) // wn.n_wedges_naive END AS BIGINT) AS cc_ppm
+        |FROM wn, wo, tri""".stripMargin)),
 
     Spec("u1_zipwithindex", u1,
       Some("""SELECT count(*) AS cnt, CAST(1 AS BIGINT) AS min_idx, count(*) AS max_idx, count(*) AS n_distinct

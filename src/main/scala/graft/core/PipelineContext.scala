@@ -41,5 +41,10 @@ final case class PipelineContext(
      *  brute-force baseline stage's `cartesian-join`). */
     planAuditAllowRules: Set[String] = Set.empty
 ) {
+  // fail fast on BOTH construction paths (YAML validates earlier, but a
+  // programmatic planAudit = Some("eror") would otherwise make the gate
+  // silently inert — atLeast() compares against rank 3, never firing
+  require(planAudit.forall(Set("error", "warn")),
+    s"planAudit must be 'error' or 'warn', got '${planAudit.get}'")
   val globalTempDatabase: String = "global_temp"
 }

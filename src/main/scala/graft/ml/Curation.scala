@@ -287,6 +287,66 @@ object Curation {
   }
 
   /**
+   * Length batching (c10): bucket documents by token count (`bucketTokens`
+   * per bucket, capped at `maxBucket`), then assign a dense within-bucket
+   * sequence and fixed-size `batchSize` batches — the padding-minimizing
+   * batch layout a training loader wants. `tokenCount` swaps the
+   * whitespace counter for a real tokenizer (c18's parameter pattern)
+   * without forking the operator.
+   *
+   * Scale shape: the per-bucket sequence rides
+   * [[graft.utils.DataframeHelper.perGroupSequence]] — bucket count is
+   * bounded (maxBucket+1) so a per-bucket window would be a constant
+   * fraction of the corpus in one task; the windowless form never builds
+   * that group.
+   */
+  def lengthBatches(df: DataFrame, idCol: String, textCol: String,
+                    bucketTokens: Long = 32L, maxBucket: Long = 7L,
+                    batchSize: Long = 16L,
+                    tokenCount: Column => Column =
+                      TextAnalysis.wsTokenCount(_)): DataFrame = {
+    require(bucketTokens >= 1 && maxBucket >= 0 && batchSize >= 1,
+      s"lengthBatches: bad bucketTokens=$bucketTokens maxBucket=$maxBucket batchSize=$batchSize")
+    val toks = df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"least(n_tokens div $bucketTokens, ${maxBucket}L)"))
+    graft.utils.DataframeHelper.perGroupSequence(
+        toks, Seq("bucket"), Seq(idCol), "seq")
+      .withColumn("batch_id", expr(s"(seq - 1) div $batchSize"))
+      .select(col(idCol), col("n_tokens"), col("bucket"), col("seq"), col("batch_id"))
+  }
+
+  /**
+   * Token-budget corpus selection (c11): rank documents by quality
+   * (integer micro-units, ties to the smallest id) and keep the prefix
+   * whose running token total fits `budget` — the "best N tokens" cut
+   * every curation run ends with. `tokenCount` parameterizes the
+   * budget's unit (whitespace default, BPE-ish via
+   * [[TextAnalysis.bpeTokenCount]]).
+   *
+   * Scale shape: the global running sum rides
+   * [[graft.utils.DataframeHelper.perGroupRunningSum]] (windowless —
+   * a global ORDER BY running sum is one task holding the corpus).
+   */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+                        budget: Long = 20000L,
+                        tokenCount: Column => Column =
+                          TextAnalysis.wsTokenCount(_)): DataFrame = {
+    require(budget >= 1, s"tokenBudgetSelect: bad budget=$budget")
+    val scored = df.select(col(idCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextAnalysis.qualityScore(col(textCol)).as("q"))
+      .withColumn("q_u", expr("cast(round(q * 1000000) AS BIGINT)"))
+      .withColumn("negq", -col("q_u"))
+      .withColumn("g", lit(0L))
+      .drop("q")
+    graft.utils.DataframeHelper.perGroupRunningSum(
+        scored, Seq("g"), Seq("negq", idCol), "n_tokens", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("n_tokens"), col("q_u"), col("cum_tokens"))
+  }
+
+  /**
    * Corpus version diff (c19): content-hash manifests of two corpus
    * versions full-outer-joined on the document id — the bookkeeping an
    * INCREMENTAL pipeline runs before anything else, so re-ingestion,

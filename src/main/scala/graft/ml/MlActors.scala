@@ -232,7 +232,7 @@ class SimilaritySearchActor extends Actor {
     properties.get("method").foreach { m =>
       require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid",
         "ivf-centroids", "ivf-assign", "ivf-probe", "hard-negatives",
-        "centroid-drift").contains(m),
+        "hard-negatives-ivf", "mmr", "centroid-drift").contains(m),
         s"SimilaritySearchActor: bad method $m")
       method = m
     }
@@ -241,8 +241,9 @@ class SimilaritySearchActor extends Actor {
       "SimilaritySearchActor(centroid-drift): oldView is required (the " +
         "previous embedding snapshot to diff centroids against)")
     properties.get("labelField").foreach(labelCol = _)
-    require(method != "hard-negatives" || labelCol.nonEmpty,
-      "SimilaritySearchActor: hard-negatives requires labelField (the " +
+    require(!Seq("hard-negatives", "hard-negatives-ivf").contains(method) ||
+        labelCol.nonEmpty,
+      s"SimilaritySearchActor: $method requires labelField (the " +
         "class column whose DIFFERENT-label neighbors are mined)")
     require(method != "centroid-drift" || labelCol.nonEmpty,
       "SimilaritySearchActor(centroid-drift): labelField is required (the " +
@@ -298,6 +299,16 @@ class SimilaritySearchActor extends Actor {
         Similarity.centroidDrift(corpus, ctx.getView(oldView), labelCol, vecCol)
       case "hard-negatives" =>
         Similarity.hardNegatives(queries, corpus, idCol, vecCol, labelCol, k)
+      // production shape: IVF cell probe + per-pair label filter — each
+      // query scores ~nprobe/numCentroids of the corpus, never all of it
+      case "hard-negatives-ivf" =>
+        Similarity.hardNegativesIvf(queries, corpus, idCol, vecCol, labelCol,
+          k, numCentroids, nprobe)
+      // MMR diversity re-rank over a `pool`-sized candidate set; the pool
+      // build follows `semanticIndex` (ivf = production, brute = exact)
+      case "mmr" =>
+        Similarity.mmrTopK(queries, corpus, idCol, vecCol, k, pool,
+          semantic = semanticIndex, numCentroids = numCentroids, nprobe = nprobe)
       case "lsh" => Similarity.lshTopK(queries, corpus, idCol, vecCol, k, dim, numPlanes)
       case "ivf" => Similarity.ivfTopK(queries, corpus, idCol, vecCol, k, numCentroids, nprobe)
       case "pq" => Similarity.pqTopK(queries, corpus, idCol, vecCol, k, dim, subspaces)
@@ -602,18 +613,21 @@ class CurationActor extends Actor {
   protected var seed: String = "graft"
   protected var shuffleEpochs: Int = 2
   protected var shards: Int = 8
+  protected var budget: Long = 20000L
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("calibrate", "split", "dsir", "gopher", "surprise",
-        "epochs", "pack", "diff", "shuffle", "ensemble", "mask").contains(m),
+        "epochs", "pack", "diff", "shuffle", "ensemble", "mask",
+        "batch", "budget").contains(m),
         s"CurationActor: bad method $m")
       method = m
     }
     properties.get("seed").foreach(seed = _)
     properties.get("shuffleEpochs").foreach(v => shuffleEpochs = v.toInt)
     properties.get("shards").foreach(v => shards = v.toInt)
+    properties.get("budget").foreach(v => budget = v.toLong)
     properties.get("againstView").foreach(againstView = _)
     require(method != "diff" || againstView.nonEmpty,
       "CurationActor(diff): againstView is required (the OLD corpus " +
@@ -670,6 +684,10 @@ class CurationActor extends Actor {
         TextAnalysis.qualityEnsemble(df, idCol, textCol)
       case "mask" =>
         Curation.spanCorruption(df, idCol, textCol, seed)
+      case "batch" =>
+        Curation.lengthBatches(df, idCol, textCol, tokenCount = counter)
+      case "budget" =>
+        Curation.tokenBudgetSelect(df, idCol, textCol, budget, counter)
     })
   }
 

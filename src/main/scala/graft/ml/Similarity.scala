@@ -101,11 +101,9 @@ object Similarity {
    * round-6 cosine, neighbor_id tie-break. Output: (query_id,
    * neighbor_id, neg_label, cos_sim, rank).
    *
-   * This is the exact O(|Q|·|N|) grading baseline (s1's role); at
-   * production scale compose the IVF family instead — route queries to
-   * cells ([[ivfTopK]]'s probe), label-filter the cell candidates, then
-   * rank — the label predicate composes with any candidate generator
-   * because it is a per-pair filter, never a join key.
+   * This is the exact O(|Q|·|N|) grading baseline (s1's role); the
+   * production twin is [[hardNegativesIvf]] — the IVF cell probe with
+   * the same different-label filter applied to the cell candidates.
    */
   def hardNegatives(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, labelCol: String, k: Int,
@@ -121,6 +119,50 @@ object Similarity {
         col("qlabel") =!= col("nlabel"))
       .select(col("query_id"), col("neighbor_id"), col("nlabel").as("neg_label"),
         (dotD(col("qv"), col("cv"), dim) / (col("qn") * col("cn"))).as("cos_sim"))
+    scored
+      .withColumn("cos_r", round(col("cos_sim"), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("cos_r").as("cos_sim"), col("rank"))
+  }
+
+  /**
+   * IVF-routed hard-negative mining (s13b) — the production shape of
+   * [[hardNegatives]]. Candidate generation is [[ivfTopK]]'s cell probe
+   * (each query scans only its `nprobe` nearest of `numCentroids`
+   * Voronoi cells), and the different-label predicate is applied as a
+   * per-pair FILTER on the cell candidates — never a join key — so it
+   * composes with the probe without changing the shuffle shape. Per-query
+   * work drops from |corpus| to ~nprobe·|corpus|/numCentroids; the only
+   * all-pairs node is the broadcast crossJoin against the k-row centroid
+   * frame (the reviewed s3 shape). Approximate by the same argument as
+   * IVF top-k: a negative in an unprobed cell is missed — acceptable for
+   * contrastive mining, where hard negatives are by definition NEAR the
+   * query and therefore land in its nearest cells. Determinism contract
+   * and output schema identical to [[hardNegatives]].
+   */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, labelCol: String, k: Int,
+                       numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
+    def withLbl(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        dot(col(vecCol), col(vecCol)).as("vv"), col(labelCol).cast("string").as("lbl"))
+    val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids)
+    val cells = rankCells(withLbl(corpus), cents)
+      .filter(col("__arank_") === 1)
+      .select(col("crank"), col("id").as("neighbor_id"), col("v").as("cv2"),
+        col("vv").as("cvv"), col("lbl").as("nlabel"))
+    val queryCells = rankCells(withLbl(queries), cents)
+      .filter(col("__arank_") <= nprobe)
+      .select(col("crank"), col("id").as("query_id"), col("v").as("qv"),
+        col("vv").as("qvv"), col("lbl").as("qlabel"))
+    val scored = queryCells.join(cells, Seq("crank"))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        col("qlabel") =!= col("nlabel"))
+      .select(col("query_id"), col("neighbor_id"), col("nlabel").as("neg_label"),
+        (dot(col("qv"), col("cv2")) / (sqrt(col("qvv")) * sqrt(col("cvv")))).as("cos_sim"))
     scored
       .withColumn("cos_r", round(col("cos_sim"), 6))
       .withColumn("rank", row_number().over(
@@ -158,12 +200,23 @@ object Similarity {
   def mmrTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int = 3, poolSize: Int = 8,
               lambdaNum: Int = 7, lambdaDen: Int = 10,
-              dim: Option[Int] = None): DataFrame = {
+              dim: Option[Int] = None,
+              semantic: String = "brute", numCentroids: Int = 16,
+              nprobe: Int = 2): DataFrame = {
     require(k >= 1 && k <= poolSize, s"mmrTopK: need 1 <= k <= poolSize, got k=$k pool=$poolSize")
     require(lambdaDen > 0 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       s"mmrTopK: need 0 <= lambdaNum <= lambdaDen, got $lambdaNum/$lambdaDen")
-    val pool = bruteForceTopK(queries, corpus, idCol, vecCol, poolSize, dim)
-      .localCheckpoint(false)
+    require(Seq("brute", "ivf").contains(semantic),
+      s"mmrTopK: semantic must be brute|ivf, got $semantic")
+    // the pool generator is swappable (s13b's pattern): "brute" is the
+    // labeled exact baseline; "ivf" routes each query through its nprobe
+    // nearest cells — the production pool build at corpus scale. The MMR
+    // re-rank itself is pool-bounded either way (<= poolSize² sims/query).
+    val pool = (semantic match {
+      case "ivf" => ivfTopK(queries, corpus, idCol, vecCol, poolSize,
+        numCentroids, nprobe)
+      case _ => bruteForceTopK(queries, corpus, idCol, vecCol, poolSize, dim)
+    }).localCheckpoint(false)
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn", dim)
     val pv = pool.select(col("query_id"), col("neighbor_id")).join(c, "neighbor_id")
     val a = pv.select(col("query_id"), col("neighbor_id").as("ida"),

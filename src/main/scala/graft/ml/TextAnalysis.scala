@@ -413,7 +413,9 @@ object TextAnalysis {
       .agg(sum(col("tf")).as("n_toks"),
         sum(when(col("iv").isNull, col("tf")).otherwise(lit(0L))).as("n_oov"))
       .select(col("source"), col("n_toks"), col("n_oov"),
-        expr("(1000000 * n_oov) div n_toks").as("oov_u"))
+        // the 1e6 product rides DECIMAL(38,0): plain BIGINT wraps past
+        // ~9.2e12 tokens/source, where the oracle's HUGEINT would diverge
+        expr("CAST((1000000 * CAST(n_oov AS DECIMAL(38,0))) div n_toks AS BIGINT)").as("oov_u"))
   }
 
   /**

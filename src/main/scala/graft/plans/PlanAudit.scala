@@ -144,13 +144,35 @@ object PlanAudit {
               "or zipWithIndex.")
       case w: Window =>
         val refs = w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
-        if (refs.nonEmpty && refs.forall(lowCardKeys.map(_.toLowerCase)) &&
-            !bounded(w.child, boundedRows))
-          out += PlanFinding("bounded-key-window", "warn", w.nodeName,
-            s"window partitioned ONLY by bounded-cardinality keys " +
-              s"(${refs.distinct.mkString(", ")}): each key group is a constant " +
-              "fraction of the data in ONE task. Add a high-cardinality key or " +
-              "use the windowless per-group helpers.")
+        // Catalog column stats (ANALYZE TABLE ... FOR COLUMNS) beat the
+        // name heuristic when present: the PRODUCT of the partition keys'
+        // distinct counts bounds the group count directly. Stats proving
+        // the keys high-cardinality also SUPPRESS a name-based false
+        // positive (a high-card column that happens to be called `label`).
+        val distinctProduct: Option[BigInt] = scala.util.Try {
+          val st = w.child.stats.attributeStats
+          val counts = w.partitionSpec.flatMap(_.references)
+            .map(a => st.find(_._1.exprId == a.exprId).flatMap(_._2.distinctCount))
+          if (counts.nonEmpty && counts.forall(_.isDefined))
+            Some(counts.flatten.map(c => c.max(BigInt(1))).product)
+          else None
+        }.toOption.flatten
+        if (!bounded(w.child, boundedRows)) distinctProduct match {
+          case Some(n) if n <= boundedRows =>
+            out += PlanFinding("bounded-key-window", "warn", w.nodeName,
+              s"window partition keys have <= $n distinct combination(s) by " +
+                "catalog column stats: each key group is a constant fraction " +
+                "of the data in ONE task. Add a high-cardinality key or use " +
+                "the windowless per-group helpers.")
+          case Some(_) => // stats prove high cardinality — name heuristic moot
+          case None =>
+            if (refs.nonEmpty && refs.forall(lowCardKeys.map(_.toLowerCase)))
+              out += PlanFinding("bounded-key-window", "warn", w.nodeName,
+                s"window partitioned ONLY by bounded-cardinality keys " +
+                  s"(${refs.distinct.mkString(", ")}): each key group is a constant " +
+                  "fraction of the data in ONE task. Add a high-cardinality key or " +
+                  "use the windowless per-group helpers.")
+        }
       case s: Sort if s.global =>
         val underLimit = plan.exists {
           case gl: GlobalLimit =>

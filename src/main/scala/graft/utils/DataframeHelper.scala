@@ -110,11 +110,36 @@ object DataframeHelper {
    * splits the key itself, which is the only cure when one key is a
    * double-digit percentage of the corpus (null-like sentinel ids,
    * empty-string URLs, the "unknown" language bucket).
+   *
+   * Input reuse: `left` is referenced three times (hot-count aggregate +
+   * the two leg splits) and `right` twice. The hot-set broadcast itself
+   * is built ONCE — its four join sites share one physical exchange via
+   * ReuseExchange — but the leg splits do re-scan the inputs. Against a
+   * columnar source that is usually the RIGHT default at 100 TB: the
+   * aggregate scan prunes to the key columns, and a full materialization
+   * of a 100 TB input costs more than the extra scan it saves. When the
+   * input is NOT a cheap re-scan (an expensive upstream transform, an
+   * exploded frame), pass `reuseInputs = true` to persist both sides
+   * (MEMORY_AND_DISK, serialized) for the duration of the join — or
+   * pre-`.persist()` them yourself for control over level and unpersist
+   * timing.
    */
   def skewAwareJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                     salt: Int = 8, hotThreshold: Long = 100000L,
-                    joinType: String = "inner"): DataFrame = {
+                    joinType: String = "inner",
+                    reuseInputs: Boolean = false): DataFrame = {
     require(hotThreshold > 0, "hotThreshold must be > 0")
+    val (l, r) =
+      if (reuseInputs)
+        (left.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER),
+          right.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+      else (left, right)
+    skewAwareJoinImpl(l, r, keys, salt, hotThreshold, joinType)
+  }
+
+  private def skewAwareJoinImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                                salt: Int, hotThreshold: Long,
+                                joinType: String): DataFrame = {
     // joinType domain is checked by saltedJoin (inner/left only: a right/
     // full join would need the split on the right side's counts too)
     val hot = broadcast(

@@ -205,4 +205,20 @@ class GraphsSpec extends SparkSpec {
       bad.init(Map("view" -> "g_edges", "method" -> "bfs"))
     }
   }
+
+  test("g2b degree-oriented triangle count equals g2's wedge-join count; oriented wedges never exceed naive") {
+    implicit val s = spark
+    val g2 = Queries.all.find(_.name == "g2_triangle_count").get
+      .run(spark, sfDir).collect().head
+    val g2b = Queries.all.find(_.name == "g2b_triangle_oriented").get
+      .run(spark, sfDir).collect().head
+    // both algorithms must count the SAME triangles (orientation gives
+    // each triangle a unique minimum vertex — no /3, no over/undercount)
+    g2b.getAs[Long]("n_triangles") shouldBe g2.getAs[Long]("n_triangles")
+    g2b.getAs[Long]("n_nodes") shouldBe g2.getAs[Long]("n_nodes")
+    g2b.getAs[Long]("n_edges") shouldBe g2.getAs[Long]("n_edges")
+    g2b.getAs[Long]("cc_ppm") shouldBe g2.getAs[Long]("cc_ppm")
+    // the point of the orientation: wedge work can only shrink
+    g2b.getAs[Long]("n_wedges_oriented") should be <= g2b.getAs[Long]("n_wedges_naive")
+  }
 }

@@ -75,6 +75,39 @@ class PlanAuditSpec extends SparkSpec {
     rules(withEqui, "error") shouldBe empty
   }
 
+  test("bounded-key-window: catalog column stats override the name heuristic") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // column stats only reach Statistics.attributeStats under CBO
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.sql("DROP TABLE IF EXISTS pa_stats")
+      li.select(col("l_orderkey").as("label"), (col("l_linenumber") % 2).as("parity"),
+          col("l_quantity"))
+        .write.mode("overwrite").saveAsTable("pa_stats")
+      spark.sql("ANALYZE TABLE pa_stats COMPUTE STATISTICS FOR COLUMNS label, parity")
+      val t = spark.table("pa_stats")
+      // 'parity' (2 distinct, NOT a known bounded-key name): stats flag it
+      val wLow = t.withColumn("rn",
+        row_number().over(W.partitionBy("parity").orderBy("label")))
+      rules(wLow, "warn") should contain("bounded-key-window")
+      // 'label' IS on the name list, but stats prove it high-cardinality
+      // (at this SF ~1.5k distinct; pass a tighter boundedRows so the
+      // stats land ABOVE the threshold): the name false positive is
+      // suppressed
+      val wHigh = t.withColumn("rn",
+        row_number().over(W.partitionBy("label").orderBy("parity")))
+      PlanAudit.audit(wHigh, boundedRows = 64L)
+        .map(_.rule) should not contain "bounded-key-window"
+      // and without stats the name heuristic still fires on 'label'
+      val noStats = li.select(col("l_orderkey").as("label"), col("l_quantity"))
+        .withColumn("rn", row_number().over(W.partitionBy("label").orderBy("l_quantity")))
+      rules(noStats, "warn") should contain("bounded-key-window")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS pa_stats")
+    }
+  }
+
   test("scan facts: unpushed filters, shuffle count, scan width") {
     // a v1 parquet scan always lists its translated PushedFilters, so the
     // empty-pushdown shape comes from DSv2 connectors (Iceberg/Delta print
@@ -95,6 +128,16 @@ class PlanAuditSpec extends SparkSpec {
     // parquet pushes the same predicate shape: no warning on a live plan
     val pq = li.filter(col("l_quantity") > 10)
     PlanAudit.audit(pq).map(_.rule) should not contain "unpushed-filters"
+    // format-drift guard: the absence above must come from a PARSED scan
+    // block whose PushedFilters is non-empty — not from the parser
+    // silently matching nothing after a Spark explain-format change. Pin
+    // the live spellings the string parser keys on.
+    val live = pq.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    live.linesIterator.exists(_.matches("""^\(\d+\) (Batch)?Scan .*""")) shouldBe true
+    live.linesIterator.exists(l => l.trim.startsWith("PushedFilters:") &&
+      !l.split(":", 2)(1).trim.startsWith("[]")) shouldBe true
+    PlanAudit.physicalFindings(live).count(_.rule == "scan-width") should be >= 1
     val agg = PlanAudit.audit(li.groupBy("l_returnflag").count())
     agg.find(_.rule == "shuffle-count").get.detail should startWith("1 ")
     val width = agg.filter(_.rule == "scan-width").map(_.detail)

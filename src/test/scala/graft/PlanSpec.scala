@@ -128,6 +128,8 @@ class PlanSpec extends SparkSpec {
                            // input PARTITION (u1's shape) — the whole
                            // point of the helper is that the per-BUCKET
                            // window never exists; pinned separately below
+      "c22_batch_bpe",     // c10's perGroupSequence offsets frame with
+                           // the BPE-ish token counter swapped in
       "c13_quality_calibrate", // perGroupSequence offsets frame (c10's
                            // shape) — the per-SOURCE rank window never
                            // exists; pinned separately below
@@ -142,8 +144,9 @@ class PlanSpec extends SparkSpec {
                            // shape) — the three GLOBAL rank windows
                            // never exist; ranks ride one range sort
       "s11_hybrid_rrf_ivf", // embeds s3's post-limit(16) centroid seed rank
-      "s12_ivf_incremental" // s3's post-limit(16) centroid seed rank (base
+      "s12_ivf_incremental", // s3's post-limit(16) centroid seed rank (base
                            // corpus only — the fixed-centroid ingest shape)
+      "s13b_hard_negatives_ivf" // s3's post-limit(16) centroid seed rank
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -165,6 +168,9 @@ class PlanSpec extends SparkSpec {
       "s5_knn_pq",         // labeled full-ADC scan (PQ compresses memory,
                            // not candidate count; IVF cells bound that)
       "s3_knn_ivf",        // crossJoin vs broadcast k-row centroid frame
+      "s13b_hard_negatives_ivf", // s3's crossJoin vs broadcast 16-row
+                           // centroid frame; the candidate join itself is
+                           // keyed on the cell id (label is a filter)
       "s12_ivf_incremental", // s3's crossJoin vs broadcast 16-row centroid
                            // frame, for base + batch assignment and probe
       "s6_knn_ivfpq",      // crossJoin vs broadcast 16-row centroid frame
@@ -215,6 +221,8 @@ class PlanSpec extends SparkSpec {
       "d8_training_pipeline", // composite pipeline embedding the above stages
       "t7_corpus_stats",   // 1-row x 1-row join of two global aggregates
       "g2_triangle_count", // 1-row x 1-row join of two global aggregates
+      "g2b_triangle_oriented", // g2's shape with a third 1-row aggregate
+                           // (oriented wedge total) in the final assembly
       "g1_pagerank",       // dangling-mass correction: crossJoins vs TWO
                            // broadcast 1-ROW aggregates per round (sink
                            // rank sum + node count) — t7's bounded shape
@@ -239,6 +247,9 @@ class PlanSpec extends SparkSpec {
                            // checkpoint cut hides it from this plan grep
                            // today; listed so removing the cut is not a
                            // surprise guard failure)
+      "s9b_mmr_ivf",       // embeds s3's crossJoin vs broadcast 16-row
+                           // centroid frame for the pool build (same
+                           // checkpoint-cut caveat as s9)
       "s10_hybrid_rrf",    // semantic side embeds s1's labeled exact
                            // baseline by documented design (swap in an
                            // ANN family at scale); the lexical side is a
@@ -367,6 +378,42 @@ class PlanSpec extends SparkSpec {
         case j: ShuffledHashJoinExec => j
         case j: SortMergeJoinExec => j
       }.size should be >= 3
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("s13b: IVF hard negatives has NO corpus-wide all-pairs node — only the bounded centroid frames") {
+    import org.apache.spark.sql.execution.joins._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = q("s13b_hard_negatives_ivf").queryExecution.executedPlan
+      // allowed all-pairs nodes: the two 16-row centroid routing
+      // crossJoins (corpus assignment + query probe — the second usually
+      // rides a ReusedExchange of the first). A corpus-sized broadcast or
+      // raw CartesianProduct = s13's brute shape leaked back in.
+      val allPairs = p.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }
+      allPairs.size should be <= 2
+      allPairs.foreach {
+        case j: BroadcastNestedLoopJoinExec =>
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case _ => j.right
+          }
+          val s = build.toString
+          assert(s.contains("HashAggregate") || s.contains("Limit") ||
+            s.contains("TakeOrdered") || s.contains("ReusedExchange"),
+            s"unbounded broadcast side in s13b plan:\n$s")
+        case j => fail(s"raw CartesianProduct in s13b plan: $j")
+      }
+      // the cell-candidate join is KEYED on crank (label is a filter on
+      // it, never a join key — so no all-pairs label bucketing either)
+      p.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: ShuffledHashJoinExec => j
+        case j: SortMergeJoinExec => j
+      }.size should be >= 1
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -222,6 +222,9 @@ LINEAR_SET = [
     # sums + a (pid x group)-sized offsets broadcast — c10's shape with
     # a value sum instead of a count
     "c11_token_budget",
+    # c11/c10 with the BPE-ish token counter swapped in — identical plans
+    "c21_budget_bpe",
+    "c22_batch_bpe",
     # parameterized SQL / IDENTIFIER: pure dialect — plans as the plain
     # filter+agg
     "q99_parameterized_sql",
@@ -300,17 +303,20 @@ MODELED = {
     "g3_kcore":               "fixed peeling rounds; per-round degree agg + two semi-joins, edge-linear per round",
     "g4_label_propagation":   "3 fixed synchronous LPA rounds; edges capped customer-linear (<= 8 suppliers/nation), per round one keyed join + two keyed aggs",
     "g2_triangle_count":      "edge-wedge join: cost ~ sum(deg^2)",
+    "g2b_triangle_oriented":  "degree-oriented edge-iterator: wedges only at the low-(deg,id) endpoint, cost ~ sum(out-deg^2) <= O(m*arboricity) — skew-robust vs g2",
     "q45_recursive_cte":      "iteration(recursion-depth)-dominated",
     "s1_knn_bruteforce":      "O(Q*N), Q ~ N/50: quadratic BY DESIGN (exact baseline)",
     "s13_hard_negatives":     "s1's O(Q*N) exact-baseline shape + different-label filter (IVF composes at scale)",
     "s2_knn_lsh":             "O(Q*candidates), bucket-bounded",
     "s3_knn_ivf":             "O(Q*nprobe*cell)",
+    "s13b_hard_negatives_ivf": "s3's O(Q*nprobe*cell) probe + per-pair label filter (Q ~ N/50, cell ~ N/16)",
     "s4_knn_quantized":       "labeled quantized exact baseline: O(Q*N)",
     "s5_knn_pq":              "full-ADC scan: O(Q*N) compressed",
     "s6_knn_ivfpq":           "O(Q*nprobe*cell)",
     "s7_ann_recall":          "embeds s1: O(Q*N) ground truth by design",
     "s8_knn_lsh_multiprobe":  "O(Q*probed buckets)",
     "s9_knn_mmr":             "embeds s1's O(Q*N) exact pool build by design; the MMR re-rank itself is pool-bounded (<= 8^2 sims per query)",
+    "s9b_mmr_ivf":            "s9 with the pool build routed through s3's IVF probe (O(Q*nprobe*cell)); the MMR re-rank stays pool-bounded",
     "s10_hybrid_rrf":         "embeds s1's O(Q*N) semantic pool by design (swap in an ANN family at scale); lexical side rare-token-bounded after the max-df cut (unpruned 706 s at sf1, pruned 22 s — the residual 1.6x/unit IS the semantic baseline)",
 }
 
