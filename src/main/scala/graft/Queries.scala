@@ -2986,6 +2986,83 @@ object Queries {
         |SELECT top.source, top.top_docs, cnt.n_docs
         |FROM top JOIN cnt USING (source)""".stripMargin)),
 
+    // Streaming ANN serving (the ONLINE half of the IVF index lifecycle):
+    // query vectors arrive as a stream and probe the STATIC prebuilt
+    // index. Routing is STATELESS per row — the 16 centroids ride ONE
+    // broadcast 1-row array frame (q110's state-attachment shape; 16×64
+    // doubles ≈ 8 KB, well under the per-row state-size rule) and each
+    // query picks its nprobe cells by an in-row array_sort over
+    // struct(dist, crank) — no window, no per-query state. Candidates
+    // come from a stream-static keyed join on the cell id, and the ONE
+    // streaming aggregation the engine allows is spent on the per-query
+    // top-k as a graft_topk_pairs buffer (q105's slicing-invisible
+    // merge). Batch parity: the result equals s3's IVF probe exactly —
+    // the oracle is s3's replay in integer micro-units.
+    Spec("q111_stream_ivf_probe", (spark, dir) => {
+      // the routing expression references vec_dot by SQL name (it runs
+      // inside a lambda, where the Column API can't reach) — make sure
+      // the system registry is on this session (idempotent)
+      graft.functions.UdfRegistry.registerSystemUdfs(spark)
+      val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "v", 16)
+      val index = Similarity.ivfAssignments(corpus, cents, "vec_id", "v")
+        .select(col("crank"), col("id").as("neighbor_id"),
+          col("v").as("cv2"), col("vv").as("cvv"))
+      // crank is unique, so the default lexicographic struct sort pins
+      // the array order deterministically
+      val centArr = cents.agg(
+        expr("array_sort(collect_list(struct(crank, cv, cc)))").as("cents"))
+      val q = streamTable(spark, dir, "embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("query_id"),
+          transform(col("embedding"), _.cast("double")).as("qv"))
+        .withColumn("qvv", Similarity.dot(col("qv"), col("qv")))
+      // (qvv + cc) - (2·dot) is the oracle's exact expression shape, so
+      // the in-row sort orders cells identically to the arank window
+      val routed = q.crossJoin(broadcast(centArr))
+        .withColumn("probe", expr(
+          "slice(array_sort(transform(cents, c -> " +
+            "struct(qvv + c.cc - 2 * vec_dot(qv, c.cv) AS d, c.crank AS crank))), 1, 2)"))
+        .select(col("query_id"), col("qv"), col("qvv"),
+          explode(col("probe.crank")).as("crank"))
+      val scored = routed.join(index, Seq("crank"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos_u", expr(
+          "cast(round(round(vec_dot(qv, cv2) / (sqrt(qvv) * sqrt(cvv)), 6) * 1000000) AS BIGINT)"))
+      val top = scored.groupBy(col("query_id"))
+        .agg(graft.functions.SketchAggregates
+          .topKPairs(col("cos_u"), col("neighbor_id"), 5).as("tk"))
+      val drained = drainToMemory(spark, top, "q111_ivf", "complete")
+      drained.select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+        .select(col("query_id"), col("p.id").as("neighbor_id"),
+          col("p.v").as("cos_u"), (col("pos") + 1).cast("int").as("rank"))
+    }, Some {
+      val vvExpr = dotSql("v", "v")
+      val distDot = dotSql("e.v", "ct.cv")
+      val cosDot = dotSql("q.v", "n.v")
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |vv AS (SELECT vec_id, v, ($vvExpr) AS vv FROM c),
+         |seeded AS (SELECT vec_id, v, vv, ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM vv),
+         |cent0 AS (SELECT * FROM seeded ORDER BY h, vec_id LIMIT 16),
+         |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+         |assigned AS (SELECT e.vec_id, e.v, e.vv, ct.crank,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+         |  FROM vv e CROSS JOIN cent ct),
+         |cells AS (SELECT vec_id AS neighbor_id, v, vv, crank FROM assigned WHERE arank = 1),
+         |qcells AS (SELECT vec_id AS query_id, v, vv, crank FROM assigned
+         |  WHERE arank <= 2 AND vec_id % 50 = 0),
+         |scored AS (SELECT q.query_id, n.neighbor_id,
+         |  round(($cosDot) / (sqrt(q.vv) * sqrt(n.vv)), 6) AS cos_r
+         |  FROM qcells q JOIN cells n ON q.crank = n.crank AND q.query_id <> n.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos_r,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, CAST(round(cos_r * 1000000) AS BIGINT) AS cos_u,
+         |  CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin
+    }),
+
     // EVENT-TIME state TTL: the deterministic analogue of the wall-clock
     // TTLConfig (whose expiry depends on arrival timing BY DESIGN —
     // test-covered, not gradeable). EventTtlProcessor re-arms one

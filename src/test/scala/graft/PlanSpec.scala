@@ -146,7 +146,9 @@ class PlanSpec extends SparkSpec {
       "s11_hybrid_rrf_ivf", // embeds s3's post-limit(16) centroid seed rank
       "s12_ivf_incremental", // s3's post-limit(16) centroid seed rank (base
                            // corpus only — the fixed-centroid ingest shape)
-      "s13b_hard_negatives_ivf" // s3's post-limit(16) centroid seed rank
+      "s13b_hard_negatives_ivf", // s3's post-limit(16) centroid seed rank
+      "q111_stream_ivf_probe" // s3's post-limit(16) centroid seed rank
+                           // (the static index-build side of the stream)
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -195,6 +197,12 @@ class PlanSpec extends SparkSpec {
                            // 1-row corpus-totals frame (the LM leg)
       "q110_stream_decontaminate", // b1's crossJoin vs the broadcast
                            // 1-row bloom-state frame, stream-static
+      "q111_stream_ivf_probe", // TWO reviewed-bounded shapes: s3's
+                           // crossJoin vs the broadcast 16-row centroid
+                           // frame (index build, batch side) and the
+                           // stream-static crossJoin vs the broadcast
+                           // 1-ROW centroid-ARRAY frame (q110's
+                           // state-attachment shape, ~8 KB row)
       "q108_skew_autosalt", // PushdownLeftSemiAntiJoin pushes the hot-set
                            // anti join through the dimension's union into
                            // its 1-LITERAL-ROW branch, where the equi

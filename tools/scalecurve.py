@@ -310,6 +310,7 @@ MODELED = {
     "s2_knn_lsh":             "O(Q*candidates), bucket-bounded",
     "s3_knn_ivf":             "O(Q*nprobe*cell)",
     "s13b_hard_negatives_ivf": "s3's O(Q*nprobe*cell) probe + per-pair label filter (Q ~ N/50, cell ~ N/16)",
+    "q111_stream_ivf_probe":  "s3's O(Q*nprobe*cell) probe as a stream-static join; routing is a stateless broadcast-array scan, top-k is k-pair state per query",
     "s4_knn_quantized":       "labeled quantized exact baseline: O(Q*N)",
     "s5_knn_pq":              "full-ADC scan: O(Q*N) compressed",
     "s6_knn_ivfpq":           "O(Q*nprobe*cell)",
