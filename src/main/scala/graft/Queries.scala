@@ -2999,44 +2999,16 @@ object Queries {
     // merge). Batch parity: the result equals s3's IVF probe exactly —
     // the oracle is s3's replay in integer micro-units.
     Spec("q111_stream_ivf_probe", (spark, dir) => {
-      // the routing expression references vec_dot by SQL name (it runs
-      // inside a lambda, where the Column API can't reach) — make sure
-      // the system registry is on this session (idempotent)
-      graft.functions.UdfRegistry.registerSystemUdfs(spark)
       val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       val cents = Similarity.ivfCentroids(corpus, "vec_id", "v", 16)
       val index = Similarity.ivfAssignments(corpus, cents, "vec_id", "v")
-        .select(col("crank"), col("id").as("neighbor_id"),
-          col("v").as("cv2"), col("vv").as("cvv"))
-      // crank is unique, so the default lexicographic struct sort pins
-      // the array order deterministically
-      val centArr = cents.agg(
-        expr("array_sort(collect_list(struct(crank, cv, cc)))").as("cents"))
       val q = streamTable(spark, dir, "embeddings.parquet")
         .filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").cast("long").as("query_id"),
-          transform(col("embedding"), _.cast("double")).as("qv"))
-        .withColumn("qvv", Similarity.dot(col("qv"), col("qv")))
-      // (qvv + cc) - (2·dot) is the oracle's exact expression shape, so
-      // the in-row sort orders cells identically to the arank window
-      val routed = q.crossJoin(broadcast(centArr))
-        .withColumn("probe", expr(
-          "slice(array_sort(transform(cents, c -> " +
-            "struct(qvv + c.cc - 2 * vec_dot(qv, c.cv) AS d, c.crank AS crank))), 1, 2)"))
-        .select(col("query_id"), col("qv"), col("qvv"),
-          explode(col("probe.crank")).as("crank"))
-      val scored = routed.join(index, Seq("crank"))
-        .filter(col("query_id") =!= col("neighbor_id"))
-        .withColumn("cos_u", expr(
-          "cast(round(round(vec_dot(qv, cv2) / (sqrt(qvv) * sqrt(cvv)), 6) * 1000000) AS BIGINT)"))
-      val top = scored.groupBy(col("query_id"))
-        .agg(graft.functions.SketchAggregates
-          .topKPairs(col("cos_u"), col("neighbor_id"), 5).as("tk"))
-      val drained = drainToMemory(spark, top, "q111_ivf", "complete")
-      drained.select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
-        .select(col("query_id"), col("p.id").as("neighbor_id"),
-          col("p.v").as("cos_u"), (col("pos") + 1).cast("int").as("rank"))
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      drainToMemory(spark,
+        Similarity.ivfProbeStateless(q, cents, index, "vec_id", "v", 5, 2),
+        "q111_ivf", "complete")
     }, Some {
       val vvExpr = dotSql("v", "v")
       val distDot = dotSql("e.v", "ct.cv")

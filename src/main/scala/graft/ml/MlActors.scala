@@ -231,8 +231,9 @@ class SimilaritySearchActor extends Actor {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid",
-        "ivf-centroids", "ivf-assign", "ivf-probe", "hard-negatives",
-        "hard-negatives-ivf", "mmr", "centroid-drift").contains(m),
+        "ivf-centroids", "ivf-assign", "ivf-probe", "ivf-probe-stateless",
+        "hard-negatives", "hard-negatives-ivf", "mmr",
+        "centroid-drift").contains(m),
         s"SimilaritySearchActor: bad method $m")
       method = m
     }
@@ -271,10 +272,12 @@ class SimilaritySearchActor extends Actor {
         s"SimilaritySearchActor: semanticIndex must be ivf|brute, got $v")
       semanticIndex = v
     }
-    require(!Seq("ivf-assign", "ivf-probe").contains(method) || centroidsView.nonEmpty,
+    require(!Seq("ivf-assign", "ivf-probe", "ivf-probe-stateless")
+        .contains(method) || centroidsView.nonEmpty,
       s"SimilaritySearchActor: $method requires centroidsView")
-    require(method != "ivf-probe" || assignView.nonEmpty,
-      "SimilaritySearchActor: ivf-probe requires assignView")
+    require(!Seq("ivf-probe", "ivf-probe-stateless").contains(method) ||
+        assignView.nonEmpty,
+      s"SimilaritySearchActor: $method requires assignView")
     if (method == "lsh") require(dim > 0, "SimilaritySearchActor: lsh requires dim")
     if (method == "pq" || method == "ivfpq")
       require(dim > 0, s"SimilaritySearchActor: $method requires dim")
@@ -324,6 +327,11 @@ class SimilaritySearchActor extends Actor {
         Similarity.ivfAssignments(corpus, ctx.getView(centroidsView), idCol, vecCol)
       case "ivf-probe" =>
         Similarity.ivfProbe(queries, ctx.getView(centroidsView),
+          ctx.getView(assignView), idCol, vecCol, k, nprobe)
+      // window-free probe: accepts a STREAMING query view (complete
+      // output mode) — the online serving path against a loaded index
+      case "ivf-probe-stateless" =>
+        Similarity.ivfProbeStateless(queries, ctx.getView(centroidsView),
           ctx.getView(assignView), idCol, vecCol, k, nprobe)
       case "hybrid" =>
         // the probe set must be selected on BOTH modalities:

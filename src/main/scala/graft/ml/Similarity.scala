@@ -553,6 +553,65 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /**
+   * Window-free IVF probe — the STREAMING-SAFE form of [[ivfProbe]] (and
+   * its batch twin). Three structural differences, each forced by the
+   * streaming engine's rules and each sound at batch scale too:
+   *
+   *  1. Cell routing is stateless per row: the centroid frame rides ONE
+   *     broadcast 1-row ARRAY (16×64 doubles ≈ 8 KB — sized for per-row
+   *     attachment) and each query picks its `nprobe` cells by an in-row
+   *     array_sort over struct(dist, crank) — bit-identical ordering to
+   *     [[ivfProbe]]'s rank window, with no window and no shuffle of the
+   *     query stream.
+   *  2. The top-k is a [[graft.functions.SketchAggregates.TopKPairs]]
+   *     aggregate (k pairs per query as state; order-free merge makes
+   *     micro-batch slicing invisible) instead of a rank window — the one
+   *     streaming aggregation the engine allows, and at batch scale the
+   *     ≤k-pairs-per-task partial-agg shape besides.
+   *  3. Similarity is emitted in integer micro-units (`cos_u` = round-6
+   *     cosine × 1e6) because the pair state orders on a LONG.
+   *
+   * Works on a batch OR streaming `queries` frame (streaming: complete
+   * output mode; `centroids`/`assignments` stay static — typically loaded
+   * from the persisted index). Output: (query_id, neighbor_id, cos_u,
+   * rank) — the same neighbors and ranks as [[ivfProbe]] exactly.
+   */
+  def ivfProbeStateless(queries: DataFrame, centroids: DataFrame,
+                        assignments: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nprobe: Int = 2): DataFrame = {
+    // the routing expression references vec_dot by SQL name (it runs
+    // inside a SQL lambda, out of the Column API's reach)
+    graft.functions.UdfRegistry.registerSystemUdfs(queries.sparkSession)
+    val index = assignments.select(col("crank"), col("id").as("neighbor_id"),
+      col("v").as("cv2"), col("vv").as("cvv"))
+    // crank is unique, so the default lexicographic struct sort pins the
+    // array order deterministically
+    val centArr = centroids.agg(
+      expr("array_sort(collect_list(struct(crank, cv, cc)))").as("cents"))
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).as("qv"))
+      .withColumn("qvv", dot(col("qv"), col("qv")))
+    // (qvv + cc) - (2·dot) is the oracle's exact expression shape, so the
+    // in-row sort orders cells identically to the arank window
+    val routed = q.crossJoin(broadcast(centArr))
+      .withColumn("probe", expr(
+        "slice(array_sort(transform(cents, c -> " +
+          s"struct(qvv + c.cc - 2 * vec_dot(qv, c.cv) AS d, c.crank AS crank))), 1, $nprobe)"))
+      .select(col("query_id"), col("qv"), col("qvv"),
+        explode(col("probe.crank")).as("crank"))
+    val scored = routed.join(index, Seq("crank"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_u", expr(
+        "cast(round(round(vec_dot(qv, cv2) / (sqrt(qvv) * sqrt(cvv)), 6) * 1000000) AS BIGINT)"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.SketchAggregates
+        .topKPairs(col("cos_u"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.v").as("cos_u"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
               k: Int, numCentroids: Int = 16, nprobe: Int = 2): DataFrame = {
     val cents = ivfCentroids(corpus, idCol, vecCol, numCentroids)

@@ -79,6 +79,15 @@ class ExamplesSpec extends SparkSpec {
       k = 5, numCentroids = 16, nprobe = 2))
     viaIndex shouldBe ref
     viaIndex.size should be > 0
+    // the serving-form probe (stateless routing + k-pair top-k state)
+    // returned the same neighbors and ranks, similarity in micro-units
+    def keyU(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Long]("cos_u"), r.getAs[Int]("rank"))).toSet
+    val viaServing = keyU(spark.read.parquet(s"$out/neighbors_serving"))
+    val refU = keyU(spark.read.parquet(s"$out/neighbors")
+      .withColumn("cos_u", expr("cast(round(cos_sim * 1000000) AS BIGINT)")))
+    viaServing shouldBe refU
   }
 
   test("hybrid_retrieval.yaml (semanticIndex: ivf) equals the s11 catalog query exactly") {

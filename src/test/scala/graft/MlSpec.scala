@@ -284,6 +284,23 @@ class MlSpec extends SparkSpec {
     full shouldBe exact
   }
 
+  test("stateless IVF probe equals the windowed probe exactly (ids, ranks, micro-cosines)") {
+    implicit val s = spark
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "v", 16)
+    val asg = Similarity.ivfAssignments(emb, cents, "vec_id", "v")
+    val windowed = Similarity.ivfProbe(q, cents, asg, "vec_id", "v", 5, 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        expr("cast(round(cos_sim * 1000000) AS BIGINT)").as("cos_u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val stateless = Similarity.ivfProbeStateless(q, cents, asg, "vec_id", "v", 5, 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    stateless shouldBe windowed
+  }
+
   test("pq topk reconstructions are 64-dim and rank near the exact neighbors") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
