@@ -2196,6 +2196,41 @@ object Queries {
          |GROUP BY tr.doc_id""".stripMargin
     }),
 
+    // Graded contamination: d10's binary gate upgraded to the per-doc
+    // overlap FRACTION (shared eval shingles / doc shingles, exact ppm)
+    // every decontamination run actually thresholds on — 1 shared 3-gram
+    // in a book is noise, 40% of a short doc is a leak. Same broadcast
+    // shape as d10 (tiny eval set LEFT-joined onto the corpus shingles,
+    // so zero-overlap docs are still reported), then ONE doc-keyed agg
+    // computes both counts in a single corpus pass. The 1e6 product
+    // rides DECIMAL(38,0): a 1e7-shingle book wraps Long at 9.2e12.
+    Spec("d22_contamination_score", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sh = Dedup.shingles(docs, "text", "doc_id", 3, distinct = true)
+      val evalSet = sh.filter(col("id") % 50 === 0)
+        .select(col("shingle")).distinct().withColumn("__hit_", lit(1L))
+      sh.filter(col("id") % 50 =!= 0)
+        .join(broadcast(evalSet), Seq("shingle"), "left")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("__hit_"), lit(0L))).as("n_shared"))
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_shared"),
+          expr("""CAST((1000000 * cast(n_shared AS DECIMAL(38,0)))
+                  div n_shingles AS BIGINT)""").as("contamination_ppm"))
+    }, Some {
+      s"""WITH ${shingleCte("documents")},
+         |ev AS (SELECT DISTINCT shingle FROM shing WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, shingle FROM shing WHERE doc_id % 50 <> 0),
+         |fl AS (SELECT tr.doc_id, CASE WHEN ev.shingle IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM tr LEFT JOIN ev USING (shingle)),
+         |per AS (SELECT doc_id, count(*) AS n_shingles, SUM(hit) AS n_shared
+         |  FROM fl GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(n_shared AS BIGINT) AS n_shared,
+         |  CAST((1000000 * n_shared) // n_shingles AS BIGINT) AS contamination_ppm
+         |FROM per""".stripMargin
+    }),
+
     Spec("d5_simhash", d5, Some(d5Oracle)),
     Spec("d6_embed_neardup", d6, Some(d6Oracle)),
     Spec("s1_knn_bruteforce", s1, Some(s1Oracle)),
@@ -2225,6 +2260,89 @@ object Queries {
       Similarity.ivfProbe(emb.filter(col("vec_id") % 50 === 0), cents, index,
         "vec_id", "v", 5, 2)
     }, Some(s12Oracle)),
+
+    // IVF index REBALANCE — the maintenance pass s12's ingest eventually
+    // forces. The fixture models the failure case: a batch of near-
+    // duplicate vectors (jittered copies of one anchor — a crawl re-
+    // ingesting one viral page's embeddings) lands via s12's
+    // fixed-centroid assignment, piling into the anchor's cell. Cells
+    // holding > 3/2 × the mean population then split in two
+    // (deterministic smallest-md5 member sub-seeds via min_by — never a
+    // per-cell window), and ONLY the oversized cells' rows re-rank, so
+    // on the cell-partitioned layout the rewrite touches the split
+    // partitions' files alone; one half keeps the parent's cell id, the
+    // other appends a fresh id — untouched cells are never renumbered
+    // and their persisted partitions stay byte-valid.
+    // Output: the rebalanced per-cell census (new id, parent, size,
+    // whether the parent split).
+    Spec("s15_ivf_rebalance", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val anchor = emb.orderBy(col("vec_id")).limit(1).select(col("v").as("av"))
+      val planted = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"))
+        .crossJoin(broadcast(anchor)) // 1-row anchor frame: reviewed broadcast idiom
+        .select(col("vec_id"),
+          concat(array(element_at(col("av"), 1) +
+              (col("vec_id") % 89).cast("double") / lit(10000.0)),
+            slice(col("av"), 2, 63)).as("v"))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "v", 8)
+      val asg = Similarity.ivfAssignments(emb.unionAll(planted), cents, "vec_id", "v")
+      val (_, newAsg) = Similarity.ivfRebalance(cents, asg, 3, 2)
+      val census = newAsg.groupBy(col("crank"), col("parent_crank"))
+        .agg(count(lit(1)).as("n_vectors"))
+      val fam = census.groupBy(col("parent_crank"))
+        .agg(count(lit(1)).as("__nch_"))
+      census.join(fam, Seq("parent_crank"))
+        .select(col("crank").cast("long").as("crank"),
+          col("parent_crank").cast("long").as("parent_crank"),
+          col("n_vectors"), (col("__nch_") > 1).cast("int").as("was_split"))
+    }, Some {
+      val vvExpr = dotSql("v", "v")
+      val distDot = dotSql("e.v", "ct.cv")
+      val subDot = dotSql("r.v", "s.scv")
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |a AS (SELECT v AS av FROM c ORDER BY vec_id LIMIT 1),
+         |pl AS (SELECT e.vec_id + 100000 AS vec_id,
+         |    list_prepend(a.av[1] + ((e.vec_id + 100000) % 89) / 10000.0, a.av[2:64]) AS v
+         |  FROM c e CROSS JOIN a WHERE e.vec_id % 5 = 0),
+         |u AS (SELECT vec_id, v FROM c UNION ALL SELECT vec_id, v FROM pl),
+         |vv AS MATERIALIZED (SELECT vec_id, v, ($vvExpr) AS vv,
+         |  ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM u),
+         |cent0 AS (SELECT * FROM vv WHERE vec_id < 100000 ORDER BY h, vec_id LIMIT 8),
+         |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+         |assigned AS (SELECT e.vec_id, e.v, e.vv, e.h, ct.crank,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+         |  FROM vv e CROSS JOIN cent ct),
+         |cells AS MATERIALIZED (SELECT vec_id AS id, v, vv, h, crank FROM assigned WHERE arank = 1),
+         |sizes AS (SELECT crank, count(*) AS n FROM cells GROUP BY crank),
+         |tot AS MATERIALIZED (SELECT SUM(n) AS t, count(*) AS kc, max(crank) AS mx FROM sizes),
+         |spl AS MATERIALIZED (SELECT crank, row_number() OVER (ORDER BY crank) AS prnk
+         |  FROM sizes, tot WHERE n * kc * 2 > t * 3),
+         |srows AS MATERIALIZED (SELECT cl.* FROM cells cl JOIN spl USING (crank)),
+         |sub AS (SELECT crank, id, v, vv,
+         |    row_number() OVER (PARTITION BY crank ORDER BY h, id) AS srank
+         |  FROM srows),
+         |sc AS (SELECT crank AS parent, srank, v AS scv, vv AS scc FROM sub WHERE srank <= 2),
+         |re AS (SELECT r.id, r.crank AS parent, s.srank,
+         |    row_number() OVER (PARTITION BY r.id
+         |      ORDER BY r.vv + s.scc - 2 * ($subDot), s.srank) AS w
+         |  FROM srows r JOIN sc s ON r.crank = s.parent),
+         |mv AS (SELECT re.id, re.parent,
+         |    CASE WHEN re.srank = 1 THEN re.parent ELSE tot.mx + spl.prnk END AS crank
+         |  FROM re JOIN spl ON re.parent = spl.crank CROSS JOIN tot WHERE re.w = 1),
+         |newasg AS (SELECT crank, crank AS parent_crank, id FROM cells
+         |    WHERE crank NOT IN (SELECT crank FROM spl)
+         |  UNION ALL SELECT crank, parent AS parent_crank, id FROM mv),
+         |cs AS (SELECT crank, parent_crank, count(*) AS n_vectors FROM newasg GROUP BY 1, 2),
+         |fam AS (SELECT parent_crank, count(*) AS nch FROM cs GROUP BY 1)
+         |SELECT CAST(cs.crank AS BIGINT) AS crank,
+         |  CAST(cs.parent_crank AS BIGINT) AS parent_crank,
+         |  CAST(cs.n_vectors AS BIGINT) AS n_vectors,
+         |  CAST(fam.nch > 1 AS INT) AS was_split
+         |FROM cs JOIN fam USING (parent_crank)""".stripMargin
+    }),
 
     // Int8-quantized kNN: per-vector symmetric quantization (scale =
     // 127/max|x|) then exact top-k over the quantized vectors — at 100 TB
@@ -2781,6 +2899,33 @@ object Queries {
         |  FROM a)
         |SELECT source, n_tokens, q, alloc, epochs_u,
         |  CAST((n_tokens * epochs_u) // 1000000 AS BIGINT) AS eff_tokens
+        |FROM e""".stripMargin)),
+
+    // Annealed mixture schedule: per-epoch source weights interpolating
+    // linearly from the natural (size-proportional) mix at epoch 0 to
+    // uniform at the last epoch — the end-of-training anneal that
+    // up-weights small high-quality sources as a run converges. Exact
+    // integer ppm arithmetic end-to-end; all work on the source-catalog
+    // frame × epochs after one token-count scan (c16's shape).
+    Spec("c23_mixture_anneal", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val per = docs.groupBy(col("source"))
+        .agg(sum(graft.ml.TextAnalysis.wsTokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      graft.ml.Curation.mixtureAnneal(per, "source", "n_tokens", 4, 1000000L)
+    }, Some(s"""WITH t AS (SELECT source, $qWsTokensSql AS tokens FROM documents),
+        |per AS (SELECT source, CAST(SUM(tokens) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source),
+        |tot AS (SELECT SUM(n_tokens) AS n_total, count(*) AS n_sources FROM per),
+        |w AS (SELECT source, n_tokens,
+        |    CAST((1000000 * n_tokens) // n_total AS BIGINT) AS nat_ppm,
+        |    CAST(1000000 // n_sources AS BIGINT) AS uni_ppm
+        |  FROM per, tot),
+        |e AS (SELECT *, unnest(range(0, 4)) AS epoch FROM w)
+        |SELECT source, CAST(epoch AS BIGINT) AS epoch, n_tokens,
+        |  CAST(((3 - epoch) * nat_ppm + epoch * uni_ppm) // 3 AS BIGINT) AS w_ppm,
+        |  CAST((1000000 * (((3 - epoch) * nat_ppm + epoch * uni_ppm) // 3)) // 1000000
+        |    AS BIGINT) AS tokens_alloc
         |FROM e""".stripMargin)),
 
     // Pack materialization — the last mile of c3's packing: each
@@ -5084,6 +5229,47 @@ object Queries {
         |  FROM (SELECT grp, generate_subscripts(embedding, 1) AS pos,
         |          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
         |        FROM e WHERE vec_id % 3 <> 0) GROUP BY grp, pos),
+        |d AS (SELECT nw.grp, nw.n_new, od.n_old,
+        |    abs(nw.s_new * od.n_old - od.s_old * nw.n_new) // (nw.n_new * od.n_old) AS d_u
+        |  FROM nw JOIN od ON nw.grp = od.grp AND nw.pos = od.pos)
+        |SELECT grp AS label, CAST(max(n_new) AS BIGINT) AS n_new,
+        |  CAST(max(n_old) AS BIGINT) AS n_old, CAST(count(*) AS BIGINT) AS dims,
+        |  CAST(SUM(d_u) AS BIGINT) AS l1_drift_u
+        |FROM d GROUP BY grp""".stripMargin)),
+
+    // s14's drift monitor ONLINE: the arriving snapshot is a STREAM, the
+    // previous snapshot a static frame. The streaming side runs
+    // vectorSums as complete-mode state — per-(label, dim) count+sum, an
+    // order-free merge over |labels|·dims rows of state (≈640 here),
+    // independent of stream length — and the drained frame feeds the
+    // same arithmetic tail as batch s14, so an embedder regression
+    // surfaces while the snapshot is still landing. Oracle = the batch
+    // replay over the same new/old split (q87's stream/batch-parity
+    // contract).
+    Spec("q112_stream_centroid_drift", (spark, dir) => {
+      val nw = graft.ml.Similarity.vectorSums(
+        streamTable(spark, dir, "embeddings.parquet")
+          .filter(col("vec_id") % 2 === 0)
+          .withColumn("label", col("label").cast("long")),
+        "label", "embedding", "n_new", "s_new")
+      val drained = drainToMemory(spark, nw, "q112_drift", "complete")
+      val od = graft.ml.Similarity.vectorSums(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 2 =!= 0)
+          .withColumn("label", col("label").cast("long")),
+        "label", "embedding", "n_old", "s_old")
+      graft.ml.Similarity.centroidDriftFromSums(drained, od, "label")
+    }, Some("""WITH e AS (SELECT CAST(label AS BIGINT) AS grp, vec_id, embedding FROM embeddings),
+        |nw AS (SELECT grp, pos, CAST(count(*) AS BIGINT) AS n_new,
+        |    CAST(SUM(qv) AS BIGINT) AS s_new
+        |  FROM (SELECT grp, generate_subscripts(embedding, 1) AS pos,
+        |          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |        FROM e WHERE vec_id % 2 = 0) GROUP BY grp, pos),
+        |od AS (SELECT grp, pos, CAST(count(*) AS BIGINT) AS n_old,
+        |    CAST(SUM(qv) AS BIGINT) AS s_old
+        |  FROM (SELECT grp, generate_subscripts(embedding, 1) AS pos,
+        |          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |        FROM e WHERE vec_id % 2 <> 0) GROUP BY grp, pos),
         |d AS (SELECT nw.grp, nw.n_new, od.n_old,
         |    abs(nw.s_new * od.n_old - od.s_old * nw.n_new) // (nw.n_new * od.n_old) AS d_u
         |  FROM nw JOIN od ON nw.grp = od.grp AND nw.pos = od.pos)

@@ -246,6 +246,50 @@ object Curation {
   }
 
   /**
+   * Annealed mixture schedule: per-epoch source weights interpolating
+   * LINEARLY from the natural (size-proportional) mix at epoch 0 to the
+   * uniform mix at the last epoch — the standard end-of-training anneal
+   * that up-weights small high-quality sources as the run converges
+   * without ever resampling the big head sources from scratch.
+   *
+   * All arithmetic is exact integer ppm: `nat_ppm = 1e6·n_s div total`,
+   * `uni_ppm = 1e6 div S`, and epoch e of E gets
+   * `w_ppm(e) = ((E−1−e)·nat_ppm + e·uni_ppm) div (E−1)` — any engine
+   * reproduces the schedule bit-for-bit. `tokens_alloc` divides a fixed
+   * per-epoch token `budget` by the weights (the number a shard writer
+   * consumes). The 1e6·tokens product rides DECIMAL(38,0) (same wrap
+   * protection as [[epochScheduleFromCounts]] — a 2.5e13-token corpus
+   * puts 1e6·n_s past Long).
+   *
+   * Input is PRE-AGGREGATED per-source token counts (compose with any
+   * tokenizer — c16's `tokenCount` discipline); output one row per
+   * (source, epoch): (sourceCol, epoch, n_tokens, w_ppm, tokens_alloc).
+   *
+   * Scale shape: all work happens on the source-catalog-sized frame ×
+   * epochs with a 1-row totals broadcast — the corpus is never touched
+   * beyond the upstream count scan.
+   */
+  def mixtureAnneal(perSource: DataFrame, sourceCol: String, tokensCol: String,
+                    epochs: Int, budget: Long): DataFrame = {
+    require(epochs >= 2, s"mixtureAnneal: epochs must be >= 2, got $epochs")
+    require(budget >= 0, s"mixtureAnneal: negative budget $budget")
+    val per = perSource.select(col(sourceCol), col(tokensCol).cast("long").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("n_total"), count(lit(1)).as("n_sources"))
+    // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
+    per.crossJoin(broadcast(tot))
+      .withColumn("nat_ppm", expr(
+        "cast((1000000 * cast(n_tokens AS DECIMAL(38,0))) div n_total AS BIGINT)"))
+      .withColumn("uni_ppm", expr("1000000 div n_sources"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit((epochs - 1).toLong))))
+      .withColumn("w_ppm",
+        expr(s"((${epochs - 1} - epoch) * nat_ppm + epoch * uni_ppm) div ${epochs - 1}"))
+      .withColumn("tokens_alloc",
+        expr(s"cast((cast(${budget}L AS DECIMAL(38,0)) * w_ppm) div 1000000 AS BIGINT)"))
+      .select(col(sourceCol), col("epoch"), col("n_tokens"), col("w_ppm"),
+        col("tokens_alloc"))
+  }
+
+  /**
    * Pack materialization (c17): the last mile of c3's sequence packing —
    * for each (shard, pack) turn the assigned documents into the actual
    * training sequence: texts concatenated in doc order with the ASCII

@@ -226,17 +226,23 @@ class SimilaritySearchActor extends Actor {
   protected var semanticIndex: String = "ivf"
   protected var labelCol: String = ""
   protected var oldView: String = ""
+  // ivf-rebalance: split cells > splitNum/splitDenom × the mean size
+  protected var splitNum: Int = 3
+  protected var splitDenom: Int = 2
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid",
         "ivf-centroids", "ivf-assign", "ivf-probe", "ivf-probe-stateless",
+        "ivf-rebalance", "ivf-rebalance-centroids",
         "hard-negatives", "hard-negatives-ivf", "mmr",
         "centroid-drift").contains(m),
         s"SimilaritySearchActor: bad method $m")
       method = m
     }
+    properties.get("splitNum").foreach(v => splitNum = v.toInt)
+    properties.get("splitDenom").foreach(v => splitDenom = v.toInt)
     properties.get("oldView").foreach(oldView = _)
     require(method != "centroid-drift" || oldView.nonEmpty,
       "SimilaritySearchActor(centroid-drift): oldView is required (the " +
@@ -272,10 +278,12 @@ class SimilaritySearchActor extends Actor {
         s"SimilaritySearchActor: semanticIndex must be ivf|brute, got $v")
       semanticIndex = v
     }
-    require(!Seq("ivf-assign", "ivf-probe", "ivf-probe-stateless")
+    require(!Seq("ivf-assign", "ivf-probe", "ivf-probe-stateless",
+        "ivf-rebalance", "ivf-rebalance-centroids")
         .contains(method) || centroidsView.nonEmpty,
       s"SimilaritySearchActor: $method requires centroidsView")
-    require(!Seq("ivf-probe", "ivf-probe-stateless").contains(method) ||
+    require(!Seq("ivf-probe", "ivf-probe-stateless",
+        "ivf-rebalance", "ivf-rebalance-centroids").contains(method) ||
         assignView.nonEmpty,
       s"SimilaritySearchActor: $method requires assignView")
     if (method == "lsh") require(dim > 0, "SimilaritySearchActor: lsh requires dim")
@@ -333,6 +341,17 @@ class SimilaritySearchActor extends Actor {
       case "ivf-probe-stateless" =>
         Similarity.ivfProbeStateless(queries, ctx.getView(centroidsView),
           ctx.getView(assignView), idCol, vecCol, k, nprobe)
+      // index maintenance: split cells > splitNum/splitDenom × the mean
+      // population; only the oversized cells' rows are rewritten (view =
+      // ignored; operates on the loaded centroid/assignment frames).
+      // `ivf-rebalance` emits the new assignments (crank, parent_crank,
+      // id, v, vv), `ivf-rebalance-centroids` the matching centroid frame
+      case "ivf-rebalance" =>
+        Similarity.ivfRebalance(ctx.getView(centroidsView),
+          ctx.getView(assignView), splitNum, splitDenom)._2
+      case "ivf-rebalance-centroids" =>
+        Similarity.ivfRebalance(ctx.getView(centroidsView),
+          ctx.getView(assignView), splitNum, splitDenom)._1
       case "hybrid" =>
         // the probe set must be selected on BOTH modalities:
         // `queryWhere` filters the embedding view, `textQueryWhere`
@@ -622,16 +641,18 @@ class CurationActor extends Actor {
   protected var shuffleEpochs: Int = 2
   protected var shards: Int = 8
   protected var budget: Long = 20000L
+  protected var annealEpochs: Int = 4
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("calibrate", "split", "dsir", "gopher", "surprise",
         "epochs", "pack", "diff", "shuffle", "ensemble", "mask",
-        "batch", "budget").contains(m),
+        "batch", "budget", "anneal").contains(m),
         s"CurationActor: bad method $m")
       method = m
     }
+    properties.get("annealEpochs").foreach(v => annealEpochs = v.toInt)
     properties.get("seed").foreach(seed = _)
     properties.get("shuffleEpochs").foreach(v => shuffleEpochs = v.toInt)
     properties.get("shards").foreach(v => shards = v.toInt)
@@ -696,6 +717,13 @@ class CurationActor extends Actor {
         Curation.lengthBatches(df, idCol, textCol, tokenCount = counter)
       case "budget" =>
         Curation.tokenBudgetSelect(df, idCol, textCol, budget, counter)
+      // natural→uniform mixture anneal over `annealEpochs` epochs;
+      // `budget` here is the per-epoch token budget the weights divide
+      case "anneal" =>
+        val per = df.groupBy(col(sourceCol))
+          .agg(org.apache.spark.sql.functions.sum(
+            counter(col(textCol)).cast("long")).as("n_tokens"))
+        Curation.mixtureAnneal(per, sourceCol, "n_tokens", annealEpochs, budget)
     })
   }
 

@@ -620,6 +620,95 @@ object Similarity {
   }
 
   /**
+   * IVF index REBALANCE — the maintenance pass a long-lived index needs
+   * after incremental ingest ([[ivfAssignments]] appends, s12) has skewed
+   * cell sizes: every probe of a hot cell scans its whole population, so
+   * one oversized cell sets the index's tail latency. Cells holding more
+   * than `splitNum/splitDenom` × the mean population (integer test:
+   * `n·K·splitDenom > total·splitNum`) are split in two:
+   *
+   *  - sub-centroids are the split cell's two smallest-(md5(id), id)
+   *    member VECTORS — the same deterministic-seed device as
+   *    [[ivfCentroids]], chosen per cell with two `min_by` aggregations
+   *    (never a per-cell window: a cell can hold corpus/K rows, and a
+   *    rank window keyed on the ≤K-valued `crank` is exactly the
+   *    bounded-key single-task shape the plan guards reject);
+   *  - ONLY the oversized cells' rows re-rank against their own two
+   *    sub-centroids (a broadcast ≤2K-row frame joined on the parent
+   *    cell, then the per-id 2-row rank window — [[ivfProbe]]'s routing
+   *    shape). On the cell-partitioned layout ([[ivfAssignments]]) that
+   *    rewrite touches only the split partitions' files;
+   *  - the half nearest sub-seed 1 KEEPS the parent's cell id (its file
+   *    partition shrinks in place), the other half gets a fresh id
+   *    `maxCrank + rank(parent)` — appended partitions, no renumbering
+   *    of untouched cells, so persisted probes stay valid for every
+   *    cell the rebalance didn't touch.
+   *
+   * Returns (newCentroids (crank, cv, cc), newAssignments (crank,
+   * parent_crank, id, v, vv)): the same contracts [[ivfProbe]] /
+   * [[ivfProbeStateless]] consume, so a probe against the rebalanced
+   * index needs no code change. All distance expressions keep the
+   * oracle's textual shape — results are engine-reproducible.
+   */
+  def ivfRebalance(centroids: DataFrame, assignments: DataFrame,
+                   splitNum: Int = 3, splitDenom: Int = 2): (DataFrame, DataFrame) = {
+    require(splitNum > 0 && splitDenom > 0 && splitNum >= splitDenom,
+      s"ivfRebalance: split factor $splitNum/$splitDenom must be >= 1")
+    val sizes = assignments.groupBy(col("crank")).agg(count(lit(1)).as("n"))
+    val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"),
+      max(col("crank")).as("mx"))
+    // crossJoin allowlisted: 1-row totals frame (the reviewed broadcast
+    // constant-frame idiom). The rank window below runs over the ≤K-row
+    // split-cell list (post-aggregation) — bounded like seedSet's.
+    val flagged = sizes.crossJoin(broadcast(tot))
+      .filter(col("n") * col("kc") * lit(splitDenom.toLong) >
+        col("t") * lit(splitNum.toLong))
+    val splitIds = flagged
+      .withColumn("prnk", row_number().over(Window.orderBy(col("crank"))))
+      .select(col("crank"), col("prnk"), col("mx"))
+    val splitRows = assignments.join(broadcast(splitIds.select(col("crank"))), Seq("crank"))
+      .withColumn("h", Hashing.oracleHash(col("id").cast("string")))
+    // two smallest-(h, id) members per split cell via min_by — partial-agg
+    // friendly, no per-cell window
+    val s1 = splitRows.groupBy(col("crank"))
+      .agg(min_by(struct(col("id"), col("v"), col("vv")), struct(col("h"), col("id"))).as("s"))
+      .select(col("crank").as("parent"), lit(1).as("srank"),
+        col("s.v").as("scv"), col("s.vv").as("scc"), col("s.id").as("sid"))
+    val s2 = splitRows
+      .join(broadcast(s1.select(col("parent").as("crank"), col("sid").as("sid1"))), Seq("crank"))
+      .filter(col("id") =!= col("sid1"))
+      .groupBy(col("crank"))
+      .agg(min_by(struct(col("id"), col("v"), col("vv")), struct(col("h"), col("id"))).as("s"))
+      .select(col("crank").as("parent"), lit(2).as("srank"),
+        col("s.v").as("scv"), col("s.vv").as("scc"), col("s.id").as("sid"))
+    val subcents = s1.unionAll(s2)
+    // re-rank ONLY the split cells' rows against their own 2 sub-centroids
+    val dist2 = col("vv") + col("scc") - lit(2.0) * dot(col("v"), col("scv"))
+    val moved = splitRows
+      .join(broadcast(subcents.withColumnRenamed("parent", "crank")), Seq("crank"))
+      .withColumn("__srank_", row_number().over(
+        Window.partitionBy(col("id")).orderBy(dist2, col("srank"))))
+      .filter(col("__srank_") === 1)
+      .join(broadcast(splitIds.select(col("crank"), col("prnk"), col("mx"))), Seq("crank"))
+      .select(
+        when(col("srank") === 1, col("crank")).otherwise(col("mx") + col("prnk")).as("crank"),
+        col("crank").as("parent_crank"), col("id"), col("v"), col("vv"))
+    val untouched = assignments
+      .join(broadcast(splitIds.select(col("crank"))), Seq("crank"), "left_anti")
+      .select(col("crank"), col("crank").as("parent_crank"), col("id"), col("v"), col("vv"))
+    val newAssign = untouched.unionAll(moved)
+    val keptCents = centroids
+      .join(broadcast(splitIds.select(col("crank"))), Seq("crank"), "left_anti")
+      .select(col("crank"), col("cv"), col("cc"))
+    val newCents = keptCents.unionAll(
+      subcents.join(broadcast(splitIds.select(col("crank").as("parent"), col("prnk"), col("mx"))), Seq("parent"))
+        .select(
+          when(col("srank") === 1, col("parent")).otherwise(col("mx") + col("prnk")).as("crank"),
+          col("scv").as("cv"), col("scc").as("cc")))
+    (newCents, newAssign)
+  }
+
+  /**
    * Product-quantization top-k (the memory-compression scale path): each
    * corpus vector is encoded as `m` small codeword ids (here 8 × 4 bits ⇒
    * 8 ids from 16-entry codebooks), queries scan the RECONSTRUCTED
@@ -760,14 +849,28 @@ object Similarity {
    * one group agg. No window, no crossJoin, no driver read.
    */
   def centroidDrift(newDf: DataFrame, oldDf: DataFrame, groupCol: String,
-                    vecCol: String): DataFrame = {
-    def sums(d: DataFrame, n: String, s: String) = d
-      .select(col(groupCol).as("grp"), posexplode(expr(
-        s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")))
-      .groupBy(col("grp"), col("pos"))
-      .agg(count(lit(1)).as(n), sum(col("col")).as(s))
-    val nw = sums(newDf, "n_new", "s_new")
-    val od = sums(oldDf, "n_old", "s_old")
+                    vecCol: String): DataFrame =
+    centroidDriftFromSums(
+      vectorSums(newDf, groupCol, vecCol, "n_new", "s_new"),
+      vectorSums(oldDf, groupCol, vecCol, "n_old", "s_old"), groupCol)
+
+  /** The per-(group, dimension) quantized sum frame [[centroidDrift]]
+   *  reduces each snapshot to: (grp, pos, count, sum of floor(x·1e6)).
+   *  Count+sum merge order-free, so this SAME aggregation runs as
+   *  STREAMING state (complete mode, |groups|·dims rows of state) — feed
+   *  the drained frame to [[centroidDriftFromSums]] for the online drift
+   *  monitor (q112). */
+  def vectorSums(d: DataFrame, groupCol: String, vecCol: String,
+                 nName: String, sName: String): DataFrame = d
+    .select(col(groupCol).as("grp"), posexplode(expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")))
+    .groupBy(col("grp"), col("pos"))
+    .agg(count(lit(1)).as(nName), sum(col("col")).as(sName))
+
+  /** [[centroidDrift]]'s arithmetic tail over two [[vectorSums]] frames
+   *  (columns n_new/s_new and n_old/s_old). */
+  def centroidDriftFromSums(nw: DataFrame, od: DataFrame,
+                            groupCol: String): DataFrame = {
     nw.join(od, Seq("grp", "pos"))
       .select(col("grp"), col("n_new"), col("n_old"),
         expr("""CAST(abs(cast(s_new AS DECIMAL(38,0)) * n_old

@@ -301,6 +301,80 @@ class MlSpec extends SparkSpec {
     stateless shouldBe windowed
   }
 
+  test("ivf rebalance: partitions the corpus, rewrites only oversized cells, keeps probe contracts") {
+    implicit val s = spark
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // s15's skewed-ingest fixture: jittered copies of one anchor vector
+    val anchor = emb.orderBy(col("vec_id")).limit(1).select(col("v").as("av"))
+    val planted = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"))
+      .crossJoin(broadcast(anchor))
+      .select(col("vec_id"),
+        concat(array(element_at(col("av"), 1) +
+            (col("vec_id") % 89).cast("double") / lit(10000.0)),
+          slice(col("av"), 2, 63)).as("v"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "v", 8)
+    val asg = Similarity.ivfAssignments(emb.unionAll(planted), cents, "vec_id", "v")
+    val (newCents, newAsg) = Similarity.ivfRebalance(cents, asg, 3, 2)
+
+    // the rebalance is a pure repartition: no row lost, duplicated, or invented
+    val oldIds = asg.select("id").collect().map(_.getLong(0)).toSet
+    val newIds = newAsg.select("id").collect().map(_.getLong(0)).toSet
+    newIds shouldBe oldIds
+    newAsg.count() shouldBe asg.count()
+
+    // untouched cells keep their exact membership (their persisted
+    // partitions need no rewrite)
+    val oldCells = asg.collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet
+    val newCells = newAsg.collect()
+      .map(r => (r.getAs[Int]("crank"), r.getAs[Int]("parent_crank"), r.getAs[Long]("id")))
+    val splitParents = newCells.filter(c => c._1 != c._2).map(_._2).toSet
+    splitParents should not be empty // the fixture actually forces a split
+    newCells.filterNot(c => splitParents.contains(c._2))
+      .map(c => (c._1, c._3)).toSet shouldBe oldCells.filterNot(c => splitParents.contains(c._1))
+    // each split parent's two children exactly re-cover its old rows
+    splitParents.foreach { p =>
+      val before = oldCells.filter(_._1 == p).map(_._2)
+      val after = newCells.filter(_._2 == p).map(_._3).toSet
+      after shouldBe before
+      newCells.filter(_._2 == p).map(_._1).toSet.size shouldBe 2
+    }
+
+    // the new centroid frame matches the new assignments' cell ids and
+    // still serves ivfProbe's contract (k neighbors per query)
+    val centIds = newCents.select("crank").collect().map(_.getInt(0)).toSet
+    newAsg.select("crank").distinct().collect().map(_.getInt(0)).toSet
+      .subsetOf(centIds) shouldBe true
+    val probed = Similarity.ivfProbe(emb.filter(col("vec_id") % 50 === 0),
+      newCents, newAsg.select("crank", "id", "v", "vv"), "vec_id", "v", 5, 2)
+    probed.groupBy("query_id").count().select(min(col("count"))).collect()
+      .head.getLong(0) shouldBe 5L
+  }
+
+  test("mixture anneal: epoch 0 is the natural mix, the last epoch is uniform, interior interpolates") {
+    implicit val s = spark
+    import spark.implicits._
+    val per = Seq(("web", 900000L), ("books", 90000L), ("code", 10000L))
+      .toDF("source", "n_tokens")
+    val out = graft.ml.Curation.mixtureAnneal(per, "source", "n_tokens", 5, 1000000L)
+      .collect().map(r => ((r.getAs[String]("source"), r.getAs[Long]("epoch")),
+        (r.getAs[Long]("w_ppm"), r.getAs[Long]("tokens_alloc")))).toMap
+    out(("web", 0L))._1 shouldBe 900000L   // 1e6·9e5 div 1e6
+    out(("code", 0L))._1 shouldBe 10000L
+    out(("web", 4L))._1 shouldBe 333333L   // uniform = 1e6 div 3
+    out(("code", 4L))._1 shouldBe 333333L
+    // linear interior: epoch 2 of 0..4 is the midpoint
+    out(("web", 2L))._1 shouldBe (2L * 900000L + 2L * 333333L) / 4L
+    // the big source anneals DOWN, the small source UP, monotonically
+    (0 until 4).foreach { e =>
+      out(("web", e.toLong))._1 should be >= out(("web", e.toLong + 1))._1
+      out(("code", e.toLong))._1 should be <= out(("code", e.toLong + 1))._1
+    }
+    // token allocation follows the weights against the per-epoch budget
+    out(("books", 0L))._2 shouldBe out(("books", 0L))._1 // budget 1e6 ⇒ alloc = w_ppm
+  }
+
   test("pq topk reconstructions are 64-dim and rank near the exact neighbors") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -147,8 +147,13 @@ class PlanSpec extends SparkSpec {
       "s12_ivf_incremental", // s3's post-limit(16) centroid seed rank (base
                            // corpus only — the fixed-centroid ingest shape)
       "s13b_hard_negatives_ivf", // s3's post-limit(16) centroid seed rank
-      "q111_stream_ivf_probe" // s3's post-limit(16) centroid seed rank
+      "q111_stream_ivf_probe", // s3's post-limit(16) centroid seed rank
                            // (the static index-build side of the stream)
+      "s15_ivf_rebalance"  // TWO bounded windows: s3's post-limit(8) seed
+                           // rank, and the split-cell renumber rank over
+                           // the POST-AGGREGATION per-cell census (≤
+                           // numCentroids rows — per-cell MEMBER selection
+                           // deliberately rides min_by, never a window)
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -268,6 +273,15 @@ class PlanSpec extends SparkSpec {
                            // stopword cut's 1-row nd frame; the postings
                            // and cell-candidate joins are keyed — pinned
                            // separately below
+      "s15_ivf_rebalance", // THREE reviewed-bounded crossJoins: the
+                           // fixture's broadcast 1-ROW anchor frame, s3's
+                           // broadcast 8-row centroid frame, and the
+                           // 1-row sizes-totals frame; the split-row
+                           // selection and sub-centroid re-rank joins are
+                           // KEYED on the cell id (broadcast ≤2K-row
+                           // build sides)
+      "c23_mixture_anneal" // crossJoin vs broadcast 1-row ΣN/S totals
+                           // frame (c16's stats shape)
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val p = plan(spec.run(spark, sfDir))

@@ -248,6 +248,17 @@ LINEAR_SET = [
     "t23_unigram_surprise",
     # epoch schedule: one scan + source agg + catalog-sized arithmetic
     "c16_epoch_schedule",
+    # mixture anneal: c16's shape — one token-count scan + source agg,
+    # then all arithmetic on the (source x epochs) frame vs a 1-row
+    # totals broadcast
+    "c23_mixture_anneal",
+    # graded contamination: d10's broadcast eval-shingle join (LEFT, so
+    # clean docs still report) + ONE doc-keyed agg for both counts
+    "d22_contamination_score",
+    # streaming drift monitor: per-(label,dim) count+sum state (~640
+    # rows regardless of stream length) + a label-keyed batch join on
+    # the drained frame — s14's arithmetic tail
+    "q112_stream_centroid_drift",
     # incremental IVF: s3's cell-routed probe over a union index (per-row
     # assignment vs a broadcast 16-row centroid frame; no rebuild)
     "s12_ivf_incremental",
@@ -310,6 +321,7 @@ MODELED = {
     "s2_knn_lsh":             "O(Q*candidates), bucket-bounded",
     "s3_knn_ivf":             "O(Q*nprobe*cell)",
     "s13b_hard_negatives_ivf": "s3's O(Q*nprobe*cell) probe + per-pair label filter (Q ~ N/50, cell ~ N/16)",
+    "s15_ivf_rebalance":      "assignment is s3's O(N*K) broadcast rank; the split re-rank touches only oversized cells (O(|split cells| * 2)) — linear per pass, listed modeled because the planted hot cell is a fixed FRACTION of the corpus by fixture design",
     "q111_stream_ivf_probe":  "s3's O(Q*nprobe*cell) probe as a stream-static join; routing is a stateless broadcast-array scan, top-k is k-pair state per query",
     "s4_knn_quantized":       "labeled quantized exact baseline: O(Q*N)",
     "s5_knn_pq":              "full-ADC scan: O(Q*N) compressed",
