@@ -2037,6 +2037,51 @@ object Queries {
          |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l4""".stripMargin
     }),
 
+    // The dedup AUDIT REPORT a data engineer actually ships: per
+    // duplicate cluster (d7's resolution), member count, how many rows
+    // deletion removes, how many sources the cluster spans (cross-source
+    // duplication is a licensing/provenance flag, not just bloat), total
+    // vs surviving bytes. At 100 TB this table is WHY the dedup run gets
+    // its cluster budget. One cluster-keyed agg over the resolution
+    // frame; the source lookup is keyed on the id.
+    Spec("d23_dedup_report", (spark, dir) => {
+      val labels = Dedup.resolveDuplicates(
+        Dedup.lshCandidatePairs(Dedup.minHashSignatures(docCorpus(spark, dir), "text", "doc_id")))
+      val sized = docCorpus(spark, dir)
+        .select(col("doc_id").as("id"), length(col("text")).cast("long").as("len"))
+      val src = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("base_id"), col("source"))
+      labels.join(sized, Seq("id"))
+        .join(src, col("id") % 100000 === col("base_id"))
+        .groupBy(col("keep_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("len")).as("bytes_total"),
+          max(when(col("id") === col("keep_id"), col("len"))).as("bytes_kept"))
+        .select(col("keep_id"), col("n_docs"),
+          (col("n_docs") - 1).as("n_dups"), col("n_sources"),
+          col("bytes_total"), col("bytes_kept"),
+          (col("bytes_total") - col("bytes_kept")).as("bytes_saved"))
+    }, Some {
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |$resolveGraphCtes,
+         |ln AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS len FROM corpus),
+         |j AS (SELECT l4.id, l4.label, ln.len, d.source
+         |  FROM l4 JOIN ln USING (id)
+         |  JOIN documents d ON l4.id % 100000 = d.doc_id)
+         |SELECT label AS keep_id, count(*) AS n_docs,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_dups,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(SUM(len) AS BIGINT) AS bytes_total,
+         |  CAST(max(CASE WHEN id = label THEN len END) AS BIGINT) AS bytes_kept,
+         |  CAST(SUM(len) - max(CASE WHEN id = label THEN len END) AS BIGINT) AS bytes_saved
+         |FROM j GROUP BY label""".stripMargin
+    }),
+
     // Connected components via alternating large-star/small-star (the
     // O(log diameter) doubling algorithm) on a deliberately HIGH-diameter
     // graph: docs chained to their per-language predecessor, so each
@@ -2271,8 +2316,9 @@ object Queries {
     // per-cell window), and ONLY the oversized cells' rows re-rank, so
     // on the cell-partitioned layout the rewrite touches the split
     // partitions' files alone; one half keeps the parent's cell id, the
-    // other appends a fresh id — untouched cells are never renumbered
-    // and their persisted partitions stay byte-valid.
+    // other appends the fresh id maxCrank + parentCrank (unique by
+    // construction, NO rank window) — untouched cells are never
+    // renumbered and their persisted partitions stay byte-valid.
     // Output: the rebalanced per-cell census (new id, parent, size,
     // whether the parent split).
     Spec("s15_ivf_rebalance", (spark, dir) => {
@@ -2318,7 +2364,7 @@ object Queries {
          |cells AS MATERIALIZED (SELECT vec_id AS id, v, vv, h, crank FROM assigned WHERE arank = 1),
          |sizes AS (SELECT crank, count(*) AS n FROM cells GROUP BY crank),
          |tot AS MATERIALIZED (SELECT SUM(n) AS t, count(*) AS kc, max(crank) AS mx FROM sizes),
-         |spl AS MATERIALIZED (SELECT crank, row_number() OVER (ORDER BY crank) AS prnk
+         |spl AS MATERIALIZED (SELECT crank
          |  FROM sizes, tot WHERE n * kc * 2 > t * 3),
          |srows AS MATERIALIZED (SELECT cl.* FROM cells cl JOIN spl USING (crank)),
          |sub AS (SELECT crank, id, v, vv,
@@ -2330,8 +2376,8 @@ object Queries {
          |      ORDER BY r.vv + s.scc - 2 * ($subDot), s.srank) AS w
          |  FROM srows r JOIN sc s ON r.crank = s.parent),
          |mv AS (SELECT re.id, re.parent,
-         |    CASE WHEN re.srank = 1 THEN re.parent ELSE tot.mx + spl.prnk END AS crank
-         |  FROM re JOIN spl ON re.parent = spl.crank CROSS JOIN tot WHERE re.w = 1),
+         |    CASE WHEN re.srank = 1 THEN re.parent ELSE tot.mx + re.parent END AS crank
+         |  FROM re CROSS JOIN tot WHERE re.w = 1),
          |newasg AS (SELECT crank, crank AS parent_crank, id FROM cells
          |    WHERE crank NOT IN (SELECT crank FROM spl)
          |  UNION ALL SELECT crank, parent AS parent_crank, id FROM mv),
@@ -5278,6 +5324,46 @@ object Queries {
         |  CAST(SUM(d_u) AS BIGINT) AS l1_drift_u
         |FROM d GROUP BY grp""".stripMargin)),
 
+    // Calibrate OFFLINE, enforce ONLINE: per-source quality thresholds
+    // (mean integer-micro quality of a batch calibration snapshot) ride
+    // ONE broadcast stream-static join onto the document stream; the
+    // gate itself is a stateless per-row compare, and the only
+    // streaming state is the per-source admit counters (complete mode,
+    // |sources| rows). This is c13's calibration discipline at serving
+    // time — a raw global threshold over-prunes boilerplate-heavy
+    // sources, a per-source one doesn't. Oracle = the batch replay.
+    Spec("q113_stream_quality_gate", (spark, dir) => {
+      def scored(df: DataFrame) = df.select(col("doc_id"), col("source"),
+        expr("cast(round(q * 1000000) AS BIGINT)").as("q_u"))
+      val cal = scored(spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("q", graft.ml.TextAnalysis.qualityScore(col("text"))))
+        .filter(col("doc_id") % 3 === 0)
+        .groupBy(col("source"))
+        .agg(expr("cast(sum(cast(q_u AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("thr"))
+      val gated = scored(streamTable(spark, dir, "documents.parquet")
+          .withColumn("q", graft.ml.TextAnalysis.qualityScore(col("text"))))
+        .filter(col("doc_id") % 3 =!= 0)
+        .join(broadcast(cal), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("q_u") >= col("thr"), lit(1L)).otherwise(lit(0L))).as("n_kept"))
+      drainToMemory(spark, gated, "q113_gate", "complete")
+        .select(col("source"), col("n_docs"), col("n_kept"),
+          expr("""CAST((1000000 * cast(n_kept AS DECIMAL(38,0)))
+                  div n_docs AS BIGINT)""").as("keep_ppm"))
+    }, Some(s"""WITH t AS (SELECT doc_id, source,
+        |    CAST(round(($qQualitySql) * 1000000) AS BIGINT) AS q_u
+        |  FROM documents),
+        |cal AS (SELECT source, CAST(SUM(q_u) // count(*) AS BIGINT) AS thr
+        |  FROM t WHERE doc_id % 3 = 0 GROUP BY source),
+        |s AS (SELECT t.source, t.q_u, cal.thr
+        |  FROM t JOIN cal USING (source) WHERE t.doc_id % 3 <> 0)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN q_u >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST((1000000 * SUM(CASE WHEN q_u >= thr THEN 1 ELSE 0 END)) // count(*)
+        |    AS BIGINT) AS keep_ppm
+        |FROM s GROUP BY source""".stripMargin)),
+
     // Deterministic seeded epoch reshuffle: every (doc, epoch) gets a
     // reproducible (shard, pos) training position — the hash-ordered
     // permutation any training run needs for restartable, coordination-
@@ -5827,6 +5913,48 @@ object Queries {
          |  CAST(hits_pq AS BIGINT) AS hits_pq, CAST(hits_pq * 20 AS BIGINT) AS recall_pq_pct,
          |  CAST(hits_ivfpq AS BIGINT) AS hits_ivfpq, CAST(hits_ivfpq * 20 AS BIGINT) AS recall_ivfpq_pct
          |FROM h""".stripMargin
+    }),
+
+    // Rank-SENSITIVE ANN evaluation: s7's recall table says how many of
+    // the exact top-5 an index finds; MRR and precision@5 say WHERE it
+    // puts them — the metric a retrieval stack is actually tuned on
+    // (rank 1 vs rank 5 is the difference between a usable RAG context
+    // and noise). Per query vs the exact baseline: relevant-hit count,
+    // exact-ppm precision@5, the first relevant rank, and the
+    // reciprocal rank in exact micro-units (1e6 div rank — rational, so
+    // any engine reproduces it bit-for-bit; no float log in sight).
+    // Scale shape: the two sides are the proven index shapes; the eval
+    // join is keyed on (query_id, neighbor_id) over k rows per query.
+    Spec("s16_mrr_eval", (spark, dir) => {
+      val ex = s1(spark, dir).select(col("query_id"), col("neighbor_id"))
+        .withColumn("rel", lit(1))
+      s3(spark, dir).select(col("query_id"), col("neighbor_id"), col("rank"))
+        .join(ex, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("rel"), lit(0))).cast("long").as("n_rel"),
+          min(when(col("rel") === 1, col("rank"))).as("fr"))
+        .withColumn("first_rel_rank", coalesce(col("fr"), lit(0)).cast("long"))
+        .select(col("query_id"), col("n_rel"),
+          (col("n_rel") * lit(200000L)).as("prec_u"),
+          col("first_rel_rank"),
+          when(col("first_rel_rank") === 0, lit(0L))
+            .otherwise(expr("1000000 div first_rel_rank")).as("rr_u"))
+    }, Some {
+      s"""WITH ex AS ($s1Oracle),
+         |ivf AS ($s3Oracle),
+         |j AS (SELECT i.query_id, i.rank,
+         |    CASE WHEN ex.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+         |  FROM ivf i LEFT JOIN ex
+         |    ON i.query_id = ex.query_id AND i.neighbor_id = ex.neighbor_id),
+         |g AS (SELECT query_id, SUM(rel) AS n_rel,
+         |    min(CASE WHEN rel = 1 THEN rank END) AS fr
+         |  FROM j GROUP BY query_id)
+         |SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+         |  CAST(n_rel * 200000 AS BIGINT) AS prec_u,
+         |  CAST(coalesce(fr, 0) AS BIGINT) AS first_rel_rank,
+         |  CAST(CASE WHEN coalesce(fr, 0) = 0 THEN 0
+         |       ELSE 1000000 // fr END AS BIGINT) AS rr_u
+         |FROM g""".stripMargin
     }),
 
     // MMR diversified retrieval (Carbonell–Goldstein '98): greedily pick

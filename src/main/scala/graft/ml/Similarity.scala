@@ -639,10 +639,11 @@ object Similarity {
    *    shape). On the cell-partitioned layout ([[ivfAssignments]]) that
    *    rewrite touches only the split partitions' files;
    *  - the half nearest sub-seed 1 KEEPS the parent's cell id (its file
-   *    partition shrinks in place), the other half gets a fresh id
-   *    `maxCrank + rank(parent)` — appended partitions, no renumbering
-   *    of untouched cells, so persisted probes stay valid for every
-   *    cell the rebalance didn't touch.
+   *    partition shrinks in place), the other half gets the fresh id
+   *    `maxCrank + parentCrank` — unique by construction with NO rank
+   *    window anywhere (cell ids are opaque; gaps are fine) — appended
+   *    partitions, no renumbering of untouched cells, so persisted
+   *    probes stay valid for every cell the rebalance didn't touch.
    *
    * Returns (newCentroids (crank, cv, cc), newAssignments (crank,
    * parent_crank, id, v, vv)): the same contracts [[ivfProbe]] /
@@ -658,14 +659,13 @@ object Similarity {
     val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"),
       max(col("crank")).as("mx"))
     // crossJoin allowlisted: 1-row totals frame (the reviewed broadcast
-    // constant-frame idiom). The rank window below runs over the ≤K-row
-    // split-cell list (post-aggregation) — bounded like seedSet's.
-    val flagged = sizes.crossJoin(broadcast(tot))
+    // constant-frame idiom). The appended half's fresh cell id is
+    // mx + parent crank — unique by construction, so the renumber needs
+    // no rank window (cell ids are opaque; numbering gaps are fine).
+    val splitIds = sizes.crossJoin(broadcast(tot))
       .filter(col("n") * col("kc") * lit(splitDenom.toLong) >
         col("t") * lit(splitNum.toLong))
-    val splitIds = flagged
-      .withColumn("prnk", row_number().over(Window.orderBy(col("crank"))))
-      .select(col("crank"), col("prnk"), col("mx"))
+      .select(col("crank"), col("mx"))
     val splitRows = assignments.join(broadcast(splitIds.select(col("crank"))), Seq("crank"))
       .withColumn("h", Hashing.oracleHash(col("id").cast("string")))
     // two smallest-(h, id) members per split cell via min_by — partial-agg
@@ -689,9 +689,9 @@ object Similarity {
       .withColumn("__srank_", row_number().over(
         Window.partitionBy(col("id")).orderBy(dist2, col("srank"))))
       .filter(col("__srank_") === 1)
-      .join(broadcast(splitIds.select(col("crank"), col("prnk"), col("mx"))), Seq("crank"))
+      .join(broadcast(splitIds.select(col("crank"), col("mx"))), Seq("crank"))
       .select(
-        when(col("srank") === 1, col("crank")).otherwise(col("mx") + col("prnk")).as("crank"),
+        when(col("srank") === 1, col("crank")).otherwise(col("mx") + col("crank")).as("crank"),
         col("crank").as("parent_crank"), col("id"), col("v"), col("vv"))
     val untouched = assignments
       .join(broadcast(splitIds.select(col("crank"))), Seq("crank"), "left_anti")
@@ -701,9 +701,9 @@ object Similarity {
       .join(broadcast(splitIds.select(col("crank"))), Seq("crank"), "left_anti")
       .select(col("crank"), col("cv"), col("cc"))
     val newCents = keptCents.unionAll(
-      subcents.join(broadcast(splitIds.select(col("crank").as("parent"), col("prnk"), col("mx"))), Seq("parent"))
+      subcents.join(broadcast(splitIds.select(col("crank").as("parent"), col("mx"))), Seq("parent"))
         .select(
-          when(col("srank") === 1, col("parent")).otherwise(col("mx") + col("prnk")).as("crank"),
+          when(col("srank") === 1, col("parent")).otherwise(col("mx") + col("parent")).as("crank"),
           col("scv").as("cv"), col("scc").as("cc")))
     (newCents, newAssign)
   }

@@ -323,6 +323,12 @@ class ExamplesSpec extends SparkSpec {
     val viaCatalog = SparkEntry.queries("s12_ivf_incremental")(spark, sfDir)
       .collect().map(_.toString).toSet
     viaPipeline shouldBe viaCatalog
+    // the ingest is hash-uniform, so the maintenance rebalance must be
+    // an exact no-op: the probe against the rebalanced index returns
+    // the identical neighbor set
+    val viaRebalanced = spark.read.parquet(s"$out/neighbors_rb").collect()
+      .map(_.toString).toSet
+    viaRebalanced shouldBe viaCatalog
   }
 
   test("stream_pii_scrub.yaml: kafka-to-kafka streaming redaction through the doubles") {

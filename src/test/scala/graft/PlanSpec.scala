@@ -119,6 +119,7 @@ class PlanSpec extends SparkSpec {
       "s5_knn_pq",       // codebook seed rank: window AFTER limit(16)
       "s6_knn_ivfpq",    // shared seed rank: window AFTER limit(16)
       "s7_ann_recall",   // embeds s3's post-limit seed rank for the IVF side
+      "s16_mrr_eval",    // embeds s3's post-limit seed rank (s7's shape)
       "d8_training_pipeline", // composite pipeline embedding the s3 stage
       "u1_zipwithindex", // offsets frame: one row per input PARTITION
       "c8_weighted_sample", // rank window AFTER limit(k): orders the k=100
@@ -149,11 +150,11 @@ class PlanSpec extends SparkSpec {
       "s13b_hard_negatives_ivf", // s3's post-limit(16) centroid seed rank
       "q111_stream_ivf_probe", // s3's post-limit(16) centroid seed rank
                            // (the static index-build side of the stream)
-      "s15_ivf_rebalance"  // TWO bounded windows: s3's post-limit(8) seed
-                           // rank, and the split-cell renumber rank over
-                           // the POST-AGGREGATION per-cell census (≤
-                           // numCentroids rows — per-cell MEMBER selection
-                           // deliberately rides min_by, never a window)
+      "s15_ivf_rebalance"  // s3's post-limit(8) seed rank only: the
+                           // rebalance itself is WINDOW-FREE (fresh cell
+                           // id = mx + parent crank, unique by
+                           // construction; per-cell member selection
+                           // rides min_by, never a window)
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -187,6 +188,9 @@ class PlanSpec extends SparkSpec {
                            // keyed on the cluster id)
       "s7_ann_recall",     // composes s1 (labeled exact ground truth) and
                            // s3 (broadcast centroid frame) for the eval
+      "s16_mrr_eval",      // s7's composition for the rank metrics: s1's
+                           // labeled exact ground truth + s3's broadcast
+                           // centroid frame; the eval join is keyed
       "t16_bm25",          // crossJoin vs broadcast 1-row corpus stats
       "t18_bpe_apply",     // crossJoin vs broadcast 1-row merge frame
       "t26_bpe_encode",    // crossJoin vs broadcast 1-row merge-ARRAY

@@ -259,6 +259,9 @@ LINEAR_SET = [
     # rows regardless of stream length) + a label-keyed batch join on
     # the drained frame — s14's arithmetic tail
     "q112_stream_centroid_drift",
+    # streaming quality gate: stateless per-row score + ONE broadcast
+    # stream-static threshold join; state = per-source admit counters
+    "q113_stream_quality_gate",
     # incremental IVF: s3's cell-routed probe over a union index (per-row
     # assignment vs a broadcast 16-row centroid frame; no rebuild)
     "s12_ivf_incremental",
@@ -302,6 +305,7 @@ MODELED = {
     "d4_ngram_jaccard":       "per-pair shingle join over d3's candidate pairs",
     "d6_embed_neardup":       "label-blocked pair join: sum(|block|^2)",
     "d7_dedup_resolution":    "LSH pairs + O(log d) CC rounds",
+    "d23_dedup_report":       "embeds d7's LSH pairs + CC rounds; the report itself is one cluster-keyed agg + a keyed source join",
     "d8_training_pipeline":   "composite: embeds kmeans/s3 stages",
     "d9_connected_components": "O(log d) doubling rounds, scheduling-bound",
     "d13_edit_distance":      "levenshtein over LSH-bounded candidates",
@@ -327,6 +331,7 @@ MODELED = {
     "s5_knn_pq":              "full-ADC scan: O(Q*N) compressed",
     "s6_knn_ivfpq":           "O(Q*nprobe*cell)",
     "s7_ann_recall":          "embeds s1: O(Q*N) ground truth by design",
+    "s16_mrr_eval":           "embeds s1's O(Q*N) ground truth by design (eval); the rank-metric join is keyed over k rows per query",
     "s8_knn_lsh_multiprobe":  "O(Q*probed buckets)",
     "s9_knn_mmr":             "embeds s1's O(Q*N) exact pool build by design; the MMR re-rank itself is pool-bounded (<= 8^2 sims per query)",
     "s9b_mmr_ivf":            "s9 with the pool build routed through s3's IVF probe (O(Q*nprobe*cell)); the MMR re-rank stays pool-bounded",
