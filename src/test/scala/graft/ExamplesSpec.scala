@@ -14,6 +14,27 @@ class ExamplesSpec extends SparkSpec {
     new PipelineRunner(PipelineContext(singleSparkSession = true)).run(pipeline)
   }
 
+  test("every example YAML declares the plan gate and is e2e-tested here") {
+    // the examples are the product's showcase: each must pass its own
+    // 100 TB plan review (settings.planAudit: error) and actually RUN in
+    // this suite — a new example can't silently skip either
+    val yamls = new java.io.File("docs/examples").listFiles()
+      .filter(_.getName.endsWith(".yaml")).map(_.getName).sorted
+    yamls should not be empty
+    val specSrc = {
+      val src = scala.io.Source.fromFile("src/test/scala/graft/ExamplesSpec.scala", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    yamls.foreach { y =>
+      val f = scala.io.Source.fromFile(s"docs/examples/$y", "UTF-8")
+      val body = try f.mkString finally f.close()
+      withClue(s"$y: ") {
+        body should include ("planAudit: \"error\"")
+        specSrc should include (y)
+      }
+    }
+  }
+
   test("batch_report.yaml runs end-to-end and writes a partitioned report") {
     val out = tmpDir("ex_report")
     runExample("batch_report.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
@@ -329,6 +350,24 @@ class ExamplesSpec extends SparkSpec {
     val viaRebalanced = spark.read.parquet(s"$out/neighbors_rb").collect()
       .map(_.toString).toSet
     viaRebalanced shouldBe viaCatalog
+  }
+
+  test("stream_quality_gate.yaml: offline per-source thresholds gate the stream exactly like q113") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_qgate")
+    runExample("stream_quality_gate.yaml", Map("data_dir" -> sfDir,
+      "out_dir" -> out, "ckpt_dir" -> tmpDir("ex_qgate_ck")))
+    val admitted = spark.read.parquet(s"$out/admitted")
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap
+    val viaCatalog = SparkEntry.queries("q113_stream_quality_gate")(spark, sfDir)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    viaCatalog.foreach { case (src, kept) =>
+      admitted.getOrElse(src, 0L) shouldBe kept
+    }
+    admitted.keySet.subsetOf(viaCatalog.keySet) shouldBe true
+    admitted.values.sum should be > 0L
   }
 
   test("stream_pii_scrub.yaml: kafka-to-kafka streaming redaction through the doubles") {
