@@ -2390,6 +2390,54 @@ object Queries {
          |FROM cs JOIN fam USING (parent_crank)""".stripMargin
     }),
 
+    // IVF index HEALTH census — the monitoring table closing the index
+    // lifecycle (build → ingest → REVIEW → rebalance → serve): per cell,
+    // population, exact-ppm corpus share, and the `hot` flag under THE
+    // SAME integer threshold ivfRebalance splits on, so monitor and
+    // maintenance can never disagree. Run on s15's skewed-ingest fixture:
+    // the flagged cell here is exactly the one s15 splits. One cell-keyed
+    // count + a 1-row totals broadcast; never touches the vectors.
+    Spec("s17_ivf_health", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val anchor = emb.orderBy(col("vec_id")).limit(1).select(col("v").as("av"))
+      val planted = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"))
+        .crossJoin(broadcast(anchor)) // 1-row anchor frame: reviewed broadcast idiom
+        .select(col("vec_id"),
+          concat(array(element_at(col("av"), 1) +
+              (col("vec_id") % 89).cast("double") / lit(10000.0)),
+            slice(col("av"), 2, 63)).as("v"))
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "v", 8)
+      val asg = Similarity.ivfAssignments(emb.unionAll(planted), cents, "vec_id", "v")
+      Similarity.ivfHealth(asg, 3, 2)
+        .select(col("crank").cast("long").as("crank"), col("n_vectors"),
+          col("share_ppm"), col("hot"))
+    }, Some {
+      val vvExpr = dotSql("v", "v")
+      val distDot = dotSql("e.v", "ct.cv")
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |a AS (SELECT v AS av FROM c ORDER BY vec_id LIMIT 1),
+         |pl AS (SELECT e.vec_id + 100000 AS vec_id,
+         |    list_prepend(a.av[1] + ((e.vec_id + 100000) % 89) / 10000.0, a.av[2:64]) AS v
+         |  FROM c e CROSS JOIN a WHERE e.vec_id % 5 = 0),
+         |u AS (SELECT vec_id, v FROM c UNION ALL SELECT vec_id, v FROM pl),
+         |vv AS MATERIALIZED (SELECT vec_id, v, ($vvExpr) AS vv,
+         |  ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM u),
+         |cent0 AS (SELECT * FROM vv WHERE vec_id < 100000 ORDER BY h, vec_id LIMIT 8),
+         |cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+         |assigned AS (SELECT e.vec_id, ct.crank,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+         |  FROM vv e CROSS JOIN cent ct),
+         |sizes AS (SELECT crank, count(*) AS n FROM assigned WHERE arank = 1 GROUP BY crank),
+         |tot AS (SELECT SUM(n) AS t, count(*) AS kc FROM sizes)
+         |SELECT CAST(crank AS BIGINT) AS crank, CAST(n AS BIGINT) AS n_vectors,
+         |  CAST((1000000 * n) // t AS BIGINT) AS share_ppm,
+         |  CAST(n * kc * 2 > t * 3 AS INT) AS hot
+         |FROM sizes, tot""".stripMargin
+    }),
+
     // Int8-quantized kNN: per-vector symmetric quantization (scale =
     // 127/max|x|) then exact top-k over the quantized vectors — at 100 TB
     // the 4-8x byte shrink per vector is what keeps an ANN index resident.
@@ -5168,6 +5216,42 @@ object Queries {
         |       ELSE (1000000 * SUM(tf * b_cross)) // SUM(tf * b_self) END AS BIGINT)
         |    AS ppl_ratio_u
         |FROM sc GROUP BY source""".stripMargin)),
+
+    // Per-source document-LENGTH drift (binned two-sample KS): token
+    // counts bucketed by exact floor-log2 (length(bin(n)) — t28's
+    // integer-log device), per-source bin shares in exact ppm, shift
+    // summarized as L1 + max. Completes the drift family: t28 watches
+    // the token DISTRIBUTION, s14/q112 the embedding space — a chunking
+    // bug or truncating extractor moves the length histogram first.
+    // Bins present in one snapshot only coalesce to share 0 (that IS
+    // drift), via the full-outer bin join. ~40 log2 bins, so everything
+    // after the two count scans is source-catalog-sized.
+    Spec("t34_length_drift", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.ml.TextAnalysis.lengthDrift(docs,
+        docs.filter(col("doc_id") % 3 =!= 0), "source", "text")
+    }, Some(s"""WITH t AS (SELECT doc_id, source, $qWsTokensSql AS nt FROM documents),
+        |bn AS (SELECT doc_id, source, CAST(length(bin(greatest(nt, 1))) AS BIGINT) AS b FROM t),
+        |cn AS (SELECT source AS src, b, count(*) AS c FROM bn GROUP BY 1, 2),
+        |co AS (SELECT source AS src, b, count(*) AS c FROM bn WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+        |sn AS (SELECT cn.src, cn.b, tn.n_new,
+        |    CAST((1000000 * cn.c) // tn.n_new AS BIGINT) AS p_new
+        |  FROM cn JOIN (SELECT src, CAST(SUM(c) AS BIGINT) AS n_new FROM cn GROUP BY src) tn
+        |    USING (src)),
+        |so AS (SELECT co.src, co.b, tld.n_old,
+        |    CAST((1000000 * co.c) // tld.n_old AS BIGINT) AS p_old
+        |  FROM co JOIN (SELECT src, CAST(SUM(c) AS BIGINT) AS n_old FROM co GROUP BY src) tld
+        |    USING (src)),
+        |j AS (SELECT coalesce(sn.src, so.src) AS src,
+        |    sn.n_new, so.n_old,
+        |    coalesce(sn.p_new, 0) AS p_new, coalesce(so.p_old, 0) AS p_old
+        |  FROM sn FULL OUTER JOIN so ON sn.src = so.src AND sn.b = so.b)
+        |SELECT src AS source, CAST(max(n_new) AS BIGINT) AS n_new,
+        |  CAST(max(n_old) AS BIGINT) AS n_old,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(abs(p_new - p_old)) AS BIGINT) AS l1_shift_ppm,
+        |  CAST(max(abs(p_new - p_old)) AS BIGINT) AS max_shift_ppm
+        |FROM j GROUP BY src""".stripMargin)),
 
     // Bigram-LM surprise with stupid backoff (t23's two-gram upgrade,
     // the integer KenLM analog): the LM trains on a held-out 2/3

@@ -235,7 +235,7 @@ class SimilaritySearchActor extends Actor {
     properties.get("method").foreach { m =>
       require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid",
         "ivf-centroids", "ivf-assign", "ivf-probe", "ivf-probe-stateless",
-        "ivf-rebalance", "ivf-rebalance-centroids",
+        "ivf-rebalance", "ivf-rebalance-centroids", "ivf-health",
         "hard-negatives", "hard-negatives-ivf", "mmr",
         "centroid-drift").contains(m),
         s"SimilaritySearchActor: bad method $m")
@@ -283,8 +283,8 @@ class SimilaritySearchActor extends Actor {
         .contains(method) || centroidsView.nonEmpty,
       s"SimilaritySearchActor: $method requires centroidsView")
     require(!Seq("ivf-probe", "ivf-probe-stateless",
-        "ivf-rebalance", "ivf-rebalance-centroids").contains(method) ||
-        assignView.nonEmpty,
+        "ivf-rebalance", "ivf-rebalance-centroids", "ivf-health")
+        .contains(method) || assignView.nonEmpty,
       s"SimilaritySearchActor: $method requires assignView")
     if (method == "lsh") require(dim > 0, "SimilaritySearchActor: lsh requires dim")
     if (method == "pq" || method == "ivfpq")
@@ -352,6 +352,10 @@ class SimilaritySearchActor extends Actor {
       case "ivf-rebalance-centroids" =>
         Similarity.ivfRebalance(ctx.getView(centroidsView),
           ctx.getView(assignView), splitNum, splitDenom)._1
+      // the monitoring census: per-cell population/share + the hot flag
+      // under the SAME threshold ivf-rebalance splits on
+      case "ivf-health" =>
+        Similarity.ivfHealth(ctx.getView(assignView), splitNum, splitDenom)
       case "hybrid" =>
         // the probe set must be selected on BOTH modalities:
         // `queryWhere` filters the embedding view, `textQueryWhere`
@@ -400,10 +404,11 @@ class TextAnalysisActor extends Actor {
       bm25Terms = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     properties.get("method").foreach { m =>
       require(Seq("enrich", "bpe-train", "bpe-encode", "perceptron-train",
-        "zipf-fit", "corpus-drift", "bigram-surprise", "fertility", "oov").contains(m),
+        "zipf-fit", "corpus-drift", "bigram-surprise", "fertility", "oov",
+        "length-drift").contains(m),
         s"TextAnalysisActor: unknown method '$m' " +
           "(enrich | bpe-train | bpe-encode | perceptron-train | zipf-fit" +
-          " | corpus-drift | bigram-surprise | fertility | oov)")
+          " | corpus-drift | bigram-surprise | fertility | oov | length-drift)")
       method = m
     }
     properties.get("bpeMerges").foreach(v => bpeMerges = v.toInt)
@@ -415,8 +420,9 @@ class TextAnalysisActor extends Actor {
     properties.get("oldView").foreach(oldView = _)
     properties.get("lmView").foreach(lmView = _)
     properties.get("backoffBits").foreach(v => backoffBits = v.toInt)
-    require(method != "corpus-drift" || oldView.nonEmpty,
-      "TextAnalysisActor(corpus-drift): oldView is required (the previous " +
+    require(!Seq("corpus-drift", "length-drift").contains(method) ||
+        oldView.nonEmpty,
+      s"TextAnalysisActor($method): oldView is required (the previous " +
         "snapshot to score the current view's drift against)")
     properties.get("labelWhere").foreach(labelWhere = _)
     properties.get("epochs").foreach(v => epochs = v.toInt)
@@ -450,6 +456,8 @@ class TextAnalysisActor extends Actor {
       return Some(TextAnalysis.zipfFit(df, sourceCol, textCol, topK))
     if (method == "corpus-drift")
       return Some(TextAnalysis.corpusDrift(df, ctx.getView(oldView), sourceCol, textCol))
+    if (method == "length-drift")
+      return Some(TextAnalysis.lengthDrift(df, ctx.getView(oldView), sourceCol, textCol))
     if (method == "fertility")
       return Some(TextAnalysis.tokenizerFertility(df, sourceCol, textCol,
         ctx.getView(mergesView)))

@@ -709,6 +709,34 @@ object Similarity {
   }
 
   /**
+   * IVF index HEALTH census (s17) — the monitoring table that closes the
+   * index lifecycle (build → ingest → REVIEW → rebalance → serve): per
+   * cell, its population, its exact-ppm share of the corpus, and the
+   * `hot` flag under the same integer threshold [[ivfRebalance]] splits
+   * on — so the monitor's alert and the maintenance pass can never
+   * disagree about which cells are oversized. Run it on the persisted
+   * assignment frame after every ingest; a rising max share is the
+   * early warning that probe tail latency is about to regress.
+   *
+   * Scale shape: one cell-keyed count over the assignments (partial-agg,
+   * ≤K rows out) + a 1-row totals broadcast. Never touches vectors.
+   */
+  def ivfHealth(assignments: DataFrame, splitNum: Int = 3,
+                splitDenom: Int = 2): DataFrame = {
+    require(splitNum > 0 && splitDenom > 0 && splitNum >= splitDenom,
+      s"ivfHealth: split factor $splitNum/$splitDenom must be >= 1")
+    val sizes = assignments.groupBy(col("crank")).agg(count(lit(1)).as("n_vectors"))
+    val tot = sizes.agg(sum(col("n_vectors")).as("t"), count(lit(1)).as("kc"))
+    // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
+    sizes.crossJoin(broadcast(tot))
+      .select(col("crank"), col("n_vectors"),
+        expr("CAST((1000000 * CAST(n_vectors AS DECIMAL(38,0))) div t AS BIGINT)")
+          .as("share_ppm"),
+        (col("n_vectors") * col("kc") * lit(splitDenom.toLong) >
+          col("t") * lit(splitNum.toLong)).cast("int").as("hot"))
+  }
+
+  /**
    * Product-quantization top-k (the memory-compression scale path): each
    * corpus vector is encoded as `m` small codeword ids (here 8 × 4 bits ⇒
    * 8 ids from 16-entry codebooks), queries scan the RECONSTRUCTED

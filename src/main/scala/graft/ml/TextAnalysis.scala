@@ -419,6 +419,51 @@ object TextAnalysis {
   }
 
   /**
+   * Per-source document-LENGTH drift between snapshots (t34): token
+   * counts bucketed by exact floor-log2 (`length(bin(n))` — the integer
+   * log both engines reproduce bit-for-bit, t28's device), per-source
+   * bin SHARES in exact ppm, and the old-vs-new share shift summarized
+   * as L1 and max (a binned two-sample KS statistic). The scalar-feature
+   * drift monitor completing the family — t28 watches the token
+   * DISTRIBUTION, s14/q112 the embedding space; a chunking bug, a new
+   * crawler, or a truncating extractor moves the LENGTH histogram
+   * before any of those fire. Output: (sourceCol, n_new, n_old,
+   * n_bins, l1_shift_ppm, max_shift_ppm).
+   *
+   * Scale shape: two token-count scans into (source, bin) frames
+   * (≈40 log2 bins, so source-catalog-sized), a full-outer bin join
+   * (a bin present in one snapshot only IS drift — coalesce to share
+   * 0, never drop), and per-source arithmetic. The 1e6 products ride
+   * DECIMAL(38,0).
+   */
+  def lengthDrift(newDf: DataFrame, oldDf: DataFrame,
+                  sourceCol: String = "source",
+                  textCol: String = "text"): DataFrame = {
+    def shares(d: DataFrame, nName: String, pName: String) = {
+      val binned = d.select(col(sourceCol).as("src"),
+          wsTokenCount(col(textCol)).cast("long").as("nt"))
+        .withColumn("b", expr("CAST(length(bin(greatest(nt, 1))) AS BIGINT)"))
+        .groupBy(col("src"), col("b")).agg(count(lit(1)).as("c"))
+      val tot = binned.groupBy(col("src")).agg(sum(col("c")).as(nName))
+      binned.join(tot, "src")
+        .withColumn(pName, expr(
+          s"CAST((1000000 * CAST(c AS DECIMAL(38,0))) div $nName AS BIGINT)"))
+        .select(col("src"), col("b"), col(nName), col(pName))
+    }
+    shares(newDf, "n_new", "p_new")
+      .join(shares(oldDf, "n_old", "p_old"), Seq("src", "b"), "full_outer")
+      .groupBy(col("src"))
+      .agg(max(col("n_new")).as("n_new"), max(col("n_old")).as("n_old"),
+        count(lit(1)).as("n_bins"),
+        sum(abs(coalesce(col("p_new"), lit(0L)) - coalesce(col("p_old"), lit(0L))))
+          .as("l1_shift_ppm"),
+        max(abs(coalesce(col("p_new"), lit(0L)) - coalesce(col("p_old"), lit(0L))))
+          .as("max_shift_ppm"))
+      .select(col("src").as(sourceCol), col("n_new"), col("n_old"),
+        col("n_bins"), col("l1_shift_ppm"), col("max_shift_ppm"))
+  }
+
+  /**
    * Quality-signal ensemble by Borda rank aggregation (t31): combine
    * three orthogonal integer signals — token length, lexical diversity
    * (`1e6·distinct div tokens`), and unigram-LM naturalness (negated

@@ -344,9 +344,12 @@ class ExamplesSpec extends SparkSpec {
     val viaCatalog = SparkEntry.queries("s12_ivf_incremental")(spark, sfDir)
       .collect().map(_.toString).toSet
     viaPipeline shouldBe viaCatalog
-    // the ingest is hash-uniform, so the maintenance rebalance must be
-    // an exact no-op: the probe against the rebalanced index returns
-    // the identical neighbor set
+    // the ingest is hash-uniform, so the health census flags nothing
+    // and the maintenance rebalance must be an exact no-op: the probe
+    // against the rebalanced index returns the identical neighbor set
+    val health = spark.read.parquet(s"$out/index_health")
+    health.count() shouldBe 16L
+    health.filter("hot = 1").count() shouldBe 0L
     val viaRebalanced = spark.read.parquet(s"$out/neighbors_rb").collect()
       .map(_.toString).toSet
     viaRebalanced shouldBe viaCatalog

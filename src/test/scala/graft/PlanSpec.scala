@@ -150,11 +150,14 @@ class PlanSpec extends SparkSpec {
       "s13b_hard_negatives_ivf", // s3's post-limit(16) centroid seed rank
       "q111_stream_ivf_probe", // s3's post-limit(16) centroid seed rank
                            // (the static index-build side of the stream)
-      "s15_ivf_rebalance"  // s3's post-limit(8) seed rank only: the
+      "s15_ivf_rebalance", // s3's post-limit(8) seed rank only: the
                            // rebalance itself is WINDOW-FREE (fresh cell
                            // id = mx + parent crank, unique by
                            // construction; per-cell member selection
                            // rides min_by, never a window)
+      "s17_ivf_health"     // s3's post-limit(8) seed rank (the fixture's
+                           // index build); the census itself is one
+                           // keyed count + a totals broadcast
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -284,8 +287,11 @@ class PlanSpec extends SparkSpec {
                            // selection and sub-centroid re-rank joins are
                            // KEYED on the cell id (broadcast ≤2K-row
                            // build sides)
-      "c23_mixture_anneal" // crossJoin vs broadcast 1-row ΣN/S totals
+      "c23_mixture_anneal", // crossJoin vs broadcast 1-row ΣN/S totals
                            // frame (c16's stats shape)
+      "s17_ivf_health"     // s15's fixture crossJoins (1-row anchor,
+                           // 8-row centroid frame) + the census's 1-row
+                           // totals frame
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val p = plan(spec.run(spark, sfDir))

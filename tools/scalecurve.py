@@ -262,6 +262,13 @@ LINEAR_SET = [
     # streaming quality gate: stateless per-row score + ONE broadcast
     # stream-static threshold join; state = per-source admit counters
     "q113_stream_quality_gate",
+    # IVF health census: the fixture's O(N*K) broadcast assignment rank
+    # (K fixed) + one cell-keyed count + a 1-row totals broadcast
+    "s17_ivf_health",
+    # length drift: two token-count scans into (source, log2-bin) frames
+    # (~40 bins => source-catalog-sized), full-outer bin join, per-source
+    # arithmetic
+    "t34_length_drift",
     # incremental IVF: s3's cell-routed probe over a union index (per-row
     # assignment vs a broadcast 16-row centroid frame; no rebuild)
     "s12_ivf_incremental",
