@@ -3022,6 +3022,53 @@ object Queries {
         |    AS BIGINT) AS tokens_alloc
         |FROM e""".stripMargin)),
 
+    // Water-filling token-budget allocation: proportional-to-sqrt shares
+    // under per-source availability caps, with capped sources' SURPLUS
+    // REDISTRIBUTED round by round (c16's single-pass epoch cap wastes
+    // it). The fixture (budget = corpus, one epoch of availability)
+    // genuinely cascades: capping the small sources raises everyone
+    // else's share, which caps the next tier — 3 rounds deep at gate
+    // scale — then the final pass proportionally fills the survivors,
+    // clamped to avail. Exact integer floor math each round; the oracle
+    // unrolls the rounds as CTEs (c1's trainer-replay discipline).
+    Spec("c24_waterfill", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val per = docs.groupBy(col("source"))
+        .agg(sum(graft.ml.TextAnalysis.wsTokenCount(col("text")).cast("long"))
+          .as("n_tokens"))
+      graft.ml.Curation.waterFill(per, "source", "n_tokens",
+        budgetDiv = 1, maxEpochs = 1, rounds = 3)
+    }, Some {
+      val share = "CASE WHEN qa IS NULL OR qa = 0 THEN 0 ELSE ((b - used) * q) // qa END"
+      val roundCtes = (1 to 3).map { r =>
+        val prev = if (r == 1) "b1" else s"c${r - 1}"
+        s"""r$r AS (SELECT $prev.source, $prev.n_tokens, $prev.q, $prev.avail, $prev.b, $prev.cr,
+           |    (SELECT SUM(q) FROM $prev WHERE cr = 0) AS qa,
+           |    (SELECT coalesce(SUM(avail), 0) FROM $prev WHERE cr > 0) AS used
+           |  FROM $prev),
+           |c$r AS MATERIALIZED (SELECT source, n_tokens, q, avail, b,
+           |    CASE WHEN cr > 0 THEN cr WHEN ($share) >= avail THEN $r ELSE 0 END AS cr
+           |  FROM r$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT source, $qWsTokensSql AS tokens FROM documents),
+         |b0 AS (SELECT source, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+         |    CAST(floor(sqrt(CAST(SUM(tokens) AS DOUBLE))) AS BIGINT) AS q,
+         |    CAST(SUM(tokens) * 1 AS BIGINT) AS avail
+         |  FROM t GROUP BY source),
+         |bt AS (SELECT SUM(n_tokens) // 1 AS b FROM b0),
+         |b1 AS MATERIALIZED (SELECT b0.*, bt.b, 0 AS cr FROM b0, bt),
+         |$roundCtes,
+         |r4 AS (SELECT c3.*,
+         |    (SELECT SUM(q) FROM c3 WHERE cr = 0) AS qa,
+         |    (SELECT coalesce(SUM(avail), 0) FROM c3 WHERE cr > 0) AS used
+         |  FROM c3)
+         |SELECT source, n_tokens, q, avail,
+         |  CAST(CASE WHEN cr > 0 THEN avail
+         |       ELSE least(($share), avail) END AS BIGINT) AS alloc,
+         |  CAST(cr AS BIGINT) AS capped_round
+         |FROM r4""".stripMargin
+    }),
+
     // Pack materialization — the last mile of c3's packing: each
     // (shard, pack) becomes the actual training sequence (texts joined
     // in doc order with the 0x1E record separator, graded by md5), its

@@ -246,6 +246,71 @@ object Curation {
   }
 
   /**
+   * Water-filling token-budget allocation (c24): split a global budget
+   * `B = n_total div budgetDiv` across sources proportional to
+   * `q = floor(sqrt(n_tokens))` SUBJECT TO per-source availability caps
+   * `avail = maxEpochs · n_tokens`, REDISTRIBUTING capped sources'
+   * surplus — the allocator [[epochScheduleFromCounts]]'s single-pass
+   * epoch cap approximates: when a small source caps, c16 silently
+   * wastes its returned budget; water-filling hands it to the
+   * still-uncapped sources, round by round, which is what a real
+   * mixture run does with its token budget.
+   *
+   * Fixed `rounds` redistribution rounds (caps cascade — capping the
+   * small sources raises everyone else's share, which can cap the next
+   * tier), then one final proportional fill of the remaining budget
+   * over the still-active set (clamped to avail; a cascade deeper than
+   * `rounds` degrades gracefully to c16's clamp, never over-allocates).
+   * All arithmetic is exact integer floor math — the `brem·q` product
+   * rides DECIMAL(38,0) (budget ~ corpus tokens × q ~ √tokens wraps
+   * Long far below 100 TB) — so any engine replays the allocation
+   * bit-for-bit. Output: (sourceCol, n_tokens, q, avail, alloc,
+   * capped_round) with capped_round ∈ 1..rounds, or 0 = filled at the
+   * final proportional pass.
+   *
+   * Scale shape: everything after the upstream count scan runs on the
+   * source-catalog-sized frame; each round is one aggregate + a 1-row
+   * broadcast back, the frame re-rooted per round via
+   * localCheckpoint(true) (the iterative-trainer discipline — without
+   * the cut each round would replay the corpus scan).
+   */
+  def waterFill(perSource: DataFrame, sourceCol: String, tokensCol: String,
+                budgetDiv: Int = 4, maxEpochs: Int = 4,
+                rounds: Int = 3): DataFrame = {
+    require(budgetDiv >= 1 && maxEpochs >= 1 && rounds >= 1 && rounds <= 8,
+      s"waterFill: bad budgetDiv=$budgetDiv maxEpochs=$maxEpochs rounds=$rounds")
+    val base = perSource
+      .select(col(sourceCol).as("__src_"), col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("q", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("avail", col("n_tokens") * lit(maxEpochs.toLong))
+    val btot = base.agg(expr(s"sum(n_tokens) div $budgetDiv").as("b"))
+    var cur = base.withColumn("capped_round", lit(0))
+      .crossJoin(broadcast(btot)) // 1-row budget frame: reviewed broadcast idiom
+      .localCheckpoint(true)
+    def roundStats(df: DataFrame) = df.agg(
+      sum(when(col("capped_round") === 0, col("q"))).as("qa"),
+      coalesce(sum(when(col("capped_round") > 0, col("avail"))), lit(0L)).as("used"))
+    val shareSql =
+      """CASE WHEN qa IS NULL OR qa = 0 THEN 0
+        |ELSE CAST((cast(b - used AS DECIMAL(38,0)) * q) div qa AS BIGINT) END""".stripMargin
+    for (r <- 1 to rounds) {
+      cur = cur.crossJoin(broadcast(roundStats(cur)))
+        .withColumn("capped_round",
+          when(col("capped_round") === 0 && expr(shareSql) >= col("avail"), lit(r))
+            .otherwise(col("capped_round")))
+        .select(col("__src_"), col("n_tokens"), col("q"), col("avail"),
+          col("capped_round"), col("b"))
+        .localCheckpoint(true)
+    }
+    cur.crossJoin(broadcast(roundStats(cur)))
+      .withColumn("alloc",
+        when(col("capped_round") > 0, col("avail"))
+          .otherwise(least(expr(shareSql), col("avail"))))
+      .select(col("__src_").as(sourceCol), col("n_tokens"), col("q"),
+        col("avail"), col("alloc"), col("capped_round").cast("long").as("capped_round"))
+  }
+
+  /**
    * Annealed mixture schedule: per-epoch source weights interpolating
    * LINEARLY from the natural (size-proportional) mix at epoch 0 to the
    * uniform mix at the last epoch — the standard end-of-training anneal

@@ -650,17 +650,23 @@ class CurationActor extends Actor {
   protected var shards: Int = 8
   protected var budget: Long = 20000L
   protected var annealEpochs: Int = 4
+  protected var budgetDiv: Int = 4
+  protected var maxEpochs: Int = 4
+  protected var fillRounds: Int = 3
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("calibrate", "split", "dsir", "gopher", "surprise",
         "epochs", "pack", "diff", "shuffle", "ensemble", "mask",
-        "batch", "budget", "anneal").contains(m),
+        "batch", "budget", "anneal", "waterfill").contains(m),
         s"CurationActor: bad method $m")
       method = m
     }
     properties.get("annealEpochs").foreach(v => annealEpochs = v.toInt)
+    properties.get("budgetDiv").foreach(v => budgetDiv = v.toInt)
+    properties.get("maxEpochs").foreach(v => maxEpochs = v.toInt)
+    properties.get("fillRounds").foreach(v => fillRounds = v.toInt)
     properties.get("seed").foreach(seed = _)
     properties.get("shuffleEpochs").foreach(v => shuffleEpochs = v.toInt)
     properties.get("shards").foreach(v => shards = v.toInt)
@@ -732,6 +738,13 @@ class CurationActor extends Actor {
           .agg(org.apache.spark.sql.functions.sum(
             counter(col(textCol)).cast("long")).as("n_tokens"))
         Curation.mixtureAnneal(per, sourceCol, "n_tokens", annealEpochs, budget)
+      // water-filling budget allocation: sqrt-proportional shares under
+      // per-source availability caps, capped surplus redistributed
+      case "waterfill" =>
+        val per = df.groupBy(col(sourceCol))
+          .agg(org.apache.spark.sql.functions.sum(
+            counter(col(textCol)).cast("long")).as("n_tokens"))
+        Curation.waterFill(per, sourceCol, "n_tokens", budgetDiv, maxEpochs, fillRounds)
     })
   }
 

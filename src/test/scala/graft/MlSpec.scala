@@ -352,6 +352,54 @@ class MlSpec extends SparkSpec {
       .head.getLong(0) shouldBe 5L
   }
 
+  test("length drift: zero on identical snapshots, fires on a planted truncation") {
+    implicit val s = spark
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val same = graft.ml.TextAnalysis.lengthDrift(docs, docs, "source", "text")
+      .collect()
+    same should not be empty
+    same.foreach { r =>
+      r.getAs[Long]("l1_shift_ppm") shouldBe 0L
+      r.getAs[Long]("max_shift_ppm") shouldBe 0L
+      r.getAs[Long]("n_new") shouldBe r.getAs[Long]("n_old")
+    }
+    // a truncating extractor: every doc in the new snapshot loses all
+    // but its first ~8 tokens — the length histogram must move
+    val truncated = docs.withColumn("text",
+      expr("array_join(slice(split(text, ' '), 1, 8), ' ')"))
+    val drifted = graft.ml.TextAnalysis.lengthDrift(truncated, docs, "source", "text")
+      .collect()
+    drifted.map(_.getAs[Long]("l1_shift_ppm")).min should be > 0L
+    // shares are ppm: per source the L1 shift is bounded by 2e6
+    drifted.map(_.getAs[Long]("l1_shift_ppm")).max should be <= 2000000L
+  }
+
+  test("water-fill: never over-allocates, caps get exactly avail, redistribution beats the single pass") {
+    implicit val s = spark
+    import spark.implicits._
+    // one whale + a shoal of minnows: the minnows cap immediately, their
+    // surplus must flow to the whale
+    val per = (("whale", 1000000L) +: (1 to 9).map(i => (s"m$i", 10000L)))
+      .toDF("source", "n_tokens")
+    val out = graft.ml.Curation.waterFill(per, "source", "n_tokens",
+      budgetDiv = 2, maxEpochs = 1, rounds = 3).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("avail"), r.getAs[Long]("alloc"), r.getAs[Long]("capped_round"),
+          r.getAs[Long]("q")))).toMap
+    val budget = (1000000L + 9 * 10000L) / 2
+    out.values.map(_._2).sum should be <= budget
+    out.values.foreach { case (avail, alloc, _, _) => alloc should be <= avail }
+    out.values.filter(_._3 > 0).foreach { case (avail, alloc, _, _) => alloc shouldBe avail }
+    // every minnow capped in round 1; the whale absorbed their surplus
+    (1 to 9).foreach { i => out(s"m$i")._3 shouldBe 1L }
+    out("whale")._3 shouldBe 0L
+    // the single-pass (no-redistribution) allocation for comparison
+    val qTot = out.values.map(_._4).sum
+    val singlePass = out.values.map { case (avail, _, _, q) =>
+      math.min(avail, budget * q / qTot) }.sum
+    out.values.map(_._2).sum should be > singlePass
+  }
+
   test("mixture anneal: epoch 0 is the natural mix, the last epoch is uniform, interior interpolates") {
     implicit val s = spark
     import spark.implicits._

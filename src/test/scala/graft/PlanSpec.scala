@@ -289,6 +289,10 @@ class PlanSpec extends SparkSpec {
                            // build sides)
       "c23_mixture_anneal", // crossJoin vs broadcast 1-row ΣN/S totals
                            // frame (c16's stats shape)
+      "c24_waterfill",     // per-round crossJoins vs broadcast 1-row
+                           // budget/round-stats frames over the
+                           // checkpointed source-catalog frame (g1's
+                           // per-round bounded shape)
       "s17_ivf_health"     // s15's fixture crossJoins (1-row anchor,
                            // 8-row centroid frame) + the census's 1-row
                            // totals frame

@@ -252,6 +252,10 @@ LINEAR_SET = [
     # then all arithmetic on the (source x epochs) frame vs a 1-row
     # totals broadcast
     "c23_mixture_anneal",
+    # water-fill allocation: one token-count scan, then 3 fixed rounds
+    # over the checkpointed source-catalog frame (one agg + a 1-row
+    # broadcast each) — round work is |sources|-sized, never corpus
+    "c24_waterfill",
     # graded contamination: d10's broadcast eval-shingle join (LEFT, so
     # clean docs still report) + ONE doc-keyed agg for both counts
     "d22_contamination_score",
