@@ -2037,6 +2037,39 @@ object Queries {
          |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l4""".stripMargin
     }),
 
+    // SOFT dedup: instead of dropping duplicates, weight each document
+    // by 1e6 div |its duplicate cluster| (exact ppm) so every cluster
+    // contributes ~one document's worth of sampling mass — the
+    // down-weighting used when near-dups carry signal you don't want to
+    // hard-delete (popular pages ARE quality evidence). Singletons and
+    // docs outside the pair graph keep weight 1e6. One cluster-keyed
+    // count over d7's resolution + two keyed joins back to the corpus.
+    Spec("d24_soft_dedup", (spark, dir) => {
+      val labels = Dedup.resolveDuplicates(
+        Dedup.lshCandidatePairs(Dedup.minHashSignatures(docCorpus(spark, dir), "text", "doc_id")))
+      val csize = labels.groupBy(col("keep_id")).agg(count(lit(1)).as("csize"))
+      docCorpus(spark, dir).select(col("doc_id").as("id"))
+        .join(labels.select(col("id"), col("keep_id")), Seq("id"), "left")
+        .join(csize, Seq("keep_id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("keep_id"), col("id")).as("cluster_id"),
+          coalesce(col("csize"), lit(1L)).as("cluster_size"),
+          expr("1000000 div coalesce(csize, 1)").as("weight_u"))
+    }, Some {
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |$resolveGraphCtes,
+         |cs AS (SELECT label, count(*) AS csize FROM l4 GROUP BY label)
+         |SELECT c.doc_id, coalesce(l4.label, c.doc_id) AS cluster_id,
+         |  CAST(coalesce(cs.csize, 1) AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // coalesce(cs.csize, 1) AS BIGINT) AS weight_u
+         |FROM corpus c LEFT JOIN l4 ON c.doc_id = l4.id
+         |  LEFT JOIN cs ON l4.label = cs.label""".stripMargin
+    }),
+
     // The dedup AUDIT REPORT a data engineer actually ships: per
     // duplicate cluster (d7's resolution), member count, how many rows
     // deletion removes, how many sources the cluster spans (cross-source

@@ -317,6 +317,7 @@ MODELED = {
     "d6_embed_neardup":       "label-blocked pair join: sum(|block|^2)",
     "d7_dedup_resolution":    "LSH pairs + O(log d) CC rounds",
     "d23_dedup_report":       "embeds d7's LSH pairs + CC rounds; the report itself is one cluster-keyed agg + a keyed source join",
+    "d24_soft_dedup":         "embeds d7's LSH pairs + CC rounds; the weighting itself is one cluster-keyed count + two keyed joins",
     "d8_training_pipeline":   "composite: embeds kmeans/s3 stages",
     "d9_connected_components": "O(log d) doubling rounds, scheduling-bound",
     "d13_edit_distance":      "levenshtein over LSH-bounded candidates",
