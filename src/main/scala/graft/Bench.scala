@@ -40,13 +40,18 @@ object Bench {
     // lands in whichever TWS query times first (observed as 1.5-9 s of
     // host-dependent noise on q84). Per-query warmup does not fully
     // absorb it when the warm budget sheds the tail.
-    try {
-      org.rocksdb.RocksDB.loadLibrary()
-      val tmp = java.nio.file.Files.createTempDirectory("bench-rocks-preload")
-      val opts = new org.rocksdb.Options().setCreateIfMissing(true)
-      val db = org.rocksdb.RocksDB.open(opts, tmp.toString)
-      db.put("k".getBytes, "v".getBytes); db.close(); opts.close()
-    } catch { case _: Throwable => () }
+    locally {
+      var tmp: java.nio.file.Path = null
+      try {
+        org.rocksdb.RocksDB.loadLibrary()
+        tmp = java.nio.file.Files.createTempDirectory("bench-rocks-preload")
+        val opts = new org.rocksdb.Options().setCreateIfMissing(true)
+        val db = org.rocksdb.RocksDB.open(opts, tmp.toString)
+        db.put("k".getBytes, "v".getBytes); db.close(); opts.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+      finally if (tmp != null)
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath)
     val canWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir

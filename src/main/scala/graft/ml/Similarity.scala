@@ -700,11 +700,19 @@ object Similarity {
     val keptCents = centroids
       .join(broadcast(splitIds.select(col("crank"))), Seq("crank"), "left_anti")
       .select(col("crank"), col("cv"), col("cc"))
+    // Degenerate-split guard: if EVERY row of an oversized cell ranks
+    // nearest the same sub-seed, the other sub-centroid owns an empty
+    // cell — a probe routed there spends one of its nprobe slots on zero
+    // candidates forever. Keep only sub-centroids whose cell is populated
+    // (semi-join the ≤2·K-row sub-centroid frame on moved's distinct
+    // cranks — a tiny keyed lookup, no extra corpus pass).
+    val populated = moved.select(col("crank")).distinct()
     val newCents = keptCents.unionAll(
       subcents.join(broadcast(splitIds.select(col("crank").as("parent"), col("mx"))), Seq("parent"))
         .select(
           when(col("srank") === 1, col("parent")).otherwise(col("mx") + col("parent")).as("crank"),
-          col("scv").as("cv"), col("scc").as("cc")))
+          col("scv").as("cv"), col("scc").as("cc"))
+        .join(populated, Seq("crank"), "left_semi"))
     (newCents, newAssign)
   }
 

@@ -145,27 +145,34 @@ object PlanAudit {
       case w: Window =>
         val refs = w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
         // Catalog column stats (ANALYZE TABLE ... FOR COLUMNS) beat the
-        // name heuristic when present: the PRODUCT of the partition keys'
-        // distinct counts bounds the group count directly. Stats proving
-        // the keys high-cardinality also SUPPRESS a name-based false
-        // positive (a high-card column that happens to be called `label`).
-        val distinctProduct: Option[BigInt] = scala.util.Try {
+        // name heuristic when present — but the two directions need
+        // different evidence. RAISING on the product of per-key distinct
+        // counts is sound (the observed combination count never exceeds
+        // the product, so product <= boundedRows proves the group count
+        // bounded). SUPPRESSING on the product is NOT: for correlated
+        // keys the independence product overestimates the true
+        // combination count, so only a SINGLE key whose own
+        // distinctCount exceeds boundedRows (a lower bound on the
+        // combination count) may silence the name heuristic.
+        val keyStats: Option[(BigInt, BigInt)] = scala.util.Try {
           val st = w.child.stats.attributeStats
           val counts = w.partitionSpec.flatMap(_.references)
             .map(a => st.find(_._1.exprId == a.exprId).flatMap(_._2.distinctCount))
-          if (counts.nonEmpty && counts.forall(_.isDefined))
-            Some(counts.flatten.map(c => c.max(BigInt(1))).product)
-          else None
+          if (counts.nonEmpty && counts.forall(_.isDefined)) {
+            val cs = counts.flatten.map(c => c.max(BigInt(1)))
+            Some((cs.product, cs.max))
+          } else None
         }.toOption.flatten
-        if (!bounded(w.child, boundedRows)) distinctProduct match {
-          case Some(n) if n <= boundedRows =>
+        if (!bounded(w.child, boundedRows)) keyStats match {
+          case Some((product, _)) if product <= boundedRows =>
             out += PlanFinding("bounded-key-window", "warn", w.nodeName,
-              s"window partition keys have <= $n distinct combination(s) by " +
+              s"window partition keys have <= $product distinct combination(s) by " +
                 "catalog column stats: each key group is a constant fraction " +
                 "of the data in ONE task. Add a high-cardinality key or use " +
                 "the windowless per-group helpers.")
-          case Some(_) => // stats prove high cardinality — name heuristic moot
-          case None =>
+          case Some((_, maxSingle)) if maxSingle > BigInt(boundedRows) =>
+            // one key alone proves high cardinality — name heuristic moot
+          case _ =>
             if (refs.nonEmpty && refs.forall(lowCardKeys.map(_.toLowerCase)))
               out += PlanFinding("bounded-key-window", "warn", w.nodeName,
                 s"window partitioned ONLY by bounded-cardinality keys " +

@@ -120,9 +120,12 @@ object DataframeHelper {
    * of a 100 TB input costs more than the extra scan it saves. When the
    * input is NOT a cheap re-scan (an expensive upstream transform, an
    * exploded frame), pass `reuseInputs = true` to persist both sides
-   * (MEMORY_AND_DISK, serialized) for the duration of the join — or
-   * pre-`.persist()` them yourself for control over level and unpersist
-   * timing.
+   * (MEMORY_AND_DISK, serialized). The CALLER owns the unpersist: the
+   * cached blocks stay registered after the join result is consumed
+   * (call `left.unpersist()` / `right.unpersist()` on the frames you
+   * passed in, or let the session's ContextCleaner reclaim them when
+   * the frames go out of scope) — or pre-`.persist()` them yourself
+   * for control over level and unpersist timing.
    */
   def skewAwareJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                     salt: Int = 8, hotThreshold: Long = 100000L,

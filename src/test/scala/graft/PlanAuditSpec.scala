@@ -102,6 +102,23 @@ class PlanAuditSpec extends SparkSpec {
       val noStats = li.select(col("l_orderkey").as("label"), col("l_quantity"))
         .withColumn("rn", row_number().over(W.partitionBy("label").orderBy("l_quantity")))
       rules(noStats, "warn") should contain("bounded-key-window")
+      // correlated-keys direction: the PRODUCT of two name-listed keys'
+      // distinct counts exceeding boundedRows must NOT suppress the name
+      // heuristic (independence overestimates; the true combination count
+      // could be as low as max(single)). Only a SINGLE key's own count
+      // above the bound may silence it.
+      spark.sql("DROP TABLE IF EXISTS pa_stats2")
+      li.select((col("l_orderkey") % 40).as("label"),
+          (col("l_suppkey") % 50).as("band"), col("l_quantity"))
+        .write.mode("overwrite").saveAsTable("pa_stats2")
+      spark.sql("ANALYZE TABLE pa_stats2 COMPUTE STATISTICS FOR COLUMNS label, band")
+      val t2 = spark.table("pa_stats2")
+      val wCorr = t2.withColumn("rn",
+        row_number().over(W.partitionBy("label", "band").orderBy("l_quantity")))
+      // product ~2000 > 100 but each single key <= 100: name heuristic fires
+      PlanAudit.audit(wCorr, boundedRows = 100L)
+        .map(_.rule) should contain("bounded-key-window")
+      spark.sql("DROP TABLE IF EXISTS pa_stats2")
     } finally {
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.sql("DROP TABLE IF EXISTS pa_stats")
