@@ -526,6 +526,121 @@ object Dedup {
       .select(col("id"), col("cluster_id").as("keep_id"),
         (col("id") =!= col("cluster_id")).as("is_duplicate"))
 
+  /** Order-free content fingerprint of an (id, text) corpus — ONE row
+   *  (fp_n = row count, fp_h = sum of per-row xxhash64(id, text)). The
+   *  integrity check of the resolution-artifact lifecycle: stamped onto
+   *  the persisted label frame by [[resolveBuild]], recomputed and
+   *  compared by [[requireResolutionMatch]] before a loaded resolution
+   *  is trusted. One narrow scan + a global aggregate; sum (wrapping
+   *  Long) is partition-order-free, so the value is deterministic
+   *  however the corpus is partitioned. */
+  def corpusFingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("__id_"), col(textCol).as("__t_"))
+      .agg(count(lit(1)).as("fp_n"),
+        // sum rides DECIMAL(38,0) (an ANSI long sum of ±2^63 hashes
+        // overflows), folded back to BIGINT by a prime pmod — still
+        // order-free and deterministic
+        expr("""coalesce(CAST(pmod(
+                  sum(CAST(xxhash64(__id_, __t_) AS DECIMAL(38,0))),
+                  CAST(9223372036854775783 AS DECIMAL(38,0))) AS BIGINT),
+                CAST(0 AS BIGINT))""").as("fp_h"))
+
+  /**
+   * The persistable duplicate-RESOLUTION artifact: [[resolveDuplicates]]'
+   * label frame (id, keep_id, is_duplicate) with the input corpus'
+   * [[corpusFingerprint]] stamped on every row (fp_n, fp_h constants).
+   * Build it once, write it (parquet), and every downstream consumer —
+   * audit report, soft-dedup weighting, streaming ingest gates — loads
+   * the labels instead of re-running MinHash→LSH→connected-components:
+   * at 100 TB you never re-resolve the corpus to produce a report. The
+   * mirror of the ANN index lifecycle (ivf-centroids/-assign → persist →
+   * probe) and of `index-build`/`indexIsSignatures` on the dedup side.
+   *
+   * The fingerprint crossJoin broadcasts a GLOBAL 1-row aggregate —
+   * Catalyst proves maxRows = 1, so the plan gate's cartesian check
+   * passes without an allowlist. Caveat: a corpus with zero duplicate
+   * pairs yields an EMPTY artifact (no rows, hence no stamped
+   * fingerprint) — verification is then vacuous; downstream consumers
+   * treat every doc as a singleton, which is correct for THAT corpus
+   * but unverifiable for a stale one.
+   */
+  def resolveBuild(df: DataFrame, textCol: String, idCol: String,
+                   numHashes: Int = 8, shingleLen: Int = 3, bands: Int = 4,
+                   minEstJaccard: Double = 0.5, iterations: Int = 4): DataFrame =
+    resolveDuplicates(
+      lshCandidatePairs(minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
+        numHashes, bands, minEstJaccard), iterations)
+      .crossJoin(broadcast(corpusFingerprint(df, textCol, idCol)))
+
+  /** Loaded-resolution integrity check: when `labels` carries the
+   *  [[resolveBuild]] fingerprint columns, recompute the corpus
+   *  fingerprint and require a match — a resolution built from a
+   *  DIFFERENT corpus silently mis-weights/mis-reports, so fail loudly
+   *  instead. Two 1-row driver reads (the documented scalar pattern).
+   *  An artifact without fp columns (hand-built label frame) passes
+   *  unchecked; an EMPTY artifact is vacuously accepted (see
+   *  [[resolveBuild]]). */
+  def requireResolutionMatch(labels: DataFrame, corpus: DataFrame,
+                             textCol: String, idCol: String): Unit =
+    if (Seq("fp_n", "fp_h").forall(labels.columns.contains)) {
+      labels.select(col("fp_n").cast("long"), col("fp_h").cast("long"))
+        .limit(1).collect().headOption.foreach { a =>
+          val c = corpusFingerprint(corpus, textCol, idCol).head()
+          require(a.getLong(0) == c.getLong(0) && a.getLong(1) == c.getLong(1),
+            s"resolution artifact was built from a different corpus: artifact " +
+              s"fingerprint (n=${a.getLong(0)}, h=${a.getLong(1)}) vs corpus " +
+              s"(n=${c.getLong(0)}, h=${c.getLong(1)}) — rebuild with resolve-build")
+        }
+    }
+
+  /**
+   * The dedup AUDIT REPORT over a resolution label frame — the table
+   * that justifies a dedup run's cluster budget: per duplicate cluster,
+   * member count, rows deletion would remove, how many sources the
+   * cluster spans (cross-source duplication is a licensing/provenance
+   * flag, not just bloat), and total vs surviving bytes. `labels` is a
+   * [[resolveDuplicates]]/[[resolveBuild]] frame (persisted or
+   * in-session); `corpus` supplies text length and source per id. One
+   * cluster-keyed aggregate + one id-keyed join — never recomputes the
+   * resolution.
+   */
+  def dedupReport(labels: DataFrame, corpus: DataFrame, textCol: String,
+                  idCol: String, sourceCol: String): DataFrame = {
+    val sized = corpus.select(col(idCol).cast("long").as("id"),
+      length(col(textCol)).cast("long").as("__len_"), col(sourceCol).as("__src_"))
+    labels.select(col("id"), col("keep_id")).join(sized, Seq("id"))
+      .groupBy(col("keep_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__src_")).as("n_sources"),
+        sum(col("__len_")).as("bytes_total"),
+        max(when(col("id") === col("keep_id"), col("__len_"))).as("bytes_kept"))
+      .select(col("keep_id"), col("n_docs"),
+        (col("n_docs") - 1).as("n_dups"), col("n_sources"),
+        col("bytes_total"), col("bytes_kept"),
+        (col("bytes_total") - col("bytes_kept")).as("bytes_saved"))
+  }
+
+  /**
+   * SOFT dedup over a resolution label frame: every document weighted
+   * `1e6 div |its duplicate cluster|` (exact ppm) so each cluster
+   * contributes ~one document's worth of sampling mass — the
+   * down-weighting used when near-dups carry signal you don't want to
+   * hard-delete. Docs outside the pair graph keep weight 1e6. One
+   * cluster-keyed count + two keyed joins back to the corpus — never
+   * recomputes the resolution. Output: (id, cluster_id, cluster_size,
+   * weight_u).
+   */
+  def softDedupWeights(labels: DataFrame, corpus: DataFrame, idCol: String): DataFrame = {
+    val csize = labels.groupBy(col("keep_id")).agg(count(lit(1)).as("csize"))
+    corpus.select(col(idCol).cast("long").as("id"))
+      .join(labels.select(col("id"), col("keep_id")), Seq("id"), "left")
+      .join(csize, Seq("keep_id"), "left")
+      .select(col("id"),
+        coalesce(col("keep_id"), col("id")).as("cluster_id"),
+        coalesce(col("csize"), lit(1L)).as("cluster_size"),
+        expr("1000000 div coalesce(csize, 1)").as("weight_u"))
+  }
+
   /**
    * Convergence-checked variant of [[clusterLabels]] — the scale path for
    * graphs whose diameter is unknown: iterate until no label changes

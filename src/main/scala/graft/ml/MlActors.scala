@@ -39,7 +39,24 @@ import org.apache.spark.sql.functions._
  *  (eval documents, or a prebuilt bloom-build frame via
  *  `evalIsState: true`), emits (id, contaminated 0/1); the state
  *  broadcasts as ONE row and corpus shingles probe it in place — no
- *  membership join, no false negatives. */
+ *  membership join, no false negatives;
+ *  resolve-build: the persistable RESOLUTION artifact — the resolve
+ *  label frame with the corpus fingerprint stamped per row (fp_n,
+ *  fp_h). Write it once (parquet); downstream reports/weights load it
+ *  instead of re-running MinHash→LSH→connected-components;
+ *  resolve-load: emits a loaded resolution (`resolutionView`) after
+ *  verifying its fingerprint against `view`'s corpus
+ *  (`verifyResolution: false` skips — e.g. when `view` is a sample);
+ *  report: per-cluster dedup audit report (n_docs/n_dups/n_sources/
+ *  bytes_total/bytes_kept/bytes_saved; `sourceField` names the
+ *  provenance column) off `resolutionView` when set, else resolved
+ *  in-session;
+ *  soft: ppm sampling weights (id, cluster_id, cluster_size, weight_u
+ *  = 1e6 div cluster size) — down-weighting instead of hard deletion —
+ *  off the same loaded-or-computed resolution;
+ *  cdc-spans: content-defined duplicated-span dedup (rolling-hash
+ *  chunk boundaries move WITH the text, so offset-shifted copies still
+ *  collide — closes the stride-alignment gap of `spans`). */
 class DedupActor extends Actor {
   protected var view: String = ""
   protected var method: String = "exact"
@@ -63,16 +80,26 @@ class DedupActor extends Actor {
   protected var chunkTokens: Int = 10
   protected var spanWindow: Int = 40
   protected var spanStride: Int = 20
+  protected var sourceCol: String = "source"
+  protected var resolutionView: String = ""
+  protected var verifyResolution: Boolean = true
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
     properties.get("method").foreach { m =>
       require(Seq("exact", "minhash-lsh", "simhash", "resolve", "resolve-pairs",
         "semdedup", "incremental", "index-build", "bloom-build", "decontaminate",
-        "chunk", "spans").contains(m),
+        "chunk", "spans", "resolve-build", "resolve-load", "report", "soft",
+        "cdc-spans").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
+    properties.get("sourceField").foreach(sourceCol = _)
+    properties.get("resolutionView").foreach(resolutionView = _)
+    properties.get("verifyResolution").foreach(v => verifyResolution = v.toBoolean)
+    require(method != "resolve-load" || resolutionView.nonEmpty,
+      "DedupActor: resolve-load requires resolutionView (the persisted " +
+        "label frame a resolve-build step wrote)")
     properties.get("chunkTokens").foreach(v => chunkTokens = v.toInt)
     properties.get("spanWindow").foreach(v => spanWindow = v.toInt)
     properties.get("spanStride").foreach(v => spanStride = v.toInt)
@@ -106,7 +133,27 @@ class DedupActor extends Actor {
   override def inputViews: Seq[String] =
     (if (view.nonEmpty) Seq(view) else Seq.empty) ++
       (if (indexView.nonEmpty) Seq(indexView) else Seq.empty) ++
-      (if (evalView.nonEmpty) Seq(evalView) else Seq.empty)
+      (if (evalView.nonEmpty) Seq(evalView) else Seq.empty) ++
+      (if (resolutionView.nonEmpty) Seq(resolutionView) else Seq.empty)
+
+  /** The resolution label frame the report/soft consumers work from:
+   *  the loaded artifact when `resolutionView` is set (schema-checked;
+   *  fingerprint-verified against `corpus` unless `verifyResolution:
+   *  false` — a stale artifact silently mis-weights, so the default
+   *  fails loudly), else resolved in-session. */
+  private def resolutionLabels(corpus: DataFrame, ctx: JobContext): DataFrame =
+    if (resolutionView.nonEmpty) {
+      val r = ctx.getView(resolutionView)
+      require(Seq("id", "keep_id").forall(r.columns.contains),
+        s"DedupActor($method): resolutionView '$resolutionView' is not a " +
+          s"resolution label frame (expected id, keep_id) — has " +
+          s"${r.columns.mkString(", ")}")
+      if (verifyResolution) Dedup.requireResolutionMatch(r, corpus, textCol, idCol)
+      r
+    } else Dedup.resolveDuplicates(
+      Dedup.lshCandidatePairs(
+        Dedup.minHashSignatures(corpus, textCol, idCol, numHashes, shingleLen),
+        numHashes, bands, minEstJaccard), iterations)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
@@ -144,6 +191,28 @@ class DedupActor extends Actor {
         // cross-document duplicated char windows (Lee et al.-style
         // substring dedup at fixed window/stride granularity)
         Dedup.duplicateSpans(df, textCol, idCol, spanWindow, spanStride)
+      case "resolve-build" =>
+        // the persistable resolution ARTIFACT: the resolve label frame +
+        // the corpus fingerprint stamped per row. Write it once; report/
+        // soft/resolve-load consume it in ANY later session — the corpus
+        // is never re-resolved (the dedup mirror of the ANN index
+        // lifecycle's build step).
+        Dedup.resolveBuild(df, textCol, idCol, numHashes, shingleLen,
+          bands, minEstJaccard, iterations)
+      case "resolve-load" =>
+        // the explicit load-with-integrity-check step: emits the loaded
+        // label frame unchanged after verifying its fingerprint against
+        // `view` (the corpus it claims to resolve)
+        resolutionLabels(df, ctx)
+      case "report" =>
+        // per-cluster audit report (members, sources spanned, bytes
+        // saved) off a loaded resolution when resolutionView is set,
+        // else resolved in-session
+        Dedup.dedupReport(resolutionLabels(df, ctx), df, textCol, idCol, sourceCol)
+      case "soft" =>
+        // ppm sampling weights (1e6 div cluster size) instead of hard
+        // deletion, off the same loaded-or-computed resolution
+        Dedup.softDedupWeights(resolutionLabels(df, ctx), df, idCol)
       case "index-build" =>
         Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
       case "bloom-build" =>

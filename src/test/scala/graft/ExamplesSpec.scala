@@ -161,6 +161,46 @@ class ExamplesSpec extends SparkSpec {
     ex.getMessage should include("signature frame")
   }
 
+  test("dedup_resolution_lifecycle.yaml: build->persist->verify->report/soft equals the in-session path") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_resolution")
+    runExample("dedup_resolution_lifecycle.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    // the artifact is the label frame + the stamped corpus fingerprint
+    val artifact = spark.read.parquet(s"$out/resolution")
+    artifact.columns.toSet shouldBe Set("id", "keep_id", "is_duplicate", "fp_n", "fp_h")
+    artifact.count() should be > 0L
+    // in-session reference: the same corpus resolved + reported WITHOUT
+    // the artifact — the persisted-resolution path must be row-identical
+    val ctx = new graft.core.JobContext(graft.core.PipelineContext())
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .unionAll(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" dup dup dup")).as("text"), col("source")))
+      .createOrReplaceTempView("rl_corpus")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    val repActor = new graft.ml.DedupActor()
+    repActor.init(Map("view" -> "rl_corpus", "method" -> "report"))
+    rows(spark.read.parquet(s"$out/dedup_report")) shouldBe rows(repActor.run(ctx).get)
+    val softActor = new graft.ml.DedupActor()
+    softActor.init(Map("view" -> "rl_corpus", "method" -> "soft"))
+    rows(spark.read.parquet(s"$out/soft_dedup")) shouldBe rows(softActor.run(ctx).get)
+    spark.read.parquet(s"$out/soft_dedup").count() shouldBe
+      spark.table("rl_corpus").count()
+    // integrity: consuming the artifact against a DIFFERENT corpus fails
+    // loudly at the fingerprint check instead of silently mis-reporting
+    spark.table("rl_corpus").filter(col("doc_id") % 2 === 0)
+      .createOrReplaceTempView("rl_other")
+    spark.read.parquet(s"$out/resolution").createOrReplaceTempView("rl_res")
+    val stale = new graft.ml.DedupActor()
+    stale.init(Map("view" -> "rl_other", "method" -> "report",
+      "resolutionView" -> "rl_res"))
+    val ex = intercept[IllegalArgumentException] { stale.run(ctx) }
+    ex.getMessage should include("different corpus")
+  }
+
   test("decontamination_lifecycle.yaml: bloom build->persist->load->flag equals the in-session path") {
     implicit val s = spark
     import org.apache.spark.sql.functions._
