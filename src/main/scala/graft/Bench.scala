@@ -105,38 +105,61 @@ object Bench {
     val cold = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Host-drift markers: the three trivial-scan queries whose cost is a
-    // pure function of the host (no shuffle, no state, sub-second at any
-    // sf). PLANS.md adjudicates slow bench phases by comparing these to
-    // their stable historical values; emitting them as a named field lets
-    // the driver normalize cross-round totals mechanically instead of
-    // fishing them out of the per-query map.
-    val markerNames = Seq("u1_zipwithindex", "q3_distinct", "q12_string_funcs")
+    // Host-drift markers: six fixed queries spanning the catalog's cost
+    // classes — three trivial scans (u1/q3/q12: no shuffle, no state),
+    // one shuffle+window (q6), one session-window aggregation (q26), one
+    // state-store streaming drain (q74) — whose costs are pure functions
+    // of the host at a given sf. PLANS.md adjudicates slow bench phases
+    // by comparing these to their stable historical values; emitting
+    // them as a named field lets the driver normalize cross-round totals
+    // mechanically instead of fishing them out of the per-query map.
+    // (r11 used only the three trivial scans; a 3-sub-second-scan panel
+    // steering a ~160 s total was too noisy a lever — the builder's own
+    // back-to-back closing pair normed 124 vs 175.)
+    val markerNames = Seq("u1_zipwithindex", "q3_distinct", "q12_string_funcs",
+      "q6_window_rownum", "q26_session_window", "q74_tws_sessions")
     val markers = results.collect {
       case (k, v, _) if markerNames.contains(k) => s"\"" + k + "\":" + v
     }.mkString("{", ",", "}")
-    // value_norm: the raw total scaled by the markers' drift against their
-    // stable historical levels (sf0.1, quiet host — the bands PLANS.md has
-    // adjudicated every slow phase against since r7: u1 0.19-0.22 s,
-    // q3 0.19-0.24, q12 0.09-0.14; midpoints below). A 1.3x-marker host
-    // phase divides out instead of needing a human to do the arithmetic.
+    // value_norm: the raw total divided by the TRIMMED MEAN of the
+    // markers' drift ratios against their stable quiet-host levels at
+    // sf0.1 (bands PLANS.md has adjudicated against since r7 for the
+    // scans — u1 0.19-0.22 s, q3 0.19-0.24, q12 0.09-0.14 — and r12
+    // paired quiet runs for the three cost-class markers; midpoints
+    // below). Trimming the min and max ratio before averaging keeps one
+    // marker's own noise (a GC pause inside q74's drain, say) from
+    // steering the whole normalization — the r11 failure mode.
     // `value` stays the raw wall-clock total — the driver's number.
     val markerRef = Map(
-      "u1_zipwithindex" -> 0.21, "q3_distinct" -> 0.21, "q12_string_funcs" -> 0.11)
-    val measured = results.collect {
-      case (k, v, _) if markerRef.contains(k) && v > 0 => (k, v) }
+      "u1_zipwithindex" -> 0.21, "q3_distinct" -> 0.21, "q12_string_funcs" -> 0.11,
+      "q6_window_rownum" -> 0.39, "q26_session_window" -> 0.56,
+      "q74_tws_sessions" -> 1.32)
+    val drifts = results.collect {
+      case (k, v, _) if markerRef.contains(k) && v > 0 => v / markerRef(k) }
     val valueNorm =
-      if (measured.size == markerRef.size)
-        total * markerRef.values.sum / measured.map(_._2).sum
-      else total // subset run without all markers: no normalization
+      if (drifts.size == markerRef.size) {
+        val trimmed = drifts.sorted.slice(1, drifts.size - 1)
+        total / (trimmed.sum / trimmed.size)
+      } else total // subset run without all markers: no normalization
     val json = s"""{"metric":"total","value":$total,"value_norm":$valueNorm,"unit":"sec","queries":$qs,"cold":$cold,"markers":$markers,"sf":"$sfDir"}"""
     // The per-query line is ~6 KB at 188 queries and sbt interleaves its
     // own epilogue around stdout, so ALSO land the JSON in a file the
     // driver (or any harness) can read without scraping logs.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    def land(path: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $path: $e") }
+    land(outFile)
+    // Durability: the round record's stdout tail truncates at ~2 KB, so
+    // only ~50 of 240+ per-query timings survive into BENCH_r{N}.json.
+    // ALSO land the full detail inside the repo (docs/bench/latest.json,
+    // committed at round close as r{N}.json) so cross-round per-query
+    // regression analysis never depends on a /tmp file the next run
+    // overwrites. Full-catalog runs only — a subset A/B probe must not
+    // clobber the round's record.
+    if (only.isEmpty && skip.isEmpty && new java.io.File("docs/bench").isDirectory)
+      land("docs/bench/latest.json")
     println(json)
     // LAST stdout line is a short total-only JSON that fits any log-tail
     // capture (the full per-query map above overflows a 2 KB tail).

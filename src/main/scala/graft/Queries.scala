@@ -1151,7 +1151,10 @@ object Queries {
       TextAnalysis.qualityScore(col("text")).as("quality"))
   }
 
-  private val t3Oracle: String = {
+  /** The stopword-heuristic langId as SQL over any (doc_id, text) source
+   *  — t3's oracle, parameterized so t35 can grade the SAME heuristic
+   *  over its mutated multilingual fixture. */
+  private def langIdOracleOver(src: String): String = {
     val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
     val hitCols = langs.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString(", ")
@@ -1161,10 +1164,12 @@ object Queries {
     // descending lexicographic tie-break, matching struct-max semantics
     val caseChain = langs.map(_._1).sortBy(identity[String]).reverse
       .map(l => s"WHEN h_$l = $greatest THEN '$l'").mkString(" ")
-    s"""WITH n AS (SELECT doc_id, string_split($textNormSql, ' ') AS toks FROM documents),
+    s"""WITH n AS (SELECT doc_id, string_split($textNormSql, ' ') AS toks FROM $src),
        |h AS (SELECT doc_id, $hitCols FROM n)
        |SELECT doc_id, CASE WHEN $greatest = 0 THEN 'und' $caseChain END AS lang_pred FROM h""".stripMargin
   }
+
+  private val t3Oracle: String = langIdOracleOver("documents")
 
   // ----------------------------------------------------------------- catalog
 
@@ -2490,7 +2495,7 @@ object Queries {
       val asg = Similarity.ivfAssignments(emb.unionAll(planted), cents, "vec_id", "v")
       Similarity.ivfHealth(asg, 3, 2)
         .select(col("crank").cast("long").as("crank"), col("n_vectors"),
-          col("share_ppm"), col("hot"))
+          col("share_ppm"), col("hot"), col("starved"))
     }, Some {
       val vvExpr = dotSql("v", "v")
       val distDot = dotSql("e.v", "ct.cv")
@@ -2512,8 +2517,90 @@ object Queries {
          |tot AS (SELECT SUM(n) AS t, count(*) AS kc FROM sizes)
          |SELECT CAST(crank AS BIGINT) AS crank, CAST(n AS BIGINT) AS n_vectors,
          |  CAST((1000000 * n) // t AS BIGINT) AS share_ppm,
-         |  CAST(n * kc * 2 > t * 3 AS INT) AS hot
+         |  CAST(n * kc * 2 > t * 3 AS INT) AS hot,
+         |  CAST(n * kc * 4 < t AS INT) AS starved
          |FROM sizes, tot""".stripMargin
+    }),
+
+    // IVF index MERGE — the other half of maintenance (s15 splits hot
+    // cells, this dissolves STARVED ones): a planted far-away satellite
+    // group gets its own synthetic centroid (crank 9) holding ~1% of the
+    // corpus — well under mean/mergeDenom — and the merge re-ranks ONLY
+    // those rows against the surviving 8 centroids (the exact
+    // ivfAssignments argmin, so merged == full re-assignment on the
+    // survivors; MlSpec pins that bit-for-bit). Untouched cells keep
+    // their ids — persisted probes stay valid. Census: per surviving
+    // cell, population + how many rows arrived via the merge.
+    Spec("s18_ivf_merge", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val anchor = emb.orderBy(col("vec_id")).limit(1).select(col("v").as("av"))
+      // satellite group: anchor negated and shifted far from the corpus,
+      // with a per-id jitter in dim 1 so members are distinct vectors
+      val planted = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 300000).as("vec_id"))
+        .crossJoin(broadcast(anchor)) // 1-row anchor frame: reviewed broadcast idiom
+        .select(col("vec_id"),
+          concat(array((-element_at(col("av"), 1) - lit(50.0)) +
+              (col("vec_id") % 13).cast("double") / lit(1000.0)),
+            transform(slice(col("av"), 2, 63), x => -x - lit(50.0))).as("v"))
+      val cents8 = Similarity.ivfCentroids(emb, "vec_id", "v", 8)
+      // the satellite's own centroid, appended as crank 9 (starved by
+      // construction: only the planted rows land near it)
+      val c9 = anchor.select(lit(9).as("crank"),
+        concat(array(-element_at(col("av"), 1) - lit(50.0)),
+          transform(slice(col("av"), 2, 63), x => -x - lit(50.0))).as("cv"))
+        .withColumn("cc", graft.ml.Similarity.dot(col("cv"), col("cv")))
+      val cents = cents8.unionAll(c9)
+      val asg = Similarity.ivfAssignments(emb.unionAll(planted), cents, "vec_id", "v")
+      val (_, merged) = Similarity.ivfMerge(cents, asg, 4)
+      merged.groupBy(col("crank"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("parent_crank") =!= col("crank"), 1L).otherwise(0L))
+            .as("n_absorbed"))
+        .select(col("crank").cast("long").as("crank"), col("n_vectors"),
+          col("n_absorbed"))
+    }, Some {
+      val vvExpr = dotSql("v", "v")
+      val c9vv = dotSql("cv", "cv")
+      val distDot = dotSql("e.v", "ct.cv")
+      val survDot = dotSql("r.v", "sv.cv")
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |a AS (SELECT v AS av FROM c ORDER BY vec_id LIMIT 1),
+         |pl AS (SELECT e.vec_id + 300000 AS vec_id,
+         |    list_prepend((-a.av[1] - 50.0) + ((e.vec_id + 300000) % 13) / 1000.0,
+         |      list_transform(a.av[2:64], x -> -x - 50.0)) AS v
+         |  FROM c e CROSS JOIN a WHERE e.vec_id % 97 = 0),
+         |u AS (SELECT vec_id, v FROM c UNION ALL SELECT vec_id, v FROM pl),
+         |vv AS MATERIALIZED (SELECT vec_id, v, ($vvExpr) AS vv,
+         |  ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM u),
+         |cent0 AS (SELECT * FROM vv WHERE vec_id < 300000 ORDER BY h, vec_id LIMIT 8),
+         |cent8 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+         |c9 AS (SELECT 9 AS crank,
+         |    list_prepend(-a.av[1] - 50.0, list_transform(a.av[2:64], x -> -x - 50.0)) AS cv
+         |  FROM a),
+         |cent AS MATERIALIZED (SELECT crank, cv, cc FROM cent8
+         |  UNION ALL SELECT crank, cv, ($c9vv) AS cc FROM c9),
+         |assigned AS (SELECT e.vec_id, e.v, e.vv, ct.crank,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+         |  FROM vv e CROSS JOIN cent ct),
+         |cells AS MATERIALIZED (SELECT vec_id AS id, v, vv, crank FROM assigned WHERE arank = 1),
+         |sizes AS (SELECT crank, count(*) AS n FROM cells GROUP BY crank),
+         |tot AS MATERIALIZED (SELECT SUM(n) AS t, count(*) AS kc FROM sizes),
+         |starved AS MATERIALIZED (SELECT crank FROM sizes, tot WHERE n * kc * 4 < t),
+         |surv AS MATERIALIZED (SELECT * FROM cent WHERE crank NOT IN (SELECT crank FROM starved)),
+         |srows AS (SELECT cl.* FROM cells cl JOIN starved USING (crank)),
+         |re AS (SELECT r.id, r.crank AS parent_crank, sv.crank,
+         |    row_number() OVER (PARTITION BY r.id
+         |      ORDER BY r.vv + sv.cc - 2 * ($survDot), sv.crank) AS w
+         |  FROM srows r CROSS JOIN surv sv),
+         |merged AS (SELECT crank, crank AS parent_crank, id FROM cells
+         |    WHERE crank NOT IN (SELECT crank FROM starved)
+         |  UNION ALL SELECT crank, parent_crank, id FROM re WHERE w = 1)
+         |SELECT CAST(crank AS BIGINT) AS crank, count(*) AS n_vectors,
+         |  CAST(SUM(CASE WHEN parent_crank <> crank THEN 1 ELSE 0 END) AS BIGINT) AS n_absorbed
+         |FROM merged GROUP BY crank""".stripMargin
     }),
 
     // Int8-quantized kNN: per-vector symmetric quantization (scale =
@@ -2624,6 +2711,58 @@ object Queries {
         |  CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(k.d AS BIGINT) AS keep_doc, CAST(k.o AS BIGINT) AS keep_off
         |FROM g WHERE n_docs >= 2""".stripMargin)),
+
+    // CONTENT-DEFINED span dedup — closes d21's stride-alignment gap:
+    // the planted copies here are shifted by 7 chars (substr from
+    // position 8), an offset d21's stride-20 windows provably never
+    // align on (MlSpec asserts d21 finds none of these, d25 finds them
+    // all); CDC boundaries come from a rolling hash of the content, so
+    // the interior chunks of the shared suffix are identical strings at
+    // any offset. One typed rolling-hash pass + one md5-keyed exchange.
+    Spec("d25_cdc_span_dedup", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.unionAll(
+        docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            substring(Dedup.normText(col("text")), 8, Int.MaxValue).as("text")))
+      Dedup.cdcSpans(planted, "text", "doc_id")
+    }, Some {
+      // the 8 rolling-hash terms unrolled: ascii(char at i-7+j) * 31^j
+      val pows = Array.iterate(1L, 8)(_ * 31L)
+      val hashTerms = (0 until 8).map(j =>
+        s"CAST(ascii(substr(t, CAST(i - ${7 - j} AS BIGINT), 1)) AS BIGINT) * ${pows(j)}")
+        .mkString(" + ")
+      s"""WITH nd AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+         |  FROM documents),
+         |corp AS (SELECT doc_id, t FROM nd
+         |  UNION ALL
+         |  SELECT doc_id + 400000 AS doc_id, substr(t, 8) AS t FROM nd WHERE doc_id % 11 = 0),
+         |n2 AS MATERIALIZED (SELECT doc_id,
+         |    regexp_replace(lower(regexp_replace(t, '\\s+', ' ', 'g')), '[^ -~]', '', 'g') AS t
+         |  FROM corp),
+         |pos AS (SELECT doc_id, t, unnest(range(8, length(t) + 1)) AS i
+         |  FROM n2 WHERE length(t) >= 8),
+         |bnd AS (SELECT doc_id, i FROM pos
+         |  WHERE (($hashTerms) % 1000000007) % 32 = 0),
+         |cuts AS (SELECT doc_id, CAST(0 AS BIGINT) AS c FROM n2
+         |  UNION SELECT doc_id, CAST(i AS BIGINT) FROM bnd
+         |  UNION SELECT doc_id, CAST(length(t) AS BIGINT) FROM n2),
+         |sp AS (SELECT doc_id, c, lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS nxt
+         |  FROM cuts),
+         |ch AS (SELECT s.doc_id, s.c + 1 AS off,
+         |    substr(n2.t, CAST(s.c + 1 AS BIGINT), CAST(s.nxt - s.c AS BIGINT)) AS spn
+         |  FROM sp s JOIN n2 USING (doc_id)
+         |  WHERE s.nxt IS NOT NULL AND s.nxt - s.c >= 16),
+         |g AS (SELECT md5(spn) AS span_md5, count(*) AS n_spans,
+         |    count(DISTINCT doc_id) AS n_docs,
+         |    min({'d': doc_id, 'o': off}) AS k
+         |  FROM ch GROUP BY 1)
+         |SELECT span_md5, CAST(n_spans AS BIGINT) AS n_spans,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(k.d AS BIGINT) AS keep_doc, CAST(k.o AS BIGINT) AS keep_off
+         |FROM g WHERE n_docs >= 2""".stripMargin
+    }),
 
     // Deterministic stratified sampling: N docs per language stratum,
     // selected by content-independent hash order — the balancing step of a
@@ -5717,6 +5856,103 @@ object Queries {
          |FROM w3 WHERE w <> 0""".stripMargin
     }),
 
+    // TRAINED language ID (t35) — t3's stopword heuristic upgraded to a
+    // learned model: one-vs-rest integer perceptrons per language over
+    // hashed char-TRIGRAM features (morphology survives where no
+    // stopword matches). The corpus text is not language-distinct, so
+    // the fixture plants a deterministic per-language word mutation
+    // (es: +cion, de: +en, fr: le+, zh: reversed, en: identity) keyed on
+    // the real lang label; training on doc_id % 5 != 0, grading on the
+    // held-out rest. Output: per language, the held-out count and how
+    // many docs the TRAINED model vs the STOPWORD heuristic got right —
+    // MlSpec pins trained > stopword overall. All-integer training
+    // (t25's discipline), so the oracle replays every epoch exactly.
+    Spec("t35_trained_lang_id", (spark, dir) => {
+      val langsList = Seq("de", "en", "es", "fr", "zh")
+      val mut = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          concat_ws(" ", expr(
+            """transform(
+              |  filter(split(lower(regexp_replace(text, '\\s+', ' ')), ' '),
+              |         x -> length(x) > 0),
+              |  w -> CASE WHEN lang = 'es' THEN concat(w, 'cion')
+              |            WHEN lang = 'de' THEN concat(w, 'en')
+              |            WHEN lang = 'fr' THEN concat('le', w)
+              |            WHEN lang = 'zh' THEN reverse(w)
+              |            ELSE w END)""".stripMargin)).as("text"))
+      val train = mut.filter(col("doc_id") % 5 =!= 0)
+      val eval = mut.filter(col("doc_id") % 5 === 0)
+      val w = TextAnalysis.langIdTrain(train, "doc_id", "text", "lang",
+        langsList, epochs = 2, buckets = 512)
+      val pred = TextAnalysis.langIdApply(eval, "doc_id", "text", w, 512)
+      eval.select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("sw_pred"))
+        .join(pred, col("doc_id") === pred("id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct_trained"),
+          sum(when(col("sw_pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_correct_stopword"))
+    }, Some {
+      val langsList = Seq("de", "en", "es", "fr", "zh")
+      val h = graft.ml.Hashing.duckdbHashSql("tri")
+      def triBag(name: String, src: String) =
+        s"""${name}_tok AS (SELECT doc_id AS id,
+           |    unnest(list_filter(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+           |                       x -> length(x) > 0)) AS tok FROM $src),
+           |${name}_tri AS (SELECT id,
+           |    unnest(list_transform(range(1, length(tok) + 1),
+           |                          i -> substr(' ' || tok || ' ', CAST(i AS BIGINT), 3))) AS tri
+           |  FROM ${name}_tok),
+           |$name AS MATERIALIZED (SELECT id, $h % 512 AS bucket, count(*) AS cnt
+           |  FROM ${name}_tri GROUP BY 1, 2)""".stripMargin
+      val trainCtes = langsList.map { l =>
+        s"""x_$l AS MATERIALIZED (SELECT x.id,
+           |    CASE WHEN d.lang = '$l' THEN 1 ELSE -1 END AS y, x.bucket, x.cnt
+           |  FROM xtr x JOIN tr d ON x.id = d.doc_id),
+           |w1_$l AS (SELECT bucket, SUM(y * cnt) AS w FROM x_$l GROUP BY bucket),
+           |s2_$l AS (SELECT id, y, SUM(w * cnt) AS s FROM x_$l JOIN w1_$l USING (bucket) GROUP BY id, y),
+           |mi2_$l AS (SELECT id FROM s2_$l WHERE y * s <= 0),
+           |g2_$l AS (SELECT bucket, SUM(y * cnt) AS g FROM x_$l JOIN mi2_$l USING (id) GROUP BY bucket),
+           |w2_$l AS MATERIALIZED (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+           |    coalesce(a.w, 0) + coalesce(b.g, 0) AS w
+           |  FROM w1_$l a FULL OUTER JOIN g2_$l b ON a.bucket = b.bucket)""".stripMargin
+      }.mkString(",\n")
+      val wtsUnion = langsList.map(l =>
+        s"SELECT '$l' AS lang, bucket, w FROM w2_$l WHERE w <> 0").mkString(" UNION ALL ")
+      s"""WITH mut AS MATERIALIZED (SELECT doc_id, lang,
+         |    array_to_string(list_transform(
+         |      list_filter(string_split($textNormSql, ' '), x -> length(x) > 0),
+         |      w -> CASE WHEN lang = 'es' THEN w || 'cion'
+         |                WHEN lang = 'de' THEN w || 'en'
+         |                WHEN lang = 'fr' THEN 'le' || w
+         |                WHEN lang = 'zh' THEN reverse(w)
+         |                ELSE w END), ' ') AS text
+         |  FROM documents),
+         |tr AS (SELECT * FROM mut WHERE doc_id % 5 <> 0),
+         |ev AS MATERIALIZED (SELECT * FROM mut WHERE doc_id % 5 = 0),
+         |${triBag("xtr", "tr")},
+         |${triBag("xev", "ev")},
+         |$trainCtes,
+         |wts AS MATERIALIZED ($wtsUnion),
+         |sc AS (SELECT e.id, wts.lang, SUM(wts.w * e.cnt) AS s
+         |  FROM xev e JOIN wts USING (bucket) GROUP BY 1, 2),
+         |lgs AS (SELECT DISTINCT lang FROM wts),
+         |allsc AS (SELECT d.doc_id AS id, l.lang, coalesce(sc.s, 0) AS s
+         |  FROM ev d CROSS JOIN lgs l
+         |  LEFT JOIN sc ON sc.id = d.doc_id AND sc.lang = l.lang),
+         |pr AS (SELECT id, lang AS tpred FROM (
+         |    SELECT id, lang, row_number() OVER (PARTITION BY id ORDER BY s DESC, lang) AS r
+         |    FROM allsc) WHERE r = 1),
+         |sw AS (${langIdOracleOver("ev")})
+         |SELECT d.lang, count(*) AS n_eval,
+         |  CAST(SUM(CASE WHEN p.tpred = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_trained,
+         |  CAST(SUM(CASE WHEN s.lang_pred = d.lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct_stopword
+         |FROM ev d JOIN pr p ON d.doc_id = p.id JOIN sw s ON d.doc_id = s.doc_id
+         |GROUP BY d.lang""".stripMargin
+    }),
+
     // fastText-shaped hashed linear quality classifier (Joulin et al.
     // '16 architecture, deterministic fixture weights): features are
     // unigrams + word bigrams, each hashed straight to a weight
@@ -6936,6 +7172,134 @@ object Queries {
           when(col("best_matches").isNotNull, 1).otherwise(0).cast("int").as("matched"),
           coalesce(col("best_matches"), lit(0L)).as("best_matches"))
     }, Some(d16Oracle)),
+
+    // STREAMING soft-dedup gate — the ingest-time consumer of the
+    // persisted resolution artifact (d24's streaming twin): every new
+    // document gets its sampling weight assigned ON INGEST via
+    // stream-static joins against the prebuilt index — an exact-match
+    // fast path (stateless content fingerprint vs the index fp frame)
+    // plus the LSH near-dup leg (q90's banded shape) — then ONE complete-
+    // mode aggregation picks the best match (max signature agreement,
+    // tie to the smallest index id). Post-drain, the match resolves
+    // through the ARTIFACT's labels: weight = 1e6 div (cluster+1) for a
+    // matched doc (it would join that cluster), 1e6 for unseen. Exact
+    // copies (+600000), near-dups (+700000) and reversed text (+800000)
+    // exercise all three paths. The corpus-side pairwise work was paid
+    // once by the artifact — the stream pays per-batch cost only.
+    Spec("q114_stream_soft_dedup", (spark, dir) => {
+      val labels = resolvedLabels(spark, dir)
+      val index = docCorpus(spark, dir)
+      val idxSigs = Dedup.minHashSignatures(index, "text", "doc_id")
+      val idxBanded = Dedup.bandedFrame(idxSigs, 8, 4)
+        .withColumnRenamed("id", "index_id")
+      val ixSigs = idxSigs.select(col("id").as("index_id") +:
+        (0 until 8).map(j => col(s"mh$j").as(s"ix$j")): _*)
+      val idxFp = index.select(col("doc_id").as("index_id"),
+        md5(Dedup.normText(col("text"))).as("fp"))
+      val b0 = streamTable(spark, dir, "documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 === 0)
+      val batch = b0.select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+        .unionAll(b0.select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" dup dup dup dup")).as("text")))
+        .unionAll(b0.select((col("doc_id") + 800000L).as("doc_id"),
+          reverse(col("text")).as("text")))
+      val exact = batch
+        .select(col("doc_id").as("new_id"), md5(Dedup.normText(col("text"))).as("fp"))
+        .join(idxFp, Seq("fp"))
+        .select(col("new_id"), col("index_id"), lit(8L).as("m"))
+      val sigsS = Dedup.minHashSignaturesInline(batch, "text", "doc_id")
+      val sBanded = sigsS
+        .select(col("id").as("new_id") +: explode(Dedup.bandStructs(8, 4)).as("bb") +:
+          (0 until 8).map(j => col(s"mh$j")): _*)
+        .select(col("new_id") +: col("bb.band").as("band") +:
+          col("bb.bucket").as("bucket") +: (0 until 8).map(j => col(s"mh$j")): _*)
+      val m = (0 until 8).map(j =>
+        when(col(s"mh$j") === col(s"ix$j"), 1L).otherwise(0L)).reduce(_ + _)
+      val lsh = sBanded.join(idxBanded, Seq("band", "bucket"))
+        .join(ixSigs, Seq("index_id"))
+        .withColumn("m", m).filter(col("m") >= 4)
+        .select(col("new_id"), col("index_id"), col("m"))
+      val bestStream = exact.unionAll(lsh)
+        .groupBy(col("new_id"))
+        .agg(min(struct((-col("m")).as("nm"), col("index_id").as("iid"))).as("b"))
+      val best = drainToMemory(spark, bestStream, "q114_soft", "complete")
+        .select(col("new_id"), col("b.iid").as("index_id"))
+      val csize = labels.groupBy(col("keep_id")).agg(count(lit(1)).as("csize"))
+      val db = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+      val allBatch = db.select((col("doc_id") + 600000L).as("new_id"))
+        .unionAll(db.select((col("doc_id") + 700000L).as("new_id")))
+        .unionAll(db.select((col("doc_id") + 800000L).as("new_id")))
+      val resolved = best
+        .join(labels.select(col("id").as("index_id"), col("keep_id")),
+          Seq("index_id"), "left")
+        .select(col("new_id"), coalesce(col("keep_id"), col("index_id")).as("keep"))
+      val weighted = resolved
+        .join(csize.withColumnRenamed("keep_id", "keep"), Seq("keep"), "left")
+      allBatch.join(broadcast(weighted), Seq("new_id"), "left")
+        .select(col("new_id"),
+          when(col("keep").isNotNull, 1).otherwise(0).cast("int").as("matched"),
+          coalesce(col("keep"), col("new_id")).as("cluster_id"),
+          when(col("keep").isNull, lit(1000000L))
+            .otherwise(expr("1000000 div (coalesce(csize, 1) + 1)")).as("weight_u"))
+    }, Some {
+      val bmins = (0 until 8).map(j =>
+        s"min(${graft.ml.Hashing.duckdbDerivedSql("h", j)}) AS mh$j").mkString(", ")
+      val bbands = (0 until 4).map { b =>
+        val cols = s"mh${2 * b}::varchar || ',' || mh${2 * b + 1}::varchar"
+        s"SELECT doc_id, $b AS band, md5($cols) AS bucket FROM bsig"
+      }.mkString(" UNION ALL ")
+      val mExpr = (0 until 8)
+        .map(j => s"(CASE WHEN bs.mh$j = s.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |$resolveGraphCtes,
+         |batch AS (SELECT doc_id + 600000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 700000 AS doc_id, text || ' dup dup dup dup' AS text
+         |    FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 800000 AS doc_id, reverse(text) AS text
+         |    FROM documents WHERE doc_id % 10 = 0),
+         |bnorm AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM batch),
+         |bw AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM bnorm),
+         |bshl AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |  THEN list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' '))
+         |  ELSE [t] END AS sh FROM bw),
+         |bshing AS (SELECT DISTINCT doc_id, unnest(sh) AS shingle FROM bshl),
+         |bhs AS (SELECT doc_id, ${graft.ml.Hashing.duckdbHashSql("shingle")} AS h FROM bshing),
+         |bsig AS MATERIALIZED (SELECT doc_id, $bmins FROM bhs GROUP BY doc_id),
+         |bbanded AS ($bbands),
+         |ifp AS (SELECT doc_id AS index_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |  FROM corpus),
+         |bfp AS (SELECT doc_id AS new_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |  FROM batch),
+         |ex AS (SELECT b.new_id, i.index_id, 8 AS m FROM bfp b JOIN ifp i USING (fp)),
+         |mm AS (SELECT DISTINCT bb.doc_id AS new_id, ib.doc_id AS index_id, ($mExpr) AS m
+         |  FROM bbanded bb JOIN banded ib ON bb.band = ib.band AND bb.bucket = ib.bucket
+         |  JOIN bsig bs ON bb.doc_id = bs.doc_id JOIN sig s ON ib.doc_id = s.doc_id),
+         |lsh AS (SELECT new_id, index_id, m FROM mm WHERE m >= 4),
+         |legs AS (SELECT * FROM ex UNION ALL SELECT * FROM lsh),
+         |best AS (SELECT new_id, index_id FROM (
+         |    SELECT new_id, index_id, m,
+         |      row_number() OVER (PARTITION BY new_id ORDER BY m DESC, index_id) AS r
+         |    FROM legs) WHERE r = 1),
+         |cs AS (SELECT label, count(*) AS csize FROM l4 GROUP BY label),
+         |res AS (SELECT best.new_id, coalesce(l4.label, best.index_id) AS keep,
+         |    coalesce(cs.csize, 1) AS csize
+         |  FROM best LEFT JOIN l4 ON best.index_id = l4.id
+         |  LEFT JOIN cs ON l4.label = cs.label),
+         |ab AS (SELECT doc_id + 600000 AS new_id FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 700000 FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 800000 FROM documents WHERE doc_id % 10 = 0)
+         |SELECT ab.new_id,
+         |  CAST(CASE WHEN res.new_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS matched,
+         |  CAST(coalesce(res.keep, ab.new_id) AS BIGINT) AS cluster_id,
+         |  CAST(CASE WHEN res.new_id IS NULL THEN 1000000
+         |       ELSE 1000000 // (res.csize + 1) END AS BIGINT) AS weight_u
+         |FROM ab LEFT JOIN res ON ab.new_id = res.new_id""".stripMargin
+    }),
 
     Spec("q86_stream_cms_heavy_users", (spark, dir) => {
       val states = eventsStream(spark, dir)

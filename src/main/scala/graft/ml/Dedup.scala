@@ -424,6 +424,81 @@ object Dedup {
   }
 
   /**
+   * CONTENT-DEFINED duplicated spans (d25) — closes [[duplicateSpans]]'
+   * documented alignment gap: there, matches require the copy offset to
+   * be congruent mod `stride`, so a quote shifted by 7 chars between two
+   * documents never collides. Here chunk boundaries come from a rolling
+   * polynomial hash of the text itself (a boundary after position `i`
+   * whenever the hash of the trailing `window` chars ≡ 0 mod
+   * `boundaryMod`), so boundaries move WITH the content: the interior
+   * chunks of a shared passage are identical strings at ANY copy offset
+   * — the content-defined-chunking (CDC) idea of LBFS (Muthitacharoen et
+   * al., SOSP'01), here as the join-friendly dedup formulation.
+   *
+   * Determinism/parity: the hash is integer-exact —
+   * `(Σ_{j=0..w-1} code(c_j)·31^j) mod 1e9+7` over the ASCII-filtered
+   * normalized text (non-ASCII chars are stripped in BOTH engines, so
+   * char indexing parity never depends on Unicode width) — and every
+   * boundary decision is independent per position, so the whole
+   * extraction is reproducible relationally (the DuckDB oracle unrolls
+   * the 8 per-window terms as `ascii(substr(...))·31^j` sums). No
+   * min/max chunk clamping: sequential clamp rules would make boundary
+   * `i` depend on boundary `i-1` and the oracle non-relational; tiny
+   * chunks are dropped AFTER extraction by the pure `minLen` filter
+   * instead.
+   *
+   * Output: one row per cross-document duplicated chunk — (span_md5,
+   * n_spans, n_docs, keep_doc, keep_off), [[duplicateSpans]]' report
+   * shape.
+   *
+   * Scale shape: ONE typed pass per doc (JIT'd rolling hash — a SQL
+   * unnest-per-position formulation re-evaluates 8 interpreted
+   * substring/ascii calls per char), emitting ~len/boundaryMod chunk
+   * rows, then a single exchange keyed on the constant-width md5 digest
+   * (never the chunk text); map-side partial aggregation applies.
+   */
+  def cdcSpans(df: DataFrame, textCol: String, idCol: String,
+               window: Int = 8, boundaryMod: Int = 32, minLen: Int = 16): DataFrame = {
+    require(window >= 1 && boundaryMod >= 1 && minLen >= 1,
+      s"cdcSpans: window/boundaryMod/minLen must be >= 1, got $window/$boundaryMod/$minLen")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val (w, b, ml) = (window, boundaryMod, minLen)
+    val M = 1000000007L
+    val pows = Array.iterate(1L, w)(_ * 31L)
+    val chunks = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"),
+        regexp_replace(normText(col(textCol)), "[^ -~]", ""))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val n = t.length
+        val cuts = scala.collection.mutable.ArrayBuffer(0)
+        var i = w // 1-based position of the window's LAST char
+        while (i <= n) {
+          var h = 0L
+          var j = 0
+          while (j < w) { h += t.charAt(i - w + j).toLong * pows(j); j += 1 }
+          if (h % M % b == 0) cuts += i
+          i += 1
+        }
+        if (cuts.last != n) cuts += n
+        cuts.iterator.sliding(2).withPartial(false).flatMap { p =>
+          val (a, c) = (p.head, p(1))
+          if (c - a >= ml) Iterator.single((id, (a + 1).toLong, t.substring(a, c)))
+          else Iterator.empty
+        }
+      }.toDF("doc_id", "off", "s")
+    chunks.select(col("doc_id"), col("off"), md5(col("s")).as("span_md5"))
+      .groupBy(col("span_md5"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("off"))).as("k"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span_md5"), col("n_spans"), col("n_docs"),
+        col("k.doc_id").as("keep_doc"), col("k.off").as("keep_off"))
+  }
+
+  /**
    * Exact n-gram Jaccard similarity for given candidate pairs:
    * |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)|.
    * Joins the (distinct) shingle lists of both sides — shuffles on doc id

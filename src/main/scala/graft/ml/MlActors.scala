@@ -80,6 +80,9 @@ class DedupActor extends Actor {
   protected var chunkTokens: Int = 10
   protected var spanWindow: Int = 40
   protected var spanStride: Int = 20
+  protected var cdcWindow: Int = 8
+  protected var cdcBoundaryMod: Int = 32
+  protected var cdcMinLen: Int = 16
   protected var sourceCol: String = "source"
   protected var resolutionView: String = ""
   protected var verifyResolution: Boolean = true
@@ -103,6 +106,9 @@ class DedupActor extends Actor {
     properties.get("chunkTokens").foreach(v => chunkTokens = v.toInt)
     properties.get("spanWindow").foreach(v => spanWindow = v.toInt)
     properties.get("spanStride").foreach(v => spanStride = v.toInt)
+    properties.get("cdcWindow").foreach(v => cdcWindow = v.toInt)
+    properties.get("cdcBoundaryMod").foreach(v => cdcBoundaryMod = v.toInt)
+    properties.get("cdcMinLen").foreach(v => cdcMinLen = v.toInt)
     properties.get("indexView").foreach(indexView = _)
     properties.get("indexIsSignatures").foreach(v => indexIsSignatures = v.toBoolean)
     require(method != "incremental" || indexView.nonEmpty,
@@ -191,6 +197,10 @@ class DedupActor extends Actor {
         // cross-document duplicated char windows (Lee et al.-style
         // substring dedup at fixed window/stride granularity)
         Dedup.duplicateSpans(df, textCol, idCol, spanWindow, spanStride)
+      case "cdc-spans" =>
+        // content-defined chunk boundaries (rolling hash) — catches
+        // offset-shifted copies the stride-aligned `spans` misses
+        Dedup.cdcSpans(df, textCol, idCol, cdcWindow, cdcBoundaryMod, cdcMinLen)
       case "resolve-build" =>
         // the persistable resolution ARTIFACT: the resolve label frame +
         // the corpus fingerprint stamped per row. Write it once; report/
@@ -298,6 +308,8 @@ class SimilaritySearchActor extends Actor {
   // ivf-rebalance: split cells > splitNum/splitDenom × the mean size
   protected var splitNum: Int = 3
   protected var splitDenom: Int = 2
+  // ivf-merge / ivf-health: dissolve cells < mean/mergeDenom
+  protected var mergeDenom: Int = 4
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
@@ -305,6 +317,7 @@ class SimilaritySearchActor extends Actor {
       require(Seq("brute-force", "lsh", "ivf", "pq", "ivfpq", "hybrid",
         "ivf-centroids", "ivf-assign", "ivf-probe", "ivf-probe-stateless",
         "ivf-rebalance", "ivf-rebalance-centroids", "ivf-health",
+        "ivf-merge", "ivf-merge-centroids",
         "hard-negatives", "hard-negatives-ivf", "mmr",
         "centroid-drift").contains(m),
         s"SimilaritySearchActor: bad method $m")
@@ -312,6 +325,7 @@ class SimilaritySearchActor extends Actor {
     }
     properties.get("splitNum").foreach(v => splitNum = v.toInt)
     properties.get("splitDenom").foreach(v => splitDenom = v.toInt)
+    properties.get("mergeDenom").foreach(v => mergeDenom = v.toInt)
     properties.get("oldView").foreach(oldView = _)
     require(method != "centroid-drift" || oldView.nonEmpty,
       "SimilaritySearchActor(centroid-drift): oldView is required (the " +
@@ -348,11 +362,13 @@ class SimilaritySearchActor extends Actor {
       semanticIndex = v
     }
     require(!Seq("ivf-assign", "ivf-probe", "ivf-probe-stateless",
-        "ivf-rebalance", "ivf-rebalance-centroids")
+        "ivf-rebalance", "ivf-rebalance-centroids",
+        "ivf-merge", "ivf-merge-centroids")
         .contains(method) || centroidsView.nonEmpty,
       s"SimilaritySearchActor: $method requires centroidsView")
     require(!Seq("ivf-probe", "ivf-probe-stateless",
-        "ivf-rebalance", "ivf-rebalance-centroids", "ivf-health")
+        "ivf-rebalance", "ivf-rebalance-centroids", "ivf-health",
+        "ivf-merge", "ivf-merge-centroids")
         .contains(method) || assignView.nonEmpty,
       s"SimilaritySearchActor: $method requires assignView")
     if (method == "lsh") require(dim > 0, "SimilaritySearchActor: lsh requires dim")
@@ -422,9 +438,21 @@ class SimilaritySearchActor extends Actor {
         Similarity.ivfRebalance(ctx.getView(centroidsView),
           ctx.getView(assignView), splitNum, splitDenom)._1
       // the monitoring census: per-cell population/share + the hot flag
-      // under the SAME threshold ivf-rebalance splits on
+      // under the SAME threshold ivf-rebalance splits on, and the
+      // starved flag under the SAME threshold ivf-merge dissolves on
       case "ivf-health" =>
-        Similarity.ivfHealth(ctx.getView(assignView), splitNum, splitDenom)
+        Similarity.ivfHealth(ctx.getView(assignView), splitNum, splitDenom, mergeDenom)
+      // the other half of maintenance: dissolve cells < mean/mergeDenom
+      // into their nearest SURVIVING centroid — only the starved rows
+      // re-rank; untouched cells are never renumbered. `ivf-merge`
+      // emits the new assignments (crank, parent_crank, id, v, vv),
+      // `ivf-merge-centroids` the surviving centroid frame
+      case "ivf-merge" =>
+        Similarity.ivfMerge(ctx.getView(centroidsView),
+          ctx.getView(assignView), mergeDenom)._2
+      case "ivf-merge-centroids" =>
+        Similarity.ivfMerge(ctx.getView(centroidsView),
+          ctx.getView(assignView), mergeDenom)._1
       case "hybrid" =>
         // the probe set must be selected on BOTH modalities:
         // `queryWhere` filters the embedding view, `textQueryWhere`
@@ -463,6 +491,9 @@ class TextAnalysisActor extends Actor {
   protected var oldView: String = ""
   protected var lmView: String = ""
   protected var backoffBits: Int = 2
+  protected var langs: Seq[String] = Seq.empty
+  protected var langCol: String = "lang"
+  protected var weightsView: String = ""
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
@@ -474,12 +505,23 @@ class TextAnalysisActor extends Actor {
     properties.get("method").foreach { m =>
       require(Seq("enrich", "bpe-train", "bpe-encode", "perceptron-train",
         "zipf-fit", "corpus-drift", "bigram-surprise", "fertility", "oov",
-        "length-drift").contains(m),
+        "length-drift", "langid-train", "langid-apply").contains(m),
         s"TextAnalysisActor: unknown method '$m' " +
           "(enrich | bpe-train | bpe-encode | perceptron-train | zipf-fit" +
-          " | corpus-drift | bigram-surprise | fertility | oov | length-drift)")
+          " | corpus-drift | bigram-surprise | fertility | oov | length-drift" +
+          " | langid-train | langid-apply)")
       method = m
     }
+    properties.get("langs").foreach(v =>
+      langs = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    properties.get("langField").foreach(langCol = _)
+    properties.get("weightsView").foreach(weightsView = _)
+    require(method != "langid-train" || langs.nonEmpty,
+      "TextAnalysisActor(langid-train): langs is required (comma-separated " +
+        "label set, e.g. \"de,en,es,fr,zh\")")
+    require(method != "langid-apply" || weightsView.nonEmpty,
+      "TextAnalysisActor(langid-apply): weightsView is required (the " +
+        "(lang, bucket, w) frame a langid-train step produced)")
     properties.get("bpeMerges").foreach(v => bpeMerges = v.toInt)
     properties.get("mergesView").foreach(mergesView = _)
     require(!Seq("bpe-encode", "fertility").contains(method) || mergesView.nonEmpty,
@@ -507,10 +549,19 @@ class TextAnalysisActor extends Actor {
     (if (view.nonEmpty) Seq(view) else Seq.empty) ++
       (if (mergesView.nonEmpty) Seq(mergesView) else Seq.empty) ++
       (if (oldView.nonEmpty) Seq(oldView) else Seq.empty) ++
-      (if (lmView.nonEmpty) Seq(lmView) else Seq.empty)
+      (if (lmView.nonEmpty) Seq(lmView) else Seq.empty) ++
+      (if (weightsView.nonEmpty) Seq(weightsView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
+    // trained language ID: per-language one-vs-rest perceptrons over
+    // hashed char trigrams (train), argmax scoring (apply)
+    if (method == "langid-train")
+      return Some(TextAnalysis.langIdTrain(df, idCol, textCol, langCol,
+        langs, epochs, buckets))
+    if (method == "langid-apply")
+      return Some(TextAnalysis.langIdApply(df, idCol, textCol,
+        ctx.getView(weightsView), buckets))
     // training methods: the output is a learned TABLE (merges / weights),
     // not a row-preserving enrichment — a different shape, so a switch
     if (method == "bpe-train")

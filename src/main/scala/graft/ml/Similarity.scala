@@ -730,9 +730,10 @@ object Similarity {
    * ≤K rows out) + a 1-row totals broadcast. Never touches vectors.
    */
   def ivfHealth(assignments: DataFrame, splitNum: Int = 3,
-                splitDenom: Int = 2): DataFrame = {
+                splitDenom: Int = 2, mergeDenom: Int = 4): DataFrame = {
     require(splitNum > 0 && splitDenom > 0 && splitNum >= splitDenom,
       s"ivfHealth: split factor $splitNum/$splitDenom must be >= 1")
+    require(mergeDenom >= 1, s"ivfHealth: mergeDenom must be >= 1, got $mergeDenom")
     val sizes = assignments.groupBy(col("crank")).agg(count(lit(1)).as("n_vectors"))
     val tot = sizes.agg(sum(col("n_vectors")).as("t"), count(lit(1)).as("kc"))
     // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
@@ -741,7 +742,64 @@ object Similarity {
         expr("CAST((1000000 * CAST(n_vectors AS DECIMAL(38,0))) div t AS BIGINT)")
           .as("share_ppm"),
         (col("n_vectors") * col("kc") * lit(splitDenom.toLong) >
-          col("t") * lit(splitNum.toLong)).cast("int").as("hot"))
+          col("t") * lit(splitNum.toLong)).cast("int").as("hot"),
+        // the merge threshold under the SAME census (integer test:
+        // n·kc·mergeDenom < t ⟺ n < mean/mergeDenom), so the monitor's
+        // starved flag and [[ivfMerge]] can never disagree either
+        (col("n_vectors") * col("kc") * lit(mergeDenom.toLong) < col("t"))
+          .cast("int").as("starved"))
+  }
+
+  /**
+   * IVF index MERGE (s18) — the other half of index maintenance.
+   * [[ivfRebalance]] splits hot cells; this dissolves STARVED ones —
+   * cells whose population fell below `mean/mergeDenom` (integer test:
+   * `n·kc·mergeDenom < t`, the same census frame and discipline as
+   * [[ivfHealth]]'s `starved` flag) after ingest drifted away from
+   * their region. A starved cell is pure overhead: its centroid takes a
+   * routing slot in every probe's in-row sort and an nprobe hit on it
+   * returns almost no candidates — recall-dead probes.
+   *
+   *  - surviving centroids are untouched and NEVER renumbered (cell ids
+   *    are opaque; persisted probes stay valid for every cell the merge
+   *    didn't dissolve);
+   *  - ONLY the starved cells' rows re-rank, against the surviving
+   *    centroid frame — the exact [[ivfAssignments]] broadcast-argmin
+   *    shape (same distance expression, same (dist, crank) tie-break),
+   *    so the merged index is BIT-IDENTICAL to a full re-assignment of
+   *    the corpus on the survivors: an untouched row's old centroid
+   *    survives and still beats every other survivor, hence re-ranking
+   *    it would be a no-op (the probe-contract invariant MlSpec pins);
+   *  - at least one cell is always at or above the mean, so the
+   *    survivor set is never empty for any `mergeDenom >= 1`.
+   *
+   * Returns (survivingCentroids (crank, cv, cc), newAssignments (crank,
+   * parent_crank, id, v, vv)) — the same contracts [[ivfProbe]] /
+   * [[ivfProbeStateless]] consume; `parent_crank != crank` marks the
+   * absorbed rows for the audit census.
+   */
+  def ivfMerge(centroids: DataFrame, assignments: DataFrame,
+               mergeDenom: Int = 4): (DataFrame, DataFrame) = {
+    require(mergeDenom >= 1, s"ivfMerge: mergeDenom must be >= 1, got $mergeDenom")
+    val sizes = assignments.groupBy(col("crank")).agg(count(lit(1)).as("n"))
+    val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"))
+    // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
+    val starved = sizes.crossJoin(broadcast(tot))
+      .filter(col("n") * col("kc") * lit(mergeDenom.toLong) < col("t"))
+      .select(col("crank"))
+    val survivors = centroids.join(broadcast(starved), Seq("crank"), "left_anti")
+      .select(col("crank"), col("cv"), col("cc"))
+    val srows = assignments.join(broadcast(starved), Seq("crank"))
+    // re-rank ONLY the starved rows, via ivfAssignments itself so the
+    // tie-break/distance discipline can never drift from the build path;
+    // the id-keyed join re-attaches the old cell as parent_crank (srows
+    // is starved-rows-sized — tiny by definition)
+    val moved = ivfAssignments(srows.select(col("id"), col("v")), survivors, "id", "v")
+      .join(srows.select(col("id"), col("crank").as("parent_crank")), Seq("id"))
+      .select(col("crank"), col("parent_crank"), col("id"), col("v"), col("vv"))
+    val untouched = assignments.join(broadcast(starved), Seq("crank"), "left_anti")
+      .select(col("crank"), col("crank").as("parent_crank"), col("id"), col("v"), col("vv"))
+    (survivors, untouched.unionAll(moved))
   }
 
   /**

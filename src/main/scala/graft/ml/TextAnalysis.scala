@@ -618,8 +618,6 @@ object TextAnalysis {
   def perceptronTrain(df: DataFrame, idCol: String, textCol: String,
                       labelWhere: Column, epochs: Int = 3,
                       buckets: Int = 1024): DataFrame = {
-    require(epochs >= 1 && epochs <= 16,
-      s"perceptronTrain: epochs must be in [1, 16], got $epochs")
     require(buckets >= 2, s"perceptronTrain: buckets must be >= 2, got $buckets")
     val x = df.select(col(idCol).as("id"),
         when(labelWhere, lit(1L)).otherwise(lit(-1L)).as("y"),
@@ -628,6 +626,19 @@ object TextAnalysis {
       .withColumn("bucket", pmod(Hashing.oracleHash(col("tok")), lit(buckets.toLong)))
       .groupBy(col("id"), col("y"), col("bucket")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // scanned once per epoch
+    perceptronEpochs(x, epochs)
+  }
+
+  /** The feature-level integer perceptron loop shared by [[perceptronTrain]]
+   *  (word features) and [[langIdTrain]] (char n-gram features): `x` is the
+   *  hashed bag (id, y, bucket, cnt), ALREADY materialized (the caller owns
+   *  the checkpoint — it may share one bag across several label columns).
+   *  Per epoch: one broadcast of the ≤buckets weight frame into a doc-keyed
+   *  score agg + one id-keyed gradient join; weights localCheckpoint per
+   *  epoch (the iterative-trainer plan discipline). */
+  private def perceptronEpochs(x: DataFrame, epochs: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 16,
+      s"perceptron: epochs must be in [1, 16], got $epochs")
     // epoch 1 at w = 0: every doc misclassified -> plain aggregate
     var w = x.groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("w"))
       .localCheckpoint(true) // <= buckets rows; re-roots the per-epoch plan
@@ -644,6 +655,76 @@ object TextAnalysis {
         .localCheckpoint(true)
     }
     w.filter(col("w") =!= 0L).select(col("bucket"), col("w"))
+  }
+
+  /** Hashed char-TRIGRAM bag of a document view — the feature space of the
+   *  trained language identifier: each word padded with spaces (so prefix/
+   *  suffix trigrams carry the word-boundary signal that distinguishes
+   *  morphology), trigrams hashed to `buckets`. One typed-free explode +
+   *  one (id, bucket) partial-agg shuffle. Emits (id, bucket, cnt). */
+  private[graft] def charTrigramBag(df: DataFrame, idCol: String, textCol: String,
+                                    buckets: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(org.apache.spark.sql.functions.filter(
+          split(Dedup.normText(col(textCol)), " "), t => length(t) > 0)).as("tok"))
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, length(tok)), i -> substring(concat(' ', tok, ' '), i, 3))"))
+        .as("tri"))
+      .withColumn("bucket", pmod(Hashing.oracleHash(col("tri")), lit(buckets.toLong)))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /**
+   * TRAINED language identifier (t35) — the learned upgrade of [[langId]]'s
+   * stopword heuristic: one-vs-rest integer perceptrons per language over
+   * hashed char-trigram features. Char n-grams are the classic langid
+   * feature (they capture morphology — suffixes, digraphs — that survives
+   * when no stopword matches), and the integer perceptron keeps the whole
+   * training run a pure function of the corpus (t25's discipline), so the
+   * learned weights are oracle-checkable.
+   *
+   * `langs` is the explicit label set (training is per-language; an
+   * unlisted label trains nothing). Output: (lang, bucket, w) — feed to
+   * [[langIdApply]].
+   *
+   * Scale shape: the corpus collapses ONCE to the hashed trigram bag
+   * (localCheckpointed, shared by all |langs| trainers); per (lang,
+   * epoch) the cost is one broadcast of the ≤buckets weight frame + one
+   * id-keyed gradient join. |langs| × epochs is a small constant; nothing
+   * scales superlinearly in the corpus.
+   */
+  def langIdTrain(df: DataFrame, idCol: String, textCol: String, langCol: String,
+                  langs: Seq[String], epochs: Int = 2, buckets: Int = 512): DataFrame = {
+    require(langs.nonEmpty, "langIdTrain: langs must be non-empty")
+    val bag = charTrigramBag(df, idCol, textCol, buckets)
+      .join(df.select(col(idCol).as("id"), col(langCol).as("__lang_")), Seq("id"))
+      .localCheckpoint(true) // scanned once per (lang, epoch)
+    langs.map { l =>
+      val x = bag.select(col("id"),
+        when(col("__lang_") === l, lit(1L)).otherwise(lit(-1L)).as("y"),
+        col("bucket"), col("cnt"))
+      perceptronEpochs(x, epochs).select(lit(l).as("lang"), col("bucket"), col("w"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Inference for [[langIdTrain]]'s weights: score every doc against every
+   *  language's weight vector (the ≤langs×buckets weight frame broadcasts;
+   *  missing (doc, lang) scores count 0), predict the argmax with
+   *  smallest-lang tie-break. Emits (id, lang_pred, score). */
+  def langIdApply(df: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, buckets: Int = 512): DataFrame = {
+    val bag = charTrigramBag(df, idCol, textCol, buckets)
+    val scores = bag.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("id"), col("lang"))
+      .agg(sum(col("w") * col("cnt")).as("s"))
+    // zero-fill so a doc sharing no bucket with some language still
+    // competes at score 0 (langs frame is tiny — broadcast)
+    val langs = weights.select(col("lang")).distinct()
+    val all = df.select(col(idCol).cast("long").as("id")).crossJoin(broadcast(langs))
+      .join(scores, Seq("id", "lang"), "left")
+      .select(col("id"), col("lang"), coalesce(col("s"), lit(0L)).as("s"))
+    all.groupBy(col("id"))
+      .agg(min_by(struct(col("lang"), col("s")), struct(-col("s"), col("lang"))).as("b"))
+      .select(col("id"), col("b.lang").as("lang_pred"), col("b.s").as("score"))
   }
 
   /** (source, tok) term frequencies — the shared first stage of the

@@ -390,9 +390,15 @@ class ExamplesSpec extends SparkSpec {
     val health = spark.read.parquet(s"$out/index_health")
     health.count() shouldBe 16L
     health.filter("hot = 1").count() shouldBe 0L
+    health.filter("starved = 1").count() shouldBe 0L
     val viaRebalanced = spark.read.parquet(s"$out/neighbors_rb").collect()
       .map(_.toString).toSet
     viaRebalanced shouldBe viaCatalog
+    // ... and so must the merge (census shows no starved cell): probe
+    // against the merged index returns the identical neighbor set too
+    val viaMerged = spark.read.parquet(s"$out/neighbors_mg").collect()
+      .map(_.toString).toSet
+    viaMerged shouldBe viaCatalog
   }
 
   test("stream_quality_gate.yaml: offline per-source thresholds gate the stream exactly like q113") {

@@ -352,6 +352,141 @@ class MlSpec extends SparkSpec {
       .head.getLong(0) shouldBe 5L
   }
 
+  test("cdc spans: offset-shifted quotes invisible to stride-aligned d21 are found") {
+    implicit val s = spark
+    import s.implicits._
+    // three planted quote pairs, the copy shifted by 7 chars — an offset
+    // d21's stride-20 windows can never align on (matches there need the
+    // offset congruent mod 20), while CDC boundaries travel with the
+    // quote's own content
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "bravo", "carol", "delta", "echo",
+      "fox", "golf", "hotel", "india", "jazz")
+    def txt(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val docs = (0 until 3).flatMap { p =>
+      val quote = txt(80) // ~480 chars of shared content (≥ a dozen
+                          // expected CDC boundaries at boundaryMod 32)
+      Seq((2L * p, s"k $quote zz yy ${txt(3)}"),           // quote at offset 2
+        (2L * p + 1, s"abcdefgh $quote qq ww ${txt(3)}"))  // offset 9: Δ = 7
+    }
+    val corpus = docs.toDF("doc_id", "text")
+    // d21 (stride-aligned): provably blind to the 7-char shift
+    Dedup.duplicateSpans(corpus, "text", "doc_id", window = 40, stride = 20)
+      .count() shouldBe 0L
+    // d25 (content-defined): every planted pair surfaces, first
+    // occurrence attributed to the pair's earlier doc
+    val found = Dedup.cdcSpans(corpus, "text", "doc_id")
+      .filter(col("n_docs") >= 2)
+      .select("keep_doc").collect().map(_.getLong(0)).toSet
+    found shouldBe Set(0L, 2L, 4L)
+  }
+
+  test("trained language id beats the stopword heuristic on the mutated fixture") {
+    implicit val s = spark
+    // the t35 catalog query's own grading frame: per language, held-out
+    // count and correct predictions for the trained model vs t3's
+    // stopword heuristic
+    val r = SparkEntry.queries("t35_trained_lang_id")(spark, sfDir).collect()
+    val n = r.map(_.getLong(1)).sum
+    val trained = r.map(_.getLong(2)).sum
+    val stopword = r.map(_.getLong(3)).sum
+    n should be > 0L
+    trained should be > stopword
+    // the char-trigram perceptrons must actually LEARN the mutated
+    // morphology: >= 90% held-out accuracy (measured 100% at sf0.001
+    // and sf0.01), where the stopword heuristic only ever gets the
+    // identity-mutated English right
+    (trained * 10) should be >= (n * 9)
+  }
+
+  test("ivf merge: dissolves only starved cells, equals full re-assignment on the survivors") {
+    implicit val s = spark
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // s18's starved fixture: a far-away satellite group with its own
+    // synthetic centroid (crank 9) holding ~1% of the corpus
+    val anchor = emb.orderBy(col("vec_id")).limit(1).select(col("v").as("av"))
+    val planted = emb.filter(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 300000).as("vec_id"))
+      .crossJoin(broadcast(anchor))
+      .select(col("vec_id"),
+        concat(array((-element_at(col("av"), 1) - lit(50.0)) +
+            (col("vec_id") % 13).cast("double") / lit(1000.0)),
+          transform(slice(col("av"), 2, 63), x => -x - lit(50.0))).as("v"))
+    val c9 = anchor.select(lit(9).as("crank"),
+        concat(array(-element_at(col("av"), 1) - lit(50.0)),
+          transform(slice(col("av"), 2, 63), x => -x - lit(50.0))).as("cv"))
+      .withColumn("cc", Similarity.dot(col("cv"), col("cv")))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "v", 8).unionAll(c9)
+    val corpus = emb.unionAll(planted)
+    val asg = Similarity.ivfAssignments(corpus, cents, "vec_id", "v")
+    // the fixture actually starves cell 9 (it holds exactly the planted rows)
+    val plantedIds = planted.select("vec_id").collect().map(_.getLong(0)).toSet
+    asg.filter(col("crank") === 9).select("id").collect()
+      .map(_.getLong(0)).toSet shouldBe plantedIds
+    val (survCents, merged) = Similarity.ivfMerge(cents, asg, 4)
+
+    // only the starved cell is dissolved; survivors keep their ids
+    survCents.select("crank").collect().map(_.getInt(0)).toSet shouldBe (1 to 8).toSet
+    // pure repartition: no row lost, duplicated, or invented
+    merged.count() shouldBe asg.count()
+    merged.select("id").distinct().count() shouldBe asg.count()
+    // absorbed rows are exactly the starved cell's, audit-marked
+    val absorbed = merged.filter(col("parent_crank") =!= col("crank"))
+    absorbed.select("parent_crank").distinct().collect()
+      .map(_.getInt(0)).toSet shouldBe Set(9)
+    absorbed.select("id").collect().map(_.getLong(0)).toSet shouldBe plantedIds
+    // untouched cells keep their exact membership
+    val oldCells = asg.filter(col("crank") =!= 9).collect()
+      .map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet
+    merged.filter(col("parent_crank") === col("crank")).collect()
+      .map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet shouldBe oldCells
+    // THE probe-contract invariant: the merged index is bit-identical to
+    // a full re-assignment of the whole corpus on the survivors
+    val full = Similarity.ivfAssignments(corpus, survCents, "vec_id", "v")
+      .collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet
+    merged.collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet shouldBe full
+
+    // balanced index (no starved cell): the merge is an exact no-op
+    val cents8 = Similarity.ivfCentroids(emb, "vec_id", "v", 8)
+    val asg8 = Similarity.ivfAssignments(emb, cents8, "vec_id", "v")
+    val (sc8, m8) = Similarity.ivfMerge(cents8, asg8, 4)
+    sc8.select("crank").collect().map(_.getInt(0)).toSet shouldBe
+      cents8.select("crank").collect().map(_.getInt(0)).toSet
+    m8.filter(col("parent_crank") =!= col("crank")).count() shouldBe 0L
+    m8.collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet shouldBe
+      asg8.collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet
+  }
+
+  test("ivf rebalance: a degenerate split never leaves an empty sub-centroid cell") {
+    implicit val s = spark
+    import s.implicits._
+    // one giant cell whose rows are ALL the same vector: every row
+    // re-ranks to sub-seed 1, so sub-seed 2's cell would be empty — the
+    // centroid frame must drop it (a probe routed there would waste an
+    // nprobe slot on zero candidates forever). Ids {168, 363, 1970, 1994}
+    // are the 4 smallest-md5 of the fixture BY CONSTRUCTION (computed
+    // offline), so they are the seeds; the 60 hot rows share id 1994's
+    // exact vector, making its whole cell identical.
+    val baseIds = Seq(1970L, 363L, 168L, 1994L)
+    val base = baseIds.map(i => (i, Seq.fill(64)(i.toDouble)))
+    val hot = (1L to 60L).map(i => (i, Seq.fill(64)(1994.0)))
+    val corpus = (base ++ hot).toDF("vec_id", "v")
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "v", 4)
+    val asg = Similarity.ivfAssignments(corpus, cents, "vec_id", "v")
+    // the identical-vector cell is the one hot cell (crank 4 = id 1994)
+    asg.filter(col("crank") === 4).count() shouldBe 61L
+    val (newCents, newAsg) = Similarity.ivfRebalance(cents, asg, 3, 2)
+    // every centroid owns at least one row — the empty srank-2 cell
+    // (crank mx + parent = 8) was dropped, the rest are all populated
+    val populated = newAsg.select("crank").distinct().collect().map(_.getInt(0)).toSet
+    val newCranks = newCents.select("crank").collect().map(_.getInt(0)).toSet
+    newCranks shouldBe populated
+    newCranks should not contain 8
+    // and the rebalance stayed a pure repartition
+    newAsg.count() shouldBe asg.count()
+  }
+
   test("length drift: zero on identical snapshots, fires on a planted truncation") {
     implicit val s = spark
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -155,9 +155,14 @@ class PlanSpec extends SparkSpec {
                            // id = mx + parent crank, unique by
                            // construction; per-cell member selection
                            // rides min_by, never a window)
-      "s17_ivf_health"     // s3's post-limit(8) seed rank (the fixture's
+      "s17_ivf_health",    // s3's post-limit(8) seed rank (the fixture's
                            // index build); the census itself is one
                            // keyed count + a totals broadcast
+      "s18_ivf_merge"      // s3's post-limit(8) seed rank (fixture index
+                           // build) only: the merge itself is WINDOW-FREE
+                           // beyond ivfAssignments' per-id argmin rank —
+                           // survivors are never renumbered, absorbed
+                           // rows re-rank via the build path's own shape
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -293,9 +298,19 @@ class PlanSpec extends SparkSpec {
                            // budget/round-stats frames over the
                            // checkpointed source-catalog frame (g1's
                            // per-round bounded shape)
-      "s17_ivf_health"     // s15's fixture crossJoins (1-row anchor,
+      "s17_ivf_health",    // s15's fixture crossJoins (1-row anchor,
                            // 8-row centroid frame) + the census's 1-row
                            // totals frame
+      "s18_ivf_merge",     // fixture crossJoins (1-row anchor, 9-row
+                           // centroid frame incl. the planted satellite
+                           // centroid, 1-row sizes-totals frame); the
+                           // starved-row selection and survivor re-rank
+                           // joins are KEYED (broadcast ≤K-row sides)
+      "t35_trained_lang_id" // langIdApply's zero-fill crossJoin vs the
+                           // broadcast |langs|-row (5 here) distinct-
+                           // language frame — every doc must compete in
+                           // every language's argmax even with no shared
+                           // bucket; scoring/weight joins are KEYED
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val p = plan(spec.run(spark, sfDir))
@@ -414,6 +429,35 @@ class PlanSpec extends SparkSpec {
         case j: ShuffledHashJoinExec => j
         case j: SortMergeJoinExec => j
       }.size should be >= 3
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("s18: IVF merge has NO corpus-wide all-pairs node — only bounded centroid/totals frames") {
+    import org.apache.spark.sql.execution.joins._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = q("s18_ivf_merge").queryExecution.executedPlan
+      // allowed all-pairs nodes: the bounded broadcast frames (1-row
+      // anchor, ≤9-row centroid routing, 1-row sizes totals). A
+      // corpus-sized broadcast or raw CartesianProduct means the merge
+      // degraded to re-assigning the WHOLE corpus instead of only the
+      // starved rows.
+      p.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }.foreach {
+        case j: BroadcastNestedLoopJoinExec =>
+          val build = j.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+            case _ => j.right
+          }
+          val s = build.toString
+          assert(s.contains("HashAggregate") || s.contains("Limit") ||
+            s.contains("TakeOrdered") || s.contains("ReusedExchange") ||
+            s.contains("Union"),
+            s"unbounded broadcast side in s18 plan:\n$s")
+        case j => fail(s"raw CartesianProduct in s18 plan: $j")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -75,6 +75,7 @@ LINEAR_SET = [
     # a broadcast-weight score agg + an id-keyed gradient join — two
     # corpus-bounded shuffles per epoch, epochs fixed
     "t25_perceptron_train",
+    "t35_trained_lang_id",
     # BPE encode: t24's vocab-bounded trainer + a vocab-bounded fold
     # (1-row merge-array broadcast), token-keyed join back, doc agg
     "t26_bpe_encode",
@@ -106,6 +107,11 @@ LINEAR_SET = [
     # streaming decontamination: stateless shingle probe vs a broadcast
     # 1-row bloom state + broadcast eval set; only the verdict aggregates
     "q110_stream_decontaminate",
+    # streaming soft-dedup gate: stateless fp/signature projections into
+    # stream-static keyed joins vs the prebuilt index + ONE complete-mode
+    # best-match agg; weights resolve post-drain through the persisted
+    # resolution artifact (built once per dir)
+    "q114_stream_soft_dedup",
     # span corruption: one block-explode (|tokens|/8 rows), per-block
     # hash arithmetic, doc-keyed agg — no window, no overlap walk
     "t32_span_corruption",
@@ -201,6 +207,7 @@ LINEAR_SET = [
     # substring spans: windowed explode (~len/stride rows per doc) +
     # one md5-keyed partial-agg shuffle — d17's shape at char granularity
     "d21_substring_dedup",
+    "d25_cdc_span_dedup",
     # audio: narrow per-row WAV encode+decode map + array math, no shuffle
     "m7_audio_energy",
     # audio dedup: per-row decode map + one constant-width md5-keyed
@@ -338,6 +345,7 @@ MODELED = {
     "s3_knn_ivf":             "O(Q*nprobe*cell)",
     "s13b_hard_negatives_ivf": "s3's O(Q*nprobe*cell) probe + per-pair label filter (Q ~ N/50, cell ~ N/16)",
     "s15_ivf_rebalance":      "assignment is s3's O(N*K) broadcast rank; the split re-rank touches only oversized cells (O(|split cells| * 2)) — linear per pass, listed modeled because the planted hot cell is a fixed FRACTION of the corpus by fixture design",
+    "s18_ivf_merge":          "assignment is s3's O(N*K) broadcast rank; the merge re-rank touches only the starved cells' rows (O(|starved rows| * K)) — linear per pass, listed modeled because the planted satellite cell is a fixed fraction (1/97) of the corpus by fixture design",
     "q111_stream_ivf_probe":  "s3's O(Q*nprobe*cell) probe as a stream-static join; routing is a stateless broadcast-array scan, top-k is k-pair state per query",
     "s4_knn_quantized":       "labeled quantized exact baseline: O(Q*N)",
     "s5_knn_pq":              "full-ADC scan: O(Q*N) compressed",
