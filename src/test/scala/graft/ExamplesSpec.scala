@@ -161,6 +161,44 @@ class ExamplesSpec extends SparkSpec {
     ex.getMessage should include("signature frame")
   }
 
+  test("langid_lifecycle.yaml: persisted weights score identically to the in-session trainer, accurately") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    val out = tmpDir("ex_langid")
+    runExample("langid_lifecycle.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
+    // the persisted model is the (lang, bucket, w) weight frame
+    val weights = spark.read.parquet(s"$out/langid_weights")
+    weights.columns.toSet shouldBe Set("lang", "bucket", "w")
+    weights.select("lang").distinct().count() shouldBe 5L
+    // in-session reference: the same fixture trained + applied without
+    // the persisted round-trip must score every doc identically
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val mut = docs.select(col("doc_id"), col("lang"),
+      concat_ws(" ", expr(
+        """transform(
+          |  filter(split(lower(regexp_replace(text, '\\s+', ' ')), ' '),
+          |         x -> length(x) > 0),
+          |  w -> CASE WHEN lang = 'es' THEN concat(w, 'cion')
+          |            WHEN lang = 'de' THEN concat(w, 'en')
+          |            WHEN lang = 'fr' THEN concat('le', w)
+          |            WHEN lang = 'zh' THEN reverse(w)
+          |            ELSE w END)""".stripMargin)).as("text"))
+    val wIn = graft.ml.TextAnalysis.langIdTrain(mut, "doc_id", "text", "lang",
+      Seq("de", "en", "es", "fr", "zh"), epochs = 2, buckets = 512)
+    val inSession = graft.ml.TextAnalysis.langIdApply(mut, "doc_id", "text", wIn, 512)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaPipeline = spark.read.parquet(s"$out/predictions")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    viaPipeline shouldBe inSession
+    // and the model actually predicts: trained-on-corpus accuracy on the
+    // mutated fixture is essentially perfect
+    val truth = mut.select(col("doc_id").as("id"), col("lang"))
+    val acc = spark.read.parquet(s"$out/predictions").join(truth, "id")
+    val n = acc.count()
+    val correct = acc.filter(col("lang_pred") === col("lang")).count()
+    (correct * 10) should be >= (n * 9)
+  }
+
   test("dedup_resolution_lifecycle.yaml: build->persist->verify->report/soft equals the in-session path") {
     implicit val s = spark
     import org.apache.spark.sql.functions._
