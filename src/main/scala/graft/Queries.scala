@@ -474,7 +474,7 @@ object Queries {
          |  ON l.id = m.src)""".stripMargin
     }.mkString(",\n")
 
-  private val resolveGraphCtes: String =
+  private def resolveGraphCtesN(rounds: Int): String =
     s"""dpairs AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b
        |  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id
@@ -482,7 +482,9 @@ object Queries {
        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM dpairs
        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM dpairs),
        |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM edges),
-       |${minPropagationCtes(4)}""".stripMargin
+       |${minPropagationCtes(rounds)}""".stripMargin
+
+  private val resolveGraphCtes: String = resolveGraphCtesN(4)
 
   /** Image-dedup fixture: the corpus as real 16×16 gray PNGs with planted
    *  identical (%5 → +100000) and one-char-perturbed (%7 → +200000)
@@ -2115,6 +2117,42 @@ object Queries {
          |  CAST(1000000 // coalesce(cs.csize, 1) AS BIGINT) AS weight_u
          |FROM corpus c LEFT JOIN l4 ON c.doc_id = l4.id
          |  LEFT JOIN cs ON l4.label = cs.label""".stripMargin
+    }),
+
+    // Incremental resolution UPDATE — the continuous-ingest maintenance
+    // pass of the resolution-artifact lifecycle: fold a new batch into
+    // the PERSISTED resolution at batch-sized cost (one-sided LSH match
+    // vs the index + batch-internal pairs, then connected components on
+    // the AFFECTED clusters' star edges only — untouched clusters pass
+    // through byte-identical). The oracle does what this query never
+    // does — a full re-resolve of the whole union corpus — so the green
+    // hash IS the proof that incremental == full. Exact copies
+    // (+600000) and near-dups (+700000) of %10 docs both link into
+    // existing planted clusters, exercising cluster growth and the
+    // batch-internal-pair path in one run.
+    Spec("d26_resolution_update", (spark, dir) => {
+      val labels = resolvedLabels(spark, dir)
+      val idxSigs = Dedup.minHashSignatures(docCorpus(spark, dir), "text", "doc_id")
+      val db = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+      val batch = db.select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+        .unionAll(db.select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" dup dup dup dup")).as("text")))
+      val newSigs = Dedup.minHashSignatures(batch, "text", "doc_id")
+      Dedup.resolveUpdate(labels, idxSigs, newSigs)
+    }, Some {
+      s"""WITH $corpusCte,
+         |batch AS (SELECT doc_id + 600000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 700000 AS doc_id, text || ' dup dup dup dup' AS text
+         |    FROM documents WHERE doc_id % 10 = 0),
+         |ucorpus AS (SELECT doc_id, text FROM corpus
+         |  UNION ALL SELECT doc_id, text FROM batch),
+         |${shingleCte("ucorpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |${resolveGraphCtesN(8)}
+         |SELECT id, label AS keep_id, (id <> label) AS is_duplicate FROM l8""".stripMargin
     }),
 
     // The dedup AUDIT REPORT a data engineer actually ships: per

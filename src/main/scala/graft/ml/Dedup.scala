@@ -669,6 +669,68 @@ object Dedup {
     }
 
   /**
+   * Incremental resolution UPDATE, graph layer: fold `newEdges`
+   * (id_a, id_b — near-dup pairs an ingest batch introduced) into an
+   * existing resolution label frame WITHOUT re-resolving the corpus.
+   * Only the AFFECTED old clusters — those containing an endpoint of a
+   * new edge — re-enter connected components, represented by their
+   * depth-1 star edges (member → cluster min), which preserve each old
+   * component's connectivity and min label exactly; untouched clusters
+   * pass through byte-identical. A new doc bridging TWO old clusters
+   * merges them (both are touched, the new edges connect their stars).
+   *
+   * The result equals a full re-resolve over (old pairs ∪ new pairs)
+   * whenever the old labels were themselves at fixpoint — the invariant
+   * MlSpec pins and the d26 oracle grades end-to-end (the oracle
+   * re-resolves the whole union corpus; this path never does).
+   *
+   * Scale shape: the new-edge endpoints frame is batch-sized, the star
+   * edges are affected-clusters-sized, and the CC rounds run on that
+   * subgraph only — at 100 TB the per-ingest cost is bounded by the
+   * batch's match neighborhood, never the corpus.
+   */
+  def resolveUpdateFromEdges(labels: DataFrame, newEdges: DataFrame,
+                             iterations: Int = 8): DataFrame = {
+    val lab = labels.select(col("id"), col("keep_id"))
+    val endpoints = newEdges.select(col("id_a").as("id"))
+      .unionAll(newEdges.select(col("id_b").as("id"))).distinct()
+    val touched = lab.join(endpoints, Seq("id")).select(col("keep_id")).distinct()
+    val starEdges = lab.join(touched, Seq("keep_id"))
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as("id_a"), col("keep_id").as("id_b"))
+    val sub = resolveDuplicates(starEdges.unionAll(
+      newEdges.select(col("id_a"), col("id_b"))), iterations)
+    val untouched = lab.join(touched, Seq("keep_id"), "left_anti")
+      .select(col("id"), col("keep_id"),
+        (col("id") =!= col("keep_id")).as("is_duplicate"))
+    untouched.unionByName(sub)
+  }
+
+  /**
+   * Incremental resolution UPDATE, signature layer (d26): the
+   * continuous-ingest maintenance pass for the resolution-artifact
+   * lifecycle. New-batch pairs come from the one-sided
+   * [[lshMatches]] (batch vs index — never index×index) plus
+   * [[lshCandidatePairs]] over the batch alone (batch-internal dups);
+   * together with the per-part banding being identical to banding the
+   * union corpus, those are EXACTLY the pairs a full union re-resolve
+   * would add — so [[resolveUpdateFromEdges]]' output is the full
+   * union resolution at batch-sized cost. Write the result back as the
+   * new artifact (re-stamp with [[corpusFingerprint]] of the union).
+   */
+  def resolveUpdate(labels: DataFrame, indexSigs: DataFrame, newSigs: DataFrame,
+                    numHashes: Int = 8, bands: Int = 4,
+                    minEstJaccard: Double = 0.5, iterations: Int = 8,
+                    broadcastBatchMaxRows: Long = 1L << 18): DataFrame = {
+    val nvi = lshMatches(newSigs, indexSigs, numHashes, bands, minEstJaccard,
+        broadcastBatchMaxRows)
+      .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
+    val nvn = lshCandidatePairs(newSigs, numHashes, bands, minEstJaccard)
+      .select(col("id_a"), col("id_b"))
+    resolveUpdateFromEdges(labels, nvi.unionAll(nvn), iterations)
+  }
+
+  /**
    * The dedup AUDIT REPORT over a resolution label frame — the table
    * that justifies a dedup run's cluster budget: per duplicate cluster,
    * member count, rows deletion would remove, how many sources the

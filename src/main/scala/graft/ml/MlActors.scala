@@ -93,7 +93,7 @@ class DedupActor extends Actor {
       require(Seq("exact", "minhash-lsh", "simhash", "resolve", "resolve-pairs",
         "semdedup", "incremental", "index-build", "bloom-build", "decontaminate",
         "chunk", "spans", "resolve-build", "resolve-load", "report", "soft",
-        "cdc-spans").contains(m),
+        "cdc-spans", "resolve-update").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
@@ -103,6 +103,10 @@ class DedupActor extends Actor {
     require(method != "resolve-load" || resolutionView.nonEmpty,
       "DedupActor: resolve-load requires resolutionView (the persisted " +
         "label frame a resolve-build step wrote)")
+    require(method != "resolve-update" ||
+        (resolutionView.nonEmpty && properties.getOrElse("indexView", "").nonEmpty),
+      "DedupActor: resolve-update requires resolutionView (the persisted " +
+        "labels) and indexView (the corpus or its signature frame)")
     properties.get("chunkTokens").foreach(v => chunkTokens = v.toInt)
     properties.get("spanWindow").foreach(v => spanWindow = v.toInt)
     properties.get("spanStride").foreach(v => spanStride = v.toInt)
@@ -223,6 +227,30 @@ class DedupActor extends Actor {
         // ppm sampling weights (1e6 div cluster size) instead of hard
         // deletion, off the same loaded-or-computed resolution
         Dedup.softDedupWeights(resolutionLabels(df, ctx), df, idCol)
+      case "resolve-update" =>
+        // continuous-ingest maintenance of the resolution artifact:
+        // fold `view` (the new batch) into `resolutionView`'s labels at
+        // batch-sized cost — equals a full union re-resolve (d26's
+        // oracle proves it) without ever re-resolving the corpus. The
+        // updated frame is the new artifact; re-stamp and persist it.
+        val idx0 = ctx.getView(indexView)
+        val idxSigs0 =
+          if (indexIsSignatures) {
+            val expected = ("id" +: (0 until numHashes).map(j => s"mh$j")).toSet
+            require(expected.subsetOf(idx0.columns.toSet),
+              s"DedupActor(resolve-update): indexView '$indexView' is not a " +
+                s"signature frame with numHashes=$numHashes — has " +
+                s"${idx0.columns.mkString(", ")}")
+            idx0
+          } else Dedup.minHashSignatures(idx0, textCol, idCol, numHashes, shingleLen)
+        val r = ctx.getView(resolutionView)
+        require(Seq("id", "keep_id").forall(r.columns.contains),
+          s"DedupActor(resolve-update): resolutionView '$resolutionView' is " +
+            s"not a resolution label frame — has ${r.columns.mkString(", ")}")
+        Dedup.resolveUpdate(r,
+          idxSigs0,
+          Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
+          numHashes, bands, minEstJaccard)
       case "index-build" =>
         Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
       case "bloom-build" =>

@@ -227,6 +227,18 @@ class ExamplesSpec extends SparkSpec {
     rows(spark.read.parquet(s"$out/soft_dedup")) shouldBe rows(softActor.run(ctx).get)
     spark.read.parquet(s"$out/soft_dedup").count() shouldBe
       spark.table("rl_corpus").count()
+    // the ingest job's incremental fold equals a full re-resolve over
+    // (corpus ∪ batch) — the artifact is maintainable, not rebuild-only
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"), col("text"))
+    val fullUnion = graft.ml.Dedup.resolveDuplicates(
+        graft.ml.Dedup.lshCandidatePairs(graft.ml.Dedup.minHashSignatures(
+          spark.table("rl_corpus").select(col("doc_id"), col("text")).unionAll(batch),
+          "text", "doc_id")), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.read.parquet(s"$out/resolution_v2")
+      .select("id", "keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe fullUnion
     // integrity: consuming the artifact against a DIFFERENT corpus fails
     // loudly at the fingerprint check instead of silently mis-reporting
     spark.table("rl_corpus").filter(col("doc_id") % 2 === 0)

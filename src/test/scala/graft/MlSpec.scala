@@ -381,6 +381,57 @@ class MlSpec extends SparkSpec {
     found shouldBe Set(0L, 2L, 4L)
   }
 
+  test("resolution update: incremental fold equals full re-resolve, merges bridged clusters") {
+    implicit val s = spark
+    import s.implicits._
+    // graph layer: old clusters {1,2,3} and {10,11}; a new doc 100
+    // bridges them (edges to 2 and 11) and new docs 200-201 form their
+    // own fresh cluster — the incremental fold must equal the full
+    // resolve over (old pairs ∪ new pairs)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.resolveDuplicates(oldPairs)
+    val newEdges = Seq((100L, 2L), (100L, 11L), (200L, 201L)).toDF("id_a", "id_b")
+    val inc = Dedup.resolveUpdateFromEdges(labels, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val full = Dedup.resolveDuplicates(oldPairs.unionAll(newEdges), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    inc shouldBe full
+    // the bridge merged both old clusters under the global min id 1
+    inc.filter(t => Set(10L, 11L, 100L).contains(t._1)).map(_._2) shouldBe Set(1L)
+    // untouched clusters must pass through even when OTHER clusters merge
+    val lonely = Seq((50L, 51L)).toDF("id_a", "id_b")
+    val labels2 = Dedup.resolveDuplicates(oldPairs.unionAll(lonely))
+    val inc2 = Dedup.resolveUpdateFromEdges(labels2, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    inc2(50L) shouldBe 50L
+    inc2(51L) shouldBe 50L
+
+    // signature layer, end-to-end on the real corpus: the incremental
+    // fold of the d26 batch equals a FULL re-resolve of the union —
+    // proving the one-sided match + batch pairs + star edges reconstruct
+    // exactly the pairs the union LSH would have produced
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val index = docs.unionAll(docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" dup dup dup")).as("text")))
+    val db = docs.filter(col("doc_id") % 10 === 0)
+    val batch = db.select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+      .unionAll(db.select((col("doc_id") + 700000L).as("doc_id"),
+        concat(col("text"), lit(" dup dup dup dup")).as("text")))
+    val idxSigs = Dedup.minHashSignatures(index, "text", "doc_id")
+    val newSigs = Dedup.minHashSignatures(batch, "text", "doc_id")
+    val oldLabels = Dedup.resolveDuplicates(Dedup.lshCandidatePairs(idxSigs))
+    val incremental = Dedup.resolveUpdate(oldLabels, idxSigs, newSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullUnion = Dedup.resolveDuplicates(
+        Dedup.lshCandidatePairs(Dedup.minHashSignatures(
+          index.unionAll(batch), "text", "doc_id")), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    incremental shouldBe fullUnion
+  }
+
   test("trained language id beats the stopword heuristic on the mutated fixture") {
     implicit val s = spark
     // the t35 catalog query's own grading frame: per language, held-out

@@ -325,6 +325,7 @@ MODELED = {
     "d7_dedup_resolution":    "serves the persisted resolution ARTIFACT (write-once per dir: LSH pairs + CC rounds paid by whichever d-query runs first against a fresh dir, then a label-frame read) — a cross-scale ratio mixes warm/cold unless both dirs already carry the artifact",
     "d23_dedup_report":       "one cluster-keyed agg + a keyed source join over the persisted resolution artifact; alphabetically the FIRST artifact consumer, so it pays the one-time resolve-build against a fresh dir (warm-artifact probe is the honest per-unit number)",
     "d24_soft_dedup":         "one cluster-keyed count + two keyed joins over the persisted resolution artifact",
+    "d26_resolution_update":  "one-sided batch-vs-index LSH match + batch-internal pairs + CC on the AFFECTED clusters' star edges only; the batch is a fixed fraction of the corpus by fixture design, so the per-ingest cost scales with the batch, never the corpus",
     "d8_training_pipeline":   "composite: embeds kmeans/s3 stages",
     "d9_connected_components": "O(log d) doubling rounds, scheduling-bound",
     "d13_edit_distance":      "levenshtein over LSH-bounded candidates",
