@@ -381,6 +381,39 @@ class MlSpec extends SparkSpec {
     found shouldBe Set(0L, 2L, 4L)
   }
 
+  test("corpus fingerprint: partition-order-free, content-sensitive; cdc spans edge inputs") {
+    implicit val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).map(i => (i, s"doc $i body ${"w" * (i % 7).toInt}")).toDF("id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Dedup.corpusFingerprint(df, "text", "id").head() match {
+        case r => (r.getLong(0), r.getLong(1))
+      }
+    // identical content, any partitioning / row order: same fingerprint
+    val base = fp(docs)
+    fp(docs.repartition(17)) shouldBe base
+    fp(docs.orderBy(col("id").desc)) shouldBe base
+    // one changed character: different fingerprint, same count
+    val mutated = fp(docs.withColumn("text",
+      when(col("id") === 137L, concat(col("text"), lit("!"))).otherwise(col("text"))))
+    mutated._1 shouldBe base._1
+    assert(mutated._2 != base._2, "fingerprint must change with content")
+
+    // cdcSpans edge inputs: empty text, text shorter than the rolling
+    // window, and null rows all survive without emitting junk
+    val edge = Seq((1L, ""), (2L, "tiny"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    Dedup.cdcSpans(edge, "text", "doc_id").count() shouldBe 0L
+    // two short identical docs below the window width still collide as
+    // whole-doc chunks when they clear minLen
+    val shorts = Seq((1L, "exactly sixteen!"), (2L, "exactly sixteen!"))
+      .toDF("doc_id", "text")
+    val hit = Dedup.cdcSpans(shorts, "text", "doc_id", window = 32).collect()
+    hit.length shouldBe 1
+    hit.head.getLong(2) shouldBe 2L // n_docs
+  }
+
   test("resolution update: incremental fold equals full re-resolve, merges bridged clusters") {
     implicit val s = spark
     import s.implicits._
