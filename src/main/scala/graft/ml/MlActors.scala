@@ -247,10 +247,18 @@ class DedupActor extends Actor {
         require(Seq("id", "keep_id").forall(r.columns.contains),
           s"DedupActor(resolve-update): resolutionView '$resolutionView' is " +
             s"not a resolution label frame — has ${r.columns.mkString(", ")}")
-        Dedup.resolveUpdate(r,
+        val updated = Dedup.resolveUpdate(r,
           idxSigs0,
           Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
           numHashes, bands, minEstJaccard)
+        // keep the output a first-class ARTIFACT: re-stamp the UNION
+        // corpus' fingerprint so the next resolve-load can verify it.
+        // Only possible when indexView carries text (a signature-frame
+        // index has no content to fingerprint — the caller re-stamps).
+        if (indexIsSignatures) updated
+        else updated.crossJoin(broadcast(Dedup.corpusFingerprint(
+          idx0.select(col(idCol), col(textCol))
+            .unionAll(df.select(col(idCol), col(textCol))), textCol, idCol)))
       case "index-build" =>
         Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
       case "bloom-build" =>

@@ -239,6 +239,16 @@ class ExamplesSpec extends SparkSpec {
     spark.read.parquet(s"$out/resolution_v2")
       .select("id", "keep_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe fullUnion
+    // the updated frame is a first-class artifact: it carries the UNION
+    // corpus' fingerprint, so the next resolve-load can verify it
+    val v2 = spark.read.parquet(s"$out/resolution_v2")
+    v2.columns.toSet shouldBe Set("id", "keep_id", "is_duplicate", "fp_n", "fp_h")
+    val expectFp = graft.ml.Dedup.corpusFingerprint(
+      spark.table("rl_corpus").select(col("doc_id"), col("text")).unionAll(batch),
+      "text", "doc_id").head()
+    v2.select("fp_n", "fp_h").distinct().collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet shouldBe
+        Set((expectFp.getLong(0), expectFp.getLong(1)))
     // integrity: consuming the artifact against a DIFFERENT corpus fails
     // loudly at the fingerprint check instead of silently mis-reporting
     spark.table("rl_corpus").filter(col("doc_id") % 2 === 0)
