@@ -159,14 +159,29 @@ object Queries {
    * the path is keyed by dir and the `_SUCCESS` marker skips the rewrite on
    * warm runs and across JVMs.
    */
+  /** Content-sensitive fingerprint of a parquet source (file OR directory):
+   *  for a directory, sum of part-file lengths ⊕ 31·max part-file mtime.
+   *  The directory's OWN (length, mtime) is not content-sensitive — dir
+   *  length is filesystem-dependent and its mtime only moves when entries
+   *  are added/removed — so testdata regenerated in place would silently
+   *  reuse a stale /tmp artifact and fail its consumers confusingly. */
+  private def srcFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val parts = Option(f.listFiles)
+      .map(_.filter(p => p.isFile && !p.getName.startsWith(".")))
+      .getOrElse(Array(f))
+    val len = parts.map(_.length).sum
+    val mt = (0L +: parts.map(_.lastModified).toSeq).max
+    java.lang.Long.toHexString(len ^ (mt * 31))
+  }
+
   private val dppPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private def dppFixture(spark: SparkSession, dir: String): String =
     dppPaths.getOrElseUpdate(dir, {
-      // the path is keyed by a fingerprint of the source file (length +
-      // mtime), so a regenerated testdata dir gets a FRESH fixture instead
+      // the path is keyed by a content-sensitive fingerprint of the source
+      // parts, so a regenerated testdata dir gets a FRESH fixture instead
       // of a stale-cache verification failure with no visible cause
-      val src = new java.io.File(s"$dir/lineitem.parquet")
-      val fp = java.lang.Long.toHexString(src.length ^ (src.lastModified * 31))
+      val fp = srcFingerprint(s"$dir/lineitem.parquet")
       // v2: dim era split covers the testdata's actual 1995-2001 ship
       // years (bump the version when fixture CONTENT changes — the
       // fingerprint only tracks the source file)
@@ -226,8 +241,7 @@ object Queries {
     val provider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       .map(_.replaceAll(".*\\.", "").toLowerCase).getOrElse("hdfs")
     q97Ckpts.getOrElseUpdate(s"$provider:$dir", {
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val fp = java.lang.Long.toHexString(src.length ^ (src.lastModified * 31))
+      val fp = srcFingerprint(s"$dir/documents.parquet")
       val base = s"/tmp/graft_q97_v1_${provider}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
       if (!new java.io.File(s"$base/_GRAFT_DONE").isFile) {
         val stage = s"$base.stage_${java.lang.ProcessHandle.current.pid}"
@@ -270,8 +284,7 @@ object Queries {
   private val resolutionPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def resolvedLabels(spark: SparkSession, dir: String): DataFrame = {
     val base = resolutionPaths.getOrElseUpdate(dir, {
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val fp = java.lang.Long.toHexString(src.length ^ (src.lastModified * 31))
+      val fp = srcFingerprint(s"$dir/documents.parquet")
       val b = s"/tmp/graft_resolution_v1_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
       if (!new java.io.File(s"$b/_SUCCESS").isFile) {
         // stage-then-atomic-move: two fresh JVMs racing each build a
@@ -312,8 +325,7 @@ object Queries {
   private val sigPaths = scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def corpusSignatures(spark: SparkSession, dir: String): DataFrame = {
     val base = sigPaths.getOrElseUpdate(dir, {
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val fp = java.lang.Long.toHexString(src.length ^ (src.lastModified * 31))
+      val fp = srcFingerprint(s"$dir/documents.parquet")
       val b = s"/tmp/graft_sigs_v1_${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$fp"
       if (!new java.io.File(s"$b/_SUCCESS").isFile) {
         val stage = s"$b.stage_${java.lang.ProcessHandle.current.pid}"

@@ -247,10 +247,18 @@ class DedupActor extends Actor {
         require(Seq("id", "keep_id").forall(r.columns.contains),
           s"DedupActor(resolve-update): resolutionView '$resolutionView' is " +
             s"not a resolution label frame — has ${r.columns.mkString(", ")}")
+        // same integrity gate as resolve-load: folding a batch into a
+        // stale or wrong-corpus artifact silently produces incorrect
+        // labels — exactly what requireResolutionMatch exists to catch.
+        // A signature-frame index carries no text to fingerprint, so the
+        // check is only possible when indexView is a corpus.
+        if (!indexIsSignatures && verifyResolution)
+          Dedup.requireResolutionMatch(r,
+            idx0.select(col(idCol), col(textCol)), textCol, idCol)
         val updated = Dedup.resolveUpdate(r,
           idxSigs0,
           Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
-          numHashes, bands, minEstJaccard)
+          numHashes, bands, minEstJaccard, iterations)
         // keep the output a first-class ARTIFACT: re-stamp the UNION
         // corpus' fingerprint so the next resolve-load can verify it.
         // Only possible when indexView carries text (a signature-frame

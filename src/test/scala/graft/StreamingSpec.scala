@@ -530,8 +530,15 @@ class StreamingSpec extends SparkSpec {
           batch.write.mode("append").parquet(out))
         .outputMode("append").option("checkpointLocation", ckpt)
         .start()
-      def rows(): Long =
-        try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      // existence-gate the poll read: reading the dir before the first
+      // batch lands throws UNABLE_TO_INFER_SCHEMA asynchronously through
+      // ExecutionListenerBus — swallowed here but ERROR-spammed into the
+      // log, burying real listener failures
+      def rows(): Long = {
+        val parts = Option(new java.io.File(out).listFiles).getOrElse(Array.empty)
+        if (!parts.exists(_.getName.endsWith(".parquet"))) 0L
+        else try spark.read.parquet(out).count() catch { case _: Throwable => 0L }
+      }
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       while (rows() < totalExpected && System.nanoTime() < deadline)
         Thread.sleep(100)
@@ -589,10 +596,16 @@ class StreamingSpec extends SparkSpec {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    def emissions(out: String): Seq[(Long, Long)] =
-      try spark.read.parquet(out).collect()
+    def emissions(out: String): Seq[(Long, Long)] = {
+      // existence-gated like the TTL test's poll read: a no-emission drain
+      // leaves the dir parquet-less and the schema-inference failure would
+      // ERROR-spam through ExecutionListenerBus despite the catch
+      val parts = Option(new java.io.File(out).listFiles).getOrElse(Array.empty)
+      if (!parts.exists(_.getName.endsWith(".parquet"))) Seq.empty
+      else try spark.read.parquet(out).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       catch { case _: Throwable => Seq.empty }
+    }
     // q107's grading step: max emitted last_seen per key, kept only when
     // it equals the key's overall max event time
     def graded(out: String, all: Seq[(Long, java.sql.Timestamp)]): Set[(Long, Long)] = {
