@@ -105,24 +105,12 @@ object Dedup {
       .select(col(idCol).cast("long"), normText(col(textCol))).as[(Long, String)]
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        def h60(s: String): Long = {
-          md.reset()
-          val d = md.digest(s.getBytes("UTF-8"))
-          // first 15 hex chars = high 60 bits of the digest
-          var v = 0L
-          var i = 0
-          while (i < 8) {
-            val b = d(i) & 0xff
-            v = if (i < 7) (v << 8) | b else (v << 4) | (b >> 4)
-            i += 1
-          }
-          v
-        }
         rows.map { case (id, t) =>
           val ws = t.split(" ", -1)
           val mins = Array.fill(numHashes)(Long.MaxValue)
           def update(sh: String): Unit = {
-            val base = h60(sh) & 1073741823L
+            // first 15 hex chars = high 60 bits of the digest
+            val base = Hashing.jvmOracleHash(md, sh) & 1073741823L
             var j = 0
             while (j < numHashes) {
               val hj = (a(j) * base + c(j)) % 2147483647L

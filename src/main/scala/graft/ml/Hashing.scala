@@ -63,4 +63,23 @@ object Hashing {
   /** DuckDB SQL snippet mirroring [[oracleHash]] for oracle authoring. */
   def duckdbHashSql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 15))::bigint)"
+
+  /** Executor-side JVM mirror of [[oracleHash]] — the high 60 bits of
+   *  md5(UTF-8 bytes) as a nonnegative Long (first 15 hex digits), for
+   *  typed operators that hash inline instead of paying an interpreted
+   *  Column per element (same arithmetic as
+   *  [[Dedup.minHashSignaturesInline]]'s closure). Callers own the
+   *  MessageDigest instance (one per partition, reused across rows). */
+  private[ml] def jvmOracleHash(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val b = d(i) & 0xff
+      v = if (i < 7) (v << 8) | b else (v << 4) | (b >> 4)
+      i += 1
+    }
+    v
+  }
 }

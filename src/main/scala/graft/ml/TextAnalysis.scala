@@ -636,7 +636,7 @@ object TextAnalysis {
    *  Per epoch: one broadcast of the ≤buckets weight frame into a doc-keyed
    *  score agg + one id-keyed gradient join; weights localCheckpoint per
    *  epoch (the iterative-trainer plan discipline). */
-  private def perceptronEpochs(x: DataFrame, epochs: Int): DataFrame = {
+  private[graft] def perceptronEpochs(x: DataFrame, epochs: Int): DataFrame = {
     require(epochs >= 1 && epochs <= 16,
       s"perceptron: epochs must be in [1, 16], got $epochs")
     // epoch 1 at w = 0: every doc misclassified -> plain aggregate
@@ -660,18 +660,45 @@ object TextAnalysis {
   /** Hashed char-TRIGRAM bag of a document view — the feature space of the
    *  trained language identifier: each word padded with spaces (so prefix/
    *  suffix trigrams carry the word-boundary signal that distinguishes
-   *  morphology), trigrams hashed to `buckets`. One typed-free explode +
-   *  one (id, bucket) partial-agg shuffle. Emits (id, bucket, cnt). */
+   *  morphology), trigrams hashed to `buckets`. ONE typed pass per doc —
+   *  the Catalyst transform(sequence(...)) HOF this replaces is
+   *  interpreted and pays a Column-eval md5 per trigram row, measured
+   *  ~the whole cost of t35's training epochs at bench scale; here the
+   *  per-doc bucket counts fold into a local array executor-side, so at
+   *  most min(#trigrams, buckets) rows per doc reach the (id, bucket)
+   *  exchange. Bit-parity: [[Hashing.jvmOracleHash]] mirrors
+   *  [[Hashing.oracleHash]] exactly, and the t35 oracle re-derives the
+   *  same trigrams relationally in DuckDB. Emits (id, bucket, cnt). */
   private[graft] def charTrigramBag(df: DataFrame, idCol: String, textCol: String,
-                                    buckets: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-        explode(org.apache.spark.sql.functions.filter(
-          split(Dedup.normText(col(textCol)), " "), t => length(t) > 0)).as("tok"))
-      .select(col("id"), explode(expr(
-        "transform(sequence(1, length(tok)), i -> substring(concat(' ', tok, ' '), i, 3))"))
-        .as("tri"))
-      .withColumn("bucket", pmod(Hashing.oracleHash(col("tri")), lit(buckets.toLong)))
-      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+                                    buckets: Int): DataFrame = {
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val b = buckets
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), Dedup.normText(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, t) =>
+          val cnts = new Array[Long](b)
+          t.split(" ", -1).foreach { tok =>
+            if (tok.nonEmpty) {
+              val p = " " + tok + " "
+              var i = 0
+              while (i + 3 <= p.length) {
+                val bk = (Hashing.jvmOracleHash(md, p.substring(i, i + 3)) % b).toInt
+                cnts(bk) += 1
+                i += 1
+              }
+            }
+          }
+          Iterator.range(0, b).filter(cnts(_) > 0).map(k => (id, k.toLong, cnts(k)))
+        }
+      }.toDF("id", "bucket", "cnt")
+      // docs can span partitions only via input splits; the keyed agg
+      // merges per-split partials (sum of counts == the explode's count)
+      .groupBy(col("id"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+  }
 
   /**
    * TRAINED language identifier (t35) — the learned upgrade of [[langId]]'s
@@ -687,23 +714,57 @@ object TextAnalysis {
    * [[langIdApply]].
    *
    * Scale shape: the corpus collapses ONCE to the hashed trigram bag
-   * (localCheckpointed, shared by all |langs| trainers); per (lang,
-   * epoch) the cost is one broadcast of the ≤buckets weight frame + one
-   * id-keyed gradient join. |langs| × epochs is a small constant; nothing
-   * scales superlinearly in the corpus.
+   * (localCheckpointed); every epoch is then ONE pass for ALL languages
+   * — weights keyed (lang, bucket), per-doc labels expanded in-flight
+   * against the broadcast |langs|-row frame, misclassification and
+   * gradient computed for every language in a single keyed-join + two
+   * keyed aggregations. The per-language loop this replaces ran
+   * |langs| × epochs sequential Spark job rounds (the scheduling cost,
+   * not the data volume, dominated it at bench scale); the one-pass
+   * form is `epochs` rounds total and bit-identical — every quantity
+   * is an order-free integer sum, so regrouping by (lang, bucket)
+   * cannot change a single weight (MlSpec pins equality against the
+   * per-language composition). Nothing scales superlinearly in the
+   * corpus; the in-flight ×|langs| expansion never materializes.
    */
   def langIdTrain(df: DataFrame, idCol: String, textCol: String, langCol: String,
                   langs: Seq[String], epochs: Int = 2, buckets: Int = 512): DataFrame = {
     require(langs.nonEmpty, "langIdTrain: langs must be non-empty")
+    require(langs.distinct.size == langs.size,
+      s"langIdTrain: langs must be distinct, got ${langs.mkString(", ")}")
+    require(epochs >= 1 && epochs <= 16,
+      s"langIdTrain: epochs must be in [1, 16], got $epochs")
+    val spark0 = df.sparkSession
+    import spark0.implicits._
     val bag = charTrigramBag(df, idCol, textCol, buckets)
       .join(df.select(col(idCol).as("id"), col(langCol).as("__lang_")), Seq("id"))
-      .localCheckpoint(true) // scanned once per (lang, epoch)
-    langs.map { l =>
-      val x = bag.select(col("id"),
-        when(col("__lang_") === l, lit(1L)).otherwise(lit(-1L)).as("y"),
+      .localCheckpoint(true) // scanned once per epoch (not per lang-epoch)
+    // one-vs-rest label expansion, derived lazily from the checkpointed
+    // bag each epoch: |langs| is a tiny broadcast constant, so the
+    // expansion is a narrow in-flight map — never a materialized ×|langs|
+    // copy of the feature bag
+    val lf = broadcast(langs.toDF("lang"))
+    val xl = bag.crossJoin(lf)
+      .select(col("id"), col("lang"),
+        when(col("__lang_") === col("lang"), lit(1L)).otherwise(lit(-1L)).as("y"),
         col("bucket"), col("cnt"))
-      perceptronEpochs(x, epochs).select(lit(l).as("lang"), col("bucket"), col("w"))
-    }.reduce(_ unionAll _)
+    // epoch 1 at w = 0: every (doc, lang) misclassified -> plain aggregate
+    var w = xl.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("y") * col("cnt")).as("w"))
+      .localCheckpoint(true) // <= langs*buckets rows; re-roots per epoch
+    for (_ <- 2 to epochs) {
+      val mis = xl.join(broadcast(w), Seq("lang", "bucket"))
+        .groupBy(col("id"), col("lang"), col("y"))
+        .agg(sum(col("w") * col("cnt")).as("s"))
+        .filter(col("y") * col("s") <= 0).select(col("id"), col("lang"))
+      val grad = xl.join(mis, Seq("id", "lang"))
+        .groupBy(col("lang"), col("bucket")).agg(sum(col("y") * col("cnt")).as("g"))
+      w = w.join(grad, Seq("lang", "bucket"), "full_outer")
+        .select(col("lang"), col("bucket"),
+          (coalesce(col("w"), lit(0L)) + coalesce(col("g"), lit(0L))).as("w"))
+        .localCheckpoint(true)
+    }
+    w.filter(col("w") =!= 0L).select(col("lang"), col("bucket"), col("w"))
   }
 
   /** Inference for [[langIdTrain]]'s weights: score every doc against every

@@ -483,6 +483,50 @@ class MlSpec extends SparkSpec {
     (trained * 10) should be >= (n * 9)
   }
 
+  test("one-pass langIdTrain weights are bit-identical to the per-language composition") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
+    // every training quantity is an order-free integer sum, so folding
+    // the |langs| sequential perceptron loops into one (lang, bucket)-
+    // keyed pass must not change a single weight — this pin is what
+    // licenses the restructure (the t35 oracle replays per-language)
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", expr(
+          """transform(
+            |  filter(split(lower(regexp_replace(text, '\\s+', ' ')), ' '),
+            |         x -> length(x) > 0),
+            |  w -> CASE WHEN lang = 'es' THEN concat(w, 'cion')
+            |            WHEN lang = 'de' THEN concat(w, 'en')
+            |            WHEN lang = 'fr' THEN concat('le', w)
+            |            WHEN lang = 'zh' THEN reverse(w)
+            |            ELSE w END)""".stripMargin)).as("text"))
+    val onePass = TextAnalysis.langIdTrain(docs, "doc_id", "text", "lang",
+        langs, epochs = 3, buckets = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // the r12 per-language form: one perceptronEpochs loop per language
+    // over the shared trigram bag
+    val bag = TextAnalysis.charTrigramBag(docs, "doc_id", "text", 256)
+      .join(docs.select(col("doc_id").as("id"), col("lang").as("__lang_")), Seq("id"))
+      .localCheckpoint(true)
+    val perLang = langs.map { l =>
+      val x = bag.select(col("id"),
+        when(col("__lang_") === l, lit(1L)).otherwise(lit(-1L)).as("y"),
+        col("bucket"), col("cnt"))
+      TextAnalysis.perceptronEpochs(x, 3).select(lit(l).as("lang"), col("bucket"), col("w"))
+    }.reduce(_ unionAll _)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    onePass shouldBe perLang
+    // duplicate language labels would double-count gradients in the
+    // one-pass form — rejected loudly instead of silently diverging
+    intercept[IllegalArgumentException] {
+      TextAnalysis.langIdTrain(docs, "doc_id", "text", "lang",
+        Seq("en", "en"), epochs = 1, buckets = 64)
+    }
+  }
+
   test("ivf merge: dissolves only starved cells, equals full re-assignment on the survivors") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
