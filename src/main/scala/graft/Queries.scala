@@ -2532,7 +2532,8 @@ object Queries {
          |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
          |  FROM vv e CROSS JOIN cent ct),
          |cells AS MATERIALIZED (SELECT vec_id AS id, v, vv, h, crank FROM assigned WHERE arank = 1),
-         |sizes AS (SELECT crank, count(*) AS n FROM cells GROUP BY crank),
+         |sizes AS (SELECT ct.crank, coalesce(z.n, 0) AS n FROM cent ct
+         |  LEFT JOIN (SELECT crank, count(*) AS n FROM cells GROUP BY crank) z ON ct.crank = z.crank),
          |tot AS MATERIALIZED (SELECT SUM(n) AS t, count(*) AS kc, max(crank) AS mx FROM sizes),
          |spl AS MATERIALIZED (SELECT crank
          |  FROM sizes, tot WHERE n * kc * 2 > t * 3),
@@ -2580,7 +2581,7 @@ object Queries {
             slice(col("av"), 2, 63)).as("v"))
       val cents = Similarity.ivfCentroids(emb, "vec_id", "v", 8)
       val asg = Similarity.ivfAssignments(emb.unionAll(planted), cents, "vec_id", "v")
-      Similarity.ivfHealth(asg, 3, 2)
+      Similarity.ivfHealth(cents, asg, 3, 2)
         .select(col("crank").cast("long").as("crank"), col("n_vectors"),
           col("share_ppm"), col("hot"), col("starved"))
     }, Some {
@@ -2600,7 +2601,9 @@ object Queries {
          |  row_number() OVER (PARTITION BY e.vec_id
          |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
          |  FROM vv e CROSS JOIN cent ct),
-         |sizes AS (SELECT crank, count(*) AS n FROM assigned WHERE arank = 1 GROUP BY crank),
+         |sizes AS (SELECT ct.crank, coalesce(z.n, 0) AS n FROM cent ct
+         |  LEFT JOIN (SELECT crank, count(*) AS n FROM assigned WHERE arank = 1 GROUP BY crank) z
+         |  ON ct.crank = z.crank),
          |tot AS (SELECT SUM(n) AS t, count(*) AS kc FROM sizes)
          |SELECT CAST(crank AS BIGINT) AS crank, CAST(n AS BIGINT) AS n_vectors,
          |  CAST((1000000 * n) // t AS BIGINT) AS share_ppm,
@@ -2673,7 +2676,8 @@ object Queries {
          |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
          |  FROM vv e CROSS JOIN cent ct),
          |cells AS MATERIALIZED (SELECT vec_id AS id, v, vv, crank FROM assigned WHERE arank = 1),
-         |sizes AS (SELECT crank, count(*) AS n FROM cells GROUP BY crank),
+         |sizes AS (SELECT ct.crank, coalesce(z.n, 0) AS n FROM cent ct
+         |  LEFT JOIN (SELECT crank, count(*) AS n FROM cells GROUP BY crank) z ON ct.crank = z.crank),
          |tot AS MATERIALIZED (SELECT SUM(n) AS t, count(*) AS kc FROM sizes),
          |starved AS MATERIALIZED (SELECT crank FROM sizes, tot WHERE n * kc * 4 < t),
          |surv AS MATERIALIZED (SELECT * FROM cent WHERE crank NOT IN (SELECT crank FROM starved)),
@@ -2688,6 +2692,115 @@ object Queries {
          |SELECT CAST(crank AS BIGINT) AS crank, count(*) AS n_vectors,
          |  CAST(SUM(CASE WHEN parent_crank <> crank THEN 1 ELSE 0 END) AS BIGINT) AS n_absorbed
          |FROM merged GROUP BY crank""".stripMargin
+    }),
+
+    // COMPOSED index maintenance (s15's split + s18's merge in ONE pass
+    // off ONE centroid-complete census — the stage a real maintenance
+    // loop runs after ingest). The fixture plants BOTH pathologies at
+    // once: s15's jittered pile-up makes the anchor's cell hot, s18's
+    // far-away satellite group under its own synthetic centroid (crank
+    // 9) is starved. The pass dissolves crank 9 into the survivors, then
+    // splits the hot cell of the post-merge assignments; flags come from
+    // the PRE-maintenance census (exactly ivf-health's), so monitor and
+    // maintenance agree by construction. parent_crank reports each row's
+    // pre-maintenance cell through both stages. Output: the final
+    // (cell, origin) census.
+    Spec("s19_ivf_maintain", (spark, dir) => {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      val anchor = emb.orderBy(col("vec_id")).limit(1).select(col("v").as("av"))
+      val hotPlant = emb.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"))
+        .crossJoin(broadcast(anchor)) // 1-row anchor frame: reviewed broadcast idiom
+        .select(col("vec_id"),
+          concat(array(element_at(col("av"), 1) +
+              (col("vec_id") % 89).cast("double") / lit(10000.0)),
+            slice(col("av"), 2, 63)).as("v"))
+      val satPlant = emb.filter(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 300000).as("vec_id"))
+        .crossJoin(broadcast(anchor)) // 1-row anchor frame: reviewed broadcast idiom
+        .select(col("vec_id"),
+          concat(array((-element_at(col("av"), 1) - lit(50.0)) +
+              (col("vec_id") % 13).cast("double") / lit(1000.0)),
+            transform(slice(col("av"), 2, 63), x => -x - lit(50.0))).as("v"))
+      val cents8 = Similarity.ivfCentroids(emb, "vec_id", "v", 8)
+      val c9 = anchor.select(lit(9).as("crank"),
+        concat(array(-element_at(col("av"), 1) - lit(50.0)),
+          transform(slice(col("av"), 2, 63), x => -x - lit(50.0))).as("cv"))
+        .withColumn("cc", graft.ml.Similarity.dot(col("cv"), col("cv")))
+      val cents = cents8.unionAll(c9)
+      val asg = Similarity.ivfAssignments(
+        emb.unionAll(hotPlant).unionAll(satPlant), cents, "vec_id", "v")
+      val (_, newAsg) = Similarity.ivfMaintain(cents, asg, 3, 2, 4)
+      newAsg.groupBy(col("crank"), col("parent_crank"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .select(col("crank").cast("long").as("crank"),
+          col("parent_crank").cast("long").as("parent_crank"), col("n_vectors"))
+    }, Some {
+      val vvExpr = dotSql("v", "v")
+      val c9vv = dotSql("cv", "cv")
+      val distDot = dotSql("e.v", "ct.cv")
+      val survDot = dotSql("r.v", "sv.cv")
+      val subDot = dotSql("r.v", "s.scv")
+      s"""WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings),
+         |a AS (SELECT v AS av FROM c ORDER BY vec_id LIMIT 1),
+         |hp AS (SELECT e.vec_id + 100000 AS vec_id,
+         |    list_prepend(a.av[1] + ((e.vec_id + 100000) % 89) / 10000.0, a.av[2:64]) AS v
+         |  FROM c e CROSS JOIN a WHERE e.vec_id % 5 = 0),
+         |sp AS (SELECT e.vec_id + 300000 AS vec_id,
+         |    list_prepend((-a.av[1] - 50.0) + ((e.vec_id + 300000) % 13) / 1000.0,
+         |      list_transform(a.av[2:64], x -> -x - 50.0)) AS v
+         |  FROM c e CROSS JOIN a WHERE e.vec_id % 97 = 0),
+         |u AS (SELECT vec_id, v FROM c UNION ALL SELECT vec_id, v FROM hp
+         |  UNION ALL SELECT vec_id, v FROM sp),
+         |vv AS MATERIALIZED (SELECT vec_id, v, ($vvExpr) AS vv,
+         |  ('0x' || substr(md5(vec_id::varchar), 1, 15))::bigint AS h FROM u),
+         |cent0 AS (SELECT * FROM vv WHERE vec_id < 100000 ORDER BY h, vec_id LIMIT 8),
+         |cent8 AS (SELECT row_number() OVER (ORDER BY h, vec_id) AS crank, v AS cv, vv AS cc FROM cent0),
+         |c9 AS (SELECT 9 AS crank,
+         |    list_prepend(-a.av[1] - 50.0, list_transform(a.av[2:64], x -> -x - 50.0)) AS cv
+         |  FROM a),
+         |cent AS MATERIALIZED (SELECT crank, cv, cc FROM cent8
+         |  UNION ALL SELECT crank, cv, ($c9vv) AS cc FROM c9),
+         |assigned AS (SELECT e.vec_id, e.v, e.vv, e.h, ct.crank,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY e.vv + ct.cc - 2 * ($distDot), ct.crank) AS arank
+         |  FROM vv e CROSS JOIN cent ct),
+         |cells AS MATERIALIZED (SELECT vec_id AS id, v, vv, h, crank FROM assigned WHERE arank = 1),
+         |sizes AS (SELECT ct.crank, coalesce(z.n, 0) AS n FROM cent ct
+         |  LEFT JOIN (SELECT crank, count(*) AS n FROM cells GROUP BY crank) z ON ct.crank = z.crank),
+         |tot AS MATERIALIZED (SELECT SUM(n) AS t, count(*) AS kc, max(crank) AS mx FROM sizes),
+         |starved AS MATERIALIZED (SELECT crank FROM sizes, tot WHERE n * kc * 4 < t),
+         |spl AS MATERIALIZED (SELECT crank FROM sizes, tot WHERE n * kc * 2 > t * 3),
+         |surv AS MATERIALIZED (SELECT * FROM cent WHERE crank NOT IN (SELECT crank FROM starved)),
+         |strow AS (SELECT cl.* FROM cells cl JOIN starved USING (crank)),
+         |mre AS (SELECT r.id, r.v, r.vv, r.h, r.crank AS parent_crank, sv.crank,
+         |    row_number() OVER (PARTITION BY r.id
+         |      ORDER BY r.vv + sv.cc - 2 * ($survDot), sv.crank) AS w
+         |  FROM strow r CROSS JOIN surv sv),
+         |merged AS MATERIALIZED (
+         |  SELECT crank, crank AS parent_crank, id, v, vv, h FROM cells
+         |    WHERE crank NOT IN (SELECT crank FROM starved)
+         |  UNION ALL SELECT crank, parent_crank, id, v, vv, h FROM mre WHERE w = 1),
+         |srows AS MATERIALIZED (SELECT m.* FROM merged m JOIN spl USING (crank)),
+         |sub AS (SELECT crank, id, v, vv,
+         |    row_number() OVER (PARTITION BY crank ORDER BY h, id) AS srank
+         |  FROM srows),
+         |sc AS (SELECT crank AS parent, srank, v AS scv, vv AS scc FROM sub WHERE srank <= 2),
+         |re AS (SELECT r.id, r.crank AS pcell, r.parent_crank, s.srank,
+         |    row_number() OVER (PARTITION BY r.id
+         |      ORDER BY r.vv + s.scc - 2 * ($subDot), s.srank) AS w
+         |  FROM srows r JOIN sc s ON r.crank = s.parent),
+         |mv AS (SELECT re.id, re.parent_crank,
+         |    CASE WHEN re.srank = 1 THEN re.pcell ELSE tot.mx + re.pcell END AS crank
+         |  FROM re CROSS JOIN tot WHERE re.w = 1),
+         |newasg AS (SELECT crank, parent_crank, id FROM merged
+         |    WHERE crank NOT IN (SELECT crank FROM spl)
+         |  UNION ALL SELECT crank, parent_crank, id FROM mv)
+         |SELECT CAST(crank AS BIGINT) AS crank,
+         |  CAST(parent_crank AS BIGINT) AS parent_crank,
+         |  count(*) AS n_vectors
+         |FROM newasg GROUP BY 1, 2""".stripMargin
     }),
 
     // Int8-quantized kNN: per-vector symmetric quantization (scale =
@@ -2849,6 +2962,68 @@ object Queries {
          |  CAST(n_docs AS BIGINT) AS n_docs,
          |  CAST(k.d AS BIGINT) AS keep_doc, CAST(k.o AS BIGINT) AS keep_off
          |FROM g WHERE n_docs >= 2""".stripMargin
+    }),
+
+    // CDC-chunk document CLEANING — d25 emits the duplicated-span
+    // REPORT; this emits the cleaned corpus the C4/CCNet-style consumer
+    // actually trains on: every dedup-eligible chunk keeps only its
+    // first (doc, off) occurrence, later occurrences are stripped, and
+    // each doc is reassembled from its survivors (sub-minLen chunks are
+    // never candidates but always survive — reassembly loses nothing it
+    // didn't dedup). Same planted 7-char-shifted copies as d25: the
+    // copy's interior chunks dedup away against the original at an
+    // offset the stride-aligned d21 cleaner provably cannot see. Graded
+    // on the cleaned texts' md5s.
+    Spec("d27_cdc_clean", (spark, dir) => {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.unionAll(
+        docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            substring(Dedup.normText(col("text")), 8, Int.MaxValue).as("text")))
+      Dedup.cdcClean(planted, "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("dedup_text")).as("clean_md5"))
+    }, Some {
+      val pows = Array.iterate(1L, 8)(_ * 31L)
+      val hashTerms = (0 until 8).map(j =>
+        s"CAST(ascii(substr(t, CAST(i - ${7 - j} AS BIGINT), 1)) AS BIGINT) * ${pows(j)}")
+        .mkString(" + ")
+      s"""WITH nd AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+         |  FROM documents),
+         |corp AS (SELECT doc_id, t FROM nd
+         |  UNION ALL
+         |  SELECT doc_id + 400000 AS doc_id, substr(t, 8) AS t FROM nd WHERE doc_id % 11 = 0),
+         |n2 AS MATERIALIZED (SELECT doc_id,
+         |    regexp_replace(lower(regexp_replace(t, '\\s+', ' ', 'g')), '[^ -~]', '', 'g') AS t
+         |  FROM corp),
+         |pos AS (SELECT doc_id, t, unnest(range(8, length(t) + 1)) AS i
+         |  FROM n2 WHERE length(t) >= 8),
+         |bnd AS (SELECT doc_id, i FROM pos
+         |  WHERE (($hashTerms) % 1000000007) % 32 = 0),
+         |cuts AS (SELECT doc_id, CAST(0 AS BIGINT) AS c FROM n2
+         |  UNION SELECT doc_id, CAST(i AS BIGINT) FROM bnd
+         |  UNION SELECT doc_id, CAST(length(t) AS BIGINT) FROM n2),
+         |sp AS (SELECT doc_id, c, lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS nxt
+         |  FROM cuts),
+         |ch AS MATERIALIZED (SELECT s.doc_id, s.c + 1 AS off,
+         |    substr(n2.t, CAST(s.c + 1 AS BIGINT), CAST(s.nxt - s.c AS BIGINT)) AS spn
+         |  FROM sp s JOIN n2 USING (doc_id)
+         |  WHERE s.nxt IS NOT NULL),
+         |fe AS (SELECT doc_id, off, spn FROM (
+         |    SELECT doc_id, off, spn,
+         |      row_number() OVER (PARTITION BY md5(spn) ORDER BY doc_id, off) AS rn
+         |    FROM ch WHERE length(spn) >= 16) WHERE rn = 1),
+         |kept AS (SELECT doc_id, off, spn FROM fe
+         |  UNION ALL SELECT doc_id, off, spn FROM ch WHERE length(spn) < 16),
+         |asm AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(spn, '' ORDER BY off) AS clean FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+         |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+         |  CAST(t.n_chunks AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  md5(coalesce(a.clean, '')) AS clean_md5
+         |FROM tot t LEFT JOIN asm a ON t.doc_id = a.doc_id""".stripMargin
     }),
 
     // Deterministic stratified sampling: N docs per language stratum,
@@ -7254,7 +7429,9 @@ object Queries {
         .filter(col("doc_id") % 10 === 0)
       val allBatch = db.select((col("doc_id") + 200000L).as("new_id"))
         .unionAll(db.select((col("doc_id") + 300000L).as("new_id")))
-      allBatch.join(broadcast(best), Seq("new_id"), "left")
+      // batch-sized drained frame, but guarded: a real ingest batch can
+      // exceed driver memory — over the bound the join shuffles instead
+      allBatch.join(Dedup.maybeBroadcast(best), Seq("new_id"), "left")
         .select(col("new_id"),
           when(col("best_matches").isNotNull, 1).otherwise(0).cast("int").as("matched"),
           coalesce(col("best_matches"), lit(0L)).as("best_matches"))
@@ -7325,7 +7502,9 @@ object Queries {
         .select(col("new_id"), coalesce(col("keep_id"), col("index_id")).as("keep"))
       val weighted = resolved
         .join(csize.withColumnRenamed("keep_id", "keep"), Seq("keep"), "left")
-      allBatch.join(broadcast(weighted), Seq("new_id"), "left")
+      // batch-sized drained frame, but guarded: a real ingest batch can
+      // exceed driver memory — over the bound the join shuffles instead
+      allBatch.join(Dedup.maybeBroadcast(weighted), Seq("new_id"), "left")
         .select(col("new_id"),
           when(col("keep").isNotNull, 1).otherwise(0).cast("int").as("matched"),
           coalesce(col("keep"), col("new_id")).as("cluster_id"),
@@ -7388,6 +7567,85 @@ object Queries {
          |  CAST(CASE WHEN res.new_id IS NULL THEN 1000000
          |       ELSE 1000000 // (res.csize + 1) END AS BIGINT) AS weight_u
          |FROM ab LEFT JOIN res ON ab.new_id = res.new_id""".stripMargin
+    }),
+
+    // STREAMING soft-dedup gate WITH within-stream linking — closes
+    // q114's one documented blindness: two stream docs duplicating EACH
+    // OTHER with no index counterpart both pass q114 at weight 1e6
+    // (matches there are vs the index only). The gate runs in
+    // foreachBatch (SoftDedupGate): per micro-batch, one-sided LSH vs
+    // the persisted index signatures + retained-signature cross-batch
+    // leg + lshCandidatePairs batch-internal leg; post-drain the edges
+    // fold into the persisted resolution via resolveUpdateFromEdges, so
+    // the weights are EXACTLY what the next d26 maintenance pass would
+    // assign. Fixture = q114's three legs (+600000 exact, +700000
+    // near-dup, +800000 reversed/no-index-match) plus the new +900000
+    // leg: a near-dup of the +800000 twin — an index-less stream-internal
+    // pair. The oracle re-resolves the WHOLE union corpus (documents ∪
+    // planted ∪ batch) and weights off that resolution — the green hash
+    // IS the incremental==full proof AND the d24-style batch replay.
+    Spec("q115_stream_soft_dedup_linked", (spark, dir) => {
+      val labels = resolvedLabels(spark, dir)
+      val idxSigs = corpusSignatures(spark, dir)
+      val b0 = streamTable(spark, dir, "documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 === 0)
+      val batch = b0.select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+        .unionAll(b0.select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" dup dup dup dup")).as("text")))
+        .unionAll(b0.select((col("doc_id") + 800000L).as("doc_id"),
+          reverse(col("text")).as("text")))
+        .unionAll(b0.select((col("doc_id") + 900000L).as("doc_id"),
+          concat(reverse(col("text")), lit(" qq zz qq zz")).as("text")))
+      val gate = new graft.ml.SoftDedupGate(labels, idxSigs)
+      // low drain shuffle on a CLONED session (q70's foreachBatch
+      // discipline); the gate accumulates edges per micro-batch
+      val scoped = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+        "spark.sql.shuffle.partitions" -> sys.props.getOrElse("graft.drain.shuffle", "8"))
+      locally {
+        val q = org.apache.spark.sql.GraftSqlBridge.onSession(scoped, batch).writeStream
+          .foreachBatch { (b: DataFrame, _: Long) => gate.ingest(b, "text", "doc_id") }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val db = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+      val allBatch = db.select((col("doc_id") + 600000L).as("doc_id"))
+        .unionAll(db.select((col("doc_id") + 700000L).as("doc_id")))
+        .unionAll(db.select((col("doc_id") + 800000L).as("doc_id")))
+        .unionAll(db.select((col("doc_id") + 900000L).as("doc_id")))
+      gate.weights(allBatch, "doc_id")
+        .select(col("id").as("new_id"),
+          (col("cluster_size") > 1).cast("int").as("matched"),
+          col("cluster_id"), col("cluster_size"), col("weight_u"))
+    }, Some {
+      s"""WITH $corpusCte,
+         |batch AS (SELECT doc_id + 600000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 700000 AS doc_id, text || ' dup dup dup dup' AS text
+         |    FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 800000 AS doc_id, reverse(text) AS text
+         |    FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 900000 AS doc_id, reverse(text) || ' qq zz qq zz' AS text
+         |    FROM documents WHERE doc_id % 10 = 0),
+         |ucorpus AS (SELECT doc_id, text FROM corpus
+         |  UNION ALL SELECT doc_id, text FROM batch),
+         |${shingleCte("ucorpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |${resolveGraphCtesN(8)},
+         |cs AS (SELECT label, count(*) AS csize FROM l8 GROUP BY label),
+         |ab AS (SELECT doc_id + 600000 AS new_id FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 700000 FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 800000 FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 900000 FROM documents WHERE doc_id % 10 = 0)
+         |SELECT ab.new_id,
+         |  CAST(CASE WHEN coalesce(cs.csize, 1) > 1 THEN 1 ELSE 0 END AS INT) AS matched,
+         |  CAST(coalesce(l8.label, ab.new_id) AS BIGINT) AS cluster_id,
+         |  CAST(coalesce(cs.csize, 1) AS BIGINT) AS cluster_size,
+         |  CAST(1000000 // coalesce(cs.csize, 1) AS BIGINT) AS weight_u
+         |FROM ab LEFT JOIN l8 ON ab.new_id = l8.id
+         |  LEFT JOIN cs ON l8.label = cs.label""".stripMargin
     }),
 
     Spec("q86_stream_cms_heavy_users", (spark, dir) => {

@@ -449,12 +449,32 @@ object Dedup {
                window: Int = 8, boundaryMod: Int = 32, minLen: Int = 16): DataFrame = {
     require(window >= 1 && boundaryMod >= 1 && minLen >= 1,
       s"cdcSpans: window/boundaryMod/minLen must be >= 1, got $window/$boundaryMod/$minLen")
+    val chunks = cdcChunkFrame(df, textCol, idCol, window, boundaryMod)
+      .filter(length(col("s")) >= minLen)
+    chunks.select(col("doc_id"), col("off"), md5(col("s")).as("span_md5"))
+      .groupBy(col("span_md5"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("off"))).as("k"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span_md5"), col("n_spans"), col("n_docs"),
+        col("k.doc_id").as("keep_doc"), col("k.off").as("keep_off"))
+  }
+
+  /** The content-defined chunk stream shared by [[cdcSpans]] and
+   *  [[cdcClean]]: (doc_id, off, s) — EVERY chunk, including ones shorter
+   *  than any dedup-eligibility floor (the cleaner must keep them to
+   *  reassemble the document losslessly; the reporter filters them out).
+   *  One typed pass per doc (JIT'd rolling hash) over the ASCII-filtered
+   *  normalized text — see [[cdcSpans]] for the boundary rule and its
+   *  determinism/parity argument. */
+  private def cdcChunkFrame(df: DataFrame, textCol: String, idCol: String,
+                            w: Int, b: Int): DataFrame = {
     val spark0 = df.sparkSession
     import spark0.implicits._
-    val (w, b, ml) = (window, boundaryMod, minLen)
     val M = 1000000007L
     val pows = Array.iterate(1L, w)(_ * 31L)
-    val chunks = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long"),
         regexp_replace(normText(col(textCol)), "[^ -~]", ""))
       .as[(Long, String)]
@@ -470,20 +490,54 @@ object Dedup {
           i += 1
         }
         if (cuts.last != n) cuts += n
-        cuts.iterator.sliding(2).withPartial(false).flatMap { p =>
-          val (a, c) = (p.head, p(1))
-          if (c - a >= ml) Iterator.single((id, (a + 1).toLong, t.substring(a, c)))
-          else Iterator.empty
+        cuts.iterator.sliding(2).withPartial(false).map { p =>
+          (id, (p.head + 1).toLong, t.substring(p.head, p(1)))
         }
       }.toDF("doc_id", "off", "s")
-    chunks.select(col("doc_id"), col("off"), md5(col("s")).as("span_md5"))
-      .groupBy(col("span_md5"))
-      .agg(count(lit(1)).as("n_spans"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(struct(col("doc_id"), col("off"))).as("k"))
-      .filter(col("n_docs") >= 2)
-      .select(col("span_md5"), col("n_spans"), col("n_docs"),
-        col("k.doc_id").as("keep_doc"), col("k.off").as("keep_off"))
+  }
+
+  /**
+   * CDC-chunk document CLEANING (d27) — the transform counterpart to
+   * [[cdcSpans]]' report, and [[chunkDedup]]'s content-defined twin:
+   * every dedup-eligible chunk (length >= `minLen`) keeps only its FIRST
+   * occurrence in (doc_id, off) order across the corpus; later
+   * occurrences are removed and each document is reassembled from its
+   * surviving chunks in original order. Because boundaries are
+   * content-defined, a passage copied at ANY offset dedups away (the
+   * C4/CCNet removal pass [[duplicateSpans]]' stride can provably miss
+   * — see [[cdcSpans]]); chunks below `minLen` are never candidates but
+   * ALWAYS survive, so reassembly loses nothing it didn't dedup.
+   *
+   * Output: (id, n_chunks, n_kept, dedup_text) — [[chunkDedup]]'s shape;
+   * `dedup_text` is the surviving chunks joined WITHOUT separators (CDC
+   * chunks are contiguous substrings), '' when every chunk was a repeat.
+   *
+   * Scale shape: ONE typed rolling-hash pass (persisted — ranked
+   * first-occurrence pass and per-doc totals both read it), a
+   * first-occurrence rank keyed on the constant-width md5 digest (never
+   * the chunk text — [[exact]]'s digest-key trade), and a doc-keyed
+   * reassembly. Nothing corpus-quadratic.
+   */
+  def cdcClean(df: DataFrame, textCol: String, idCol: String,
+               window: Int = 8, boundaryMod: Int = 32, minLen: Int = 16): DataFrame = {
+    require(window >= 1 && boundaryMod >= 1 && minLen >= 1,
+      s"cdcClean: window/boundaryMod/minLen must be >= 1, got $window/$boundaryMod/$minLen")
+    val chunks = cdcChunkFrame(df, textCol, idCol, window, boundaryMod).persist()
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("s"))).orderBy(col("doc_id"), col("off"))
+    val keptElig = chunks.filter(length(col("s")) >= minLen)
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1).drop("rn")
+    val kept = keptElig.unionAll(chunks.filter(length(col("s")) < minLen))
+    val asm = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("", transform(array_sort(collect_list(struct(col("off"), col("s")))),
+          x => x.getField("s"))).as("dedup_text"))
+    val totals = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    totals.join(asm, Seq("doc_id"), "left")
+      .select(col("doc_id").as("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
   /**
@@ -580,6 +634,21 @@ object Dedup {
         .localCheckpoint(false)
     }
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Broadcast `df` only when a bounded limit+count probe proves it holds
+   *  at most `maxRows` rows — the guard every INGEST-SHAPED broadcast
+   *  must ride (the post-drain weight joins of the streaming gates, any
+   *  batch-derived frame pinned against a corpus-sized side): a batch is
+   *  *usually* tiny, but at real ingest scale an unconditional
+   *  `broadcast()` of a large batch OOMs the driver. Over the bound the
+   *  frame returns un-hinted and the join planner falls back to a
+   *  shuffle join — result-identical (UtilsSpec pins both halves). Pass
+   *  0 to never broadcast. Same bound semantics as [[lshMatches]]'
+   *  `broadcastBatchMaxRows`. */
+  def maybeBroadcast(df: DataFrame, maxRows: Long = 1L << 18): DataFrame = {
+    val probe = math.min(maxRows, (Int.MaxValue - 1).toLong).toInt
+    if (maxRows > 0 && df.limit(probe + 1).count() <= maxRows) broadcast(df) else df
   }
 
   /** Keep-list from candidate pairs: every id in a duplicate cluster mapped
@@ -975,4 +1044,79 @@ object Dedup {
       .select(col("id"), col("cluster"),
         coalesce(col("d"), lit(0)).cast("int").as("is_dup"))
   }
+}
+
+/**
+ * Streaming soft-dedup INGEST GATE with within-stream linking (q115) —
+ * the foreachBatch companion of [[Dedup.resolveUpdate]], closing the one
+ * blindness of the stream-static gate shape (q114): two stream documents
+ * duplicating EACH OTHER with no index counterpart. Each micro-batch is
+ * matched three ways, all at batch-neighborhood cost:
+ *
+ *  1. against the prebuilt index signatures — [[Dedup.lshMatches]]' one-
+ *     sided join (never index×index);
+ *  2. against the retained signatures of every PREVIOUS micro-batch —
+ *     the cross-batch leg (a dup pair split across micro-batches still
+ *     links);
+ *  3. against itself — [[Dedup.lshCandidatePairs]] over the batch alone,
+ *     the batch-internal leg.
+ *
+ * Post-drain, the accumulated edges fold into the persisted resolution
+ * via [[Dedup.resolveUpdateFromEdges]], so the assigned weights are
+ * EXACTLY what the next d26 maintenance pass would assign — the q115
+ * oracle re-resolves the whole union corpus and hash-matches them.
+ *
+ * Scale shape: per-batch frames are localCheckpointed (lineage
+ * truncation — the iterative-accumulation discipline of
+ * [[Dedup.clusterLabels]]); parts accumulate as a LIST of materialized
+ * frames unioned lazily, never re-checkpointing old parts. Batch-side
+ * broadcasts ride [[Dedup.lshMatches]]' measured row-bound pin
+ * (`broadcastBatchMaxRows` — over the bound, shuffle joins). The
+ * retained-leg cost grows with the stream's history; a long-lived
+ * production gate periodically folds (resolve-update) and re-bases the
+ * retained store into the index instead.
+ */
+final class SoftDedupGate(labels: DataFrame, indexSigs: DataFrame,
+    numHashes: Int = 8, shingleLen: Int = 3, bands: Int = 4,
+    minEstJaccard: Double = 0.5, iterations: Int = 8,
+    broadcastBatchMaxRows: Long = 1L << 18) extends Serializable {
+  import org.apache.spark.sql.functions.col
+  // appended by the stream-execution thread inside foreachBatch, read by
+  // the caller after awaitTermination; all access synchronized
+  private var edgeParts: List[DataFrame] = Nil
+  private var sigParts: List[DataFrame] = Nil
+
+  /** foreachBatch body: fold one (idCol, textCol) micro-batch in. */
+  def ingest(batch: DataFrame, textCol: String, idCol: String): Unit = synchronized {
+    val sigs = Dedup.minHashSignatures(batch, textCol, idCol, numHashes, shingleLen)
+      .localCheckpoint(true)
+    val vsIndex = Dedup.lshMatches(sigs, indexSigs, numHashes, bands,
+        minEstJaccard, broadcastBatchMaxRows)
+      .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
+    val vsPrev = sigParts.reduceOption(_ unionAll _).map { prev =>
+      Dedup.lshMatches(sigs, prev, numHashes, bands,
+          minEstJaccard, broadcastBatchMaxRows)
+        .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
+    }
+    val vsSelf = Dedup.lshCandidatePairs(sigs, numHashes, bands, minEstJaccard)
+      .select(col("id_a"), col("id_b"))
+    edgeParts ::= (Seq(vsIndex, vsSelf) ++ vsPrev).reduce(_ unionAll _)
+      .localCheckpoint(true)
+    sigParts ::= sigs
+  }
+
+  /** Post-drain: the updated resolution label frame — what writing the
+   *  next artifact (d26's maintenance pass) would persist. */
+  def updatedLabels(): DataFrame = synchronized {
+    edgeParts.reduceOption(_ unionAll _) match {
+      case Some(edges) => Dedup.resolveUpdateFromEdges(labels, edges, iterations)
+      case None => labels.select(col("id"), col("keep_id"),
+        (col("id") =!= col("keep_id")).as("is_duplicate"))
+    }
+  }
+
+  /** Post-drain ppm sampling weights for `ids` (d24's shape over the
+   *  updated resolution): (id, cluster_id, cluster_size, weight_u). */
+  def weights(ids: DataFrame, idCol: String): DataFrame =
+    Dedup.softDedupWeights(updatedLabels(), ids, idCol)
 }

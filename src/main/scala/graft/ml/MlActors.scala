@@ -93,7 +93,7 @@ class DedupActor extends Actor {
       require(Seq("exact", "minhash-lsh", "simhash", "resolve", "resolve-pairs",
         "semdedup", "incremental", "index-build", "bloom-build", "decontaminate",
         "chunk", "spans", "resolve-build", "resolve-load", "report", "soft",
-        "cdc-spans", "resolve-update").contains(m),
+        "cdc-spans", "cdc-clean", "resolve-update").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
@@ -205,6 +205,10 @@ class DedupActor extends Actor {
         // content-defined chunk boundaries (rolling hash) — catches
         // offset-shifted copies the stride-aligned `spans` misses
         Dedup.cdcSpans(df, textCol, idCol, cdcWindow, cdcBoundaryMod, cdcMinLen)
+      case "cdc-clean" =>
+        // the cleaned corpus for cdc-spans' report: strip every non-first
+        // occurrence of a dedup-eligible CDC chunk and reassemble docs
+        Dedup.cdcClean(df, textCol, idCol, cdcWindow, cdcBoundaryMod, cdcMinLen)
       case "resolve-build" =>
         // the persistable resolution ARTIFACT: the resolve label frame +
         // the corpus fingerprint stamped per row. Write it once; report/
@@ -362,6 +366,7 @@ class SimilaritySearchActor extends Actor {
         "ivf-centroids", "ivf-assign", "ivf-probe", "ivf-probe-stateless",
         "ivf-rebalance", "ivf-rebalance-centroids", "ivf-health",
         "ivf-merge", "ivf-merge-centroids",
+        "ivf-maintain", "ivf-maintain-centroids",
         "hard-negatives", "hard-negatives-ivf", "mmr",
         "centroid-drift").contains(m),
         s"SimilaritySearchActor: bad method $m")
@@ -483,9 +488,26 @@ class SimilaritySearchActor extends Actor {
           ctx.getView(assignView), splitNum, splitDenom)._1
       // the monitoring census: per-cell population/share + the hot flag
       // under the SAME threshold ivf-rebalance splits on, and the
-      // starved flag under the SAME threshold ivf-merge dissolves on
+      // starved flag under the SAME threshold ivf-merge dissolves on.
+      // With the centroid view set the census is centroid-complete
+      // (zero-population cells report starved); without it the census
+      // can only see cells that appear in the assignments.
+      case "ivf-health" if centroidsView.nonEmpty =>
+        Similarity.ivfHealth(ctx.getView(centroidsView), ctx.getView(assignView),
+          splitNum, splitDenom, mergeDenom)
       case "ivf-health" =>
         Similarity.ivfHealth(ctx.getView(assignView), splitNum, splitDenom, mergeDenom)
+      // the composed maintenance pass: ONE centroid-complete census →
+      // dissolve starved cells → split hot cells (flags under exactly
+      // ivf-health's thresholds). `ivf-maintain` emits the new
+      // assignments (crank, parent_crank, id, v, vv),
+      // `ivf-maintain-centroids` the matching centroid frame
+      case "ivf-maintain" =>
+        Similarity.ivfMaintain(ctx.getView(centroidsView),
+          ctx.getView(assignView), splitNum, splitDenom, mergeDenom)._2
+      case "ivf-maintain-centroids" =>
+        Similarity.ivfMaintain(ctx.getView(centroidsView),
+          ctx.getView(assignView), splitNum, splitDenom, mergeDenom)._1
       // the other half of maintenance: dissolve cells < mean/mergeDenom
       // into their nearest SURVIVING centroid — only the starved rows
       // re-rank; untouched cells are never renumbered. `ivf-merge`

@@ -655,7 +655,7 @@ object Similarity {
                    splitNum: Int = 3, splitDenom: Int = 2): (DataFrame, DataFrame) = {
     require(splitNum > 0 && splitDenom > 0 && splitNum >= splitDenom,
       s"ivfRebalance: split factor $splitNum/$splitDenom must be >= 1")
-    val sizes = assignments.groupBy(col("crank")).agg(count(lit(1)).as("n"))
+    val sizes = cellCensus(centroids, assignments)
     val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"),
       max(col("crank")).as("mx"))
     // crossJoin allowlisted: 1-row totals frame (the reviewed broadcast
@@ -666,7 +666,35 @@ object Similarity {
       .filter(col("n") * col("kc") * lit(splitDenom.toLong) >
         col("t") * lit(splitNum.toLong))
       .select(col("crank"), col("mx"))
-    val splitRows = assignments.join(broadcast(splitIds.select(col("crank"))), Seq("crank"))
+    splitCells(centroids,
+      assignments.select(col("crank"), col("crank").as("parent_crank"),
+        col("id"), col("v"), col("vv")),
+      splitIds)
+  }
+
+  /** Centroid-complete per-cell census (crank, n) — the one sizing frame
+   *  every maintenance decision reads. LEFT-joining the centroid frame to
+   *  the assignment counts (missing count ⇒ 0) is what lets a cell with
+   *  ZERO assigned rows — the most-starved cell possible, invisible to a
+   *  pure groupBy over assignments — be flagged and dissolved; it also
+   *  pins `kc` (and hence the mean) to the centroid count for loaded or
+   *  hand-built indexes. Both frames are ≤K rows — the join is a tiny
+   *  broadcast lookup, never a corpus pass. */
+  private def cellCensus(centroids: DataFrame, assignments: DataFrame): DataFrame =
+    centroids.select(col("crank"))
+      .join(assignments.groupBy(col("crank")).agg(count(lit(1)).as("__n0_")),
+        Seq("crank"), "left")
+      .select(col("crank"), coalesce(col("__n0_"), lit(0L)).as("n"))
+
+  /** The split stage shared by [[ivfRebalance]] and [[ivfMaintain]]:
+   *  split each `splitIds` cell (crank, mx) of `assign` — which already
+   *  carries a `parent_crank` lineage column, preserved through the move
+   *  so a row absorbed by a merge and then split out again still reports
+   *  its pre-maintenance cell — and return (newCentroids, newAssignments)
+   *  under [[ivfRebalance]]'s exact contracts. */
+  private def splitCells(centroids: DataFrame, assign: DataFrame,
+                         splitIds: DataFrame): (DataFrame, DataFrame) = {
+    val splitRows = assign.join(broadcast(splitIds.select(col("crank"))), Seq("crank"))
       .withColumn("h", Hashing.oracleHash(col("id").cast("string")))
     // two smallest-(h, id) members per split cell via min_by — partial-agg
     // friendly, no per-cell window
@@ -692,10 +720,10 @@ object Similarity {
       .join(broadcast(splitIds.select(col("crank"), col("mx"))), Seq("crank"))
       .select(
         when(col("srank") === 1, col("crank")).otherwise(col("mx") + col("crank")).as("crank"),
-        col("crank").as("parent_crank"), col("id"), col("v"), col("vv"))
-    val untouched = assignments
+        col("parent_crank"), col("id"), col("v"), col("vv"))
+    val untouched = assign
       .join(broadcast(splitIds.select(col("crank"))), Seq("crank"), "left_anti")
-      .select(col("crank"), col("crank").as("parent_crank"), col("id"), col("v"), col("vv"))
+      .select(col("crank"), col("parent_crank"), col("id"), col("v"), col("vv"))
     val newAssign = untouched.unionAll(moved)
     val keptCents = centroids
       .join(broadcast(splitIds.select(col("crank"))), Seq("crank"), "left_anti")
@@ -728,25 +756,42 @@ object Similarity {
    *
    * Scale shape: one cell-keyed count over the assignments (partial-agg,
    * ≤K rows out) + a 1-row totals broadcast. Never touches vectors.
+   *
+   * The census is CENTROID-COMPLETE ([[cellCensus]]): a cell with zero
+   * assigned rows — invisible to a pure count over the assignments —
+   * reports n_vectors = 0, starved = 1, exactly the cell [[ivfMerge]]
+   * must dissolve first.
    */
-  def ivfHealth(assignments: DataFrame, splitNum: Int = 3,
-                splitDenom: Int = 2, mergeDenom: Int = 4): DataFrame = {
+  def ivfHealth(centroids: DataFrame, assignments: DataFrame, splitNum: Int = 3,
+                splitDenom: Int = 2, mergeDenom: Int = 4): DataFrame =
+    healthFrom(cellCensus(centroids, assignments), splitNum, splitDenom, mergeDenom)
+
+  /** Assignment-only census variant — for callers without the centroid
+   *  frame at hand. CANNOT see empty cells (a centroid with zero assigned
+   *  rows never appears in the assignments), so prefer the
+   *  centroid-complete overload wherever the centroid frame exists. */
+  def ivfHealth(assignments: DataFrame, splitNum: Int,
+                splitDenom: Int, mergeDenom: Int): DataFrame =
+    healthFrom(assignments.groupBy(col("crank")).agg(count(lit(1)).as("n")),
+      splitNum, splitDenom, mergeDenom)
+
+  private def healthFrom(sizes: DataFrame, splitNum: Int,
+                         splitDenom: Int, mergeDenom: Int): DataFrame = {
     require(splitNum > 0 && splitDenom > 0 && splitNum >= splitDenom,
       s"ivfHealth: split factor $splitNum/$splitDenom must be >= 1")
     require(mergeDenom >= 1, s"ivfHealth: mergeDenom must be >= 1, got $mergeDenom")
-    val sizes = assignments.groupBy(col("crank")).agg(count(lit(1)).as("n_vectors"))
-    val tot = sizes.agg(sum(col("n_vectors")).as("t"), count(lit(1)).as("kc"))
+    val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"))
     // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
     sizes.crossJoin(broadcast(tot))
-      .select(col("crank"), col("n_vectors"),
-        expr("CAST((1000000 * CAST(n_vectors AS DECIMAL(38,0))) div t AS BIGINT)")
+      .select(col("crank"), col("n").as("n_vectors"),
+        expr("CAST((1000000 * CAST(n AS DECIMAL(38,0))) div t AS BIGINT)")
           .as("share_ppm"),
-        (col("n_vectors") * col("kc") * lit(splitDenom.toLong) >
+        (col("n") * col("kc") * lit(splitDenom.toLong) >
           col("t") * lit(splitNum.toLong)).cast("int").as("hot"),
         // the merge threshold under the SAME census (integer test:
         // n·kc·mergeDenom < t ⟺ n < mean/mergeDenom), so the monitor's
         // starved flag and [[ivfMerge]] can never disagree either
-        (col("n_vectors") * col("kc") * lit(mergeDenom.toLong) < col("t"))
+        (col("n") * col("kc") * lit(mergeDenom.toLong) < col("t"))
           .cast("int").as("starved"))
   }
 
@@ -781,12 +826,21 @@ object Similarity {
   def ivfMerge(centroids: DataFrame, assignments: DataFrame,
                mergeDenom: Int = 4): (DataFrame, DataFrame) = {
     require(mergeDenom >= 1, s"ivfMerge: mergeDenom must be >= 1, got $mergeDenom")
-    val sizes = assignments.groupBy(col("crank")).agg(count(lit(1)).as("n"))
+    val sizes = cellCensus(centroids, assignments)
     val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"))
     // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
     val starved = sizes.crossJoin(broadcast(tot))
       .filter(col("n") * col("kc") * lit(mergeDenom.toLong) < col("t"))
       .select(col("crank"))
+    mergeCells(centroids, assignments, starved)
+  }
+
+  /** The merge stage shared by [[ivfMerge]] and [[ivfMaintain]]: dissolve
+   *  the `starved` cells of `assignments` (crank, id, v, vv) into their
+   *  nearest surviving centroid and return (survivingCentroids,
+   *  newAssignments) under [[ivfMerge]]'s exact contracts. */
+  private def mergeCells(centroids: DataFrame, assignments: DataFrame,
+                         starved: DataFrame): (DataFrame, DataFrame) = {
     val survivors = centroids.join(broadcast(starved), Seq("crank"), "left_anti")
       .select(col("crank"), col("cv"), col("cc"))
     val srows = assignments.join(broadcast(starved), Seq("crank"))
@@ -800,6 +854,52 @@ object Similarity {
     val untouched = assignments.join(broadcast(starved), Seq("crank"), "left_anti")
       .select(col("crank"), col("crank").as("parent_crank"), col("id"), col("v"), col("vv"))
     (survivors, untouched.unionAll(moved))
+  }
+
+  /**
+   * COMPOSED index-maintenance pass (s19) — the one stage a real
+   * maintenance loop runs after ingest: from a SINGLE centroid-complete
+   * census (the same frame, thresholds, and integer tests as
+   * [[ivfHealth]]'s `hot`/`starved` flags, so the monitor's alert and
+   * this pass can never disagree), dissolve the starved cells into their
+   * nearest surviving centroid ([[ivfMerge]]'s stage), then split the
+   * hot cells of the POST-MERGE assignments ([[ivfRebalance]]'s stage).
+   * Both flag sets come from the pre-maintenance census — a survivor
+   * pushed over the hot line by absorbed rows is next cycle's work, not
+   * a surprise this cycle — and hot/starved are provably disjoint for
+   * any legal thresholds, so the two stages never fight over a cell.
+   *
+   * `parent_crank` reports each row's PRE-maintenance cell through both
+   * stages (a row absorbed from a starved cell and then split out of its
+   * absorbing cell still reports the starved origin).
+   *
+   * Idempotence (MlSpec-pinned): on a balanced index both flag sets are
+   * empty and the pass is an exact no-op — assignments pass through
+   * byte-identical and probes against the output equal probes against
+   * the input. Returns (newCentroids (crank, cv, cc), newAssignments
+   * (crank, parent_crank, id, v, vv)) — the contracts [[ivfProbe]] /
+   * [[ivfProbeStateless]] consume.
+   */
+  def ivfMaintain(centroids: DataFrame, assignments: DataFrame,
+                  splitNum: Int = 3, splitDenom: Int = 2,
+                  mergeDenom: Int = 4): (DataFrame, DataFrame) = {
+    require(splitNum > 0 && splitDenom > 0 && splitNum >= splitDenom,
+      s"ivfMaintain: split factor $splitNum/$splitDenom must be >= 1")
+    require(mergeDenom >= 1, s"ivfMaintain: mergeDenom must be >= 1, got $mergeDenom")
+    val sizes = cellCensus(centroids, assignments)
+    val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"),
+      max(col("crank")).as("mx"))
+    // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
+    val flagged = sizes.crossJoin(broadcast(tot))
+    val starved = flagged
+      .filter(col("n") * col("kc") * lit(mergeDenom.toLong) < col("t"))
+      .select(col("crank"))
+    val splitIds = flagged
+      .filter(col("n") * col("kc") * lit(splitDenom.toLong) >
+        col("t") * lit(splitNum.toLong))
+      .select(col("crank"), col("mx"))
+    val (survCents, mergedAsg) = mergeCells(centroids, assignments, starved)
+    splitCells(survCents, mergedAsg, splitIds)
   }
 
   /**

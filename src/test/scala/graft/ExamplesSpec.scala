@@ -445,20 +445,16 @@ class ExamplesSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     viaPipeline shouldBe viaCatalog
     // the ingest is hash-uniform, so the health census flags nothing
-    // and the maintenance rebalance must be an exact no-op: the probe
-    // against the rebalanced index returns the identical neighbor set
+    // and the composed maintenance pass (merge starved + split hot off
+    // the SAME census) must be an exact no-op: the probe against the
+    // maintained index returns the identical neighbor set
     val health = spark.read.parquet(s"$out/index_health")
     health.count() shouldBe 16L
     health.filter("hot = 1").count() shouldBe 0L
     health.filter("starved = 1").count() shouldBe 0L
-    val viaRebalanced = spark.read.parquet(s"$out/neighbors_rb").collect()
+    val viaMaintained = spark.read.parquet(s"$out/neighbors_mt").collect()
       .map(_.toString).toSet
-    viaRebalanced shouldBe viaCatalog
-    // ... and so must the merge (census shows no starved cell): probe
-    // against the merged index returns the identical neighbor set too
-    val viaMerged = spark.read.parquet(s"$out/neighbors_mg").collect()
-      .map(_.toString).toSet
-    viaMerged shouldBe viaCatalog
+    viaMaintained shouldBe viaCatalog
   }
 
   test("stream_quality_gate.yaml: offline per-source thresholds gate the stream exactly like q113") {

@@ -615,6 +615,220 @@ class MlSpec extends SparkSpec {
     newAsg.count() shouldBe asg.count()
   }
 
+  test("ivf census sees empty cells: health flags and merge dissolves a zero-population centroid") {
+    implicit val s = spark
+    import s.implicits._
+    // a hand-built index (the loaded-from-parquet shape): centroid 4 owns
+    // no rows at all — invisible to a census over the assignments, which
+    // is exactly why the census is centroid-complete
+    val corpus = ((1L to 4L).map(i => (i, Seq(i * 0.01, 0.0))) ++
+      (11L to 14L).map(i => (i, Seq(10.0 + (i - 10) * 0.01, 10.0))) ++
+      (21L to 24L).map(i => (i, Seq(20.0 + (i - 20) * 0.01, 20.0)))).toDF("vec_id", "v")
+    val cents = Seq((1, Seq(0.0, 0.0)), (2, Seq(10.0, 10.0)),
+      (3, Seq(20.0, 20.0)), (4, Seq(1000.0, 1000.0))).toDF("crank", "cv")
+      .withColumn("cc", Similarity.dot(col("cv"), col("cv")))
+    val asg = Similarity.ivfAssignments(corpus, cents, "vec_id", "v")
+    asg.filter(col("crank") === 4).count() shouldBe 0L
+    // centroid-complete health: the empty cell reports n=0, starved=1
+    val health = Similarity.ivfHealth(cents, asg, 3, 2, 4).collect()
+      .map(r => (r.getAs[Int]("crank"),
+        (r.getAs[Long]("n_vectors"), r.getAs[Int]("starved"), r.getAs[Int]("hot")))).toMap
+    health(4) shouldBe ((0L, 1, 0))
+    Seq(1, 2, 3).foreach(c => health(c) shouldBe ((4L, 0, 0)))
+    // the assignment-only variant cannot see it (documented contrast)
+    Similarity.ivfHealth(asg, 3, 2, 4).collect().map(_.getAs[Int]("crank"))
+      .toSet shouldBe Set(1, 2, 3)
+    // merge dissolves the empty cell; the populated cells pass through
+    val (survCents, merged) = Similarity.ivfMerge(cents, asg, 4)
+    survCents.select("crank").collect().map(_.getInt(0)).toSet shouldBe Set(1, 2, 3)
+    merged.filter(col("parent_crank") =!= col("crank")).count() shouldBe 0L
+    merged.collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet shouldBe
+      asg.collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet
+  }
+
+  test("ivf maintain: exact no-op on a balanced index, probes byte-identical") {
+    implicit val s = spark
+    import s.implicits._
+    val corpus = ((1L to 4L).map(i => (i, Seq(i * 0.01, 0.0))) ++
+      (11L to 14L).map(i => (i, Seq(10.0 + (i - 10) * 0.01, 10.0))) ++
+      (21L to 24L).map(i => (i, Seq(20.0 + (i - 20) * 0.01, 20.0)))).toDF("vec_id", "v")
+    val cents = Seq((1, Seq(0.0, 0.0)), (2, Seq(10.0, 10.0)),
+      (3, Seq(20.0, 20.0))).toDF("crank", "cv")
+      .withColumn("cc", Similarity.dot(col("cv"), col("cv")))
+    val asg = Similarity.ivfAssignments(corpus, cents, "vec_id", "v")
+    val (newCents, newAsg) = Similarity.ivfMaintain(cents, asg, 3, 2, 4)
+    // assignments pass through exactly; nothing moved, nothing renumbered
+    newAsg.filter(col("parent_crank") =!= col("crank")).count() shouldBe 0L
+    newAsg.collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet shouldBe
+      asg.collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet
+    newCents.select("crank").collect().map(_.getInt(0)).toSet shouldBe Set(1, 2, 3)
+    // probes against the maintained index are byte-identical to probes
+    // against the input index
+    def probe(c: org.apache.spark.sql.DataFrame, a: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfProbe(corpus.filter(col("vec_id") % 2 === 0),
+          c, a.select("crank", "id", "v", "vv"), "vec_id", "v", 3, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    probe(newCents, newAsg) shouldBe probe(cents, asg)
+  }
+
+  test("ivf maintain: one census drives merge + split; parent_crank reports pre-maintenance cells") {
+    implicit val s = spark
+    import s.implicits._
+    // cell 1 hot (12 rows in two sub-blobs), cells 2/3 normal, cell 4
+    // starved (1 far-away row whose nearest survivor is cell 3):
+    // t=19, kc=4 → hot iff n > 7.125 (only cell 1), starved iff
+    // n < 1.1875 (only cell 4) — both flags from the ONE census
+    val corpus = ((101L to 106L).map(i => (i, Seq((i - 101) * 0.01, 0.0))) ++
+      (107L to 112L).map(i => (i, Seq(3.0 + (i - 107) * 0.01, 0.0))) ++
+      (201L to 203L).map(i => (i, Seq(100.0 + (i - 200) * 0.01, 0.0))) ++
+      (301L to 303L).map(i => (i, Seq(200.0 + (i - 300) * 0.01, 0.0))) ++
+      Seq((401L, Seq(300.0, 0.0)))).toDF("vec_id", "v")
+    val cents = Seq((1, Seq(0.0, 0.0)), (2, Seq(100.0, 0.0)),
+      (3, Seq(200.0, 0.0)), (4, Seq(300.0, 0.0))).toDF("crank", "cv")
+      .withColumn("cc", Similarity.dot(col("cv"), col("cv")))
+    val asg = Similarity.ivfAssignments(corpus, cents, "vec_id", "v")
+    asg.groupBy("crank").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap shouldBe
+      Map(1 -> 12L, 2 -> 3L, 3 -> 3L, 4 -> 1L)
+    // maintenance flags match the monitor's exactly
+    val flags = Similarity.ivfHealth(cents, asg, 3, 2, 4).collect()
+      .map(r => (r.getAs[Int]("crank"), (r.getAs[Int]("hot"), r.getAs[Int]("starved")))).toMap
+    flags.filter(_._2._1 == 1).keySet shouldBe Set(1)
+    flags.filter(_._2._2 == 1).keySet shouldBe Set(4)
+    val (newCents, newAsg) = Similarity.ivfMaintain(cents, asg, 3, 2, 4)
+    val cells = newAsg.collect().map(r =>
+      (r.getAs[Int]("crank"), r.getAs[Int]("parent_crank"), r.getAs[Long]("id")))
+    // pure repartition
+    cells.length shouldBe 19
+    cells.map(_._3).toSet shouldBe asg.collect().map(_.getAs[Long]("id")).toSet
+    // the starved cell dissolved: its row absorbed by its nearest
+    // survivor (cell 3), audit-marked with the pre-maintenance cell
+    newCents.select("crank").collect().map(_.getInt(0)).toSet shouldBe Set(1, 2, 3, 5)
+    cells.filter(_._2 == 4) shouldBe Array((3, 4, 401L))
+    // the hot cell split in two (fresh id = mx + parent = 4 + 1 = 5),
+    // both halves populated, membership preserved
+    val splitRows = cells.filter(_._2 == 1)
+    splitRows.map(_._3).toSet shouldBe (101L to 112L).toSet
+    splitRows.map(_._1).toSet shouldBe Set(1, 5)
+    // untouched cells byte-identical
+    cells.filter(c => c._2 == 2 || c._2 == 3).map(c => (c._1, c._3)).toSet shouldBe
+      Set((2, 201L), (2, 202L), (2, 203L), (3, 301L), (3, 302L), (3, 303L))
+  }
+
+  test("cdc clean: strips shifted duplicate chunks, reassembly edge cases (whole-doc-kept, all-dropped)") {
+    implicit val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "bravo", "carol", "delta", "echo",
+      "fox", "golf", "hotel", "india", "jazz")
+    def txt(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val quote = txt(80) // ~480 chars of shared content
+    val a = s"k $quote zz yy ${txt(3)}" // quote at offset 2
+    val b = s"${txt(2)} longer $quote ${txt(2)}" // same quote, shifted
+    val uniq = txt(40)
+    val docs = Seq((10L, a), (20L, b), (30L, uniq), (40L, a)).toDF("doc_id", "text")
+    def norm(t: String) = t.toLowerCase.replaceAll("\\s+", " ").replaceAll("[^ -~]", "")
+    val out = Dedup.cdcClean(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // whole-doc-kept: a unique doc reassembles losslessly (chunks joined
+    // with no separator give back the normalized text exactly)
+    out(30L)._3 shouldBe norm(uniq)
+    out(30L)._2 shouldBe out(30L)._1
+    // the first occurrence (smallest doc id) keeps its full text
+    out(10L)._3 shouldBe norm(a)
+    // the shifted copy loses the quote's interior chunks — content-
+    // defined boundaries align at ANY offset — but keeps its unique head
+    out(20L)._3.length.toLong should be < (norm(b).length - quote.length / 2).toLong
+    out(20L)._3 should startWith(norm(b).take(4))
+    out(20L)._2 should be < out(20L)._1
+    // all-dropped: with minLen=1 every chunk is a dedup candidate, so an
+    // exact copy (id 40, losing to id 10 on the (doc, off) order)
+    // reassembles to the empty string with n_kept = 0
+    val strict = Dedup.cdcClean(docs, "text", "doc_id", minLen = 1).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    strict(40L)._2 shouldBe 0L
+    strict(40L)._3 shouldBe ""
+    strict(40L)._1 should be > 0L
+  }
+
+  test("SoftDedupGate: batch-internal and cross-batch legs link stream-only duplicates") {
+    implicit val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val words = Vector("alpha", "bravo", "carol", "delta", "echo",
+      "fox", "golf", "hotel", "india", "jazz")
+    def txt(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = txt(60)
+    val index = Seq((1L, txt(50))).toDF("doc_id", "text")
+    val idxSigs = Dedup.minHashSignatures(index, "text", "doc_id")
+    val labels = Seq.empty[(Long, Long)].toDF("id", "keep_id")
+    val gate = new graft.ml.SoftDedupGate(labels, idxSigs)
+    // micro-batch 1: two stream docs duplicating EACH OTHER, no index
+    // counterpart — the batch-internal leg q114's stream-static shape
+    // cannot see
+    gate.ingest(Seq((100L, base), (101L, base + " dup dup")).toDF("doc_id", "text"),
+      "text", "doc_id")
+    // micro-batch 2: a third member arriving LATER — the cross-batch
+    // retained-signature leg
+    gate.ingest(Seq((102L, base + " zz yy")).toDF("doc_id", "text"), "text", "doc_id")
+    val w = gate.weights(Seq(100L, 101L, 102L, 999L).toDF("doc_id"), "doc_id")
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Seq(100L, 101L, 102L).foreach { id =>
+      w(id) shouldBe ((100L, 3L, 333333L))
+    }
+    // a doc outside every pair graph keeps full weight
+    w(999L) shouldBe ((999L, 1L, 1000000L))
+  }
+
+  test("maybeBroadcast: pins under the bound, shuffle-joins over it, results identical") {
+    implicit val s = spark
+    import s.implicits._
+    val small = (1L to 5L).map(i => (i, i * 10)).toDF("id", "v")
+    val big = (1L to 100L).map(i => (i, i)).toDF("id", "k")
+    // broadcast pinning must survive with auto-broadcast DISABLED (that
+    // is what the pin is for); un-hinted, the same join shuffle-joins
+    val scoped = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    def onScoped(df: org.apache.spark.sql.DataFrame) =
+      org.apache.spark.sql.GraftSqlBridge.onSession(scoped, df)
+    val under = onScoped(big).join(Dedup.maybeBroadcast(onScoped(small), 10), Seq("id"))
+    val over = onScoped(big).join(Dedup.maybeBroadcast(onScoped(small), 3), Seq("id"))
+    val a = under.collect().map(_.toString).sorted
+    val b = over.collect().map(_.toString).sorted
+    a shouldBe b
+    a.length shouldBe 5
+    under.queryExecution.executedPlan.toString should include("BroadcastHashJoin")
+    over.queryExecution.executedPlan.toString should not include "BroadcastHashJoin"
+  }
+
+  test("q115 links the index-less stream pair q114 leaves at full weight") {
+    implicit val s = spark
+    // q114 as-is: the reversed (+800000) docs have no index counterpart
+    // and the gate is blind to their stream twins — weight stays 1e6
+    val q114 = SparkEntry.queries("q114_stream_soft_dedup")(spark, sfDir).collect()
+    val rev114 = q114.filter(_.getAs[Long]("new_id") >= 800000L)
+    rev114 should not be empty
+    rev114.foreach(_.getAs[Long]("weight_u") shouldBe 1000000L)
+    // q115: the +900000 leg duplicates the +800000 twin within the
+    // stream — the batch-internal leg links them, so both get
+    // 1e6/csize despite never matching the index
+    val q115 = SparkEntry.queries("q115_stream_soft_dedup_linked")(spark, sfDir).collect()
+    val planted = q115.filter(_.getAs[Long]("new_id") >= 800000L)
+    planted should not be empty
+    // the batch-internal leg links the stream-only twins — a few SHORT
+    // docs legitimately miss (the appended marker dilutes their small
+    // shingle set below the est-jaccard floor; the oracle agrees), so
+    // the pin is "the vast majority link", not "all"
+    val linked = planted.filter(_.getAs[Int]("matched") == 1)
+    linked.length.toDouble should be >= 0.8 * planted.length
+    linked.foreach { r =>
+      r.getAs[Long]("cluster_size") should be >= 2L
+      r.getAs[Long]("weight_u") should be <= 500000L
+    }
+  }
+
   test("length drift: zero on identical snapshots, fires on a planted truncation") {
     implicit val s = spark
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -158,11 +158,15 @@ class PlanSpec extends SparkSpec {
       "s17_ivf_health",    // s3's post-limit(8) seed rank (the fixture's
                            // index build); the census itself is one
                            // keyed count + a totals broadcast
-      "s18_ivf_merge"      // s3's post-limit(8) seed rank (fixture index
+      "s18_ivf_merge",     // s3's post-limit(8) seed rank (fixture index
                            // build) only: the merge itself is WINDOW-FREE
                            // beyond ivfAssignments' per-id argmin rank —
                            // survivors are never renumbered, absorbed
                            // rows re-rank via the build path's own shape
+      "s19_ivf_maintain"   // s3's post-limit(8) seed rank (fixture index
+                           // build) only: the composed pass reuses s18's
+                           // merge + s15's split stages — per-id argmin
+                           // ranks, min_by sub-seeds, no new window
     )
     val offenders = Queries.all.filterNot(s => allowed(s.name)).flatMap { spec =>
       val plan = spec.run(spark, sfDir).queryExecution.optimizedPlan
@@ -306,6 +310,11 @@ class PlanSpec extends SparkSpec {
                            // centroid, 1-row sizes-totals frame); the
                            // starved-row selection and survivor re-rank
                            // joins are KEYED (broadcast ≤K-row sides)
+      "s19_ivf_maintain",  // s18's fixture crossJoins (1-row anchor,
+                           // 9-row centroid frame, 1-row census-totals
+                           // frame); both maintenance stages' row
+                           // selections and re-ranks are KEYED on the
+                           // cell id (broadcast ≤K-row sides)
       "t35_trained_lang_id" // langIdApply's zero-fill crossJoin vs the
                            // broadcast |langs|-row (5 here) distinct-
                            // language frame — every doc must compete in
