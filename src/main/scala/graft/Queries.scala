@@ -2849,6 +2849,72 @@ object Queries {
     Spec("c1_kmeans", c1, Some(c1Oracle)),
     Spec("d14_semdedup", d14, Some(d14Oracle)),
     Spec("d15_dedup_eval", d15, Some(d15Oracle)),
+
+    // d15's verify tier under a per-doc candidate BUDGET (the d15 sf1
+    // watch item's escape hatch): chance band collisions on a dense key
+    // space grow ~n²/2^bits, and the exact-jaccard verify join pays per
+    // candidate × per shingle — so production filters verify only the
+    // top-`cap` est-jaccard candidates per doc (Dedup.capCandidates, a
+    // TopKPairs aggregate — ≤ cap pairs/doc/task cross the exchange,
+    // never a per-doc rank window). Graded against the same injected
+    // truth: the budget must keep recall (the injected pair ranks top —
+    // its est dominates chance collisions) while extra_pairs collapses.
+    Spec("d28_dedup_eval_capped", (spark, dir) => {
+      val corpus = docCorpus(spark, dir)
+      val truth = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
+      val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
+      val sig = Dedup.signaturesFromShingles(sh)
+      val capped = Dedup.capCandidates(
+        Dedup.lshCandidatePairs(sig, minEstJaccard = 0.0), 4)
+      val jac = Dedup.ngramJaccard(capped.select(col("id_a"), col("id_b")), sh)
+        .filter(round(col("jaccard"), 6) >= 0.5).select(col("id_a"), col("id_b"))
+      val tagged = capped.select(col("id_a"), col("id_b"))
+          .withColumn("method", lit("capped_candidates"))
+        .unionAll(jac.withColumn("method", lit("capped_true_jaccard_05")))
+      tagged.join(broadcast(truth.withColumn("injected", lit(1))),
+          Seq("id_a", "id_b"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("detected_pairs"),
+          sum(coalesce(col("injected"), lit(0))).cast("long").as("detected_injected"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("injected_total"))))
+        .select(col("method"), col("injected_total"), col("detected_injected"),
+          expr("100L * detected_injected div injected_total").as("recall_pct"),
+          (col("detected_pairs") - col("detected_injected")).as("extra_pairs"))
+    }, Some {
+      s"""WITH $corpusCte,
+         |${shingleCte("corpus")},
+         |$sigCte,
+         |$bandedCte,
+         |$candCte,
+         |ce AS (SELECT c.id_a, c.id_b, ($estExpr) AS m
+         |  FROM cand c JOIN sig sa ON c.id_a = sa.doc_id JOIN sig sb ON c.id_b = sb.doc_id),
+         |capped AS (SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a ORDER BY m DESC, id_b) AS rn
+         |    FROM ce) WHERE rn <= 4),
+         |counts AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS ni
+         |  FROM capped c JOIN shing sa ON c.id_a = sa.doc_id
+         |  JOIN shing sb ON c.id_b = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY c.id_a, c.id_b),
+         |jac AS (SELECT c.id_a, c.id_b
+         |  FROM capped c JOIN counts ca ON c.id_a = ca.doc_id JOIN counts cb ON c.id_b = cb.doc_id
+         |  LEFT JOIN inter ON c.id_a = inter.id_a AND c.id_b = inter.id_b
+         |  WHERE round(coalesce(ni, 0)::double / (ca.n + cb.n - coalesce(ni, 0)), 6) >= 0.5),
+         |truth AS (SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM documents WHERE doc_id % 5 = 0),
+         |tagged AS (SELECT 'capped_candidates' AS method, id_a, id_b FROM capped
+         |  UNION ALL SELECT 'capped_true_jaccard_05', id_a, id_b FROM jac),
+         |tt AS (SELECT count(*) AS injected_total FROM truth),
+         |agg AS (SELECT method, count(*) AS detected_pairs,
+         |  SUM(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END) AS detected_injected
+         |  FROM tagged LEFT JOIN truth t USING (id_a, id_b) GROUP BY method)
+         |SELECT method, CAST(injected_total AS BIGINT) AS injected_total,
+         |  CAST(detected_injected AS BIGINT) AS detected_injected,
+         |  CAST(100 * detected_injected // injected_total AS BIGINT) AS recall_pct,
+         |  CAST(detected_pairs - detected_injected AS BIGINT) AS extra_pairs
+         |FROM agg, tt""".stripMargin
+    }),
     Spec("d16_incremental_dedup", d16, Some(d16Oracle)),
 
     // C4/CCNet-style paragraph dedup, run over the planted-copy corpus:

@@ -540,6 +540,28 @@ object Dedup {
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
   }
 
+  /** Bound the exact-verify volume: keep at most `cap` candidates per
+   *  `id_a`, ranked by estimated jaccard (desc, tie: smallest id_b) —
+   *  the LSH→verify budget device. Chance band collisions grow with
+   *  corpus density (~n²/2^bits per band on a dense key space), and the
+   *  exact-jaccard verify join pays per candidate × per shingle;
+   *  production filters verify a bounded best-candidate set per doc
+   *  instead. Requires an `est_jaccard` column ([[lshCandidatePairs]]'
+   *  output). The rank is a [[graft.functions.SketchAggregates.TopKPairs]]
+   *  aggregate — ≤ cap pairs per doc per task cross the exchange, never
+   *  a rank window over an unbounded per-doc candidate list. est values
+   *  are exact multiples of 1/numHashes, so the ×1e6 long ordering is
+   *  exact and the (est desc, id_b asc) tie-break is engine-mirrorable. */
+  def capCandidates(pairs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"capCandidates: cap must be >= 1, got $cap")
+    pairs.groupBy(col("id_a"))
+      .agg(graft.functions.SketchAggregates.topKPairs(
+        (col("est_jaccard") * 1000000).cast("long"), col("id_b"), cap).as("tk"))
+      .select(col("id_a"), explode(col("tk")).as("p"))
+      .select(col("id_a"), col("p.id").as("id_b"),
+        (col("p.v").cast("double") / 1000000).as("est_jaccard"))
+  }
+
   /**
    * Exact n-gram Jaccard similarity for given candidate pairs:
    * |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)|.

@@ -655,7 +655,13 @@ object Similarity {
                    splitNum: Int = 3, splitDenom: Int = 2): (DataFrame, DataFrame) = {
     require(splitNum > 0 && splitDenom > 0 && splitNum >= splitDenom,
       s"ivfRebalance: split factor $splitNum/$splitDenom must be >= 1")
-    val sizes = cellCensus(centroids, assignments)
+    // persisted: the census, the split-row selection, and the untouched
+    // anti-join each consume this frame — without the cache every
+    // consumer re-executes the whole upstream assignment (plan-keyed;
+    // bit-identical; loaded-from-parquet indexes re-read cheaply anyway)
+    val asg = assignments.select(col("crank"), col("crank").as("parent_crank"),
+      col("id"), col("v"), col("vv")).persist()
+    val sizes = cellCensus(centroids, asg)
     val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"),
       max(col("crank")).as("mx"))
     // crossJoin allowlisted: 1-row totals frame (the reviewed broadcast
@@ -666,10 +672,7 @@ object Similarity {
       .filter(col("n") * col("kc") * lit(splitDenom.toLong) >
         col("t") * lit(splitNum.toLong))
       .select(col("crank"), col("mx"))
-    splitCells(centroids,
-      assignments.select(col("crank"), col("crank").as("parent_crank"),
-        col("id"), col("v"), col("vv")),
-      splitIds)
+    splitCells(centroids, asg, splitIds)
   }
 
   /** Centroid-complete per-cell census (crank, n) — the one sizing frame
@@ -694,8 +697,11 @@ object Similarity {
    *  under [[ivfRebalance]]'s exact contracts. */
   private def splitCells(centroids: DataFrame, assign: DataFrame,
                          splitIds: DataFrame): (DataFrame, DataFrame) = {
+    // three consumers (two sub-seed aggs + the re-rank) — persist the
+    // split-cells-only frame instead of re-filtering per consumer
     val splitRows = assign.join(broadcast(splitIds.select(col("crank"))), Seq("crank"))
       .withColumn("h", Hashing.oracleHash(col("id").cast("string")))
+      .persist()
     // two smallest-(h, id) members per split cell via min_by — partial-agg
     // friendly, no per-cell window
     val s1 = splitRows.groupBy(col("crank"))
@@ -826,13 +832,17 @@ object Similarity {
   def ivfMerge(centroids: DataFrame, assignments: DataFrame,
                mergeDenom: Int = 4): (DataFrame, DataFrame) = {
     require(mergeDenom >= 1, s"ivfMerge: mergeDenom must be >= 1, got $mergeDenom")
-    val sizes = cellCensus(centroids, assignments)
+    // persisted: census + starved-row selection + untouched anti-join all
+    // consume this frame (see ivfRebalance's note)
+    val asg = assignments
+      .select(col("crank"), col("id"), col("v"), col("vv")).persist()
+    val sizes = cellCensus(centroids, asg)
     val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"))
     // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
     val starved = sizes.crossJoin(broadcast(tot))
       .filter(col("n") * col("kc") * lit(mergeDenom.toLong) < col("t"))
       .select(col("crank"))
-    mergeCells(centroids, assignments, starved)
+    mergeCells(centroids, asg, starved)
   }
 
   /** The merge stage shared by [[ivfMerge]] and [[ivfMaintain]]: dissolve
@@ -843,7 +853,9 @@ object Similarity {
                          starved: DataFrame): (DataFrame, DataFrame) = {
     val survivors = centroids.join(broadcast(starved), Seq("crank"), "left_anti")
       .select(col("crank"), col("cv"), col("cc"))
-    val srows = assignments.join(broadcast(starved), Seq("crank"))
+    // two consumers (re-rank input + parent_crank re-attach) — persist
+    // the starved-rows-only frame (tiny by definition)
+    val srows = assignments.join(broadcast(starved), Seq("crank")).persist()
     // re-rank ONLY the starved rows, via ivfAssignments itself so the
     // tie-break/distance discipline can never drift from the build path;
     // the id-keyed join re-attaches the old cell as parent_crank (srows
@@ -886,7 +898,18 @@ object Similarity {
     require(splitNum > 0 && splitDenom > 0 && splitNum >= splitDenom,
       s"ivfMaintain: split factor $splitNum/$splitDenom must be >= 1")
     require(mergeDenom >= 1, s"ivfMaintain: mergeDenom must be >= 1, got $mergeDenom")
-    val sizes = cellCensus(centroids, assignments)
+    // The composition has MANY consumers of the assignment frame (the
+    // census, the starved-row selection, the untouched anti-join, then
+    // the post-merge frame again for the split's row selection, two
+    // sub-seed aggregations, and ITS untouched anti-join) — persist both
+    // or every consumer re-executes the whole upstream assignment
+    // (measured 16 s vs ~4 s at sf0.1 on the s19 fixture). Plan-keyed
+    // caches, results bit-identical; at cluster scale the assignments
+    // arrive LOADED from the crank-partitioned parquet, where each
+    // re-read is a cheap pruned scan anyway.
+    val asg = assignments
+      .select(col("crank"), col("id"), col("v"), col("vv")).persist()
+    val sizes = cellCensus(centroids, asg)
     val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"),
       max(col("crank")).as("mx"))
     // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
@@ -898,8 +921,8 @@ object Similarity {
       .filter(col("n") * col("kc") * lit(splitDenom.toLong) >
         col("t") * lit(splitNum.toLong))
       .select(col("crank"), col("mx"))
-    val (survCents, mergedAsg) = mergeCells(centroids, assignments, starved)
-    splitCells(survCents, mergedAsg, splitIds)
+    val (survCents, mergedAsg) = mergeCells(centroids, asg, starved)
+    splitCells(survCents, mergedAsg.persist(), splitIds)
   }
 
   /**

@@ -257,6 +257,9 @@ class PlanSpec extends SparkSpec {
                            // rank sum + node count) — t7's bounded shape
       "d15_dedup_eval",    // crossJoin vs broadcast 1-row injected-total
                            // aggregate (detection tiers are keyed joins)
+      "d28_dedup_eval_capped", // d15's 1-row injected-total crossJoin;
+                           // the capped tiers are keyed joins and the
+                           // cap itself is a TopKPairs aggregate
       "c12_dsir_importance", // likelihood-ratio totals: 1-row x 1-row
                            // crossJoin of the two corpus token counts,
                            // then broadcast into the vocab-sized score
