@@ -1141,4 +1141,12 @@ final class SoftDedupGate(labels: DataFrame, indexSigs: DataFrame,
    *  updated resolution): (id, cluster_id, cluster_size, weight_u). */
   def weights(ids: DataFrame, idCol: String): DataFrame =
     Dedup.softDedupWeights(updatedLabels(), ids, idCol)
+
+  /** Ids of every document the gate ingested (one `id` column) — the
+   *  natural `weights` argument after a drain. Reads the retained
+   *  signature parts; empty frame if nothing was ingested. */
+  def ingestedIds(): DataFrame = synchronized {
+    sigParts.map(_.select(col("id"))).reduceOption(_ unionAll _)
+      .getOrElse(labels.select(col("id")).limit(0))
+  }
 }

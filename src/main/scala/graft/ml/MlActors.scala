@@ -56,7 +56,13 @@ import org.apache.spark.sql.functions._
  *  off the same loaded-or-computed resolution;
  *  cdc-spans: content-defined duplicated-span dedup (rolling-hash
  *  chunk boundaries move WITH the text, so offset-shifted copies still
- *  collide — closes the stride-alignment gap of `spans`). */
+ *  collide — closes the stride-alignment gap of `spans`);
+ *  cdc-clean: the cleaned corpus for cdc-spans' report — strip every
+ *  non-first occurrence of a dedup-eligible CDC chunk, reassemble docs;
+ *  stream-gate: the streaming ingest gate with within-stream linking —
+ *  drains a streaming `view` through a [[SoftDedupGate]] (index +
+ *  cross-batch + batch-internal legs) and emits d24-style weights over
+ *  the updated resolution ([[Dedup.resolveUpdateFromEdges]]). */
 class DedupActor extends Actor {
   protected var view: String = ""
   protected var method: String = "exact"
@@ -86,6 +92,9 @@ class DedupActor extends Actor {
   protected var sourceCol: String = "source"
   protected var resolutionView: String = ""
   protected var verifyResolution: Boolean = true
+  // row bound for every ingest-shaped broadcast (lshMatches' measured
+  // limit+count pin; over the bound the joins fall back to shuffles)
+  protected var broadcastMaxRows: Long = 1L << 18
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
@@ -93,10 +102,16 @@ class DedupActor extends Actor {
       require(Seq("exact", "minhash-lsh", "simhash", "resolve", "resolve-pairs",
         "semdedup", "incremental", "index-build", "bloom-build", "decontaminate",
         "chunk", "spans", "resolve-build", "resolve-load", "report", "soft",
-        "cdc-spans", "cdc-clean", "resolve-update").contains(m),
+        "cdc-spans", "cdc-clean", "resolve-update", "stream-gate").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
+    properties.get("broadcastMaxRows").foreach(v => broadcastMaxRows = v.toLong)
+    require(method != "stream-gate" ||
+        (properties.getOrElse("resolutionView", "").nonEmpty &&
+          properties.getOrElse("indexView", "").nonEmpty),
+      "DedupActor: stream-gate requires resolutionView (the persisted " +
+        "labels) and indexView (the corpus or its signature frame)")
     properties.get("sourceField").foreach(sourceCol = _)
     properties.get("resolutionView").foreach(resolutionView = _)
     properties.get("verifyResolution").foreach(v => verifyResolution = v.toBoolean)
@@ -262,7 +277,7 @@ class DedupActor extends Actor {
         val updated = Dedup.resolveUpdate(r,
           idxSigs0,
           Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
-          numHashes, bands, minEstJaccard, iterations)
+          numHashes, bands, minEstJaccard, iterations, broadcastMaxRows)
         // keep the output a first-class ARTIFACT: re-stamp the UNION
         // corpus' fingerprint so the next resolve-load can verify it.
         // Only possible when indexView carries text (a signature-frame
@@ -318,7 +333,52 @@ class DedupActor extends Actor {
           } else Dedup.minHashSignatures(idx, textCol, idCol, numHashes, shingleLen)
         Dedup.lshMatches(
           Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
-          idxSigs, numHashes, bands, minEstJaccard)
+          idxSigs, numHashes, bands, minEstJaccard, broadcastMaxRows)
+      case "stream-gate" =>
+        // q115's shape as a pipeline step: drain the STREAMING `view`
+        // through a SoftDedupGate (per micro-batch: one-sided LSH vs the
+        // index + retained cross-batch leg + batch-internal pairs —
+        // within-stream duplicates LINK, the case the stream-static gate
+        // shape is blind to), then emit d24-style ppm weights over the
+        // updated resolution — exactly what the next resolve-update
+        // maintenance pass would assign. AvailableNow makes the step a
+        // bounded job; production runs the same gate under a
+        // processing-time trigger and reads weights per cycle.
+        require(df.isStreaming,
+          s"DedupActor(stream-gate): view '$view' must be a streaming view")
+        val gIdx0 = ctx.getView(indexView)
+        val gIdxSigs =
+          if (indexIsSignatures) {
+            val expected = ("id" +: (0 until numHashes).map(j => s"mh$j")).toSet
+            require(expected.subsetOf(gIdx0.columns.toSet),
+              s"DedupActor(stream-gate): indexView '$indexView' is not a " +
+                s"signature frame with numHashes=$numHashes — has " +
+                s"${gIdx0.columns.mkString(", ")}")
+            gIdx0
+          } else Dedup.minHashSignatures(gIdx0, textCol, idCol, numHashes, shingleLen)
+        val gr = ctx.getView(resolutionView)
+        require(Seq("id", "keep_id").forall(gr.columns.contains),
+          s"DedupActor(stream-gate): resolutionView '$resolutionView' is " +
+            s"not a resolution label frame — has ${gr.columns.mkString(", ")}")
+        // same integrity gate as resolve-load/resolve-update: gating the
+        // stream on a stale or wrong-corpus artifact silently mis-weights.
+        // Only possible when the index view carries text to fingerprint.
+        if (!indexIsSignatures && verifyResolution)
+          Dedup.requireResolutionMatch(gr,
+            gIdx0.select(col(idCol), col(textCol)), textCol, idCol)
+        val gate = new graft.ml.SoftDedupGate(gr, gIdxSigs, numHashes,
+          shingleLen, bands, minEstJaccard, iterations, broadcastMaxRows)
+        val (tc, ic) = (textCol, idCol)
+        val q = df.writeStream
+          .foreachBatch { (b: DataFrame, _: Long) => gate.ingest(b, tc, ic) }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // the gate's frames were created on the micro-batch executions'
+        // session — re-home the result so the output view registers on
+        // THIS pipeline session's catalog
+        org.apache.spark.sql.GraftSqlBridge.onSession(spark,
+          gate.weights(gate.ingestedIds(), "id").withColumnRenamed("id", idCol))
     })
   }
 }

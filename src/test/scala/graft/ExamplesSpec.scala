@@ -249,6 +249,30 @@ class ExamplesSpec extends SparkSpec {
     v2.select("fp_n", "fp_h").distinct().collect().map(r =>
       (r.getLong(0), r.getLong(1))).toSet shouldBe
         Set((expectFp.getLong(0), expectFp.getLong(1)))
+    // the streaming ingest gate's drained weights equal the BATCH REPLAY
+    // through the resolve-update path (a different composition: whole
+    // batch at once vs per-micro-batch legs) — stream == batch, and the
+    // gate weights are what the next maintenance fold would assign
+    val gateBatch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 600000).as("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 800000).as("doc_id"), reverse(col("text")).as("text")))
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 900000).as("doc_id"),
+          concat(reverse(col("text")), lit(" qq zz qq zz")).as("text")))
+    val replayLabels = graft.ml.Dedup.resolveUpdate(
+      spark.read.parquet(s"$out/resolution"),
+      graft.ml.Dedup.minHashSignatures(
+        spark.table("rl_corpus").select(col("doc_id"), col("text")), "text", "doc_id"),
+      graft.ml.Dedup.minHashSignatures(gateBatch, "text", "doc_id"),
+      iterations = 8)
+    val replayWeights = graft.ml.Dedup.softDedupWeights(
+      replayLabels, gateBatch.select("doc_id"), "doc_id")
+    rows(spark.read.parquet(s"$out/gate_weights")) shouldBe rows(replayWeights)
+    // the within-stream pair (no index counterpart) got down-weighted
+    spark.read.parquet(s"$out/gate_weights")
+      .filter(col("doc_id") >= 800000 && col("weight_u") <= 500000)
+      .count() should be > 0L
     // integrity: consuming the artifact against a DIFFERENT corpus fails
     // loudly at the fingerprint check instead of silently mis-reporting
     spark.table("rl_corpus").filter(col("doc_id") % 2 === 0)
