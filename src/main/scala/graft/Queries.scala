@@ -2728,7 +2728,10 @@ object Queries {
         concat(array(-element_at(col("av"), 1) - lit(50.0)),
           transform(slice(col("av"), 2, 63), x => -x - lit(50.0))).as("cv"))
         .withColumn("cc", graft.ml.Similarity.dot(col("cv"), col("cv")))
-      val cents = cents8.unionAll(c9)
+      // persisted: the maintenance pass reads the 9-row centroid frame
+      // from several consumers, and each re-execution re-runs the
+      // corpus-wide seed sort behind ivfCentroids
+      val cents = cents8.unionAll(c9).persist()
       val asg = Similarity.ivfAssignments(
         emb.unionAll(hotPlant).unionAll(satPlant), cents, "vec_id", "v")
       val (_, newAsg) = Similarity.ivfMaintain(cents, asg, 3, 2, 4)

@@ -1095,8 +1095,10 @@ object Dedup {
  * broadcasts ride [[Dedup.lshMatches]]' measured row-bound pin
  * (`broadcastBatchMaxRows` — over the bound, shuffle joins). The
  * retained-leg cost grows with the stream's history; a long-lived
- * production gate periodically folds (resolve-update) and re-bases the
- * retained store into the index instead.
+ * production gate periodically [[rebase]]s — fold the retained
+ * signatures into the index and the edges into the resolution, hand a
+ * fresh gate the persisted result (MlSpec pins rebased == never-
+ * rebased over the same ingest history).
  */
 final class SoftDedupGate(labels: DataFrame, indexSigs: DataFrame,
     numHashes: Int = 8, shingleLen: Int = 3, bands: Int = 4,
@@ -1148,5 +1150,21 @@ final class SoftDedupGate(labels: DataFrame, indexSigs: DataFrame,
   def ingestedIds(): DataFrame = synchronized {
     sigParts.map(_.select(col("id"))).reduceOption(_ unionAll _)
       .getOrElse(labels.select(col("id")).limit(0))
+  }
+
+  /** REBASE — the long-lived gate's periodic maintenance move: fold the
+   *  retained stream signatures into the index and the accumulated
+   *  edges into the resolution, returning (newIndexSigs, newLabels) to
+   *  persist and hand a FRESH gate. Bounds the retained-leg cost (which
+   *  otherwise grows with the stream's whole history): after a rebase
+   *  the stream docs ARE the index, so future batches match them
+   *  through the one-sided index leg instead of the retained leg.
+   *  Equivalence is by construction — lshMatches vs (index ∪ retained)
+   *  produces exactly the index-leg ∪ retained-leg pairs — and MlSpec
+   *  pins it end-to-end: weights after a rebase equal weights of the
+   *  never-rebased gate over the same ingest history. */
+  def rebase(): (DataFrame, DataFrame) = synchronized {
+    val newIndex = (indexSigs :: sigParts.reverse).reduce(_ unionAll _)
+    (newIndex, updatedLabels())
   }
 }

@@ -781,6 +781,39 @@ class MlSpec extends SparkSpec {
     w(999L) shouldBe ((999L, 1L, 1000000L))
   }
 
+  test("SoftDedupGate.rebase: folded gate equals the never-rebased gate over the same history") {
+    implicit val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val words = Vector("alpha", "bravo", "carol", "delta", "echo",
+      "fox", "golf", "hotel", "india", "jazz")
+    def txt(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = txt(60)
+    val idxSigs = Dedup.minHashSignatures(
+      Seq((1L, txt(50))).toDF("doc_id", "text"), "text", "doc_id")
+    val labels = Seq.empty[(Long, Long)].toDF("id", "keep_id")
+    val b1 = Seq((100L, base), (101L, base + " dup dup")).toDF("doc_id", "text")
+    val b2 = Seq((102L, base + " zz yy")).toDF("doc_id", "text")
+    // never-rebased reference: both batches through one gate
+    val g0 = new graft.ml.SoftDedupGate(labels, idxSigs)
+    g0.ingest(b1, "text", "doc_id")
+    g0.ingest(b2, "text", "doc_id")
+    // rebased: fold batch 1 into the index + labels, hand a FRESH gate
+    // the folded state, then ingest batch 2 — its dup of a batch-1 doc
+    // now matches through the one-sided INDEX leg, not the retained leg
+    val g1 = new graft.ml.SoftDedupGate(labels, idxSigs)
+    g1.ingest(b1, "text", "doc_id")
+    val (idx2, lab2) = g1.rebase()
+    val g2 = new graft.ml.SoftDedupGate(lab2, idx2)
+    g2.ingest(b2, "text", "doc_id")
+    val ids = Seq(100L, 101L, 102L, 999L).toDF("doc_id")
+    def w(g: graft.ml.SoftDedupGate) = g.weights(ids, "doc_id").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rebased = w(g2)
+    rebased shouldBe w(g0)
+    rebased(102L) shouldBe ((100L, 3L, 333333L))
+  }
+
   test("maybeBroadcast: pins under the bound, shuffle-joins over it, results identical") {
     implicit val s = spark
     import s.implicits._

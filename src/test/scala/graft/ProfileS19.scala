@@ -9,6 +9,20 @@ object ProfileS19 {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        taskMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+      }
+    })
+    def counters(tag: String): Unit = {
+      println(s"$tag: jobs=${jobs.getAndSet(0)} stages=${stages.getAndSet(0)} taskTimeMs=${taskMs.getAndSet(0)}")
+    }
     val dir = "/root/testdata/sf0.1"
     def time(tag: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
@@ -43,8 +57,11 @@ object ProfileS19 {
       val asg = Similarity.ivfAssignments(
         emb.unionAll(hotPlant).unionAll(satPlant), cents, "vec_id", "v").persist()
       time("asg materialize")(asg.count())
+      counters("pre-maintain")
       time("maintain")(Similarity.ivfMaintain(cents, asg, 3, 2, 4)._2.count())
+      counters("maintain")
       time("maintain again")(Similarity.ivfMaintain(cents, asg, 3, 2, 4)._2.count())
+      counters("maintain2")
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     spark.stop()
