@@ -84,13 +84,20 @@ object Bench {
       def time(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      val resS = time(Queries.resolvedLabels(spark, sfDir).count())
-      val sigS = time(Queries.corpusSignatures(spark, sfDir).count())
-      if (canWarm) {
-        Queries.resolvedLabels(spark, warmDir).count()
-        Queries.corpusSignatures(spark, warmDir).count()
+      try {
+        val resS = time(Queries.resolvedLabels(spark, sfDir).count())
+        val sigS = time(Queries.corpusSignatures(spark, sfDir).count())
+        if (canWarm) {
+          Queries.resolvedLabels(spark, warmDir).count()
+          Queries.corpusSignatures(spark, warmDir).count()
+        }
+        artJson = s""","artifacts":{"cold":true,"resolution_build_s":$resS,"sigs_build_s":$sigS}"""
+      } catch { case e: Throwable =>
+        // a failed explicit build is VISIBLE (the d-queries would then
+        // pay it in their timed numbers — say so instead of hiding it)
+        System.err.println(s"[bench] cold artifact build failed: $e")
+        artJson = s""","artifacts":{"cold":true,"error":true}"""
       }
-      artJson = s""","artifacts":{"cold":true,"resolution_build_s":$resS,"sigs_build_s":$sigS}"""
     }
     // optional subsetting for A/B diagnosis: comma-separated exact names
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)

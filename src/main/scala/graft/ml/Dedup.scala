@@ -1148,7 +1148,10 @@ final class SoftDedupGate(labels: DataFrame, indexSigs: DataFrame,
    *  natural `weights` argument after a drain. Reads the retained
    *  signature parts; empty frame if nothing was ingested. */
   def ingestedIds(): DataFrame = synchronized {
+    // distinct: a doc re-ingested in a later micro-batch must not
+    // duplicate its weight row
     sigParts.map(_.select(col("id"))).reduceOption(_ unionAll _)
+      .map(_.distinct())
       .getOrElse(labels.select(col("id")).limit(0))
   }
 
