@@ -58,12 +58,32 @@ class ExamplesSpec extends SparkSpec {
   }
 
   test("dedup_corpus.yaml emits LSH candidate pairs with the documented schema") {
+    implicit val s = spark
+    import org.apache.spark.sql.functions._
     val out = tmpDir("ex_dedup")
     runExample("dedup_corpus.yaml", Map("data_dir" -> sfDir, "out_dir" -> out))
     val pairs = spark.read.parquet(s"$out/candidate_pairs")
     // the raw corpus may legitimately contain few near-dups; the contract
     // here is that the pipeline runs and emits the documented shape
     pairs.columns should contain allOf ("id_a", "id_b")
+    // the cdc_clean job equals the library path row-for-row, and the
+    // planted shifted copies lost their duplicated chunks
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val planted = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          substring(graft.ml.Dedup.normText(col("text")), 8, Int.MaxValue).as("text")))
+    val expect = graft.ml.Dedup.cdcClean(planted, "text", "doc_id")
+      .collect().map(_.toSeq.mkString("|")).toSet
+    val cleaned = spark.read.parquet(s"$out/cleaned")
+    cleaned.collect().map(_.toSeq.mkString("|")).toSet shouldBe expect
+    val copies = cleaned.filter(col("id") >= 400000)
+    copies.count() should be > 0L
+    // a SHORT doc's shifted copy can have no dedup-eligible chunk at all
+    // (every chunk under minLen) — the pin is "the vast majority of the
+    // planted copies lost chunks", not "all"
+    copies.filter(col("n_kept") < col("n_chunks")).count().toDouble should be >=
+      0.9 * copies.count()
   }
 
   test("incremental_ingest.yaml matches a new batch against the corpus index") {
