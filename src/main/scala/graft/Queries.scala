@@ -533,6 +533,39 @@ object Queries {
 
   private val resolveGraphCtes: String = resolveGraphCtesN(4)
 
+  /** Shared q115/q116 oracle: the full UNION re-resolve (corpus ∪ all four
+   *  stream legs, uncapped) + d24-style ppm weights over it. q115's green
+   *  hash proves incremental == full; q116's proves the per-doc candidate
+   *  budget dropped only chance collisions. */
+  private lazy val q115StreamGateOracle: String =
+    s"""WITH $corpusCte,
+       |batch AS (SELECT doc_id + 600000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 700000 AS doc_id, text || ' dup dup dup dup' AS text
+       |    FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 800000 AS doc_id, reverse(text) AS text
+       |    FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 900000 AS doc_id, reverse(text) || ' qq zz qq zz' AS text
+       |    FROM documents WHERE doc_id % 10 = 0),
+       |ucorpus AS (SELECT doc_id, text FROM corpus
+       |  UNION ALL SELECT doc_id, text FROM batch),
+       |${shingleCte("ucorpus")},
+       |$sigCte,
+       |$bandedCte,
+       |$candCte,
+       |${resolveGraphCtesN(8)},
+       |cs AS (SELECT label, count(*) AS csize FROM l8 GROUP BY label),
+       |ab AS (SELECT doc_id + 600000 AS new_id FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 700000 FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 800000 FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 900000 FROM documents WHERE doc_id % 10 = 0)
+       |SELECT ab.new_id,
+       |  CAST(CASE WHEN coalesce(cs.csize, 1) > 1 THEN 1 ELSE 0 END AS INT) AS matched,
+       |  CAST(coalesce(l8.label, ab.new_id) AS BIGINT) AS cluster_id,
+       |  CAST(coalesce(cs.csize, 1) AS BIGINT) AS cluster_size,
+       |  CAST(1000000 // coalesce(cs.csize, 1) AS BIGINT) AS weight_u
+       |FROM ab LEFT JOIN l8 ON ab.new_id = l8.id
+       |  LEFT JOIN cs ON l8.label = cs.label""".stripMargin
+
   /** Image-dedup fixture: the corpus as real 16×16 gray PNGs with planted
    *  identical (%5 → +100000) and one-char-perturbed (%7 → +200000)
    *  copies, hashed to 64-bit aHash strings. Shared by m5/m6. */
@@ -3087,7 +3120,9 @@ object Queries {
          |  UNION ALL SELECT doc_id, off, spn FROM ch WHERE length(spn) < 16),
          |asm AS (SELECT doc_id, count(*) AS n_kept,
          |    string_agg(spn, '' ORDER BY off) AS clean FROM kept GROUP BY doc_id),
-         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+         |tot AS (SELECT n2.doc_id, coalesce(cc.n_chunks, 0) AS n_chunks FROM n2
+         |  LEFT JOIN (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id) cc
+         |  ON n2.doc_id = cc.doc_id)
          |SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
          |  CAST(t.n_chunks AS BIGINT) AS n_chunks,
          |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
@@ -7499,7 +7534,9 @@ object Queries {
       val allBatch = db.select((col("doc_id") + 200000L).as("new_id"))
         .unionAll(db.select((col("doc_id") + 300000L).as("new_id")))
       // batch-sized drained frame, but guarded: a real ingest batch can
-      // exceed driver memory — over the bound the join shuffles instead
+      // exceed driver memory — over the bound the join shuffles instead.
+      // (`best` IS the drained memory sink — the probe's bounded count
+      // reads in-memory rows, not a recomputed plan)
       allBatch.join(Dedup.maybeBroadcast(best), Seq("new_id"), "left")
         .select(col("new_id"),
           when(col("best_matches").isNotNull, 1).otherwise(0).cast("int").as("matched"),
@@ -7571,6 +7608,10 @@ object Queries {
         .select(col("new_id"), coalesce(col("keep_id"), col("index_id")).as("keep"))
       val weighted = resolved
         .join(csize.withColumnRenamed("keep_id", "keep"), Seq("keep"), "left")
+        // materialized BEFORE the probe: maybeBroadcast's bounded count is
+        // an action, and probing the un-materialized plan would re-run the
+        // resolution/cluster-size joins twice (probe + the real join)
+        .localCheckpoint(true)
       // batch-sized drained frame, but guarded: a real ingest batch can
       // exceed driver memory — over the bound the join shuffles instead
       allBatch.join(Dedup.maybeBroadcast(weighted), Seq("new_id"), "left")
@@ -7687,35 +7728,52 @@ object Queries {
         .select(col("id").as("new_id"),
           (col("cluster_size") > 1).cast("int").as("matched"),
           col("cluster_id"), col("cluster_size"), col("weight_u"))
-    }, Some {
-      s"""WITH $corpusCte,
-         |batch AS (SELECT doc_id + 600000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL SELECT doc_id + 700000 AS doc_id, text || ' dup dup dup dup' AS text
-         |    FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL SELECT doc_id + 800000 AS doc_id, reverse(text) AS text
-         |    FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL SELECT doc_id + 900000 AS doc_id, reverse(text) || ' qq zz qq zz' AS text
-         |    FROM documents WHERE doc_id % 10 = 0),
-         |ucorpus AS (SELECT doc_id, text FROM corpus
-         |  UNION ALL SELECT doc_id, text FROM batch),
-         |${shingleCte("ucorpus")},
-         |$sigCte,
-         |$bandedCte,
-         |$candCte,
-         |${resolveGraphCtesN(8)},
-         |cs AS (SELECT label, count(*) AS csize FROM l8 GROUP BY label),
-         |ab AS (SELECT doc_id + 600000 AS new_id FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL SELECT doc_id + 700000 FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL SELECT doc_id + 800000 FROM documents WHERE doc_id % 10 = 0
-         |  UNION ALL SELECT doc_id + 900000 FROM documents WHERE doc_id % 10 = 0)
-         |SELECT ab.new_id,
-         |  CAST(CASE WHEN coalesce(cs.csize, 1) > 1 THEN 1 ELSE 0 END AS INT) AS matched,
-         |  CAST(coalesce(l8.label, ab.new_id) AS BIGINT) AS cluster_id,
-         |  CAST(coalesce(cs.csize, 1) AS BIGINT) AS cluster_size,
-         |  CAST(1000000 // coalesce(cs.csize, 1) AS BIGINT) AS weight_u
-         |FROM ab LEFT JOIN l8 ON ab.new_id = l8.id
-         |  LEFT JOIN cs ON l8.label = cs.label""".stripMargin
-    }),
+    }, Some(q115StreamGateOracle)),
+
+    // q115 under the PER-DOCUMENT CANDIDATE BUDGET (the q115 sf2 watch
+    // item's production lever): the same four-leg fixture drained through
+    // a gate with maxCandidatesPerDoc = 4 — every micro-batch keeps only
+    // each doc's top-4 est-jaccard candidates over the SYMMETRIZED union
+    // of the three legs (capCandidatesSym, a TopKPairs aggregate), so
+    // the per-batch fold cost is bounded however dense the band-bucket
+    // space gets at scale. The oracle is UNCHANGED from q115 — the full
+    // UNCAPPED union re-resolve — so the green hash IS the proof that
+    // the budget dropped only chance collisions, never a planted edge
+    // (true near-dups dominate est-jaccard by construction).
+    Spec("q116_stream_gate_capped", (spark, dir) => {
+      val labels = resolvedLabels(spark, dir)
+      val idxSigs = corpusSignatures(spark, dir)
+      val b0 = streamTable(spark, dir, "documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") % 10 === 0)
+      val batch = b0.select((col("doc_id") + 600000L).as("doc_id"), col("text"))
+        .unionAll(b0.select((col("doc_id") + 700000L).as("doc_id"),
+          concat(col("text"), lit(" dup dup dup dup")).as("text")))
+        .unionAll(b0.select((col("doc_id") + 800000L).as("doc_id"),
+          reverse(col("text")).as("text")))
+        .unionAll(b0.select((col("doc_id") + 900000L).as("doc_id"),
+          concat(reverse(col("text")), lit(" qq zz qq zz")).as("text")))
+      val gate = new graft.ml.SoftDedupGate(labels, idxSigs,
+        maxCandidatesPerDoc = 4)
+      val scoped = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark,
+        "spark.sql.shuffle.partitions" -> sys.props.getOrElse("graft.drain.shuffle", "8"))
+      locally {
+        val q = org.apache.spark.sql.GraftSqlBridge.onSession(scoped, batch).writeStream
+          .foreachBatch { (b: DataFrame, _: Long) => gate.ingest(b, "text", "doc_id") }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val db = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+      val allBatch = db.select((col("doc_id") + 600000L).as("doc_id"))
+        .unionAll(db.select((col("doc_id") + 700000L).as("doc_id")))
+        .unionAll(db.select((col("doc_id") + 800000L).as("doc_id")))
+        .unionAll(db.select((col("doc_id") + 900000L).as("doc_id")))
+      gate.weights(allBatch, "doc_id")
+        .select(col("id").as("new_id"),
+          (col("cluster_size") > 1).cast("int").as("matched"),
+          col("cluster_id"), col("cluster_size"), col("weight_u"))
+    }, Some(q115StreamGateOracle)),
 
     Spec("q86_stream_cms_heavy_users", (spark, dir) => {
       val states = eventsStream(spark, dir)

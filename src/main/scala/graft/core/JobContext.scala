@@ -137,6 +137,14 @@ final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSe
     }.toMap
   }
 
+  /** Interior caches an actor's library pass created (graft.ml's
+   *  CacheLease frames): the pass can't free them (its returned frames
+   *  depend on the cached plans) and the actor can't either (downstream
+   *  actions haven't consumed the view yet) — so they're deferred here
+   *  and freed at job teardown, after the writers ran. */
+  private val _deferred = mutable.ArrayBuffer.empty[DataFrame]
+  def deferUnpersist(dfs: Seq[DataFrame]): Unit = _deferred ++= dfs
+
   /** Unpersist everything we cached (job teardown;
    *  reference: PipelineRunner.scala:243-258). */
   def cleanup(): Unit = {
@@ -145,5 +153,7 @@ final class JobContext(val pipelineCtx: PipelineContext)(implicit spark: SparkSe
     // view was re-promoted), leaking the original cache entry
     _cached.values.foreach(df => scala.util.Try(df.unpersist()))
     _cached.clear()
+    _deferred.foreach(df => scala.util.Try(df.unpersist()))
+    _deferred.clear()
   }
 }

@@ -62,7 +62,18 @@ import org.apache.spark.sql.functions._
  *  stream-gate: the streaming ingest gate with within-stream linking —
  *  drains a streaming `view` through a [[SoftDedupGate]] (index +
  *  cross-batch + batch-internal legs) and emits d24-style weights over
- *  the updated resolution ([[Dedup.resolveUpdateFromEdges]]). */
+ *  the updated resolution ([[Dedup.resolveUpdateFromEdges]]);
+ *  `maxCandidatesPerDoc` budgets each doc's candidates per batch;
+ *  stream-gate-rebase: the same drain, emitting the REBASED gate state
+ *  instead of weights — output view = the updated label frame (the next
+ *  resolution artifact), extra view `sigsView` = index ∪ retained
+ *  stream signatures (the next drain's `indexView` with
+ *  `indexIsSignatures: true`) — the long-lived gate's periodic
+ *  maintenance move, bounding the retained-leg cost;
+ *  fingerprint: the 1-row (fp_n, fp_h) [[Dedup.corpusFingerprint]]
+ *  sidecar of `view` — write it with the corpus, then pass it back as
+ *  `fingerprintView` so every artifact integrity check compares two
+ *  stored rows instead of re-scanning the corpus. */
 class DedupActor extends Actor {
   protected var view: String = ""
   protected var method: String = "exact"
@@ -92,9 +103,20 @@ class DedupActor extends Actor {
   protected var sourceCol: String = "source"
   protected var resolutionView: String = ""
   protected var verifyResolution: Boolean = true
+  // optional persisted 1-row (fp_n, fp_h) fingerprint sidecar: when set,
+  // integrity checks compare two stored rows instead of re-scanning the
+  // corpus (build it with method `fingerprint` WHEN the corpus lands)
+  protected var fingerprintView: String = ""
   // row bound for every ingest-shaped broadcast (lshMatches' measured
   // limit+count pin; over the bound the joins fall back to shuffles)
   protected var broadcastMaxRows: Long = 1L << 18
+  // stream-gate per-document candidate budget (0 = unlimited): d28's
+  // device threaded through the gate's three legs — bounds the per-batch
+  // fold cost when banded chance collisions densify at corpus scale
+  protected var maxCandidatesPerDoc: Int = 0
+  // stream-gate-rebase: the extra-view name for the folded index
+  // signatures (the output view carries the updated labels)
+  protected var sigsView: String = ""
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
@@ -102,18 +124,25 @@ class DedupActor extends Actor {
       require(Seq("exact", "minhash-lsh", "simhash", "resolve", "resolve-pairs",
         "semdedup", "incremental", "index-build", "bloom-build", "decontaminate",
         "chunk", "spans", "resolve-build", "resolve-load", "report", "soft",
-        "cdc-spans", "cdc-clean", "resolve-update", "stream-gate").contains(m),
+        "cdc-spans", "cdc-clean", "resolve-update", "stream-gate", "fingerprint",
+        "stream-gate-rebase").contains(m),
         s"DedupActor: bad method $m")
       method = m
     }
     properties.get("broadcastMaxRows").foreach(v => broadcastMaxRows = v.toLong)
-    require(method != "stream-gate" ||
+    properties.get("maxCandidatesPerDoc").foreach(v => maxCandidatesPerDoc = v.toInt)
+    require(!Seq("stream-gate", "stream-gate-rebase").contains(method) ||
         (properties.getOrElse("resolutionView", "").nonEmpty &&
           properties.getOrElse("indexView", "").nonEmpty),
-      "DedupActor: stream-gate requires resolutionView (the persisted " +
+      s"DedupActor: $method requires resolutionView (the persisted " +
         "labels) and indexView (the corpus or its signature frame)")
+    properties.get("sigsView").foreach(sigsView = _)
+    require(method != "stream-gate-rebase" || sigsView.nonEmpty,
+      "DedupActor: stream-gate-rebase requires sigsView (the extra-view " +
+        "name for the folded index signatures)")
     properties.get("sourceField").foreach(sourceCol = _)
     properties.get("resolutionView").foreach(resolutionView = _)
+    properties.get("fingerprintView").foreach(fingerprintView = _)
     properties.get("verifyResolution").foreach(v => verifyResolution = v.toBoolean)
     require(method != "resolve-load" || resolutionView.nonEmpty,
       "DedupActor: resolve-load requires resolutionView (the persisted " +
@@ -145,6 +174,15 @@ class DedupActor extends Actor {
     properties.get("bands").foreach(v => bands = v.toInt)
     properties.get("minEstJaccard").foreach(v => minEstJaccard = v.toDouble)
     properties.get("iterations").foreach(v => iterations = v.toInt)
+    // the incremental-fold methods default to the LIBRARY's deeper CC
+    // round count (resolveUpdateFromEdges' 8, matching the d26/q115
+    // oracles' full-union re-resolve depth) — the actor-wide default of 4
+    // silently under-converges deep duplicate chains there and breaks the
+    // documented "weights == next d26 pass" equivalence. An explicit
+    // `iterations` property still wins for both methods.
+    if (!properties.contains("iterations") &&
+        Seq("resolve-update", "stream-gate", "stream-gate-rebase").contains(method))
+      iterations = 8
     properties.get("vectorField").foreach(vecCol = _)
     properties.get("dim").foreach(v => dim = v.toInt)
     properties.get("clusters").foreach(v => clusters = v.toInt)
@@ -159,7 +197,8 @@ class DedupActor extends Actor {
     (if (view.nonEmpty) Seq(view) else Seq.empty) ++
       (if (indexView.nonEmpty) Seq(indexView) else Seq.empty) ++
       (if (evalView.nonEmpty) Seq(evalView) else Seq.empty) ++
-      (if (resolutionView.nonEmpty) Seq(resolutionView) else Seq.empty)
+      (if (resolutionView.nonEmpty) Seq(resolutionView) else Seq.empty) ++
+      (if (fingerprintView.nonEmpty) Seq(fingerprintView) else Seq.empty)
 
   /** The resolution label frame the report/soft consumers work from:
    *  the loaded artifact when `resolutionView` is set (schema-checked;
@@ -173,14 +212,34 @@ class DedupActor extends Actor {
         s"DedupActor($method): resolutionView '$resolutionView' is not a " +
           s"resolution label frame (expected id, keep_id) — has " +
           s"${r.columns.mkString(", ")}")
-      if (verifyResolution) Dedup.requireResolutionMatch(r, corpus, textCol, idCol)
+      if (verifyResolution) verifyAgainst(r, corpus, ctx)
       r
     } else Dedup.resolveDuplicates(
       Dedup.lshCandidatePairs(
         Dedup.minHashSignatures(corpus, textCol, idCol, numHashes, shingleLen),
         numHashes, bands, minEstJaccard), iterations)
 
+  /** The integrity check behind `verifyResolution`: against the stored
+   *  fingerprint sidecar when `fingerprintView` is set (two 1-row reads
+   *  — the serve-many path), else the full corpus re-scan. */
+  private def verifyAgainst(labels: DataFrame, corpus: DataFrame,
+                            ctx: JobContext): Unit =
+    if (fingerprintView.nonEmpty)
+      Dedup.requireResolutionMatchStored(labels, ctx.getView(fingerprintView))
+    else Dedup.requireResolutionMatch(labels, corpus, textCol, idCol)
+
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    // interior caches the library pass creates (cdc-clean's chunk frame,
+    // chunk/boilerplate scans) are deferred to job teardown via the
+    // CacheLease contract — freed after downstream writers consumed the
+    // output view, so a long-lived pipeline session never accumulates
+    // corpus-scale storage across maintenance cycles
+    val (out, cached) = CacheLease.collect(runMethod(ctx))
+    ctx.deferUnpersist(cached)
+    out
+  }
+
+  private def runMethod(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val df = ctx.getView(view)
     Some(method match {
       case "exact" => Dedup.exact(df, textCol, idCol)
@@ -271,9 +330,8 @@ class DedupActor extends Actor {
         // labels — exactly what requireResolutionMatch exists to catch.
         // A signature-frame index carries no text to fingerprint, so the
         // check is only possible when indexView is a corpus.
-        if (!indexIsSignatures && verifyResolution)
-          Dedup.requireResolutionMatch(r,
-            idx0.select(col(idCol), col(textCol)), textCol, idCol)
+        if (verifyResolution && (fingerprintView.nonEmpty || !indexIsSignatures))
+          verifyAgainst(r, idx0.select(col(idCol), col(textCol)), ctx)
         val updated = Dedup.resolveUpdate(r,
           idxSigs0,
           Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
@@ -286,6 +344,13 @@ class DedupActor extends Actor {
         else updated.crossJoin(broadcast(Dedup.corpusFingerprint(
           idx0.select(col(idCol), col(textCol))
             .unionAll(df.select(col(idCol), col(textCol))), textCol, idCol)))
+      case "fingerprint" =>
+        // the 1-row (fp_n, fp_h) sidecar: write it in the SAME job that
+        // lands the corpus, then every later consumer verifies its loaded
+        // resolution against this stored row (fingerprintView) instead of
+        // re-scanning the corpus — build-once/serve-many applied to the
+        // integrity check itself
+        Dedup.corpusFingerprint(df, textCol, idCol)
       case "index-build" =>
         Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
       case "bloom-build" =>
@@ -334,18 +399,27 @@ class DedupActor extends Actor {
         Dedup.lshMatches(
           Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
           idxSigs, numHashes, bands, minEstJaccard, broadcastMaxRows)
-      case "stream-gate" =>
+      case "stream-gate" | "stream-gate-rebase" =>
         // q115's shape as a pipeline step: drain the STREAMING `view`
         // through a SoftDedupGate (per micro-batch: one-sided LSH vs the
         // index + retained cross-batch leg + batch-internal pairs —
         // within-stream duplicates LINK, the case the stream-static gate
-        // shape is blind to), then emit d24-style ppm weights over the
-        // updated resolution — exactly what the next resolve-update
-        // maintenance pass would assign. AvailableNow makes the step a
-        // bounded job; production runs the same gate under a
-        // processing-time trigger and reads weights per cycle.
+        // shape is blind to). `stream-gate` then emits d24-style ppm
+        // weights over the updated resolution — exactly what the next
+        // resolve-update maintenance pass would assign; `stream-gate-
+        // rebase` instead emits the REBASED artifacts — the long-lived
+        // gate's periodic maintenance move: output view = the updated
+        // label frame (the next resolution artifact; re-stamp before
+        // persisting when the corpus text is at hand), extra view
+        // `sigsView` = the folded index signatures (index ∪ retained
+        // stream signatures — the next drain's indexView with
+        // indexIsSignatures: true). After a rebase the stream docs ARE
+        // the index, so future batches match them through the one-sided
+        // index leg and the retained-leg cost resets to zero.
+        // AvailableNow makes the step a bounded job; production runs the
+        // same gate under a processing-time trigger.
         require(df.isStreaming,
-          s"DedupActor(stream-gate): view '$view' must be a streaming view")
+          s"DedupActor($method): view '$view' must be a streaming view")
         val gIdx0 = ctx.getView(indexView)
         val gIdxSigs =
           if (indexIsSignatures) {
@@ -363,11 +437,11 @@ class DedupActor extends Actor {
         // same integrity gate as resolve-load/resolve-update: gating the
         // stream on a stale or wrong-corpus artifact silently mis-weights.
         // Only possible when the index view carries text to fingerprint.
-        if (!indexIsSignatures && verifyResolution)
-          Dedup.requireResolutionMatch(gr,
-            gIdx0.select(col(idCol), col(textCol)), textCol, idCol)
+        if (verifyResolution && (fingerprintView.nonEmpty || !indexIsSignatures))
+          verifyAgainst(gr, gIdx0.select(col(idCol), col(textCol)), ctx)
         val gate = new graft.ml.SoftDedupGate(gr, gIdxSigs, numHashes,
-          shingleLen, bands, minEstJaccard, iterations, broadcastMaxRows)
+          shingleLen, bands, minEstJaccard, iterations, broadcastMaxRows,
+          maxCandidatesPerDoc)
         val (tc, ic) = (textCol, idCol)
         val q = df.writeStream
           .foreachBatch { (b: DataFrame, _: Long) => gate.ingest(b, tc, ic) }
@@ -375,9 +449,14 @@ class DedupActor extends Actor {
           .start()
         q.awaitTermination()
         // the gate's frames were created on the micro-batch executions'
-        // session — re-home the result so the output view registers on
-        // THIS pipeline session's catalog
-        org.apache.spark.sql.GraftSqlBridge.onSession(spark,
+        // session — re-home the results so the output (and extra) views
+        // register on THIS pipeline session's catalog
+        if (method == "stream-gate-rebase") {
+          val (newSigs, newLabels) = gate.rebase()
+          registerView(sigsView,
+            org.apache.spark.sql.GraftSqlBridge.onSession(spark, newSigs))
+          org.apache.spark.sql.GraftSqlBridge.onSession(spark, newLabels)
+        } else org.apache.spark.sql.GraftSqlBridge.onSession(spark,
           gate.weights(gate.ingestedIds(), "id").withColumnRenamed("id", idCol))
     })
   }
@@ -496,6 +575,16 @@ class SimilaritySearchActor extends Actor {
       (if (oldView.nonEmpty) Seq(oldView) else Seq.empty)
 
   override def run(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
+    // interior caches the maintenance passes create (ivf-maintain/-merge/
+    // -rebalance's assignment frames) are deferred to job teardown via
+    // the CacheLease contract — freed after downstream writers consumed
+    // the output view (MlSpec pins zero persistent RDDs post-pipeline)
+    val (out, cached) = CacheLease.collect(runMethod(ctx))
+    ctx.deferUnpersist(cached)
+    out
+  }
+
+  private def runMethod(ctx: JobContext)(implicit spark: SparkSession): Option[DataFrame] = {
     val corpus = ctx.getView(view)
     val queries = queryWhere.fold(corpus)(corpus.filter)
     Some(method match {

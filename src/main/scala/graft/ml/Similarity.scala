@@ -655,24 +655,15 @@ object Similarity {
                    splitNum: Int = 3, splitDenom: Int = 2): (DataFrame, DataFrame) = {
     require(splitNum > 0 && splitDenom > 0 && splitNum >= splitDenom,
       s"ivfRebalance: split factor $splitNum/$splitDenom must be >= 1")
-    // persisted: the census, the split-row selection, and the untouched
-    // anti-join each consume this frame — without the cache every
-    // consumer re-executes the whole upstream assignment (plan-keyed;
+    // persisted (CacheLease-tracked — see the class note on ownership):
+    // the census, the split-row selection, and the untouched anti-filter
+    // each consume this frame — without the cache every consumer
+    // re-executes the whole upstream assignment (plan-keyed;
     // bit-identical; loaded-from-parquet indexes re-read cheaply anyway)
-    val asg = assignments.select(col("crank"), col("crank").as("parent_crank"),
-      col("id"), col("v"), col("vv")).persist()
-    val sizes = cellCensus(centroids, asg)
-    val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"),
-      max(col("crank")).as("mx"))
-    // crossJoin allowlisted: 1-row totals frame (the reviewed broadcast
-    // constant-frame idiom). The appended half's fresh cell id is
-    // mx + parent crank — unique by construction, so the renumber needs
-    // no rank window (cell ids are opaque; numbering gaps are fine).
-    val splitIds = sizes.crossJoin(broadcast(tot))
-      .filter(col("n") * col("kc") * lit(splitDenom.toLong) >
-        col("t") * lit(splitNum.toLong))
-      .select(col("crank"), col("mx"))
-    splitCells(centroids, asg, splitIds)
+    val asg = CacheLease.persist(assignments.select(col("crank"),
+      col("crank").as("parent_crank"), col("id"), col("v"), col("vv")))
+    val c = censusScalars(centroids, asg)
+    splitCellsByIds(centroids, asg, c.hotIds(splitNum, splitDenom), c.mx)
   }
 
   /** Centroid-complete per-cell census (crank, n) — the one sizing frame
@@ -689,19 +680,62 @@ object Similarity {
         Seq("crank"), "left")
       .select(col("crank"), coalesce(col("__n0_"), lit(0L)).as("n"))
 
+  /** The ≤K-row census COLLECTED to the driver — the documented scalar
+   *  pattern, not a collect anti-pattern: the frame is centroid-count
+   *  rows however large the corpus. One action replaces what was
+   *  previously a census/totals subtree re-executed under every
+   *  consumer's broadcast exchange (census → 1-row totals crossJoin →
+   *  flag joins: measured as the bulk of s19's ~10 s flat scheduling
+   *  overhead); the flag SETS become plain `isin` predicates — no joins
+   *  at all — under exactly [[ivfHealth]]'s integer thresholds. */
+  private final case class CensusScalars(cells: Seq[(Long, Long)]) {
+    val t: Long = cells.map(_._2).sum
+    val kc: Long = cells.length.toLong
+    val mx: Long = if (cells.isEmpty) 0L else cells.map(_._1).max
+    def hotIds(splitNum: Int, splitDenom: Int): Seq[Long] =
+      cells.collect { case (c, n) if n * kc * splitDenom > t * splitNum => c }
+    def starvedIds(mergeDenom: Int): Seq[Long] =
+      cells.collect { case (c, n) if n * kc * mergeDenom < t => c }
+  }
+
+  private def censusScalars(centroids: DataFrame, assignments: DataFrame): CensusScalars =
+    CensusScalars(cellCensus(centroids, assignments).collect().toSeq
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)))
+
+  /** `crank ∈ ids` over `df` as a broadcast-free codegen'd predicate
+   *  (false for the empty set). Literal values are narrowed to the
+   *  column's own integral type so the predicate stays cast-free —
+   *  pushdown-eligible on a loaded crank-partitioned index. */
+  private def inCranks(df: DataFrame, name: String, ids: Seq[Long]): Column =
+    if (ids.isEmpty) lit(false)
+    else {
+      val vals: Seq[Any] = df.schema(name).dataType match {
+        case org.apache.spark.sql.types.IntegerType => ids.map(_.toInt)
+        case org.apache.spark.sql.types.ShortType => ids.map(_.toShort)
+        case _ => ids
+      }
+      col(name).isin(vals: _*)
+    }
+
   /** The split stage shared by [[ivfRebalance]] and [[ivfMaintain]]:
-   *  split each `splitIds` cell (crank, mx) of `assign` — which already
-   *  carries a `parent_crank` lineage column, preserved through the move
-   *  so a row absorbed by a merge and then split out again still reports
-   *  its pre-maintenance cell — and return (newCentroids, newAssignments)
-   *  under [[ivfRebalance]]'s exact contracts. */
-  private def splitCells(centroids: DataFrame, assign: DataFrame,
-                         splitIds: DataFrame): (DataFrame, DataFrame) = {
+   *  split each `hotIds` cell of `assign` — which already carries a
+   *  `parent_crank` lineage column, preserved through the move so a row
+   *  absorbed by a merge and then split out again still reports its
+   *  pre-maintenance cell — and return (newCentroids, newAssignments)
+   *  under [[ivfRebalance]]'s exact contracts. The fresh half's cell id
+   *  is `mx + parent crank` — unique by construction, so the renumber
+   *  needs no rank window (cell ids are opaque; gaps are fine). */
+  private def splitCellsByIds(centroids: DataFrame, assign: DataFrame,
+                              hotIds: Seq[Long], mx: Long): (DataFrame, DataFrame) = {
+    // mx rides as a literal in the assignment's own crank type, so the
+    // output schema is byte-identical to the pre-driver-census plan
+    val crankType = assign.schema("crank").dataType
+    val mxLit = lit(mx).cast(crankType)
     // three consumers (two sub-seed aggs + the re-rank) — persist the
     // split-cells-only frame instead of re-filtering per consumer
-    val splitRows = assign.join(broadcast(splitIds.select(col("crank"))), Seq("crank"))
-      .withColumn("h", Hashing.oracleHash(col("id").cast("string")))
-      .persist()
+    val splitRows = CacheLease.persist(
+      assign.filter(inCranks(assign, "crank", hotIds))
+        .withColumn("h", Hashing.oracleHash(col("id").cast("string"))))
     // two smallest-(h, id) members per split cell via min_by — partial-agg
     // friendly, no per-cell window
     val s1 = splitRows.groupBy(col("crank"))
@@ -723,16 +757,15 @@ object Similarity {
       .withColumn("__srank_", row_number().over(
         Window.partitionBy(col("id")).orderBy(dist2, col("srank"))))
       .filter(col("__srank_") === 1)
-      .join(broadcast(splitIds.select(col("crank"), col("mx"))), Seq("crank"))
       .select(
-        when(col("srank") === 1, col("crank")).otherwise(col("mx") + col("crank")).as("crank"),
+        when(col("srank") === 1, col("crank")).otherwise(mxLit + col("crank")).as("crank"),
         col("parent_crank"), col("id"), col("v"), col("vv"))
     val untouched = assign
-      .join(broadcast(splitIds.select(col("crank"))), Seq("crank"), "left_anti")
+      .filter(!inCranks(assign, "crank", hotIds))
       .select(col("crank"), col("parent_crank"), col("id"), col("v"), col("vv"))
     val newAssign = untouched.unionAll(moved)
     val keptCents = centroids
-      .join(broadcast(splitIds.select(col("crank"))), Seq("crank"), "left_anti")
+      .filter(!inCranks(centroids, "crank", hotIds))
       .select(col("crank"), col("cv"), col("cc"))
     // Degenerate-split guard: if EVERY row of an oversized cell ranks
     // nearest the same sub-seed, the other sub-centroid owns an empty
@@ -742,9 +775,9 @@ object Similarity {
     // cranks — a tiny keyed lookup, no extra corpus pass).
     val populated = moved.select(col("crank")).distinct()
     val newCents = keptCents.unionAll(
-      subcents.join(broadcast(splitIds.select(col("crank").as("parent"), col("mx"))), Seq("parent"))
+      subcents
         .select(
-          when(col("srank") === 1, col("parent")).otherwise(col("mx") + col("parent")).as("crank"),
+          when(col("srank") === 1, col("parent")).otherwise(mxLit + col("parent")).as("crank"),
           col("scv").as("cv"), col("scc").as("cc"))
         .join(populated, Seq("crank"), "left_semi"))
     (newCents, newAssign)
@@ -832,30 +865,26 @@ object Similarity {
   def ivfMerge(centroids: DataFrame, assignments: DataFrame,
                mergeDenom: Int = 4): (DataFrame, DataFrame) = {
     require(mergeDenom >= 1, s"ivfMerge: mergeDenom must be >= 1, got $mergeDenom")
-    // persisted: census + starved-row selection + untouched anti-join all
-    // consume this frame (see ivfRebalance's note)
-    val asg = assignments
-      .select(col("crank"), col("id"), col("v"), col("vv")).persist()
-    val sizes = cellCensus(centroids, asg)
-    val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"))
-    // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
-    val starved = sizes.crossJoin(broadcast(tot))
-      .filter(col("n") * col("kc") * lit(mergeDenom.toLong) < col("t"))
-      .select(col("crank"))
-    mergeCells(centroids, asg, starved)
+    // persisted (CacheLease-tracked): census + starved-row selection +
+    // untouched anti-filter all consume this frame (see ivfRebalance)
+    val asg = CacheLease.persist(assignments
+      .select(col("crank"), col("id"), col("v"), col("vv")))
+    val c = censusScalars(centroids, asg)
+    mergeCellsByIds(centroids, asg, c.starvedIds(mergeDenom))
   }
 
   /** The merge stage shared by [[ivfMerge]] and [[ivfMaintain]]: dissolve
-   *  the `starved` cells of `assignments` (crank, id, v, vv) into their
-   *  nearest surviving centroid and return (survivingCentroids,
+   *  the `starvedIds` cells of `assignments` (crank, id, v, vv) into
+   *  their nearest surviving centroid and return (survivingCentroids,
    *  newAssignments) under [[ivfMerge]]'s exact contracts. */
-  private def mergeCells(centroids: DataFrame, assignments: DataFrame,
-                         starved: DataFrame): (DataFrame, DataFrame) = {
-    val survivors = centroids.join(broadcast(starved), Seq("crank"), "left_anti")
+  private def mergeCellsByIds(centroids: DataFrame, assignments: DataFrame,
+                              starvedIds: Seq[Long]): (DataFrame, DataFrame) = {
+    val survivors = centroids.filter(!inCranks(centroids, "crank", starvedIds))
       .select(col("crank"), col("cv"), col("cc"))
     // two consumers (re-rank input + parent_crank re-attach) — persist
     // the starved-rows-only frame (tiny by definition)
-    val srows = assignments.join(broadcast(starved), Seq("crank")).persist()
+    val srows = CacheLease.persist(
+      assignments.filter(inCranks(assignments, "crank", starvedIds)))
     // re-rank ONLY the starved rows, via ivfAssignments itself so the
     // tie-break/distance discipline can never drift from the build path;
     // the id-keyed join re-attaches the old cell as parent_crank (srows
@@ -863,7 +892,7 @@ object Similarity {
     val moved = ivfAssignments(srows.select(col("id"), col("v")), survivors, "id", "v")
       .join(srows.select(col("id"), col("crank").as("parent_crank")), Seq("id"))
       .select(col("crank"), col("parent_crank"), col("id"), col("v"), col("vv"))
-    val untouched = assignments.join(broadcast(starved), Seq("crank"), "left_anti")
+    val untouched = assignments.filter(!inCranks(assignments, "crank", starvedIds))
       .select(col("crank"), col("crank").as("parent_crank"), col("id"), col("v"), col("vv"))
     (survivors, untouched.unionAll(moved))
   }
@@ -899,30 +928,35 @@ object Similarity {
       s"ivfMaintain: split factor $splitNum/$splitDenom must be >= 1")
     require(mergeDenom >= 1, s"ivfMaintain: mergeDenom must be >= 1, got $mergeDenom")
     // The composition has MANY consumers of the assignment frame (the
-    // census, the starved-row selection, the untouched anti-join, then
+    // census, the starved-row selection, the untouched anti-filter, then
     // the post-merge frame again for the split's row selection, two
-    // sub-seed aggregations, and ITS untouched anti-join) — persist both
-    // or every consumer re-executes the whole upstream assignment
-    // (measured 16 s vs ~4 s at sf0.1 on the s19 fixture). Plan-keyed
-    // caches, results bit-identical; at cluster scale the assignments
+    // sub-seed aggregations, and ITS untouched anti-filter) — persist
+    // both or every consumer re-executes the whole upstream assignment
+    // (measured 16 s vs ~4 s at sf0.1 on the s19 fixture). CacheLease-
+    // tracked, results bit-identical; at cluster scale the assignments
     // arrive LOADED from the crank-partitioned parquet, where each
-    // re-read is a cheap pruned scan anyway.
-    val asg = assignments
-      .select(col("crank"), col("id"), col("v"), col("vv")).persist()
-    val sizes = cellCensus(centroids, asg)
-    val tot = sizes.agg(sum(col("n")).as("t"), count(lit(1)).as("kc"),
-      max(col("crank")).as("mx"))
-    // crossJoin allowlisted: 1-row totals frame (reviewed broadcast idiom)
-    val flagged = sizes.crossJoin(broadcast(tot))
-    val starved = flagged
-      .filter(col("n") * col("kc") * lit(mergeDenom.toLong) < col("t"))
-      .select(col("crank"))
-    val splitIds = flagged
-      .filter(col("n") * col("kc") * lit(splitDenom.toLong) >
-        col("t") * lit(splitNum.toLong))
-      .select(col("crank"), col("mx"))
-    val (survCents, mergedAsg) = mergeCells(centroids, asg, starved)
-    splitCells(survCents, mergedAsg.persist(), splitIds)
+    // re-read is a cheap pruned scan anyway. Both flag sets come from
+    // the ONE driver-collected census (ivfHealth's exact integer tests),
+    // and an empty flag set SKIPS its whole stage — the balanced-index
+    // no-op is a pass-through projection, not a zero-row re-rank DAG.
+    val asg = CacheLease.persist(assignments
+      .select(col("crank"), col("id"), col("v"), col("vv")))
+    val c = censusScalars(centroids, asg)
+    val starved = c.starvedIds(mergeDenom)
+    val hot = c.hotIds(splitNum, splitDenom)
+    val (survCents, mergedAsg) =
+      if (starved.isEmpty)
+        (centroids.select(col("crank"), col("cv"), col("cc")),
+          asg.select(col("crank"), col("crank").as("parent_crank"),
+            col("id"), col("v"), col("vv")))
+      else mergeCellsByIds(centroids, asg, starved)
+    if (hot.isEmpty) (survCents, mergedAsg)
+    else splitCellsByIds(survCents,
+      // the split stage has three consumers of the post-merge frame; when
+      // the merge was a no-op the frame is a projection of the already-
+      // cached asg, so a second cache would only double the storage
+      if (starved.isEmpty) mergedAsg else CacheLease.persist(mergedAsg),
+      hot, c.mx)
   }
 
   /**

@@ -239,6 +239,16 @@ class ExamplesSpec extends SparkSpec {
       .createOrReplaceTempView("rl_corpus")
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.toSeq.mkString("|")).toSet
+    // the fingerprint SIDECAR landed beside the artifact: one stored row,
+    // equal to the live corpus fingerprint (the serve-many integrity
+    // check compares the artifact against THIS row, never re-scanning)
+    val sidecar = spark.read.parquet(s"$out/corpus_fp")
+    sidecar.columns.toSeq shouldBe Seq("fp_n", "fp_h")
+    sidecar.count() shouldBe 1L
+    val liveFp = graft.ml.Dedup.corpusFingerprint(
+      spark.table("rl_corpus").select(col("doc_id"), col("text")),
+      "text", "doc_id").head()
+    sidecar.head().toSeq shouldBe liveFp.toSeq
     val repActor = new graft.ml.DedupActor()
     repActor.init(Map("view" -> "rl_corpus", "method" -> "report"))
     rows(spark.read.parquet(s"$out/dedup_report")) shouldBe rows(repActor.run(ctx).get)
@@ -303,6 +313,38 @@ class ExamplesSpec extends SparkSpec {
       "resolutionView" -> "rl_res"))
     val ex = intercept[IllegalArgumentException] { stale.run(ctx) }
     ex.getMessage should include("different corpus")
+    // the STORED-fingerprint path fails just as loudly: a sidecar
+    // refreshed with a drifted corpus exposes the stale artifact with
+    // two 1-row reads — no corpus re-scan, same failure
+    graft.ml.Dedup.corpusFingerprint(spark.table("rl_other"), "text", "doc_id")
+      .createOrReplaceTempView("rl_other_fp")
+    val staleStored = new graft.ml.DedupActor()
+    staleStored.init(Map("view" -> "rl_other", "method" -> "report",
+      "resolutionView" -> "rl_res", "fingerprintView" -> "rl_other_fp"))
+    val ex2 = intercept[IllegalArgumentException] { staleStored.run(ctx) }
+    ex2.getMessage should include("different corpus")
+    // REBASE pin (pipeline level): drain 2 ran against the REBASED
+    // artifacts (rebased_labels + rebased_sigs from the stream-gate-
+    // rebase job) and its weights must equal the never-rebased gate's
+    // over the same two-drain history — the library-layer MlSpec pin,
+    // held end-to-end through the YAML surface and parquet round-trips
+    val batch2 = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 950000).as("doc_id"),
+        concat(reverse(col("text")), lit(" qq zz")).as("text"))
+    val g0 = new graft.ml.SoftDedupGate(
+      spark.read.parquet(s"$out/resolution"),
+      graft.ml.Dedup.minHashSignatures(
+        spark.table("rl_corpus").select(col("doc_id"), col("text")),
+        "text", "doc_id"))
+    g0.ingest(gateBatch, "text", "doc_id")
+    g0.ingest(batch2, "text", "doc_id")
+    val neverRebased = g0.weights(batch2.select("doc_id"), "doc_id")
+      .withColumnRenamed("id", "doc_id")
+    rows(spark.read.parquet(s"$out/gate2_weights")) shouldBe rows(neverRebased)
+    // and the drain-2 docs matched through the rebased INDEX leg (their
+    // stream-internal partners are in the index now): down-weighted
+    spark.read.parquet(s"$out/gate2_weights")
+      .filter(col("weight_u") < 1000000L).count() should be > 0L
   }
 
   test("decontamination_lifecycle.yaml: bloom build->persist->load->flag equals the in-session path") {

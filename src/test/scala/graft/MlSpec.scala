@@ -814,6 +814,123 @@ class MlSpec extends SparkSpec {
     rebased(102L) shouldBe ((100L, 3L, 333333L))
   }
 
+  test("SoftDedupGate: per-doc candidate budget preserves the planted links and equals the unbudgeted gate") {
+    implicit val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(19)
+    val words = Vector("alpha", "bravo", "carol", "delta", "echo",
+      "fox", "golf", "hotel", "india", "jazz")
+    def txt(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = txt(60)
+    val idxSigs = Dedup.minHashSignatures(
+      Seq((1L, base + " index copy")).toDF("doc_id", "text"), "text", "doc_id")
+    val labels = Seq.empty[(Long, Long)].toDF("id", "keep_id")
+    val b1 = Seq((100L, base), (101L, base + " dup dup")).toDF("doc_id", "text")
+    val b2 = Seq((102L, base + " zz yy")).toDF("doc_id", "text")
+    def drained(cap: Int) = {
+      val g = new graft.ml.SoftDedupGate(labels, idxSigs, maxCandidatesPerDoc = cap)
+      g.ingest(b1, "text", "doc_id"); g.ingest(b2, "text", "doc_id")
+      g.weights(Seq(1L, 100L, 101L, 102L, 999L).toDF("doc_id"), "doc_id")
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    val capped = drained(4)
+    // the budget (>= the true per-doc duplicate degree) drops nothing:
+    // index leg, cross-batch leg, and batch-internal leg all link
+    capped shouldBe drained(0)
+    Seq(1L, 100L, 101L, 102L).foreach { id => capped(id)._2 shouldBe 4L }
+    capped(999L) shouldBe ((999L, 1L, 1000000L))
+  }
+
+  test("capCandidatesSym: true per-doc budget — chance edges in nobody's top-cap drop, planted edges survive") {
+    implicit val s = spark
+    import s.implicits._
+    // K5 chance clique (est 0.5) among docs 1..5, plus one planted
+    // near-dup (est 1.0) per doc to a high-id partner 101..105 — the
+    // ADVICE scenario where the one-sided cap leaves high-id volume
+    // unbounded. cap=1: every doc's own top-1 is its planted edge, so
+    // ALL 5 planted pairs survive (kept by the low endpoint's budget —
+    // high ids never even rank) and ALL 10 chance pairs drop (in
+    // neither endpoint's top-1).
+    val planted = (1L to 5L).map(i => (i, i + 100L, 1.0))
+    val clique = for (a <- 1L to 5L; b <- a + 1 to 5L) yield (a, b, 0.5)
+    val pairs = (planted ++ clique).toDF("id_a", "id_b", "est_jaccard")
+    val out = Dedup.capCandidatesSym(pairs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe (1L to 5L).map(i => (i, i + 100L)).toSet
+    // the ONE-SIDED cap on the same input keeps chance edges (id_a=1's
+    // top-1 is its planted edge, but 2..5 keep their clique edges only
+    // when ranked per id_a) — the documented contrast
+    val oneSided = Dedup.capCandidates(pairs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    oneSided shouldBe (1L to 5L).map(i => (i, i + 100L)).toSet
+    // ...and with the planted edges flipped to the (high, low) orientation
+    // the one-sided cap can no longer protect them per low id, while the
+    // symmetrized cap still can
+    val flipped = (planted.map { case (a, b, e) => (b, a, e) } ++ clique)
+      .toDF("id_a", "id_b", "est_jaccard")
+    val symF = Dedup.capCandidatesSym(flipped, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    symF shouldBe (1L to 5L).map(i => (i, i + 100L)).toSet
+    val oneF = Dedup.capCandidates(flipped, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    oneF should not be symF // chance clique edges survive the one-sided cap
+  }
+
+  test("actor-surface maintenance leaves zero persistent RDDs (CacheLease frees at job teardown)") {
+    implicit val s = spark
+    import s.implicits._
+    // the s19-shaped fixture: cell 1 hot, cell 4 starved
+    val corpus = ((101L to 106L).map(i => (i, Seq((i - 101) * 0.01, 0.0))) ++
+      (107L to 112L).map(i => (i, Seq(3.0 + (i - 107) * 0.01, 0.0))) ++
+      (201L to 203L).map(i => (i, Seq(100.0 + (i - 200) * 0.01, 0.0))) ++
+      (301L to 303L).map(i => (i, Seq(200.0 + (i - 300) * 0.01, 0.0))) ++
+      Seq((401L, Seq(300.0, 0.0)))).toDF("vec_id", "v")
+    val cents = Seq((1, Seq(0.0, 0.0)), (2, Seq(100.0, 0.0)),
+      (3, Seq(200.0, 0.0)), (4, Seq(300.0, 0.0))).toDF("crank", "cv")
+      .withColumn("cc", Similarity.dot(col("cv"), col("cv")))
+    val asg = Similarity.ivfAssignments(corpus, cents, "vec_id", "v")
+    cents.createOrReplaceTempView("mm_cents")
+    asg.createOrReplaceTempView("mm_asg")
+    val cdocs = Seq((10L, "alpha bravo carol delta echo fox golf hotel india jazz " * 8),
+      (20L, "alpha bravo carol delta echo fox golf hotel india jazz " * 8 + "tail"),
+      (30L, "")).toDF("doc_id", "text")
+    cdocs.createOrReplaceTempView("mm_docs")
+    val maintain = new graft.ml.SimilaritySearchActor
+    maintain.init(Map("view" -> "mm_asg", "method" -> "ivf-maintain",
+      "centroidsView" -> "mm_cents", "assignView" -> "mm_asg"))(spark)
+    val clean = new graft.ml.DedupActor
+    clean.init(Map("view" -> "mm_docs", "method" -> "cdc-clean"))(spark)
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // metricsEnabled = true: the runner COUNTS each output — both passes'
+    // plans fully execute (and their interior caches populate) before the
+    // job's teardown frees them
+    val pipeline = graft.pipeline.Pipeline("maintenance-cleanup",
+      jobs = Seq(graft.pipeline.Job("m", Seq(
+        graft.pipeline.Action("maintain", maintain,
+          Some(graft.pipeline.View("mm_maintained"))),
+        graft.pipeline.Action("clean", clean,
+          Some(graft.pipeline.View("mm_cleaned")))))),
+      singleSparkSession = true)
+    new graft.core.PipelineRunner(graft.core.PipelineContext(
+      singleSparkSession = true, metricsEnabled = true)).run(pipeline)(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    leaked shouldBe empty
+    // and the promoted views still read correctly (uncached recompute) —
+    // bit-identical to the library path
+    val lib = Similarity.ivfMaintain(cents, asg, 3, 2, 4)._2
+      .collect().map(r => (r.getAs[Int]("crank"), r.getAs[Int]("parent_crank"),
+        r.getAs[Long]("id"))).toSet
+    spark.table("mm_maintained").collect()
+      .map(r => (r.getAs[Int]("crank"), r.getAs[Int]("parent_crank"),
+        r.getAs[Long]("id"))).toSet shouldBe lib
+    spark.table("mm_cleaned").collect().map(_.getLong(0)).toSet shouldBe
+      Set(10L, 20L, 30L) // the empty doc reports a row too (n_chunks = 0)
+    // the comparison pass above cached again (library call outside any
+    // lease) — drop it so this suite leaves the shared session clean
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("maybeBroadcast: pins under the bound, shuffle-joins over it, results identical") {
     implicit val s = spark
     import s.implicits._

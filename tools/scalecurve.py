@@ -354,6 +354,7 @@ MODELED = {
     "s19_ivf_maintain":       "s18's merge stage + s15's split stage off ONE centroid-complete census; both re-ranks touch only the flagged cells' rows — modeled for the same reason as s15/s18: the planted hot (1/5) and starved (1/97) cells are fixed fractions of the corpus by fixture design",
     "d28_dedup_eval_capped":  "d15's banded collision enumeration (~bucket density) feeds a TopKPairs budget — the exact-jaccard verify join then pays <= cap (4) candidates per doc, bounding the tier that made d15's per-unit cost climb; the enumeration itself remains density-driven, hence modeled",
     "q115_stream_soft_dedup_linked": "q114's batch-sized gate plus batch-internal lshCandidatePairs and the subgraph CC fold (d26's shape) — the batch is a fixed fraction of the corpus by fixture design, so per-ingest cost scales with the batch's match neighborhood, never the corpus",
+    "q116_stream_gate_capped": "q115's gate under the per-doc candidate budget (capCandidatesSym top-4 per doc over the symmetrized legs) — the banded collision enumeration is still density-driven (q115's physics), but the verify/fold tier downstream of the cap is bounded at cap x batch rows; expected at or below q115's trend",
     "q111_stream_ivf_probe":  "s3's O(Q*nprobe*cell) probe as a stream-static join; routing is a stateless broadcast-array scan, top-k is k-pair state per query",
     "s4_knn_quantized":       "labeled quantized exact baseline: O(Q*N)",
     "s5_knn_pq":              "full-ADC scan: O(Q*N) compressed",
