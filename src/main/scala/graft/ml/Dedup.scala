@@ -885,12 +885,23 @@ object Dedup {
                     numHashes: Int = 8, bands: Int = 4,
                     minEstJaccard: Double = 0.5, iterations: Int = 8,
                     broadcastBatchMaxRows: Long = 1L << 18): DataFrame = {
-    val nvi = lshMatches(newSigs, indexSigs, numHashes, bands, minEstJaccard,
+    // The batch signature subtree otherwise appears ~7x across this plan
+    // (lshMatches' probe + banded side + sig re-attach, and
+    // lshCandidatePairs' four appearances) — persist it once
+    // (batch-sized; CacheLease-tracked, so the actor surface frees it at
+    // job teardown and library callers own it per the lease contract).
+    val ns = CacheLease.persist(newSigs)
+    val nvi = lshMatches(ns, indexSigs, numHashes, bands, minEstJaccard,
         broadcastBatchMaxRows)
       .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
-    val nvn = lshCandidatePairs(newSigs, numHashes, bands, minEstJaccard)
+    val nvn = lshCandidatePairs(ns, numHashes, bands, minEstJaccard)
       .select(col("id_a"), col("id_b"))
-    resolveUpdateFromEdges(labels, nvi.unionAll(nvn), iterations)
+    // One eager cut for the edge list: resolveUpdateFromEdges consumes it
+    // twice (the endpoints frame + the CC base checkpoint), and each
+    // consumption would re-run the banded index join. Batch-neighborhood-
+    // sized — the same localCheckpoint discipline as clusterLabels.
+    resolveUpdateFromEdges(labels, nvi.unionAll(nvn).localCheckpoint(true),
+      iterations)
   }
 
   /**
