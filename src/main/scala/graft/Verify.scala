@@ -29,6 +29,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop storage blocks the query left behind (persist/localCheckpoint
+      // in the iterative/multi-consumer ops) — Bench's discipline: 250+
+      // queries in one session otherwise accumulate blocks until eviction
+      // stalls land in later queries' writes
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

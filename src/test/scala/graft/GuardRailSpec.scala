@@ -174,6 +174,33 @@ class GuardRailSpec extends SparkSpec {
     }
   }
 
+  test("every ml-layer persist rides the CacheLease ownership contract") {
+    // The r13 bench stalls traced to corpus-scale caches no caller could
+    // free (the pass returns frames that DEPEND on them). CacheLease is
+    // the fix — but only if every ml persist goes through it: a raw
+    // .persist() added later silently re-opens the leak for the actor
+    // surface and any leased library caller. Fail at add time instead.
+    val mlDir = java.nio.file.Paths.get("src/main/scala/graft/ml")
+    val offenders = java.nio.file.Files.list(mlDir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(_.getFileName.toString == "CacheLease.scala")
+      .flatMap { p =>
+        val lines = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .linesIterator.zipWithIndex.toSeq
+        lines.collect {
+          case (l, i) if l.contains(".persist(") &&
+            !l.contains("CacheLease.persist") &&
+            !l.trim.startsWith("//") && !l.trim.startsWith("*") =>
+            s"${p.getFileName}:${i + 1}: ${l.trim}"
+        }
+      }
+    withClue("raw .persist() in graft.ml (route through CacheLease.persist " +
+      "so the actor surface can free it at job teardown): ") {
+      offenders shouldBe empty
+    }
+  }
+
   test("every catalog query carries an oracle (no rows-only weak checks)") {
     // The driver records a weaker rows-only check for queries missing
     // from oracleSql — 152/152 strong checks is a property worth pinning,
