@@ -877,6 +877,44 @@ class MlSpec extends SparkSpec {
     oneF should not be symF // chance clique edges survive the one-sided cap
   }
 
+  test("ivf maintain on a BIGINT-crank index: isin narrowing + fresh-id literal keep the column type") {
+    implicit val s = spark
+    import s.implicits._
+    // a loaded-from-parquet index can carry crank as BIGINT; the driver-
+    // census path must compare and renumber in the column's own type
+    // (a silent cast would break schema contracts and parquet pushdown)
+    val corpus = ((101L to 112L).map(i => (i, Seq((if (i <= 106) 0.0 else 3.0) + (i - 101) * 0.01, 0.0))) ++
+      (201L to 203L).map(i => (i, Seq(100.0 + (i - 200) * 0.01, 0.0))) ++
+      (301L to 303L).map(i => (i, Seq(200.0 + (i - 300) * 0.01, 0.0))) ++
+      Seq((401L, Seq(300.0, 0.0)))).toDF("vec_id", "v")
+    val centsL = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(100.0, 0.0)),
+      (3L, Seq(200.0, 0.0)), (4L, Seq(300.0, 0.0))).toDF("crank", "cv")
+      .withColumn("cc", Similarity.dot(col("cv"), col("cv")))
+    val asgL = Similarity.ivfAssignments(corpus, centsL, "vec_id", "v")
+    asgL.schema("crank").dataType shouldBe org.apache.spark.sql.types.LongType
+    val (nc, na) = Similarity.ivfMaintain(centsL, asgL, 3, 2, 4)
+    na.schema("crank").dataType shouldBe org.apache.spark.sql.types.LongType
+    nc.schema("crank").dataType shouldBe org.apache.spark.sql.types.LongType
+    // same semantics as the int-crank fixture: cell 4 dissolved into 3,
+    // hot cell 1 split with the fresh id mx + parent = 5
+    nc.select("crank").collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L, 3L, 5L)
+    val cells = na.collect().map(r =>
+      (r.getAs[Long]("crank"), r.getAs[Long]("parent_crank"), r.getAs[Long]("id")))
+    cells.length shouldBe 19
+    cells.filter(_._2 == 4L) shouldBe Array((3L, 4L, 401L))
+    cells.filter(_._2 == 1L).map(_._1).toSet shouldBe Set(1L, 5L)
+  }
+
+  test("capCandidatesSym: cap above the true degree is a pass-through (pairs, est preserved)") {
+    implicit val s = spark
+    import s.implicits._
+    val pairs = Seq((1L, 2L, 0.75), (1L, 3L, 0.5), (2L, 3L, 1.0))
+      .toDF("id_a", "id_b", "est_jaccard")
+    val out = Dedup.capCandidatesSym(pairs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    out shouldBe Set((1L, 2L, 0.75), (1L, 3L, 0.5), (2L, 3L, 1.0))
+  }
+
   test("actor-surface maintenance leaves zero persistent RDDs (CacheLease frees at job teardown)") {
     implicit val s = spark
     import s.implicits._
