@@ -831,6 +831,33 @@ object Dedup {
         }
     }
 
+  /** [[corpusFingerprint]]'s SIGNATURE-FRAME form: the order-free 1-row
+   *  (fp_n, fp_h) fingerprint of an (id, mh0..mhN-1) MinHash signature
+   *  frame. This is what makes a REBASED resolution artifact a
+   *  first-class artifact: after [[SoftDedupGate.rebase]] the next
+   *  drain's index IS the folded signature frame — there is no corpus
+   *  text to fingerprint, but the signatures determine every match the
+   *  resolution encodes, so stamping/verifying against THEM is the
+   *  exact integrity contract. The two fingerprint domains never
+   *  cross-validate (a text-stamped artifact checked against a
+   *  signature sidecar fails loudly on fp_h), which is fail-closed —
+   *  the sidecar must be refreshed in the same representation the
+   *  artifact was stamped in. Same order-free sum-of-xxhash64 device
+   *  as [[corpusFingerprint]]; mh columns are canonicalized by index,
+   *  so column order in a loaded frame is immaterial. */
+  def signatureFingerprint(sigs: DataFrame, idCol: String = "id"): DataFrame = {
+    val mhCols = sigs.columns.filter(_.matches("mh\\d+")).sortBy(_.drop(2).toInt)
+    require(mhCols.nonEmpty && sigs.columns.contains(idCol),
+      s"signatureFingerprint: not a signature frame (expected $idCol, mh0..) — " +
+        s"has ${sigs.columns.mkString(", ")}")
+    val cols = s"CAST(`$idCol` AS BIGINT)" +: mhCols.map(c => s"`$c`")
+    sigs.agg(count(lit(1)).as("fp_n"),
+      expr(s"""coalesce(CAST(pmod(
+                 sum(CAST(xxhash64(${cols.mkString(", ")}) AS DECIMAL(38,0))),
+                 CAST(9223372036854775783 AS DECIMAL(38,0))) AS BIGINT),
+               CAST(0 AS BIGINT))""").as("fp_h"))
+  }
+
   /**
    * Incremental resolution UPDATE, graph layer: fold `newEdges`
    * (id_a, id_b — near-dup pairs an ingest batch introduced) into an
@@ -887,9 +914,12 @@ object Dedup {
                     broadcastBatchMaxRows: Long = 1L << 18): DataFrame = {
     // The batch signature subtree otherwise appears ~7x across this plan
     // (lshMatches' probe + banded side + sig re-attach, and
-    // lshCandidatePairs' four appearances) — persist it once
-    // (batch-sized; CacheLease-tracked, so the actor surface frees it at
-    // job teardown and library callers own it per the lease contract).
+    // lshCandidatePairs' four appearances) — persist it once. Both
+    // consumers are fully materialized by the EAGER localCheckpoint cut
+    // below, so the cache is freed before returning: a bare library
+    // caller invoking resolveUpdate per ingest cycle must not accumulate
+    // batch-sized storage blocks (the CacheLease registration stays so a
+    // surrounding actor scope's deferred unpersist is a harmless no-op).
     val ns = CacheLease.persist(newSigs)
     val nvi = lshMatches(ns, indexSigs, numHashes, bands, minEstJaccard,
         broadcastBatchMaxRows)
@@ -900,8 +930,9 @@ object Dedup {
     // twice (the endpoints frame + the CC base checkpoint), and each
     // consumption would re-run the banded index join. Batch-neighborhood-
     // sized — the same localCheckpoint discipline as clusterLabels.
-    resolveUpdateFromEdges(labels, nvi.unionAll(nvn).localCheckpoint(true),
-      iterations)
+    val edges = nvi.unionAll(nvn).localCheckpoint(true)
+    ns.unpersist()
+    resolveUpdateFromEdges(labels, edges, iterations)
   }
 
   /**
@@ -1106,27 +1137,33 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // two large+small rounds per convergence probe: the probe is a
-      // driver-synchronizing action, and edge counts shrink geometrically,
-      // so halving the sync count costs at most one wasted (cheap,
-      // already-star-shaped) round after the fixpoint
+      // THREE large+small rounds per convergence probe: the probe is a
+      // driver-synchronizing action (the dominant per-round cost at bench
+      // scale, where the tiny shuffles are scheduling-bound), and edge
+      // counts shrink geometrically, so cutting the sync count to one per
+      // three rounds costs at most two wasted (cheap, already-star-shaped)
+      // rounds after the fixpoint — a strict win while typical duplicate
+      // graphs converge in <= 6 doubling rounds. Result-identity is
+      // untouched: the fixpoint is unique, extra rounds are no-ops.
       val (mid, midIds) = trackedCheckpoint(
         smallStarRound(largeStarRound(edges)), eager = false)
+      val (mid2, mid2Ids) = trackedCheckpoint(
+        smallStarRound(largeStarRound(mid)), eager = false)
       // next stays LAZY too: the fingerprint action below materializes the
       // checkpoint as part of its own job — an eager checkpoint here would
-      // run the same 2-round DAG as a separate driver-synchronized job
+      // run the same 3-round DAG as a separate driver-synchronized job
       // first (measured one extra ~100ms job per probe at bench scale)
       val (next, nextIds) = trackedCheckpoint(
-        smallStarRound(largeStarRound(mid)), eager = false)
+        smallStarRound(largeStarRound(mid2)), eager = false)
       val nfp = fingerprint(next)
       // everything before `next` is now dead weight — free the superseded
       // rounds' blocks instead of pinning one edge-list copy per round
-      unpersistIds(next.sparkSession, prevIds ++ midIds)
+      unpersistIds(next.sparkSession, prevIds ++ midIds ++ mid2Ids)
       prevIds = nextIds
       converged = nfp == fp
       fp = nfp
       edges = next
-      i += 2
+      i += 3
     }
     // At the fixpoint edges form stars (member -> component min); roots
     // appear only on the v side and label themselves.
@@ -1279,9 +1316,19 @@ final class SoftDedupGate(labels: DataFrame, indexSigs: DataFrame,
    *  Equivalence is by construction — lshMatches vs (index ∪ retained)
    *  produces exactly the index-leg ∪ retained-leg pairs — and MlSpec
    *  pins it end-to-end: weights after a rebase equal weights of the
-   *  never-rebased gate over the same ingest history. */
+   *  never-rebased gate over the same ingest history.
+   *
+   *  The label frame comes back STAMPED with the folded index's
+   *  [[Dedup.signatureFingerprint]] (fp_n, fp_h on every row) — a
+   *  rebased resolution is a first-class artifact like resolve-build's:
+   *  persist a matching sidecar (`fingerprint` actor on the folded
+   *  signature view with `viewIsSignatures: true`, or
+   *  [[Dedup.signatureFingerprint]] directly) and the next drain
+   *  verifies the pair with two 1-row reads before trusting it. */
   def rebase(): (DataFrame, DataFrame) = synchronized {
     val newIndex = (indexSigs :: sigParts.reverse).reduce(_ unionAll _)
-    (newIndex, updatedLabels())
+    (newIndex, updatedLabels().crossJoin(
+      org.apache.spark.sql.functions.broadcast(
+        Dedup.signatureFingerprint(newIndex))))
   }
 }

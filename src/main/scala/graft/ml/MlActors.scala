@@ -117,6 +117,11 @@ class DedupActor extends Actor {
   // stream-gate-rebase: the extra-view name for the folded index
   // signatures (the output view carries the updated labels)
   protected var sigsView: String = ""
+  // `fingerprint` method: the view is a SIGNATURE frame (id, mh0..),
+  // not a text corpus — emit Dedup.signatureFingerprint, the sidecar a
+  // REBASED artifact (stamped with the folded index's sig fingerprint)
+  // verifies against
+  protected var viewIsSignatures: Boolean = false
 
   override def init(properties: Map[String, String])(implicit spark: SparkSession): Unit = {
     view = require_(properties, "view")
@@ -159,6 +164,7 @@ class DedupActor extends Actor {
     properties.get("cdcMinLen").foreach(v => cdcMinLen = v.toInt)
     properties.get("indexView").foreach(indexView = _)
     properties.get("indexIsSignatures").foreach(v => indexIsSignatures = v.toBoolean)
+    properties.get("viewIsSignatures").foreach(v => viewIsSignatures = v.toBoolean)
     require(method != "incremental" || indexView.nonEmpty,
       "DedupActor: incremental requires indexView")
     properties.get("evalView").foreach(evalView = _)
@@ -221,8 +227,13 @@ class DedupActor extends Actor {
 
   /** The integrity check behind `verifyResolution`: against the stored
    *  fingerprint sidecar when `fingerprintView` is set (two 1-row reads
-   *  — the serve-many path), else the full corpus re-scan. */
-  private def verifyAgainst(labels: DataFrame, corpus: DataFrame,
+   *  — the serve-many path), else the full corpus re-scan. `corpus` is
+   *  BY-NAME: with `indexIsSignatures: true` + `fingerprintView` (the
+   *  documented serve-many config) the call sites' corpus expression is
+   *  `sigFrame.select(id, text)` — an AnalysisException if evaluated,
+   *  because a signature frame carries no text. The stored-fp branch
+   *  never touches it, so it must never be built there. */
+  private def verifyAgainst(labels: DataFrame, corpus: => DataFrame,
                             ctx: JobContext): Unit =
     if (fingerprintView.nonEmpty)
       Dedup.requireResolutionMatchStored(labels, ctx.getView(fingerprintView))
@@ -332,16 +343,21 @@ class DedupActor extends Actor {
         // check is only possible when indexView is a corpus.
         if (verifyResolution && (fingerprintView.nonEmpty || !indexIsSignatures))
           verifyAgainst(r, idx0.select(col(idCol), col(textCol)), ctx)
-        val updated = Dedup.resolveUpdate(r,
-          idxSigs0,
-          Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen),
+        val batchSigs =
+          Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
+        val updated = Dedup.resolveUpdate(r, idxSigs0, batchSigs,
           numHashes, bands, minEstJaccard, iterations, broadcastMaxRows)
-        // keep the output a first-class ARTIFACT: re-stamp the UNION
-        // corpus' fingerprint so the next resolve-load can verify it.
-        // Only possible when indexView carries text (a signature-frame
-        // index has no content to fingerprint — the caller re-stamps).
-        if (indexIsSignatures) updated
-        else updated.crossJoin(broadcast(Dedup.corpusFingerprint(
+        // keep the output a first-class ARTIFACT: re-stamp so the next
+        // consumer can verify it. A text-corpus index stamps the UNION
+        // corpus' content fingerprint; a signature-frame index stamps
+        // the UNION signatures' fingerprint (the folded sig frame IS the
+        // next fold's index — refresh the sidecar in that domain with
+        // `fingerprint` + `viewIsSignatures: true`).
+        if (indexIsSignatures) {
+          val canon = ("id" +: (0 until numHashes).map(j => s"mh$j")).map(col)
+          updated.crossJoin(broadcast(Dedup.signatureFingerprint(
+            idxSigs0.select(canon: _*).unionAll(batchSigs.select(canon: _*)))))
+        } else updated.crossJoin(broadcast(Dedup.corpusFingerprint(
           idx0.select(col(idCol), col(textCol))
             .unionAll(df.select(col(idCol), col(textCol))), textCol, idCol)))
       case "fingerprint" =>
@@ -349,8 +365,12 @@ class DedupActor extends Actor {
         // lands the corpus, then every later consumer verifies its loaded
         // resolution against this stored row (fingerprintView) instead of
         // re-scanning the corpus — build-once/serve-many applied to the
-        // integrity check itself
-        Dedup.corpusFingerprint(df, textCol, idCol)
+        // integrity check itself. `viewIsSignatures: true` fingerprints a
+        // SIGNATURE frame instead (the sidecar for a rebased artifact,
+        // which is stamped with its folded index's sig fingerprint — the
+        // two domains never cross-validate, by design).
+        if (viewIsSignatures) Dedup.signatureFingerprint(df, "id")
+        else Dedup.corpusFingerprint(df, textCol, idCol)
       case "index-build" =>
         Dedup.minHashSignatures(df, textCol, idCol, numHashes, shingleLen)
       case "bloom-build" =>
@@ -409,8 +429,10 @@ class DedupActor extends Actor {
         // resolve-update maintenance pass would assign; `stream-gate-
         // rebase` instead emits the REBASED artifacts — the long-lived
         // gate's periodic maintenance move: output view = the updated
-        // label frame (the next resolution artifact; re-stamp before
-        // persisting when the corpus text is at hand), extra view
+        // label frame (the next resolution artifact, STAMPED with the
+        // folded index's signature fingerprint — persist a matching
+        // sidecar via `fingerprint` + `viewIsSignatures: true` and the
+        // next drain verifies the pair with two 1-row reads), extra view
         // `sigsView` = the folded index signatures (index ∪ retained
         // stream signatures — the next drain's indexView with
         // indexIsSignatures: true). After a rebase the stream docs ARE

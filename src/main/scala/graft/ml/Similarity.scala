@@ -702,6 +702,18 @@ object Similarity {
     CensusScalars(cellCensus(centroids, assignments).collect().toSeq
       .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)))
 
+  /** Literal-count ceiling for the census `isin` selections: the In
+   *  expression codegens one comparison per literal, sound at design K
+   *  (≤ a few hundred centroids) but codegen-blowup territory on a
+   *  DEGENERATE index (K ~ 1e5 cells after runaway splits) — and it
+   *  would be rebuilt per consumer. Above the ceiling [[filterCranks]]
+   *  falls back to a broadcast semi/anti join against the id list (the
+   *  pre-census shape, results identical). MlSpec exercises the
+   *  fallback at K > the ceiling against the literal path's output
+   *  (via the sys-prop override — test device only). */
+  private[ml] def maxInCrankLiterals: Int =
+    sys.props.get("graft.census.inMax").map(_.toInt).getOrElse(1000)
+
   /** `crank ∈ ids` over `df` as a broadcast-free codegen'd predicate
    *  (false for the empty set). Literal values are narrowed to the
    *  column's own integral type so the predicate stays cast-free —
@@ -715,6 +727,27 @@ object Similarity {
         case _ => ids
       }
       col(name).isin(vals: _*)
+    }
+
+  /** KEEP (semi) or DROP (anti) the rows whose `name` column falls in
+   *  `ids`: the codegen'd `isin` literal predicate up to
+   *  [[MaxInCrankLiterals]] ids, a broadcast semi/anti join over the id
+   *  list beyond it. The ids came off the driver-collected census, so
+   *  the local-relation build is census-sized either way; values are
+   *  cast to the column's own type so the join stays cast-free. */
+  private def filterCranks(df: DataFrame, name: String, ids: Seq[Long],
+                           keep: Boolean): DataFrame =
+    if (ids.size <= maxInCrankLiterals) {
+      val p = inCranks(df, name, ids)
+      df.filter(if (keep) p else !p)
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val sel = ids.toDF("__crank_sel_")
+        .select(col("__crank_sel_").cast(df.schema(name).dataType)
+          .as("__crank_sel_"))
+      df.join(broadcast(sel), df(name) === sel("__crank_sel_"),
+        if (keep) "left_semi" else "left_anti")
     }
 
   /** The split stage shared by [[ivfRebalance]] and [[ivfMaintain]]:
@@ -734,7 +767,7 @@ object Similarity {
     // three consumers (two sub-seed aggs + the re-rank) — persist the
     // split-cells-only frame instead of re-filtering per consumer
     val splitRows = CacheLease.persist(
-      assign.filter(inCranks(assign, "crank", hotIds))
+      filterCranks(assign, "crank", hotIds, keep = true)
         .withColumn("h", Hashing.oracleHash(col("id").cast("string"))))
     // two smallest-(h, id) members per split cell via min_by — partial-agg
     // friendly, no per-cell window
@@ -760,12 +793,10 @@ object Similarity {
       .select(
         when(col("srank") === 1, col("crank")).otherwise(mxLit + col("crank")).as("crank"),
         col("parent_crank"), col("id"), col("v"), col("vv"))
-    val untouched = assign
-      .filter(!inCranks(assign, "crank", hotIds))
+    val untouched = filterCranks(assign, "crank", hotIds, keep = false)
       .select(col("crank"), col("parent_crank"), col("id"), col("v"), col("vv"))
     val newAssign = untouched.unionAll(moved)
-    val keptCents = centroids
-      .filter(!inCranks(centroids, "crank", hotIds))
+    val keptCents = filterCranks(centroids, "crank", hotIds, keep = false)
       .select(col("crank"), col("cv"), col("cc"))
     // Degenerate-split guard: if EVERY row of an oversized cell ranks
     // nearest the same sub-seed, the other sub-centroid owns an empty
@@ -879,12 +910,12 @@ object Similarity {
    *  newAssignments) under [[ivfMerge]]'s exact contracts. */
   private def mergeCellsByIds(centroids: DataFrame, assignments: DataFrame,
                               starvedIds: Seq[Long]): (DataFrame, DataFrame) = {
-    val survivors = centroids.filter(!inCranks(centroids, "crank", starvedIds))
+    val survivors = filterCranks(centroids, "crank", starvedIds, keep = false)
       .select(col("crank"), col("cv"), col("cc"))
     // two consumers (re-rank input + parent_crank re-attach) — persist
     // the starved-rows-only frame (tiny by definition)
     val srows = CacheLease.persist(
-      assignments.filter(inCranks(assignments, "crank", starvedIds)))
+      filterCranks(assignments, "crank", starvedIds, keep = true))
     // re-rank ONLY the starved rows, via ivfAssignments itself so the
     // tie-break/distance discipline can never drift from the build path;
     // the id-keyed join re-attaches the old cell as parent_crank (srows
@@ -892,7 +923,7 @@ object Similarity {
     val moved = ivfAssignments(srows.select(col("id"), col("v")), survivors, "id", "v")
       .join(srows.select(col("id"), col("crank").as("parent_crank")), Seq("id"))
       .select(col("crank"), col("parent_crank"), col("id"), col("v"), col("vv"))
-    val untouched = assignments.filter(!inCranks(assignments, "crank", starvedIds))
+    val untouched = filterCranks(assignments, "crank", starvedIds, keep = false)
       .select(col("crank"), col("crank").as("parent_crank"), col("id"), col("v"), col("vv"))
     (survivors, untouched.unionAll(moved))
   }

@@ -323,6 +323,35 @@ class ExamplesSpec extends SparkSpec {
       "resolutionView" -> "rl_res", "fingerprintView" -> "rl_other_fp"))
     val ex2 = intercept[IllegalArgumentException] { staleStored.run(ctx) }
     ex2.getMessage should include("different corpus")
+    // REGRESSION (by-name corpus arg): the documented serve-many config
+    // — a SIGNATURE index plus a STORED fingerprint — must verify via
+    // the sidecar without ever building the (id, text) projection of
+    // the signature frame (a sig frame has no text column; an eager
+    // corpus argument threw AnalysisException before the check ran)
+    val corpusSigs = graft.ml.Dedup.minHashSignatures(
+      spark.table("rl_corpus").select(col("doc_id"), col("text")), "text", "doc_id")
+    corpusSigs.createOrReplaceTempView("rl_sigs")
+    graft.ml.Dedup.corpusFingerprint(
+      spark.table("rl_corpus").select(col("doc_id"), col("text")), "text", "doc_id")
+      .createOrReplaceTempView("rl_fp")
+    batch.createOrReplaceTempView("rl_batch")
+    val sigFold = new graft.ml.DedupActor()
+    sigFold.init(Map("view" -> "rl_batch", "method" -> "resolve-update",
+      "resolutionView" -> "rl_res", "indexView" -> "rl_sigs",
+      "indexIsSignatures" -> "true", "fingerprintView" -> "rl_fp",
+      "iterations" -> "8"))
+    val folded = sigFold.run(ctx).get
+    folded.select("id", "keep_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe fullUnion
+    // a sig-index fold re-stamps in the SIGNATURE domain: the fingerprint
+    // of (index sigs ∪ batch sigs) — the folded frame the next consumer's
+    // index would be
+    val unionSigFp = graft.ml.Dedup.signatureFingerprint(
+      corpusSigs.unionAll(
+        graft.ml.Dedup.minHashSignatures(batch, "text", "doc_id"))).head()
+    folded.select("fp_n", "fp_h").distinct().collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet shouldBe
+        Set((unionSigFp.getLong(0), unionSigFp.getLong(1)))
     // REBASE pin (pipeline level): drain 2 ran against the REBASED
     // artifacts (rebased_labels + rebased_sigs from the stream-gate-
     // rebase job) and its weights must equal the never-rebased gate's
@@ -345,6 +374,33 @@ class ExamplesSpec extends SparkSpec {
     // stream-internal partners are in the index now): down-weighted
     spark.read.parquet(s"$out/gate2_weights")
       .filter(col("weight_u") < 1000000L).count() should be > 0L
+    // the REBASED resolution is a first-class artifact: stamped with the
+    // folded index's SIGNATURE fingerprint, sidecar landed beside it,
+    // and drain 2 above ran with verifyResolution: true +
+    // fingerprintView through the YAML — the rebase lifecycle verifies
+    // end-to-end, not just on the build side
+    val rl = spark.read.parquet(s"$out/rebased_labels")
+    rl.columns.toSet shouldBe Set("id", "keep_id", "is_duplicate", "fp_n", "fp_h")
+    val sigFp = graft.ml.Dedup.signatureFingerprint(
+      spark.read.parquet(s"$out/rebased_sigs")).head()
+    val rbSidecar = spark.read.parquet(s"$out/rebased_fp")
+    rbSidecar.count() shouldBe 1L
+    rbSidecar.head().toSeq shouldBe sigFp.toSeq
+    rl.select("fp_n", "fp_h").distinct().collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet shouldBe
+        Set((sigFp.getLong(0), sigFp.getLong(1)))
+    // a STALE rebased artifact fails the sig-domain check just as loudly
+    // as the text-domain one: a drifted index (here: truncated) carries
+    // a fresh sidecar the old stamp can't match — two 1-row reads
+    graft.ml.Dedup.signatureFingerprint(
+        spark.read.parquet(s"$out/rebased_sigs").limit(5))
+      .createOrReplaceTempView("rb_stale_fp")
+    rl.createOrReplaceTempView("rb_res")
+    val staleSig = new graft.ml.DedupActor()
+    staleSig.init(Map("view" -> "rl_corpus", "method" -> "soft",
+      "resolutionView" -> "rb_res", "fingerprintView" -> "rb_stale_fp"))
+    val ex3 = intercept[IllegalArgumentException] { staleSig.run(ctx) }
+    ex3.getMessage should include("different corpus")
   }
 
   test("decontamination_lifecycle.yaml: bloom build->persist->load->flag equals the in-session path") {

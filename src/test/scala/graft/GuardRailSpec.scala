@@ -180,9 +180,23 @@ class GuardRailSpec extends SparkSpec {
     // the fix — but only if every ml persist goes through it: a raw
     // .persist() added later silently re-opens the leak for the actor
     // surface and any leased library caller. Fail at add time instead.
-    val mlDir = java.nio.file.Paths.get("src/main/scala/graft/ml")
-    val offenders = java.nio.file.Files.list(mlDir).toArray.toSeq
-      .map(_.asInstanceOf[java.nio.file.Path])
+    // anchor on the sbt build root (tests normally run from it), walking
+    // up from the CWD so a non-root working directory FAILS LOUDLY via
+    // the require below instead of silently scanning nothing
+    val root = Iterator.iterate(
+        java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null).take(6)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(java.nio.file.Paths.get(""))
+    val mlDir = root.resolve("src/main/scala/graft/ml")
+    require(java.nio.file.Files.isDirectory(mlDir),
+      s"lease-contract scan found no ml source dir at $mlDir — run tests " +
+        "from the repo (or fix the anchor), don't let the guard scan nothing")
+    val listing = java.nio.file.Files.list(mlDir)
+    val mlFiles =
+      try listing.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+      finally listing.close()
+    val offenders = mlFiles
       .filter(_.toString.endsWith(".scala"))
       .filterNot(_.getFileName.toString == "CacheLease.scala")
       .flatMap { p =>

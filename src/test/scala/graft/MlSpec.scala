@@ -586,6 +586,44 @@ class MlSpec extends SparkSpec {
       asg8.collect().map(r => (r.getAs[Int]("crank"), r.getAs[Long]("id"))).toSet
   }
 
+  test("census selection fallback: K above the literal ceiling merges identically to the isin path") {
+    implicit val s = spark
+    import s.implicits._
+    // DEGENERATE index: 1200 cells, 1100 of them starved singletons. The
+    // starved-id selection would build an 1100-literal In expression per
+    // consumer (codegen-blowup territory at runaway-split K), so above
+    // maxInCrankLiterals it must ride the broadcast semi/anti-join
+    // fallback — with results identical to the literal path (exercised
+    // here via the test-only sys-prop override of the ceiling).
+    def vec(x: Double) = Seq(x, 1.0)
+    val bigCents = (0 until 100).map(c => (c.toLong, vec(c * 1000.0)))
+    val smallCents = (100 until 1200).map(c => (c.toLong, vec(c * 1000.0)))
+    val cents = (bigCents ++ smallCents).toDF("crank", "cv")
+      .withColumn("cc", Similarity.dot(col("cv"), col("cv")))
+    val asgRows =
+      bigCents.flatMap { case (c, _) =>
+        (0 until 50).map(j => (c, c * 100000L + j, vec(c * 1000.0 + j * 0.001))) } ++
+      smallCents.map { case (c, v0) => (c, c * 100000L, v0) }
+    val asg = asgRows.toDF("crank", "id", "v")
+      .withColumn("vv", Similarity.dot(col("v"), col("v")))
+    // mergeDenom 4: singletons starve (1·1200·4 < 6100), big cells don't
+    def key(r: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) = (
+      r._1.select("crank").collect().map(_.getLong(0)).toSet,
+      r._2.select("crank", "parent_crank", "id").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet)
+    val viaFallback = key(Similarity.ivfMerge(cents, asg, 4))
+    System.setProperty("graft.census.inMax", "100000")
+    val viaLiterals =
+      try key(Similarity.ivfMerge(cents, asg, 4))
+      finally sys.props.remove("graft.census.inMax")
+    viaFallback shouldBe viaLiterals
+    // and the dissolution actually ran: only the 100 big cells survive,
+    // every singleton row was absorbed with its lineage marked
+    viaFallback._1 shouldBe (0L until 100L).toSet
+    viaFallback._2.count { case (c, p, _) => c != p } shouldBe 1100
+    viaFallback._2.size shouldBe asgRows.size
+  }
+
   test("ivf rebalance: a degenerate split never leaves an empty sub-centroid cell") {
     implicit val s = spark
     import s.implicits._
