@@ -1137,33 +1137,43 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // THREE large+small rounds per convergence probe: the probe is a
-      // driver-synchronizing action (the dominant per-round cost at bench
-      // scale, where the tiny shuffles are scheduling-bound), and edge
-      // counts shrink geometrically, so cutting the sync count to one per
-      // three rounds costs at most two wasted (cheap, already-star-shaped)
-      // rounds after the fixpoint — a strict win while typical duplicate
-      // graphs converge in <= 6 doubling rounds. Result-identity is
-      // untouched: the fixpoint is unique, extra rounds are no-ops.
-      val (mid, midIds) = trackedCheckpoint(
-        smallStarRound(largeStarRound(edges)), eager = false)
-      val (mid2, mid2Ids) = trackedCheckpoint(
-        smallStarRound(largeStarRound(mid)), eager = false)
-      // next stays LAZY too: the fingerprint action below materializes the
-      // checkpoint as part of its own job — an eager checkpoint here would
-      // run the same 3-round DAG as a separate driver-synchronized job
-      // first (measured one extra ~100ms job per probe at bench scale)
-      val (next, nextIds) = trackedCheckpoint(
-        smallStarRound(largeStarRound(mid2)), eager = false)
-      val nfp = fingerprint(next)
-      // everything before `next` is now dead weight — free the superseded
+      // TWO large+small rounds per convergence probe (overridable via
+      // graft.stars.probeRounds, A/B device): the probe is a driver-
+      // synchronizing action, and edge counts shrink geometrically, so
+      // batching rounds per probe trades wasted post-fixpoint rounds
+      // against saved syncs. The r15 A/B (CC-warmed subset, paired runs)
+      // measured 3 rounds/probe at PARITY-to-slightly-worse than 2 at
+      // bench scale: typical duplicate graphs here converge in ~4-6
+      // rounds, so 3/probe saves no probe (still 2-3 syncs) while paying
+      // 1-2 extra already-star-shaped rounds — the round count, not the
+      // sync count, dominates once AQE coalesces the tiny shuffles.
+      // Result-identity is probe-batch-independent: the fixpoint is
+      // unique, extra rounds are no-ops.
+      // Each round-pair output is checkpointed LAZILY: the fingerprint
+      // action below materializes the whole probe's DAG as one job — an
+      // eager checkpoint would run each round as a separate driver-
+      // synchronized job first (measured ~100ms extra per probe).
+      val roundsPerProbe = math.max(1,
+        sys.props.getOrElse("graft.stars.probeRounds", "2").toInt)
+      var cur = edges
+      var curIds = Set.empty[Int]
+      var deadIds = prevIds
+      var j = 0
+      while (j < roundsPerProbe) {
+        val (nxt, ids) = trackedCheckpoint(
+          smallStarRound(largeStarRound(cur)), eager = false)
+        deadIds ++= curIds // superseded intermediate round
+        cur = nxt; curIds = ids; j += 1
+      }
+      val nfp = fingerprint(cur)
+      // everything before `cur` is now dead weight — free the superseded
       // rounds' blocks instead of pinning one edge-list copy per round
-      unpersistIds(next.sparkSession, prevIds ++ midIds ++ mid2Ids)
-      prevIds = nextIds
+      unpersistIds(cur.sparkSession, deadIds)
+      prevIds = curIds
       converged = nfp == fp
       fp = nfp
-      edges = next
-      i += 3
+      edges = cur
+      i += roundsPerProbe
     }
     // At the fixpoint edges form stars (member -> component min); roots
     // appear only on the v side and label themselves.
