@@ -110,7 +110,10 @@ object Bench {
     // driver run). If the budget still sheds, each shed query is flagged
     // "warmed": false in the JSON so a cold number is never mistaken for
     // a plan regression — no silent caps.
-    val warmBudgetNs = math.max(240L, (1.5 * selected.size).toLong) * 1000L * 1000 * 1000
+    // SPARK_GRAFT_WARM_BUDGET_S overrides (test device: 0 cold-times the
+    // whole catalog, the r14 shed-tail failure shape on demand)
+    val warmBudgetNs = sys.env.get("SPARK_GRAFT_WARM_BUDGET_S").map(_.toLong)
+      .getOrElse(math.max(240L, (1.5 * selected.size).toLong)) * 1000L * 1000 * 1000
     // Shed-tail LITE warm (its own, smaller budget): when the full warm
     // budget is exhausted — which happens exactly when the host is slow,
     // the case where a cold first-touch number is LEAST trustworthy — a
