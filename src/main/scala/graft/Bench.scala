@@ -399,14 +399,18 @@ object Bench {
     // regression analysis never depends on a /tmp file the next run
     // overwrites. Full-catalog runs only — a subset A/B probe must not
     // clobber the round's record.
-    // a host_degraded run must NOT become the next run's history gate:
-    // its adjudicated numbers are the best available but still host-
-    // inflated, and a poisoned baseline raises the 3x threshold for
-    // every future run — keep the committed history quiet-host only
+    // a host_degraded OR visibly-drifted run must NOT become the next
+    // run's history gate: its adjudicated numbers are the best available
+    // but still host-inflated, and a poisoned baseline loosens the 3x
+    // threshold for every future run — the history stays quiet-host
+    // (marker drift <= 1.15; sub-3x diffuse phases like the r15 246 s
+    // close-A would otherwise land). An honest code regression on a
+    // quiet host still updates the history normally.
     if (only.isEmpty && skip.isEmpty && new java.io.File("docs/bench").isDirectory) {
-      if (!hostDegraded) land("docs/bench/latest.json")
-      else System.err.println("[bench] host_degraded: NOT landing " +
-        "docs/bench/latest.json — history keeps the last healthy record")
+      if (!hostDegraded && markerDrift <= 1.15) land("docs/bench/latest.json")
+      else System.err.println(s"[bench] not landing docs/bench/latest.json " +
+        s"(host_degraded=$hostDegraded, marker_drift=$markerDrift) — " +
+        "history keeps the last healthy record")
     }
     println(json)
     // LAST stdout line is a short total-only JSON that fits any log-tail
