@@ -261,10 +261,16 @@ object Bench {
     // (SPARK_GRAFT_RETRY_WAIT_S, default 600) is spent — and only then
     // take the second sample. The recorded wait ("retry_wait_s") is
     // bench-harness time, never query time.
+    // d9 joined the panel in r15: the co-tenant-steal phases observed
+    // that day inflate MULTI-JOB (scheduling-bound) queries ~2x while
+    // every single-job marker reads ~1.1 — a panel with no multi-job
+    // member under-normalizes exactly the phase class that hits the
+    // catalog's heaviest queries. Quiet-host level from the r15 quiet
+    // record (6.45) and the r14 closing pair (5.2-6.6).
     val markerRef = Map(
       "u1_zipwithindex" -> 0.21, "q3_distinct" -> 0.21, "q12_string_funcs" -> 0.11,
       "q6_window_rownum" -> 0.39, "q26_session_window" -> 0.56,
-      "q74_tws_sessions" -> 1.32)
+      "q74_tws_sessions" -> 1.32, "d9_connected_components" -> 6.4)
     def markerProbeDrift(): Double = {
       val ds = Seq("u1_zipwithindex", "q3_distinct", "q12_string_funcs").flatMap { n =>
         SparkEntry.queries.get(n).map { fn =>
@@ -343,7 +349,8 @@ object Bench {
     // steering a ~160 s total was too noisy a lever — the builder's own
     // back-to-back closing pair normed 124 vs 175.)
     val markerNames = Seq("u1_zipwithindex", "q3_distinct", "q12_string_funcs",
-      "q6_window_rownum", "q26_session_window", "q74_tws_sessions")
+      "q6_window_rownum", "q26_session_window", "q74_tws_sessions",
+      "d9_connected_components")
     val markers = results.collect {
       case r if markerNames.contains(r.name) => s"\"" + r.name + "\":" + adjudicated(r)
     }.mkString("{", ",", "}")
