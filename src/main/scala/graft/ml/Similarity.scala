@@ -734,9 +734,17 @@ object Similarity {
    *  [[MaxInCrankLiterals]] ids, a broadcast semi/anti join over the id
    *  list beyond it. The ids came off the driver-collected census, so
    *  the local-relation build is census-sized either way; values are
-   *  cast to the column's own type so the join stays cast-free. */
-  private def filterCranks(df: DataFrame, name: String, ids: Seq[Long],
-                           keep: Boolean): DataFrame =
+   *  cast to the column's own type so the join stays cast-free.
+   *
+   *  The two paths must be RESULT-IDENTICAL including on NULL keys (the
+   *  crank column is non-null by assignment invariant, but the helper
+   *  must not depend on it): `filter(!isin)` drops a NULL row (the
+   *  predicate evaluates to NULL) while a bare left_anti would keep it
+   *  (NULL never matches the join condition) — so the anti branch
+   *  carries an explicit isNotNull conjunct. The semi side agrees for
+   *  free (NULL matches neither `isin` nor the equi-join). */
+  private[graft] def filterCranks(df: DataFrame, name: String, ids: Seq[Long],
+                                  keep: Boolean): DataFrame =
     if (ids.size <= maxInCrankLiterals) {
       val p = inCranks(df, name, ids)
       df.filter(if (keep) p else !p)
@@ -746,7 +754,8 @@ object Similarity {
       val sel = ids.toDF("__crank_sel_")
         .select(col("__crank_sel_").cast(df.schema(name).dataType)
           .as("__crank_sel_"))
-      df.join(broadcast(sel), df(name) === sel("__crank_sel_"),
+      val in = if (keep) df else df.filter(col(name).isNotNull)
+      in.join(broadcast(sel), in(name) === sel("__crank_sel_"),
         if (keep) "left_semi" else "left_anti")
     }
 

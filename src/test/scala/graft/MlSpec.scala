@@ -624,6 +624,38 @@ class MlSpec extends SparkSpec {
     viaFallback._2.size shouldBe asgRows.size
   }
 
+  test("filterCranks: literal and join paths agree on NULL keys, both directions") {
+    implicit val s = spark
+    import s.implicits._
+    // The crank column is non-null by assignment invariant, but the
+    // helper must not depend on it: filter(!isin) drops a NULL row
+    // (the predicate evaluates to NULL) while a bare left_anti keeps
+    // it (NULL never matches the equi-join) — the anti branch carries
+    // an explicit isNotNull conjunct so the two paths stay
+    // result-identical. Paths forced via the test-only ceiling
+    // override; ids [0,600) with rows 0..999 + two NULL-key rows.
+    val df = ((0 until 1000).map(i => (Some(i.toLong), i.toLong)) ++
+      Seq((None: Option[Long], 5000L), (None: Option[Long], 5001L)))
+      .toDF("crank", "id")
+    val ids = (0L until 600L).toSeq
+    def run(keep: Boolean, ceiling: String): Set[Long] = {
+      System.setProperty("graft.census.inMax", ceiling)
+      try Similarity.filterCranks(df, "crank", ids, keep)
+        .select("id").collect().map(_.getLong(0)).toSet
+      finally sys.props.remove("graft.census.inMax")
+    }
+    for (keep <- Seq(true, false)) {
+      val literal = run(keep, "100000")
+      val joined = run(keep, "1")
+      withClue(s"keep=$keep:") { joined shouldBe literal }
+    }
+    // and the shared semantics are the isin ones: NULL keys match
+    // neither direction — id 5000/5001 appear in NO output
+    run(keep = false, "1") should not contain 5000L
+    run(keep = false, "100000") should not contain 5000L
+    run(keep = true, "1").size + run(keep = false, "1").size shouldBe 1000
+  }
+
   test("ivf rebalance: a degenerate split never leaves an empty sub-centroid cell") {
     implicit val s = spark
     import s.implicits._
