@@ -26,6 +26,26 @@ object Bench {
     "q12_string_funcs", "q6_window_rownum", "q26_session_window",
     "q74_tws_sessions", "d9_connected_components", "g4_label_propagation")
 
+  /** Quiet-host reference level per marker, DERIVED from the committed
+   *  healthy history (the same per-query map the 3x stall gate reads);
+   *  the hard-coded literals are only the no-history fallback (first
+   *  run on a fresh checkout; r15 quiet-record levels). Deriving means
+   *  (a) a genuine marker optimization re-pins drift automatically at
+   *  the next landing instead of skewing valueNorm until someone edits
+   *  a constant, and (b) on a different/slower machine drift
+   *  adjudicates against that machine's own committed record —
+   *  absolute times from one reference host would flag a healthy full
+   *  run, burn the whole recovery wait, and freeze the history gate. */
+  private[graft] def deriveMarkerRef(history: Map[String, Double]): Map[String, Double] = {
+    val fallbacks = Map(
+      "u1_zipwithindex" -> 0.21, "q3_distinct" -> 0.21, "q12_string_funcs" -> 0.11,
+      "q6_window_rownum" -> 0.39, "q26_session_window" -> 0.56,
+      "q74_tws_sessions" -> 1.32, "d9_connected_components" -> 6.4,
+      "g4_label_propagation" -> 2.1)
+    fallbacks.map { case (n, fallback) =>
+      n -> history.get(n).filter(_ > 0).getOrElse(fallback) }
+  }
+
   /** Landing-guard v2: may `candidate` (this run's adjudicated
    *  per-query times) replace `prior` (the committed healthy history)?
    *  Returns Some(reason) to VETO the landing.
@@ -239,6 +259,12 @@ object Bench {
     // factors differ by 10x; compared by directory basename) and is read
     // BEFORE this run lands its own record.
     val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "docs/bench/latest.json")
+    // A history recorded at ANOTHER scale factor can't gate this run —
+    // but it must also not be OVERWRITTEN by it (a full-catalog sf1 run
+    // landing itself would silently destroy the committed sf0.1
+    // history that every sf0.1 gate reads; the empty-prior landingVeto
+    // would wave it through).
+    var historySfMismatch = false
     val history: Map[String, Double] = try {
       val f = new java.io.File(histFile)
       if (!f.isFile) Map.empty
@@ -248,6 +274,7 @@ object Bench {
         if (new java.io.File(histSf).getName != new java.io.File(sfDir).getName) {
           System.err.println(s"[bench] history $histFile is for sf '$histSf', " +
             s"not '$sfDir' — running without a history gate")
+          historySfMismatch = true
           Map.empty
         } else Option(root.get("queries")).map { qs =>
           val it = qs.fieldNames()
@@ -371,32 +398,29 @@ object Bench {
     // ran 2-3x). Two members (d9 CC star-contraction, g4 label
     // propagation — cheaper, same scheduling-bound class) make a
     // one-member fluke ~half as likely to pass the trim.
-    // Reference levels are DERIVED from the committed healthy history
-    // (the same file the 3x stall gate reads) so (a) a genuine marker
-    // optimization re-pins drift automatically at the next landing
-    // instead of skewing valueNorm until someone edits a constant, and
-    // (b) on a different/slower machine drift adjudicates against that
-    // machine's own committed record — hard-coded absolute times from
-    // one reference host would flag a healthy full run, burn the whole
-    // recovery wait, and freeze the history gate. The literals survive
-    // only as the no-history fallback (first run on a fresh checkout;
-    // r15 quiet-record levels).
-    val markerRefDefaults = Map(
-      "u1_zipwithindex" -> 0.21, "q3_distinct" -> 0.21, "q12_string_funcs" -> 0.11,
-      "q6_window_rownum" -> 0.39, "q26_session_window" -> 0.56,
-      "q74_tws_sessions" -> 1.32, "d9_connected_components" -> 6.4,
-      "g4_label_propagation" -> 2.1)
-    val markerRef: Map[String, Double] = markerRefDefaults.map { case (n, fallback) =>
-      n -> history.get(n).filter(_ > 0).getOrElse(fallback) }
+    // Reference levels come from [[deriveMarkerRef]]: committed healthy
+    // history first, hard-coded literals only as the no-history
+    // fallback.
+    val markerRef: Map[String, Double] = deriveMarkerRef(history)
+    // The recovery-wait probe must sense BOTH phase classes: the median
+    // of the three trivial scans covers single-job contention, and g4
+    // (the panel's cheaper multi-job member, ~2.4 s) covers the
+    // co-tenant-steal phases that inflate scheduling-bound queries 2x
+    // while every scan reads quiet — the r16 live run exited its wait
+    // at scan drift 0.89 inside exactly such a phase. The wait holds
+    // until the WORSE of the two classes is back near band; ~3 s of
+    // probe per 20 s cycle.
     def markerProbeDrift(): Double = {
-      val ds = Seq("u1_zipwithindex", "q3_distinct", "q12_string_funcs").flatMap { n =>
+      def timeOf(n: String): Option[Double] =
         SparkEntry.queries.get(n).map { fn =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
           ((System.nanoTime() - t0) / 1e9) / markerRef(n)
         }
-      }.sorted
-      if (ds.isEmpty) 1.0 else ds(ds.size / 2)
+      val scans = Seq("u1_zipwithindex", "q3_distinct", "q12_string_funcs")
+        .flatMap(timeOf).sorted
+      val scanMed = if (scans.isEmpty) 1.0 else scans(scans.size / 2)
+      math.max(scanMed, timeOf("g4_label_propagation").getOrElse(1.0))
     }
     var retryWaitS = 0.0
     if (hostDegraded) {
@@ -543,6 +567,8 @@ object Bench {
       val adjMap = results.map(r => r.name -> adjudicated(r)).toMap
       val veto: Option[String] =
         if (sys.env.get("SPARK_GRAFT_FORCE_LAND").contains("1")) None
+        else if (historySfMismatch)
+          Some(s"existing history is for a different sf than '$sfDir'")
         else if (hostDegraded) Some("host_degraded")
         else if (markerDrift > 1.15) Some(f"marker_drift $markerDrift%.3f > 1.15")
         else landingVeto(adjMap, history)

@@ -115,4 +115,19 @@ class BenchSpec extends AnyFunSuite with Matchers {
   test("a uniformly faster run always lands") {
     Bench.landingVeto(closeF.map { case (k, v) => k -> v * 0.5 }, closeF) shouldBe None
   }
+
+  test("marker reference levels derive from the history, literals only as fallback") {
+    // with a committed history, every panel member's reference IS that
+    // history's value — the hard-coded literal is dead weight there, so
+    // editing or deleting one changes nothing on a history-bearing run
+    val ref = Bench.deriveMarkerRef(closeF)
+    for (m <- Bench.markerNames)
+      withClue(m) { ref(m) shouldBe closeF(m) }
+    // without a history (fresh checkout), the literals carry the panel
+    val fresh = Bench.deriveMarkerRef(Map.empty)
+    fresh.keySet shouldBe Bench.markerNames.toSet
+    all(fresh.values) should be > 0.0
+    // a zero/garbage history entry falls back rather than poisoning drift
+    Bench.deriveMarkerRef(Map("q3_distinct" -> 0.0))("q3_distinct") shouldBe fresh("q3_distinct")
+  }
 }
