@@ -689,17 +689,30 @@ object Dedup {
     // neighbor-min join followed by a re-attach join. The union reads two
     // materialized frames — no checkpoint of its own needed.
     val edges = base.unionAll(ids.select(col("id").as("src"), col("id").as("dst")))
-    // Per-round checkpoints are LAZY: the plan is still re-rooted per round
-    // (stopping the exponential logical-plan growth), but all rounds
-    // materialize in ONE job at the first action instead of one blocking
-    // job per round — measured ~40% faster for 4 rounds at sf0.1.
+    // Checkpoints are LAZY (all rounds materialize in ONE job at the first
+    // action instead of one blocking job per round — measured ~40% faster
+    // for 4 rounds at sf0.1) and, since r16, taken every `ckptEvery`
+    // rounds instead of every round: with the self-loop formulation each
+    // round references the previous labels ONCE, so the un-cut plan grows
+    // LINEARLY (k chained join+agg, edges appearing k times) — not the
+    // exponential growth that forced the original per-round cut (that was
+    // the two-reference neighbor-min + re-attach formulation). Each
+    // localCheckpoint costs a full driver-side plan compile
+    // (analysis -> AQE -> codegen, ~0.15-0.25 s at any scale), so cutting
+    // every 4th round quarters the fixed driver cost of the loop while
+    // the lineage stays bounded at 4 joins deep. Same dataflow, same
+    // arithmetic, bit-identical labels for every input — the knob
+    // (-Dgraft.labels.ckptEvery, default 4) is the A/B device.
+    val ckptEvery = math.max(1,
+      sys.props.getOrElse("graft.labels.ckptEvery", "4").toInt)
     var labels = ids.select(col("id"), col("id").as("label"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       labels = edges.join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("label")).as("label"))
         .withColumnRenamed("src", "id")
-        .localCheckpoint(false)
+      if (i % ckptEvery == 0 || i == iterations)
+        labels = labels.localCheckpoint(false)
     }
     labels.select(col("id"), col("label").as("cluster_id"))
   }
@@ -1118,13 +1131,83 @@ object Dedup {
     org.apache.spark.sql.GraftSqlBridge.onSession(spark0, result)
   }
 
+  /** Partition-local union-find contraction — the r16 preamble that cuts
+   *  the star-contraction round count (guide §1.2 "the distributed
+   *  algorithm" + §2.3 "shuffle fewer bytes"). One linear pass per
+   *  partition replaces each partition's edge fragments with their local
+   *  spanning stars (member -> local-set-min): a duplicate cluster whose
+   *  edges co-locate collapses to diameter 2 before the first star
+   *  round, so the driver-synchronized O(log d) loop starts from the
+   *  cross-partition remainder instead of the raw graph. Fed by a RANGE
+   *  repartition on `u` because near-dup edge endpoints are
+   *  id-adjacent in practice (chains, batch-local ids) — hash
+   *  partitioning would scatter every chain. Result-identity: the
+   *  emitted edge set has exactly the same connected components per
+   *  partition union as the input (union-find is a spanning-forest
+   *  reduction), and [[clusterLabelsStars]]' output is the unique
+   *  fixpoint of the input's components — partitioning moves only the
+   *  intermediate, never the result (MlSpec pins contract-on == off).
+   *
+   *  Memory: one LongMap entry per distinct node in the partition —
+   *  size shuffle partitions (graft.stars.shuffle) so a partition's
+   *  node count fits the executor, same discipline as any hash
+   *  aggregation. Union-by-min + path compression keeps each set's
+   *  root at its min id, so the emitted stars are already the local
+   *  fixpoint shape. */
+  private[graft] def localContract(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("u"), col("v")).as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var y = x0
+        while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = r; y = n }
+        r
+      }
+      it.foreach { case (u, v) =>
+        val ru = find(u); val rv = find(v)
+        if (ru < rv) parent(rv) = ru
+        else if (rv < ru) parent(ru) = rv
+      }
+      // keys are exactly the non-root nodes; each points at its set min
+      parent.keysIterator.map(k => (k, find(k))).toArray.iterator
+    }.toDF("u", "v")
+  }
+
   private def clusterLabelsStarsImpl(pairs: DataFrame, maxIterations: Int): DataFrame = {
-    val (edges0, edges0Ids) = trackedCheckpoint(
+    val dbg = sys.props.get("graft.stars.debug").contains("1")
+    def dbgT[A](name: String)(f: => A): A =
+      if (!dbg) f else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(f"[stars] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
+    val (edges0raw, edges0rawIds) = dbgT("init_checkpoint")(trackedCheckpoint(
       pairs
         .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct(),
-      eager = true)
+      eager = true))
+    // Local-contraction preamble (default on; -Dgraft.stars.localContract=0
+    // is the A/B device / escape hatch): one range shuffle + one linear
+    // union-find pass, run on the ALREADY-CHECKPOINTED edge list so the
+    // upstream pair pipeline is never executed twice (the range
+    // partitioner's sampling job reads the checkpoint, not the pipeline).
+    // Measured r16 at sf0.1 (d9): rounds-to-fixpoint 16 -> 4, and each
+    // avoided round is a driver-side plan compile + ~5 tiny stages.
+    val contractOn =
+      !sys.props.getOrElse("graft.stars.localContract", "1").trim.equals("0")
+    val (edges0, edges0Ids) =
+      if (!contractOn) (edges0raw, edges0rawIds)
+      else {
+        val (c, cIds) = dbgT("contract_checkpoint")(trackedCheckpoint(
+          localContract(edges0raw.repartitionByRange(col("u"))), eager = true))
+        unpersistIds(c.sparkSession, edges0rawIds)
+        (c, cIds)
+      }
     var edges = edges0
     // Convergence = edge set unchanged over a full round, detected by
     // (count, order-independent hash-sum) — two scalars per round.
@@ -1132,7 +1215,7 @@ object Dedup {
       val r = e.agg(count(lit(1)), sum(hash(col("u"), col("v")).cast("long"))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var fp = fingerprint(edges)
+    var fp = dbgT("init_fingerprint")(fingerprint(edges))
     var prevIds = edges0Ids
     var converged = false
     var i = 0
@@ -1165,7 +1248,14 @@ object Dedup {
         deadIds ++= curIds // superseded intermediate round
         cur = nxt; curIds = ids; j += 1
       }
+      val t0 = System.nanoTime()
       val nfp = fingerprint(cur)
+      // measurement knob (-Dgraft.stars.debug=1): per-probe round count,
+      // edge count, and probe-job wall time on stderr — the r16 profiling
+      // lever for the scheduling-bound CC class (d9/d18/d26/g4).
+      if (sys.props.get("graft.stars.debug").contains("1"))
+        System.err.println(f"[stars] probe after round ${i + roundsPerProbe}: " +
+          f"edges=${nfp._1} probe_s=${(System.nanoTime() - t0) / 1e9}%.2f")
       // everything before `cur` is now dead weight — free the superseded
       // rounds' blocks instead of pinning one edge-list copy per round
       unpersistIds(cur.sparkSession, deadIds)

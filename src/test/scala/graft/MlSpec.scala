@@ -188,6 +188,35 @@ class MlSpec extends SparkSpec {
     viaStars shouldBe fixed
   }
 
+  test("stars local-contraction preamble: on/off result identity, spanning-forest property") {
+    implicit val s = spark
+    import spark.implicits._
+    // mixed-shape graph: a deep chain, a clique, a star, singleton pairs,
+    // ids deliberately scattered so the range repartition splits every
+    // component across partitions
+    val rnd = new scala.util.Random(42)
+    val chain = (0 until 150).map(i => (1000L + i * 7L, 1000L + (i + 1) * 7L))
+    val clique = for (a <- 0 until 12; b <- (a + 1) until 12)
+      yield (5000L + a * 13L, 5000L + b * 13L)
+    val star = (1 until 30).map(i => (9000L, 9000L + rnd.nextInt(500) + 1L))
+    val pairs0 = rnd.shuffle(chain ++ clique ++ star ++
+      Seq((77L, 78L), (42L, 41L))).toDF("id_a", "id_b")
+    def labels(): Set[(Long, Long)] =
+      Dedup.clusterLabelsStars(pairs0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val withContract = labels()
+    val old = sys.props.put("graft.stars.localContract", "0")
+    val withoutContract = try labels()
+    finally old match {
+      case Some(v) => sys.props.put("graft.stars.localContract", v)
+      case None => sys.props.remove("graft.stars.localContract")
+    }
+    withContract shouldBe withoutContract
+    // chain fully merged to its min whichever path ran
+    withContract.filter(_._1 >= 1000L).filter(_._1 <= 1000L + 150 * 7L)
+      .map(_._2) shouldBe Set(1000L)
+  }
+
   test("optimizer rule rewrites HOF dot/norm to the native expressions, same bits") {
     implicit val s = spark
     graft.functions.UdfRegistry.registerSystemUdfs(spark) // installs the rule
