@@ -114,6 +114,48 @@ object Bench {
     }
   }
 
+  /** Committed per-query closing HISTORY — the stall/wave gates'
+   *  baseline. Returns (mismatch, per-query map). `mismatch` means a
+   *  history exists but was recorded under a DIFFERENT regime — another
+   *  scale factor, or (since r17) another core count — so it can
+   *  neither gate this run nor be overwritten by it. The r16 driver
+   *  sequence ran the full catalog at 8 cores AFTER the 32-core record
+   *  and landed itself as latest.json; most of the scheduling-bound
+   *  class runs FASTER at 8 cores at this SF, so that record would
+   *  mis-gate every future 32-core run's 3x-stall and 1.5x-wave
+   *  thresholds — the same poisoning class as the cross-SF landing the
+   *  r15 verdict flagged, new door. */
+  private[graft] def readHistory(histFile: String, sfDir: String,
+                                 cpus: String): (Boolean, Map[String, Double]) =
+    try {
+      val f = new java.io.File(histFile)
+      if (!f.isFile) (false, Map.empty)
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+        val histSf = Option(root.get("sf")).map(_.asText).getOrElse("")
+        val histCpus = Option(root.get("jvm")).flatMap(j => Option(j.get("cpus")))
+          .map(_.asText).getOrElse("")
+        if (new java.io.File(histSf).getName != new java.io.File(sfDir).getName) {
+          System.err.println(s"[bench] history $histFile is for sf '$histSf', " +
+            s"not '$sfDir' — running without a history gate")
+          (true, Map.empty)
+        } else if (histCpus.nonEmpty && histCpus != cpus) {
+          System.err.println(s"[bench] history $histFile was recorded at " +
+            s"cpus=$histCpus, this run is cpus=$cpus — running without a " +
+            "history gate (and not landing over it)")
+          (true, Map.empty)
+        } else (false, Option(root.get("queries")).map { qs =>
+          val it = qs.fieldNames()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val k = it.next(); b += k -> qs.get(k).asDouble }
+          b.result()
+        }.getOrElse(Map.empty))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not read history $histFile: $e")
+      (false, Map.empty)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -264,29 +306,7 @@ object Bench {
     // landing itself would silently destroy the committed sf0.1
     // history that every sf0.1 gate reads; the empty-prior landingVeto
     // would wave it through).
-    var historySfMismatch = false
-    val history: Map[String, Double] = try {
-      val f = new java.io.File(histFile)
-      if (!f.isFile) Map.empty
-      else {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-        val histSf = Option(root.get("sf")).map(_.asText).getOrElse("")
-        if (new java.io.File(histSf).getName != new java.io.File(sfDir).getName) {
-          System.err.println(s"[bench] history $histFile is for sf '$histSf', " +
-            s"not '$sfDir' — running without a history gate")
-          historySfMismatch = true
-          Map.empty
-        } else Option(root.get("queries")).map { qs =>
-          val it = qs.fieldNames()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) { val k = it.next(); b += k -> qs.get(k).asDouble }
-          b.result()
-        }.getOrElse(Map.empty)
-      }
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not read history $histFile: $e")
-      Map.empty
-    }
+    val (historySfMismatch, history) = readHistory(histFile, sfDir, cpus)
     // Blocking storage-drain barrier: the per-query cleanup below is
     // NON-blocking (eviction overlaps the next warmup), so a heavy query
     // could otherwise start its TIMED window while the block manager is
@@ -572,7 +592,7 @@ object Bench {
       val veto: Option[String] =
         if (sys.env.get("SPARK_GRAFT_FORCE_LAND").contains("1")) None
         else if (historySfMismatch)
-          Some(s"existing history is for a different sf than '$sfDir'")
+          Some(s"existing history is for a different sf/cpus than this run")
         else if (hostDegraded) Some("host_degraded")
         else if (markerDrift > 1.15) Some(f"marker_drift $markerDrift%.3f > 1.15")
         else landingVeto(adjMap, history)

@@ -669,7 +669,8 @@ object Dedup {
    * shuffle. At 100 TB use the doubling (large-star/small-star) variant
    * for high-diameter graphs; near-dup clusters are shallow in practice.
    */
-  def clusterLabels(pairs: DataFrame, iterations: Int = 4): DataFrame = {
+  def clusterLabels(pairs: DataFrame, iterations: Int = 4,
+                    ckptEvery: Int = 0): DataFrame = {
     // Iterative algorithms MUST truncate lineage each round: the next
     // round's plan references the previous labels twice, so both the
     // recompute AND the logical-plan tree double per iteration without a
@@ -686,9 +687,24 @@ object Dedup {
     val ids = base.select(col("src").as("id")).distinct().localCheckpoint(true)
     // Self-loop edges fold "own label" into the neighborhood min, so each
     // round is ONE join + groupBy (min over neighbors ∪ self) instead of a
-    // neighbor-min join followed by a re-attach join. The union reads two
-    // materialized frames — no checkpoint of its own needed.
+    // neighbor-min join followed by a re-attach join.
+    //
+    // The union is LAZILY localCheckpointed (r17): a lazy cut re-roots the
+    // frame as a LogicalRDD at ~zero cost (both children are already
+    // materialized RDDs; the physical compile is immediate, the blocks
+    // land at the first loop action) — and it removes the Union node from
+    // every loop round's plan. That matters twice: (a) an un-cut chain at
+    // ckptEvery > 1 references `edges` once per round, and a multiply-
+    // referenced Union inside one plan segment trips Spark 4.1's
+    // constraint rewrite on some input lineages
+    // (`UnionBase.rewriteConstraints: key not found: src#N` — MlSpec's
+    // resolveUpdate/rebase pins reproduced it deterministically at
+    // ckptEvery >= 2 before this cut; a LogicalRDD self-reference just
+    // re-aliases); (b) the constraint sets the optimizer drags through
+    // the k-join-deep segment stay flat instead of re-deriving the union
+    // children's per-round.
     val edges = base.unionAll(ids.select(col("id").as("src"), col("id").as("dst")))
+      .localCheckpoint(false)
     // Checkpoints are LAZY (all rounds materialize in ONE job at the first
     // action instead of one blocking job per round — measured ~40% faster
     // for 4 rounds at sf0.1) and, since r16, taken every `ckptEvery`
@@ -703,15 +719,30 @@ object Dedup {
     // the lineage stays bounded at 4 joins deep. Same dataflow, same
     // arithmetic, bit-identical labels for every input — the knob
     // (-Dgraft.labels.ckptEvery, default 4) is the A/B device.
-    val ckptEvery = math.max(1,
-      sys.props.getOrElse("graft.labels.ckptEvery", "4").toInt)
+    //
+    // PER-CALL-SITE override (r17): a cut cadence > 1 leaves the edges
+    // Union referenced MULTIPLE times inside one un-cut plan segment, and
+    // on some input lineages (in-session frames with richer constraint
+    // sets than a parquet read) Spark 4.1's constraint rewrite trips over
+    // the deduplicated self-referencing Union —
+    // `UnionBase.rewriteConstraints: key not found: src#N` (reproduced
+    // deterministically by MlSpec's resolveUpdate/rebase pins at
+    // ckptEvery >= 2; green at 1). The incremental-update path
+    // (resolveUpdateFromEdges) therefore pins ckptEvery = 1 explicitly;
+    // the batch 4-round sites keep the knob default (every plan the
+    // catalog compiles there is oracle-verified green, and r16 measured
+    // the single-cut loop faster: m6 2.12 -> 1.52, q114 2.37 -> 1.76).
+    val ckEff =
+      if (ckptEvery > 0) ckptEvery
+      else math.max(1, scala.util.Try(
+        sys.props.getOrElse("graft.labels.ckptEvery", "4").toInt).getOrElse(4))
     var labels = ids.select(col("id"), col("id").as("label"))
     (1 to iterations).foreach { i =>
       labels = edges.join(labels.withColumnRenamed("id", "dst2"),
           col("dst") === col("dst2"))
         .groupBy(col("src")).agg(min(col("label")).as("label"))
         .withColumnRenamed("src", "id")
-      if (i % ckptEvery == 0 || i == iterations)
+      if (i % ckEff == 0 || i == iterations)
         labels = labels.localCheckpoint(false)
     }
     labels.select(col("id"), col("label").as("cluster_id"))
@@ -741,9 +772,12 @@ object Dedup {
   }
 
   /** Keep-list from candidate pairs: every id in a duplicate cluster mapped
-   *  to the cluster's min id (`keep_id`); `is_duplicate` marks losers. */
-  def resolveDuplicates(pairs: DataFrame, iterations: Int = 4): DataFrame =
-    clusterLabels(pairs, iterations)
+   *  to the cluster's min id (`keep_id`); `is_duplicate` marks losers.
+   *  `ckptEvery` passes through to [[clusterLabels]]' lineage-cut cadence
+   *  (0 = the knob default). */
+  def resolveDuplicates(pairs: DataFrame, iterations: Int = 4,
+                        ckptEvery: Int = 0): DataFrame =
+    clusterLabels(pairs, iterations, ckptEvery)
       .select(col("id"), col("cluster_id").as("keep_id"),
         (col("id") =!= col("cluster_id")).as("is_duplicate"))
 
@@ -901,8 +935,19 @@ object Dedup {
     val starEdges = lab.join(touched, Seq("keep_id"))
       .filter(col("id") =!= col("keep_id"))
       .select(col("id").as("id_a"), col("keep_id").as("id_b"))
+    // Per-call-site cut-cadence A/B device for the 8-round subgraph loop
+    // (d26/q115/q116): -Dgraft.labels.updateCkptEvery overrides just this
+    // path; 0 (the default) inherits clusterLabels' global knob. The r17
+    // paired subset A/B at 32 cores read cadence 4 FASTER than 1 here
+    // (d26 5.41 vs 7.31 s, q115 4.08 vs 5.34, q116 4.33 vs 5.82 — two
+    // deep AQE compiles beat eight shallow driver-synchronized cuts), and
+    // the in-session-lineage crash that forced r16's cadence back to 1 is
+    // structurally fixed by clusterLabels' edges re-root (see there), so
+    // the update path rides the global default again.
+    val updateCk = math.max(0, scala.util.Try(
+      sys.props.getOrElse("graft.labels.updateCkptEvery", "0").toInt).getOrElse(0))
     val sub = resolveDuplicates(starEdges.unionAll(
-      newEdges.select(col("id_a"), col("id_b"))), iterations)
+      newEdges.select(col("id_a"), col("id_b"))), iterations, updateCk)
     val untouched = lab.join(touched, Seq("keep_id"), "left_anti")
       .select(col("id"), col("keep_id"),
         (col("id") =!= col("keep_id")).as("is_duplicate"))
@@ -1236,8 +1281,8 @@ object Dedup {
       // action below materializes the whole probe's DAG as one job — an
       // eager checkpoint would run each round as a separate driver-
       // synchronized job first (measured ~100ms extra per probe).
-      val roundsPerProbe = math.max(1,
-        sys.props.getOrElse("graft.stars.probeRounds", "2").toInt)
+      val roundsPerProbe = math.max(1, scala.util.Try(
+        sys.props.getOrElse("graft.stars.probeRounds", "2").toInt).getOrElse(2))
       var cur = edges
       var curIds = Set.empty[Int]
       var deadIds = prevIds

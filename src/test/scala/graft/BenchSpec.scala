@@ -116,6 +116,35 @@ class BenchSpec extends AnyFunSuite with Matchers {
     Bench.landingVeto(closeF.map { case (k, v) => k -> v * 0.5 }, closeF) shouldBe None
   }
 
+  test("a history recorded at another core count neither gates nor lands (r16 8-core replay)") {
+    // replay of the r16 poisoning: the driver's 8-core full-catalog run
+    // (BENCH_r16_c8's detail, committed as a fixture via latest.json's
+    // brief 8-core tenure) must refuse to adjudicate a 32-core run —
+    // readHistory flags the mismatch (blocking the landing) and returns
+    // an empty gate map
+    val f = java.io.File.createTempFile("bench-hist-cpus", ".json")
+    try {
+      java.nio.file.Files.write(f.toPath,
+        """{"sf":"/root/testdata/sf0.1","jvm":{"cpus":"8"},
+           "queries":{"d26_resolution_update":3.06}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (mismatch32, hist32) = Bench.readHistory(f.getPath, "/root/testdata/sf0.1", "32")
+      mismatch32 shouldBe true
+      hist32 shouldBe empty
+      // same-cpus read still gates normally
+      val (mismatch8, hist8) = Bench.readHistory(f.getPath, "/root/testdata/sf0.1", "8")
+      mismatch8 shouldBe false
+      hist8("d26_resolution_update") shouldBe 3.06
+      // and a record with no jvm block (pre-r16 shape) stays readable
+      java.nio.file.Files.write(f.toPath,
+        """{"sf":"/root/testdata/sf0.1","queries":{"q3_distinct":0.2}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (mismatchNone, histNone) = Bench.readHistory(f.getPath, "/root/testdata/sf0.1", "32")
+      mismatchNone shouldBe false
+      histNone("q3_distinct") shouldBe 0.2
+    } finally f.delete()
+  }
+
   test("marker reference levels derive from the history, literals only as fallback") {
     // with a committed history, every panel member's reference IS that
     // history's value — the hard-coded literal is dead weight there, so
