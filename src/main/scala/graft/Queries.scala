@@ -651,7 +651,14 @@ object Queries {
     val sig = Dedup.signaturesFromShingles(sh)
     // ONE band join serves both tiers: est is a filter over the candidate
     // tier's already-scored est_jaccard, not a second LSH pass
+    // One eager cut for the scored candidate tier: candFull feeds the
+    // raw tier, the est tier, AND ngramJaccard's three pair consumers —
+    // without it the band self-join + double sig re-attach executes per
+    // consumer (exchange reuse does not span the differently-projected
+    // branches). Pair-list-sized, same discipline as resolveUpdate's
+    // edge cut.
     val candFull = Dedup.lshCandidatePairs(sig, minEstJaccard = 0.0)
+      .localCheckpoint(true)
     val cand = candFull.select(col("id_a"), col("id_b"))
     val est = candFull.filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b"))
     val jac = Dedup.ngramJaccard(cand, sh)
@@ -2902,8 +2909,13 @@ object Queries {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
       val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
       val sig = Dedup.signaturesFromShingles(sh)
+      // eager cut: the capped pair list (≤ 4/doc) feeds the tagged tier
+      // and ngramJaccard's three pair consumers — cut once instead of
+      // re-running the band join + TopKPairs budget per consumer (d15's
+      // candFull rationale, and the frame here is even smaller)
       val capped = Dedup.capCandidates(
         Dedup.lshCandidatePairs(sig, minEstJaccard = 0.0), 4)
+        .localCheckpoint(true)
       val jac = Dedup.ngramJaccard(capped.select(col("id_a"), col("id_b")), sh)
         .filter(round(col("jaccard"), 6) >= 0.5).select(col("id_a"), col("id_b"))
       val tagged = capped.select(col("id_a"), col("id_b"))

@@ -42,15 +42,28 @@ object Clustering {
       .select(col("crank"), col("v").as("cv"), col("vv").as("cc"))
       .localCheckpoint(true)
 
-    def dist2: Column = col("vv") + col("cc") - lit(2.0) * dot(col("v"), col("cv"))
-    // argmin via min_by aggregation, NOT a window rank: partial (map-side)
-    // aggregation collapses the N*k candidates to N rows before the
-    // shuffle, where a window would exchange+sort all N*k rows
-    def assign(cs: DataFrame): DataFrame =
-      v.crossJoin(broadcast(cs))
-        .groupBy(col("id"))
-        .agg(min_by(struct(col("v"), col("crank")), struct(dist2, col("crank"))).as("b"))
-        .select(col("id"), col("b.v").as("v"), col("b.crank").as("crank"))
+    // Assignment is IN-ROW (r17): the k centroids ride one broadcast
+    // 1-row array and each vector picks its cluster by an in-row
+    // array_sort over struct(dist, crank) — ivfAssignments' routing
+    // device. The previous min_by-over-crossJoin form was already
+    // map-side, but it still expanded every row k-fold and paid a
+    // groupBy(id) exchange PER ITERATION just to undo the expansion;
+    // in-row assignment is a pure projection — the only shuffle left
+    // per iteration is the k-group centroid update (guide §2.4).
+    // Distance expression and (dist, crank) tie-break are textually the
+    // min_by's, and vec_dot IS the same native ArrayDotProduct — doubles
+    // and therefore assignments stay bit-identical (oracle-gated).
+    graft.functions.UdfRegistry.registerSystemUdfs(df.sparkSession)
+    def assign(cs: DataFrame): DataFrame = {
+      val centArr = cs.agg(
+        expr("array_sort(collect_list(struct(crank, cv, cc)))").as("cents"))
+      // crossJoin allowlisted: 1-row broadcast centroid-array frame
+      v.crossJoin(broadcast(centArr))
+        .withColumn("__best_", expr(
+          "element_at(array_sort(transform(cents, c -> " +
+            "struct(vv + c.cc - 2 * vec_dot(v, c.cv) AS d, c.crank AS crank))), 1)"))
+        .select(col("id"), col("v"), col("__best_.crank").as("crank"))
+    }
 
     (1 to iterations).foreach { _ =>
       val assigned = assign(cents)
@@ -63,7 +76,11 @@ object Clustering {
       cents = updated
         .select(col("crank"), array((1 to dim).map(d => col(s"d$d")): _*).as("cv"))
         .withColumn("cc", dot(col("cv"), col("cv")))
-        .localCheckpoint(true) // k rows; re-roots the per-iteration plan
+        // LAZY cut (r17): k rows — re-roots the per-iteration plan, but
+        // all iterations materialize inside the final action's one job
+        // instead of one blocking driver-synchronized job per iteration
+        // (clusterLabels' measured ~40%-for-4-rounds rationale)
+        .localCheckpoint(false)
     }
     assign(cents).select(col("id"), col("crank").cast("int").as("cluster"))
   }

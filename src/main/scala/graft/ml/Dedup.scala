@@ -598,9 +598,22 @@ object Dedup {
    *  task cross the exchange, never a rank window. */
   def capCandidatesSym(pairs: DataFrame, cap: Int): DataFrame = {
     require(cap >= 1, s"capCandidatesSym: cap must be >= 1, got $cap")
-    val sym = pairs.select(col("id_a"), col("id_b"), col("est_jaccard"))
-      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
-        col("est_jaccard")))
+    // Symmetrize with ONE pass over `pairs` (explode of the two
+    // orientations) instead of pairs ∪ pairs.swap: the union form
+    // references the whole upstream pair DAG twice, and inside the
+    // streaming gate that DAG is the three-leg LSH match — the r17
+    // stage profile read the capped drain (q116) ~1.4 s over the
+    // uncapped one (q115), most of it the re-executed legs (exchange
+    // reuse does not cover the swapped-projection branch under AQE).
+    // Row set identical: explode(array(ab, ba)) emits exactly the two
+    // union branches' rows, and every downstream consumer is an
+    // aggregate (order-free).
+    val sym = pairs.select(explode(array(
+        struct(col("id_a"), col("id_b"), col("est_jaccard")),
+        struct(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          col("est_jaccard")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.est_jaccard").as("est_jaccard"))
     capCandidates(sym, cap)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("est_jaccard"))
@@ -935,19 +948,44 @@ object Dedup {
     val starEdges = lab.join(touched, Seq("keep_id"))
       .filter(col("id") =!= col("keep_id"))
       .select(col("id").as("id_a"), col("keep_id").as("id_b"))
-    // Per-call-site cut-cadence A/B device for the 8-round subgraph loop
-    // (d26/q115/q116): -Dgraft.labels.updateCkptEvery overrides just this
-    // path; 0 (the default) inherits clusterLabels' global knob. The r17
-    // paired subset A/B at 32 cores read cadence 4 FASTER than 1 here
-    // (d26 5.41 vs 7.31 s, q115 4.08 vs 5.34, q116 4.33 vs 5.82 — two
-    // deep AQE compiles beat eight shallow driver-synchronized cuts), and
-    // the in-session-lineage crash that forced r16's cadence back to 1 is
-    // structurally fixed by clusterLabels' edges re-root (see there), so
-    // the update path rides the global default again.
+    // The subgraph CC loop is tuned for its one invariant the batch path
+    // lacks: its frames are BATCH-NEIGHBORHOOD-sized (star edges of the
+    // touched clusters + the new edges), never corpus-sized. Two moves,
+    // both measured on the paired in-JVM stage-D A/B (ProfileD26D, 32
+    // cores, interleaved samples, medians):
+    //
+    //  1. Cut cadence = `iterations` (one fused plan compile for the
+    //     whole loop; the lazy end-cut only re-roots the result).
+    //     Cadence medians at 32 shuffle partitions: 1 -> 4.58 s,
+    //     4 -> 3.37 s, 8 -> 2.67 s — every removed mid-loop cut removes
+    //     a driver-synchronized materialization wave, and the
+    //     re-rooted edges LogicalRDD (see clusterLabels) keeps the
+    //     8-join-deep plan constraint-safe (the r16 cadence>=2 crash).
+    //     -Dgraft.labels.updateCkptEvery still overrides for A/B.
+    //  2. The loop runs on a CLONED session at a small shuffle-partition
+    //     count (-Dgraft.labels.updateShuffle, default 8 — the same
+    //     batch-sized-loop discipline as clusterLabelsStars'
+    //     graft.stars.shuffle): cadence-8 medians 32-part 2.67 s vs
+    //     8-part 2.28 s. Production corpora with large ingest batches
+    //     raise the knob; the surrounding artifact-scale joins
+    //     (starEdges build, untouched anti-join) stay on the CALLER's
+    //     session and its full-scale shuffle settings.
+    //
+    // Result-identity: cut cadence and shuffle partitioning move only
+    // intermediates — min-label propagation is deterministic per round
+    // (MlSpec pins the incremental==full equivalence; the d26/q115/q116
+    // oracles re-resolve the full union corpus and hash-match).
     val updateCk = math.max(0, scala.util.Try(
-      sys.props.getOrElse("graft.labels.updateCkptEvery", "0").toInt).getOrElse(0))
-    val sub = resolveDuplicates(starEdges.unionAll(
-      newEdges.select(col("id_a"), col("id_b"))), iterations, updateCk)
+      sys.props.getOrElse("graft.labels.updateCkptEvery",
+        iterations.toString).toInt).getOrElse(iterations))
+    val spark0 = labels.sparkSession
+    val scoped = org.apache.spark.sql.GraftSqlBridge.clonedSession(spark0,
+      "spark.sql.shuffle.partitions" ->
+        sys.props.getOrElse("graft.labels.updateShuffle", "8"))
+    val subEdges = org.apache.spark.sql.GraftSqlBridge.onSession(scoped,
+      starEdges.unionAll(newEdges.select(col("id_a"), col("id_b"))))
+    val sub = org.apache.spark.sql.GraftSqlBridge.onSession(spark0,
+      resolveDuplicates(subEdges, iterations, updateCk))
     val untouched = lab.join(touched, Seq("keep_id"), "left_anti")
       .select(col("id"), col("keep_id"),
         (col("id") =!= col("keep_id")).as("is_duplicate"))

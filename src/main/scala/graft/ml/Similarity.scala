@@ -525,16 +525,37 @@ object Similarity {
       .select(col("crank"), col("v").as("cv"), col("vv").as("cc"))
 
   /** IVF index build, part 2: every corpus vector assigned to its nearest
-   *  cell — (crank, id, v, vv), one broadcast rank pass over the corpus.
-   *  PERSIST THIS PARTITIONED BY `crank`: a probe reads only its nprobe
-   *  cells, so the scan prunes to nprobe/numCentroids of the corpus at
-   *  the FILE level — the lever that keeps a 100 TB index queryable
-   *  without a resident serving tier. */
+   *  cell — (crank, id, v, vv). PERSIST THIS PARTITIONED BY `crank`: a
+   *  probe reads only its nprobe cells, so the scan prunes to
+   *  nprobe/numCentroids of the corpus at the FILE level — the lever
+   *  that keeps a 100 TB index queryable without a resident serving
+   *  tier.
+   *
+   *  The argmin is IN-ROW (r17): the centroid frame rides one broadcast
+   *  1-row array and each corpus row picks its cell by an in-row
+   *  array_sort over struct(dist, crank) — [[ivfProbeStateless]]'s
+   *  routing device at nprobe = 1. The previous [[rankCells]] form
+   *  shuffled corpus × K rows (each carrying the 64-double vector) into
+   *  a per-id rank window just to keep one of the K — at corpus scale
+   *  that is a K-times-corpus exchange for a map-side decision (guide
+   *  §2.3/§2.4: remove the shuffle outright). Distance expression and
+   *  (dist, crank) tie-break are textually [[rankCells]]' — vec_dot IS
+   *  [[graft.functions.VectorExpressions.ArrayDotProduct]], so doubles
+   *  and therefore assignments are bit-identical (the oracle gate and
+   *  MlSpec's probe-parity pins grade it). */
   def ivfAssignments(corpus: DataFrame, centroids: DataFrame,
-                     idCol: String, vecCol: String): DataFrame =
-    rankCells(withVv(corpus, idCol, vecCol), centroids)
-      .filter(col("__arank_") === 1)
-      .select(col("crank"), col("id"), col("v"), col("vv"))
+                     idCol: String, vecCol: String): DataFrame = {
+    graft.functions.UdfRegistry.registerSystemUdfs(corpus.sparkSession)
+    val centArr = centroids.agg(
+      expr("array_sort(collect_list(struct(crank, cv, cc)))").as("cents"))
+    withVv(corpus, idCol, vecCol)
+      // crossJoin allowlisted: 1-row broadcast centroid-array frame
+      .crossJoin(broadcast(centArr))
+      .withColumn("__best_", expr(
+        "element_at(array_sort(transform(cents, c -> " +
+          "struct(vv + c.cc - 2 * vec_dot(v, c.cv) AS d, c.crank AS crank))), 1)"))
+      .select(col("__best_.crank").as("crank"), col("id"), col("v"), col("vv"))
+  }
 
   /** IVF probe against a prebuilt (possibly loaded-from-parquet) index:
    *  route each query to its `nprobe` nearest cells, score only those
