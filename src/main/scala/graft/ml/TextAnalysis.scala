@@ -751,7 +751,10 @@ object TextAnalysis {
     // epoch 1 at w = 0: every (doc, lang) misclassified -> plain aggregate
     var w = xl.groupBy(col("lang"), col("bucket"))
       .agg(sum(col("y") * col("cnt")).as("w"))
-      .localCheckpoint(true) // <= langs*buckets rows; re-roots per epoch
+      // LAZY cut (r17): <= langs*buckets rows; re-roots per epoch, but
+      // every epoch materializes inside the caller's first action as one
+      // job instead of one blocking driver-synchronized job per epoch
+      .localCheckpoint(false)
     for (_ <- 2 to epochs) {
       val mis = xl.join(broadcast(w), Seq("lang", "bucket"))
         .groupBy(col("id"), col("lang"), col("y"))
@@ -762,7 +765,7 @@ object TextAnalysis {
       w = w.join(grad, Seq("lang", "bucket"), "full_outer")
         .select(col("lang"), col("bucket"),
           (coalesce(col("w"), lit(0L)) + coalesce(col("g"), lit(0L))).as("w"))
-        .localCheckpoint(true)
+        .localCheckpoint(false) // lazy, same rationale as the init cut
     }
     w.filter(col("w") =!= 0L).select(col("lang"), col("bucket"), col("w"))
   }

@@ -43,13 +43,40 @@ object ProfileCutAB {
           sum(coalesce(col("injected"), lit(0))).cast("long").as("detected_injected"))
       out.count()
     }
-    Seq(true, false).foreach(c => d15like("/root/testdata/sf0.001", c)) // warm
+    def d28like(dir: String, cut: Boolean): Long = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" dup dup dup")).as("text")))
+      val truth = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000L).as("id_b"))
+      val sh = Dedup.shingles(corpus, "text", "doc_id", 3)
+      val sig = Dedup.signaturesFromShingles(sh)
+      val cap0 = Dedup.capCandidates(
+        Dedup.lshCandidatePairs(sig, minEstJaccard = 0.0), 4)
+      val capped = if (cut) cap0.localCheckpoint(true) else cap0
+      val jac = Dedup.ngramJaccard(capped.select(col("id_a"), col("id_b")), sh)
+        .filter(round(col("jaccard"), 6) >= 0.5).select(col("id_a"), col("id_b"))
+      val tagged = capped.select(col("id_a"), col("id_b"))
+          .withColumn("method", lit("capped_candidates"))
+        .unionAll(jac.withColumn("method", lit("capped_true_jaccard_05")))
+      tagged.join(broadcast(truth.withColumn("injected", lit(1))),
+          Seq("id_a", "id_b"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("detected_pairs"),
+          sum(coalesce(col("injected"), lit(0))).cast("long").as("detected_injected"))
+        .count()
+    }
+    val shape: (String, Boolean) => Long =
+      if (args.drop(1).headOption.contains("d28")) d28like else d15like
+    Seq(true, false).foreach(c => shape("/root/testdata/sf0.001", c)) // warm
     val acc = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (i <- 1 to samples; cut <- Seq(true, false)) {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       val t0 = System.nanoTime()
-      d15like("/root/testdata/sf0.1", cut)
+      shape("/root/testdata/sf0.1", cut)
       val dt = (System.nanoTime() - t0) / 1e9
       acc(if (cut) "cut" else "nocut") ::= dt
       println(f"[cutab] sample$i cut=$cut $dt%.2f s")
