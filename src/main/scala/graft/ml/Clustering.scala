@@ -43,26 +43,22 @@ object Clustering {
       .localCheckpoint(true)
 
     // Assignment is IN-ROW (r17): the k centroids ride one broadcast
-    // 1-row array and each vector picks its cluster by an in-row
-    // array_sort over struct(dist, crank) — ivfAssignments' routing
-    // device. The previous min_by-over-crossJoin form was already
-    // map-side, but it still expanded every row k-fold and paid a
-    // groupBy(id) exchange PER ITERATION just to undo the expansion;
-    // in-row assignment is a pure projection — the only shuffle left
-    // per iteration is the k-group centroid update (guide §2.4).
-    // Distance expression and (dist, crank) tie-break are textually the
-    // min_by's, and vec_dot IS the same native ArrayDotProduct — doubles
-    // and therefore assignments stay bit-identical (oracle-gated).
-    graft.functions.UdfRegistry.registerSystemUdfs(df.sparkSession)
+    // 1-row array and each vector picks its cluster by the codegen'd
+    // CellArgmin loop — ivfAssignments' routing device. The previous
+    // min_by-over-crossJoin form was already map-side, but it still
+    // expanded every row k-fold and paid a groupBy(id) exchange PER
+    // ITERATION just to undo the expansion; in-row assignment is a pure
+    // projection — the only shuffle left per iteration is the k-group
+    // centroid update (guide §2.4). Distance expression (left-to-right
+    // double dot, vv + cc - 2·dot) and (dist, crank) tie-break are the
+    // min_by's exactly — assignments stay bit-identical (oracle-gated).
     def assign(cs: DataFrame): DataFrame = {
       val centArr = cs.agg(
         expr("array_sort(collect_list(struct(crank, cv, cc)))").as("cents"))
       // crossJoin allowlisted: 1-row broadcast centroid-array frame
       v.crossJoin(broadcast(centArr))
-        .withColumn("__best_", expr(
-          "element_at(array_sort(transform(cents, c -> " +
-            "struct(vv + c.cc - 2 * vec_dot(v, c.cv) AS d, c.crank AS crank))), 1)"))
-        .select(col("id"), col("v"), col("__best_.crank").as("crank"))
+        .select(col("id"), col("v"), graft.functions.VectorExpressions
+          .cellArgmin(col("v"), col("vv"), col("cents")).as("crank"))
     }
 
     (1 to iterations).foreach { _ =>

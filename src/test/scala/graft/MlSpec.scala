@@ -330,6 +330,39 @@ class MlSpec extends SparkSpec {
     stateless shouldBe windowed
   }
 
+  test("cell_argmin assignment equals the rank-window reference (int and long cranks)") {
+    // pins the r17 codegen'd CellArgmin against the pre-r17 rank-window
+    // argmin it replaced: same distance expression, same (dist, crank)
+    // tie-break, over the real embeddings fixture
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "v", 16)
+    def reference(corp: org.apache.spark.sql.DataFrame,
+                  cs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val withVv = corp.select(col("vec_id").cast("long").as("id"), col("v"),
+        Similarity.dot(col("v"), col("v")).as("vv"))
+      val dist2 = col("vv") + col("cc") - lit(2.0) * Similarity.dot(col("v"), col("cv"))
+      withVv.crossJoin(broadcast(cs))
+        .withColumn("__arank_", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id")).orderBy(dist2, col("crank"))))
+        .filter(col("__arank_") === 1)
+        .collect().map(r => (r.getAs[Long]("id"),
+          r.getAs[Number]("crank").longValue)).toSet
+    }
+    val got = Similarity.ivfAssignments(emb, cents, "vec_id", "v")
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Number]("crank").longValue)).toSet
+    got shouldBe reference(emb, cents)
+    // long-crank centroid frame exercises CellArgmin's other codegen leg
+    val centsL = cents.select(col("crank").cast("long").as("crank"),
+      col("cv"), col("cc"))
+    val gotL = Similarity.ivfAssignments(emb, centsL, "vec_id", "v")
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Number]("crank").longValue)).toSet
+    gotL shouldBe got
+  }
+
   test("ivf rebalance: partitions the corpus, rewrites only oversized cells, keeps probe contracts") {
     implicit val s = spark
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
