@@ -38,8 +38,13 @@ object DumpPlans {
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        // streaming set derived from naming convention, not broad number
+        // ranges (the old q7x..q11x regex wrongly annotated batch queries
+        // whose plan carries a LocalTableScan, e.g. q98's observe result)
+        val isStreaming = name.contains("stream") ||
+          name.contains("_tws_") || name == "q107_event_ttl"
         val drained =
-          if (plan.contains("LocalTableScan") && name.matches("q(44|48|69|7[0-9]|8[0-9]|9[0-9]|10[0-9]|11[0-6]).*|.*stream.*"))
+          if (plan.contains("LocalTableScan") && isStreaming)
             "NOTE: streaming gate — this is the post-drain batch plan of the memory-sink result.\n"
           else ""
         val header = s"== $name @ $sfDir ($suffix) ==\n$drained"
